@@ -1,0 +1,160 @@
+"""Engine façade: SparkSession lifecycle + warehouse + catalog.
+
+Mirrors what the reference operator does with Kubernetes resources
+(reconcile a NineCluster into Kyuubi/Spark/Metastore/MinIO —
+``internal/controller/ninecluster_controller.go:58-84``) as a
+deterministic in-process initialization:
+
+- warehouse root            <- ``DataHouseDir`` (``api/v1alpha1/ninecluster_types.go:29``)
+- Spark conf construction   <- ``constructSparkConf`` (``internal/controller/kyuubi.go:91-125``)
+- feature flags / profiles  <- ``FillClustersInfo`` (``internal/controller/common.go:198-247``)
+- s3a connector conf        <- ``internal/controller/kyuubi.go:100-106``
+
+Scale posture: every default here is chosen so the same plan that
+passes tests on ``local[32]`` survives a 1000-executor cluster —
+AQE on (runtime coalesce + skew-join splitting), broadcast threshold
+explicit, partition-size caps, no driver-side state.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@dataclass
+class EngineConfig:
+    """Session profile (≙ the reference's NineCluster spec + feature flags)."""
+
+    app_name: str = "nineinfra_spark"
+    master: str | None = None  # default: local[N] from SPARK_GRAFT_CPUS
+    shuffle_partitions: int | None = None  # default: matched to cores locally
+    warehouse_dir: str | None = None  # ≙ /nineinfra/datahouse
+    # 64 MB: small-side tables up to this size replicate instead of shuffling.
+    broadcast_threshold: str = "64m"
+    # Cap bytes per input split so one task's scan fits executor memory
+    # even when parquet files are huge (100 TB posture).
+    max_partition_bytes: str = "128m"
+    session_timezone: str = "UTC"
+    # s3a connector options (≙ kyuubi.go:100-106); applied only if set.
+    s3a: dict[str, str] = field(default_factory=dict)
+    extra_conf: dict[str, str] = field(default_factory=dict)
+
+    def resolved_master(self) -> str:
+        if self.master:
+            return self.master
+        cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 4)
+        return f"local[{cpus}]"
+
+    def resolved_shuffle_partitions(self) -> int:
+        if self.shuffle_partitions:
+            return self.shuffle_partitions
+        cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 4)
+        try:
+            return max(int(cpus), 4)
+        except ValueError:
+            return 32
+
+
+class Engine:
+    """In-process analytics engine: session + warehouse + table registry."""
+
+    def __init__(self, config: EngineConfig | None = None):
+        self.config = config or EngineConfig()
+        self._spark: SparkSession | None = None
+
+    # -- lifecycle ---------------------------------------------------------
+    def open(self) -> "Engine":
+        cfg = self.config
+        builder = (
+            SparkSession.builder.master(cfg.resolved_master())
+            .appName(cfg.app_name)
+            .config("spark.sql.shuffle.partitions", str(cfg.resolved_shuffle_partitions()))
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+            .config("spark.sql.adaptive.skewJoin.enabled", "true")
+            .config("spark.sql.autoBroadcastJoinThreshold", cfg.broadcast_threshold)
+            .config("spark.sql.files.maxPartitionBytes", cfg.max_partition_bytes)
+            .config("spark.sql.session.timeZone", cfg.session_timezone)
+            .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+            .config("spark.ui.enabled", "false")
+            .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        )
+        if cfg.warehouse_dir:
+            builder = builder.config("spark.sql.warehouse.dir", cfg.warehouse_dir)
+        for k, v in cfg.s3a.items():
+            builder = builder.config(f"spark.hadoop.fs.s3a.{k}", v)
+        for k, v in cfg.extra_conf.items():
+            builder = builder.config(k, v)
+        self._spark = builder.getOrCreate()
+        self._spark.sparkContext.setLogLevel("WARN")
+        return self
+
+    def close(self) -> None:
+        if self._spark is not None:
+            self._spark.stop()
+            self._spark = None
+
+    @property
+    def spark(self) -> SparkSession:
+        if self._spark is None:
+            self.open()
+        assert self._spark is not None
+        return self._spark
+
+    # -- SQL / catalog entry points (≙ the Kyuubi gateway role) -------------
+    def sql(self, query: str) -> DataFrame:
+        return self.spark.sql(query)
+
+    def table(self, name: str) -> DataFrame:
+        return self.spark.read.table(name)
+
+    def register_dir(self, sf_dir: str, tables: tuple[str, ...] = TPCH_TABLES) -> None:
+        """Register one temp view per parquet table under ``sf_dir``."""
+        register_testdata(self.spark, sf_dir, tables)
+
+
+def register_testdata(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TPCH_TABLES
+) -> None:
+    """Register each ``{sf_dir}/{t}.parquet`` as temp view ``t``."""
+    for t in tables:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            spark.read.parquet(path).createOrReplaceTempView(t)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Return {name: DataFrame} for every testdata table present in sf_dir."""
+    out: dict[str, DataFrame] = {}
+    for t in TPCH_TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            out[t] = spark.read.parquet(path)
+    return out
+
+
+_DEFAULT_ENGINE: Engine | None = None
+
+
+def get_spark() -> SparkSession:
+    """Process-wide default session with engine defaults applied."""
+    global _DEFAULT_ENGINE
+    if _DEFAULT_ENGINE is None:
+        _DEFAULT_ENGINE = Engine().open()
+    return _DEFAULT_ENGINE.spark

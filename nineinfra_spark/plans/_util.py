@@ -1,0 +1,27 @@
+"""Shared helpers for query plan modules."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table (column pruning / predicate pushdown apply)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def dec(col: str | Column, precision: int = 18, scale: int = 2) -> Column:
+    """Cast to decimal so sums are exact and order-independent — makes
+    floating aggregates bit-stable across engines (Spark vs DuckDB
+    would otherwise disagree in the last ulp depending on reduce order).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({precision},{scale})")
+
+
+def ts(s: str) -> Column:
+    """Literal timestamp from 'YYYY-MM-DD' (testdata dates are timestamps)."""
+    return F.lit(s).cast("timestamp")
