@@ -1,0 +1,88 @@
+"""As-of (temporal) join — a composite operator Spark lacks natively.
+
+Semantics: for each left row, attach the payload of the most recent
+right row with ``right.ts <= left.ts`` (direction="backward"),
+matching per key. Ties on timestamp: the right row counts (inclusive).
+
+The reference reserves a streaming/temporal mode it never implemented
+("Todo support flink", ``internal/controller/kyuubi.go:205``,
+``api/v1alpha1/ninecluster_types.go:41``); this provides the batch
+as-of primitive.
+
+Scale design: implemented as union → single window over (key, ts) —
+ONE shuffle on the key, no range cross-product. At 100 TB this is the
+only shape that works: a naive `l.ts >= r.ts` join explodes
+quadratically per key, while this is O(n log n) per partition with
+last(ignorenulls) carried forward. Skewed keys are handled by AQE;
+for a known-hot key, pre-salt the window by bucketing ts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str,
+    payload: list[str] | None = None,
+    direction: str = "backward",
+    suffix: str = "_right",
+) -> DataFrame:
+    """Backward as-of join: latest right row at-or-before each left row.
+
+    Parameters
+    ----------
+    on : key column name (same on both sides)
+    ts : timestamp column name (same on both sides)
+    payload : right columns to attach (default: all non-key/ts columns)
+    direction : "backward" (<=) or "forward" (>=)
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if payload is None:
+        payload = [c for c in right.columns if c not in (on, ts)]
+
+    out_cols = [f"{c}{suffix}" for c in payload] + [f"{ts}{suffix}"]
+
+    # Tag sides, align schemas, union. Left rows carry NULL payloads;
+    # the window fills them from the nearest preceding right row.
+    l_tag = left.select(
+        *[F.col(c) for c in left.columns],
+        F.lit(1).alias("__is_left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in payload],
+        F.lit(None).cast(right.schema[ts].dataType).alias(f"{ts}{suffix}"),
+    )
+    r_tag = right.select(
+        *[
+            F.col(c) if c in (on, ts) else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+        ],
+        F.lit(0).alias("__is_left"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in payload],
+        F.col(ts).alias(f"{ts}{suffix}"),
+    )
+    combined = l_tag.unionByName(r_tag)
+
+    if direction == "backward":
+        # Right rows sort before left rows at equal ts (inclusive match).
+        w = (
+            Window.partitionBy(on)
+            .orderBy(F.col(ts).asc(), F.col("__is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    else:
+        w = (
+            Window.partitionBy(on)
+            .orderBy(F.col(ts).desc(), F.col("__is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+
+    filled = combined.select(
+        *[c for c in combined.columns if c not in out_cols],
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in out_cols],
+    )
+    return filled.filter(F.col("__is_left") == 1).drop("__is_left")

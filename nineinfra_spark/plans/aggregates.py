@@ -1,1 +1,303 @@
-"""Placeholder — populated in this round."""
+"""Aggregation operators (SURVEY.md §2.4): hash aggregate, distinct
+aggs, statistical moments, cube/rollup/grouping sets, pivot, approx
+sketches.
+
+Statistical functions (stddev/var/corr/covar/skew/kurt) are exposed
+as exact-moment compositions: the sums are decimal-exact, so the final
+double arithmetic is bit-identical across engines and across any
+degree of parallelism — the property that makes the DuckDB
+differential meaningful. The native one-pass versions
+(F.stddev, F.corr, ...) are unit-tested with tolerance in
+tests/test_aggregates.py (their merge order varies by partitioning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nineinfra_spark.plans._util import dec, t
+from nineinfra_spark.plans.registry import query
+
+
+@query(
+    "agg_global",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT l_suppkey) AS n_supp,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price
+    FROM lineitem
+    """,
+    tags=("agg",),
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+@query(
+    "agg_multi_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS n_supp,
+           COUNT(DISTINCT l_partkey) AS n_part,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "distinct"),
+)
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple COUNT(DISTINCT) in one aggregate (Expand-based plan)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def _moments(x: str, scale: int = 6) -> dict[str, Column]:
+    """Exact decimal power sums of a column, cast to double."""
+    xc = F.col(x)
+    return {
+        "n": F.count(xc).cast("double"),
+        "s1": F.sum(dec(xc, 38, scale)).cast("double"),
+        "s2": F.sum(dec(xc * xc, 38, scale)).cast("double"),
+    }
+
+
+@query(
+    "agg_stats_moments",
+    oracle="""
+    WITH m AS (
+      SELECT c_mktsegment,
+             CAST(COUNT(c_acctbal) AS DOUBLE) AS n,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS s2
+      FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment,
+           s1 / n AS mean_bal,
+           (s2 - s1 * s1 / n) / (n - 1) AS var_bal,
+           sqrt((s2 - s1 * s1 / n) / (n - 1)) AS stddev_bal,
+           (s2 - s1 * s1 / n) / n AS var_pop_bal
+    FROM m
+    """,
+    tags=("agg", "stats"),
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """variance/stddev from exact power sums (order-independent)."""
+    cust = t(spark, sf_dir, "customer")
+    m = _moments("c_acctbal")
+    agg = cust.groupBy("c_mktsegment").agg(
+        m["n"].alias("n"), m["s1"].alias("s1"), m["s2"].alias("s2")
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    ss = s2 - s1 * s1 / n
+    return agg.select(
+        "c_mktsegment",
+        (s1 / n).alias("mean_bal"),
+        (ss / (n - 1)).alias("var_bal"),
+        F.sqrt(ss / (n - 1)).alias("stddev_bal"),
+        (ss / n).alias("var_pop_bal"),
+    )
+
+
+@query(
+    "agg_corr_moments",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+      FROM lineitem
+    )
+    SELECT (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price,
+           (n * sxy - sx * sy) / (n * n) AS covar_pop,
+           (n * sxy - sx * sy) / (n * (n - 1)) AS covar_samp
+    FROM m
+    """,
+    tags=("agg", "stats"),
+)
+def agg_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + covariance from exact moments."""
+    li = t(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    agg = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dec(x, 38, 6)).cast("double").alias("sx"),
+        F.sum(dec(y, 38, 6)).cast("double").alias("sy"),
+        F.sum(dec(x * x, 38, 6)).cast("double").alias("sxx"),
+        F.sum(dec(y * y, 38, 6)).cast("double").alias("syy"),
+        F.sum(dec(x * y, 38, 6)).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return agg.select(
+        (
+            (n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+        ).alias("corr_qty_price"),
+        ((n * sxy - sx * sy) / (n * n)).alias("covar_pop"),
+        ((n * sxy - sx * sy) / (n * (n - 1))).alias("covar_samp"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING_ID(l_returnflag, l_linestatus) AS gid,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "cube"),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^k grouping combinations + grouping_id."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT r_name, n_name,
+           GROUPING_ID(r_name, n_name) AS gid,
+           COUNT(*) AS n_cust
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    tags=("agg", "rollup"),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP: hierarchical region → nation subtotals + grand total."""
+    cust = t(spark, sf_dir, "customer")
+    nat = t(spark, sf_dir, "nation")
+    reg = t(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.grouping_id().alias("gid"), F.count(F.lit(1)).alias("n_cust"))
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+    tags=("agg", "grouping-sets"),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (two disjoint groupings in one pass)."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_open,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_filled
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "pivot"),
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot rows→columns with an explicit value list (explicit values
+    avoid the extra distinct-scan pass — required practice at scale)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(dec("l_quantity")).cast("double"))
+        .select(
+            "l_returnflag",
+            F.col("O").alias("qty_open"),
+            F.col("F").alias("qty_filled"),
+        )
+    )
+
+
+@query(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT n_regionkey,
+           array_to_string(list_sort(list_distinct(list(n_name))), ',') AS nations
+    FROM nation GROUP BY n_regionkey
+    """,
+    tags=("agg", "collect"),
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set → canonical string (sorted + joined so the result is
+    deterministic under any partitioning)."""
+    nat = t(spark, sf_dir, "nation")
+    return nat.groupBy("n_regionkey").agg(
+        F.array_join(F.sort_array(F.collect_set("n_name")), ",").alias("nations")
+    )
+
+
+@query(
+    "agg_percentile_exact",
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.5)::DOUBLE AS p50,
+           quantile_cont(o_totalprice, 0.9)::DOUBLE AS p90
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg", "percentile"),
+)
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (continuous)."""
+    orders = t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+    )
+
+
+@query("agg_approx_sketches", oracle=None, tags=("agg", "approx"))
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL + quantile sketches — approximate by design, so no exact
+    oracle; bounds are asserted in tests/test_aggregates.py. These are
+    the 100 TB workhorses: constant memory vs exact distinct's shuffle.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_p50"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -1,1 +1,226 @@
-"""Placeholder — populated in this round."""
+"""Join operators — all eight Spark join types plus range and as-of
+composites (SURVEY.md §2.3).
+
+The reference guarantees shuffle capacity for exactly these
+(dedicated shuffle PVC per executor, ``internal/controller/
+kyuubi.go:115-122``); here each type gets its own differential query.
+Dimension-sized sides are broadcast explicitly — at 100 TB the only
+shuffling join should be fact⋈fact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nineinfra_spark.operators.asof import asof_join
+from nineinfra_spark.plans._util import dec, t, ts
+from nineinfra_spark.plans.registry import query
+
+
+@query(
+    "join_inner_equi",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_totalprice > 400000
+    """,
+    tags=("join",),
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    cust = t(spark, sf_dir, "customer")
+    return orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT p_partkey, p_name, l_orderkey, l_quantity
+    FROM part LEFT JOIN (SELECT * FROM lineitem WHERE l_quantity >= 49) li
+      ON p_partkey = li.l_partkey
+    WHERE p_size <= 2
+    """,
+    tags=("join",),
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer: unmatched parts keep NULL lineitem columns."""
+    part = t(spark, sf_dir, "part").filter(F.col("p_size") <= 2)
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    return part.join(li, part.p_partkey == li.l_partkey, "left").select(
+        "p_partkey", "p_name", "l_orderkey", "l_quantity"
+    )
+
+
+@query(
+    "join_right_outer",
+    oracle="""
+    SELECT s_suppkey, s_name, n_name
+    FROM (SELECT * FROM supplier WHERE s_acctbal > 0) s
+    RIGHT JOIN nation ON s.s_nationkey = n_nationkey
+    """,
+    tags=("join",),
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 0)
+    nat = t(spark, sf_dir, "nation")
+    return supp.join(nat, supp.s_nationkey == nat.n_nationkey, "right").select(
+        "s_suppkey", "s_name", "n_name"
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    SELECT a.k AS k_1996, b.k AS k_1997, a.n AS n_1996, b.n AS n_1997
+    FROM (SELECT o_custkey AS k, COUNT(*) AS n FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-02-01'
+          GROUP BY o_custkey) a
+    FULL JOIN (SELECT o_custkey AS k, COUNT(*) AS n FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-02-01'
+          GROUP BY o_custkey) b
+      ON a.k = b.k
+    """,
+    tags=("join",),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer over two month-cohorts of customers (nulls both sides)."""
+    orders = t(spark, sf_dir, "orders")
+    a = (
+        orders.filter(
+            (F.col("o_orderdate") >= ts("1996-01-01")) & (F.col("o_orderdate") < ts("1996-02-01"))
+        )
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    b = (
+        orders.filter(
+            (F.col("o_orderdate") >= ts("1997-01-01")) & (F.col("o_orderdate") < ts("1997-02-01"))
+        )
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return a.join(b, a.k == b.k, "full").select(
+        a.k.alias("k_1996"), b.k.alias("k_1997"), a.n.alias("n_1996"), b.n.alias("n_1997")
+    )
+
+
+@query(
+    "join_left_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      AND o_totalprice > 300000)
+    """,
+    tags=("join", "subquery"),
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS/IN subquery as a left-semi join (no row duplication)."""
+    cust = t(spark, sf_dir, "customer")
+    urgent = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 300000)
+    )
+    return cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_left_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+    """,
+    tags=("join", "subquery"),
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as a left-anti join."""
+    cust = t(spark, sf_dir, "customer")
+    big = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+    tags=("join",),
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product (both sides dimension-sized — never cross-join
+    a fact table; Catalyst plans this as BroadcastNestedLoopJoin)."""
+    return (
+        t(spark, sf_dir, "region")
+        .crossJoin(t(spark, sf_dir, "nation"))
+        .select("r_name", "n_name")
+    )
+
+
+@query(
+    "join_range_theta",
+    oracle="""
+    SELECT tier, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    JOIN (VALUES ('low', 0.0, 50.0), ('mid', 50.0, 150.0), ('high', 150.0, 1e9))
+         tiers(tier, lo, hi)
+      ON value >= lo AND value < hi
+    GROUP BY tier
+    """,
+    tags=("join", "range"),
+)
+def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range join: banding rows into tiers via inequality
+    predicates. The tier table is tiny → BroadcastNestedLoopJoin, which
+    is the right physical plan at any scale (the alternative — shuffle
+    on a range key — needs binning; see `ext_similarity` for that)."""
+    events = t(spark, sf_dir, "events")
+    tiers = spark.createDataFrame(
+        [("low", 0.0, 50.0), ("mid", 50.0, 150.0), ("high", 150.0, 1e9)],
+        ["tier", "lo", "hi"],
+    )
+    return (
+        events.join(
+            F.broadcast(tiers),
+            (events.value >= tiers.lo) & (events.value < tiers.hi),
+        )
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "join_asof_backward",
+    oracle="""
+    SELECT l.event_id, l.user_id, l.ts,
+           r.ts AS signup_ts, r.value AS signup_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    tags=("join", "asof", "custom"),
+)
+def join_asof_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent
+    signup at-or-before it. Composite operator (union + window) — see
+    nineinfra_spark/operators/asof.py for the scale rationale."""
+    events = t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    signups = events.filter(F.col("event_type") == "signup").select("user_id", "ts", "value")
+    joined = asof_join(purchases, signups, on="user_id", ts="ts", payload=["value"], suffix="_r")
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_r").alias("signup_ts"),
+        F.col("value_r").alias("signup_value"),
+    )

@@ -1,1 +1,134 @@
-"""Placeholder — populated in this round."""
+"""Sort / limit / top-k / distinct / projection surface
+(SURVEY.md §2.2, §2.6)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nineinfra_spark.plans._util import t
+from nineinfra_spark.plans.registry import query
+
+
+@query(
+    "topk_global",
+    oracle="""
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice, o_orderdate
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 15
+    """,
+    tags=("sort", "topk"),
+)
+def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT — Catalyst fuses into TakeOrderedAndProject:
+    per-partition heaps + driver merge, never a full global sort.
+    Unique o_orderkey is the deterministic tie-break."""
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(15)
+    )
+
+
+@query(
+    "project_compute",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6)) AS DOUBLE) AS net_price,
+           CASE WHEN l_quantity >= 25 THEN 'bulk' ELSE 'small' END AS qty_class,
+           CAST(l_quantity AS INTEGER) AS qty_int
+    FROM lineitem WHERE l_linenumber = 1 AND l_orderkey < 1000
+    """,
+    tags=("project", "cast", "case"),
+)
+def project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Computed projection: arithmetic, CASE WHEN, explicit casts."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.filter((F.col("l_linenumber") == 1) & (F.col("l_orderkey") < 1000)).select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(22,6)")
+        .cast("double")
+        .alias("net_price"),
+        F.when(F.col("l_quantity") >= 25, "bulk").otherwise("small").alias("qty_class"),
+        F.col("l_quantity").cast("integer").alias("qty_int"),
+    )
+
+
+@query(
+    "filter_predicates",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_orderstatus
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND o_totalprice BETWEEN 200000 AND 250000
+      AND o_orderpriority LIKE '%H%'
+      AND o_custkey IS NOT NULL
+    """,
+    tags=("filter",),
+)
+def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN / BETWEEN / LIKE / IS NOT NULL predicate surface — all of
+    these push down to the parquet scan."""
+    orders = t(spark, sf_dir, "orders")
+    return orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        & F.col("o_totalprice").between(200000, 250000)
+        & F.col("o_orderpriority").like("%H%")
+        & F.col("o_custkey").isNotNull()
+    ).select("o_orderkey", "o_orderpriority", "o_orderstatus")
+
+
+@query(
+    "distinct_projection",
+    oracle="""
+    SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+    """,
+    tags=("distinct",),
+)
+def distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+@query(
+    "dedup_by_subset",
+    oracle="""
+    SELECT o_custkey, o_orderstatus,
+           MIN(o_orderkey) AS o_orderkey
+    FROM orders GROUP BY o_custkey, o_orderstatus
+    """,
+    tags=("distinct", "dedup"),
+)
+def dedup_by_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dropDuplicates: keep the MIN key per group.
+    (Raw dropDuplicates(subset) keeps an arbitrary row — fine for
+    dedup, wrong for a differential test, so we pin the survivor.)"""
+    orders = t(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey", "o_orderstatus").agg(
+        F.min("o_orderkey").alias("o_orderkey")
+    )
+
+
+@query("sample_bernoulli", oracle=None, tags=("sample",))
+def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sample — sampling is engine-specific RNG, so
+    rows-only (determinism within Spark is unit-tested)."""
+    return t(spark, sf_dir, "orders").sample(fraction=0.1, seed=42)
+
+
+@query(
+    "sort_multi_key",
+    oracle="""
+    SELECT n_name, n_regionkey, n_nationkey
+    FROM nation ORDER BY n_regionkey DESC, n_name ASC
+    """,
+    tags=("sort",),
+)
+def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global multi-key sort (range-partitioned exchange)."""
+    return (
+        t(spark, sf_dir, "nation")
+        .select("n_name", "n_regionkey", "n_nationkey")
+        .orderBy(F.desc("n_regionkey"), F.asc("n_name"))
+    )

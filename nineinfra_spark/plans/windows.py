@@ -1,1 +1,201 @@
-"""Placeholder — populated in this round."""
+"""Window functions (SURVEY.md §2.5): ranking, analytic, windowed
+aggregates, frame specs.
+
+Every ORDER BY inside a window includes a unique tie-break column so
+row_number/lag/lead are deterministic under any partitioning — a
+correctness requirement, not a style choice, once data is distributed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nineinfra_spark.plans._util import dec, t
+from nineinfra_spark.plans.registry import query
+
+
+@query(
+    "window_ranking",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+           row_number()  OVER w AS rn,
+           rank()        OVER w AS rnk,
+           dense_rank()  OVER w AS drnk,
+           ntile(4)      OVER w AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    QUALIFY rn <= 25
+    """,
+    tags=("window", "rank"),
+)
+def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25-per-group via ranking window (the scalable 'top-k per key':
+    one shuffle on the partition key, no global sort)."""
+    cust = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        cust.select(
+            "c_custkey",
+            "c_mktsegment",
+            "c_acctbal",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .filter(F.col("rn") <= 25)
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(value AS DOUBLE) AS value,
+           lag(value)  OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           date_diff('microsecond', lag(ts) OVER w, ts) AS micros_since_prev
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("window", "analytic"),
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead + inter-event gap — the sessionization building block."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "ts",
+            "value",
+            F.lag("value").over(w).alias("prev_value"),
+            F.lead("value").over(w).alias("next_value"),
+            F.lag("ts").over(w).alias("_prev_ts"),
+        )
+        .withColumn(
+            "micros_since_prev", F.expr("timestampdiff(MICROSECOND, _prev_ts, ts)")
+        )
+        .drop("_prev_ts")
+    )
+
+
+@query(
+    "window_running_agg",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+           COUNT(*) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS order_seq
+    FROM orders
+    """,
+    tags=("window", "frame"),
+)
+def window_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) aggregate with an explicit ROWS frame."""
+    orders = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
+        F.count(F.lit(1)).over(w).alias("order_seq"),
+    )
+
+
+@query(
+    "window_moving_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_last3,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / COUNT(*) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS avg_last3
+    FROM orders
+    """,
+    tags=("window", "frame"),
+)
+def window_moving_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding ROWS frame (moving sum/avg over the last 3 orders)."""
+    orders = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    s = F.sum(dec("o_totalprice")).over(w).cast("double")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        s.alias("sum_last3"),
+        (s / F.count(F.lit(1)).over(w)).alias("avg_last3"),
+    )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT s_suppkey,
+           CAST(s_acctbal AS DOUBLE) AS s_acctbal,
+           COUNT(*) OVER (
+               ORDER BY s_acctbal
+               RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING) AS n_within_500
+    FROM supplier
+    """,
+    tags=("window", "frame", "range"),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame keyed on a numeric ordering (value-based peers)."""
+    supp = t(spark, sf_dir, "supplier")
+    w = Window.orderBy("s_acctbal").rangeBetween(-500, 500)
+    return supp.select(
+        "s_suppkey",
+        "s_acctbal",
+        F.count(F.lit(1)).over(w).alias("n_within_500"),
+    )
+
+
+@query(
+    "window_first_last_nth",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_orderdate) OVER w AS first_order_date,
+           last_value(o_orderdate)  OVER w AS last_order_date,
+           nth_value(o_orderdate, 2) OVER w AS second_order_date
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("window", "analytic"),
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth over a full-partition frame."""
+    orders = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderdate").over(w).alias("first_order_date"),
+        F.last("o_orderdate").over(w).alias("last_order_date"),
+        F.nth_value("o_orderdate", 2).over(w).alias("second_order_date"),
+    )

@@ -93,6 +93,8 @@ def assert_matches_oracle(spark, name: str, fn, oracle: str, sf_dir: str = SF_OR
                 # timestamps: compare as pandas-normalized values
                 if pd.api.types.is_datetime64_any_dtype(g[col]) or pd.api.types.is_datetime64_any_dtype(w[col]):
                     a2, b2 = pd.Timestamp(a), pd.Timestamp(b)
-                    assert a2 == b2, f"{name}.{col}[{i}]: spark={a2!r} oracle={b2!r}"
+                    assert a2 == b2 or (pd.isna(a2) and pd.isna(b2)), (
+                        f"{name}.{col}[{i}]: spark={a2!r} oracle={b2!r}"
+                    )
                 else:
                     assert a == b, f"{name}.{col}[{i}]: spark={a!r} oracle={b!r}"
