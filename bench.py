@@ -1,0 +1,86 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints
+exactly ONE JSON line to stdout:
+
+    {"metric": "headline_total_wall", "value": <sec>, "unit": "sec",
+     "queries": {"q1_pricing_summary": <sec>, ...}, "sf": 0.1}
+
+Each query is forced end-to-end with a ``noop``-format write (full
+execution of every partition, no driver-side collect), timed after one
+warm-up pass so JVM/codegen startup is not attributed to the plan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+# Headline set: the TPC-H spine + one representative per operator family.
+# Extend as new families land (keep this list in sync with SURVEY.md §2).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q18_large_volume_customers",
+    "window_ranking",
+    "join_asof_backward",
+    "dedup_exact_content",
+    "dedup_minhash_pairs",
+    "ann_cosine_topk",
+    "text_quality_stats",
+]
+
+
+def _force(df) -> None:
+    """Execute the full plan on every partition without collecting."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from nineinfra_spark.engine import Engine
+
+    engine = Engine().open()
+    spark = engine.spark
+
+    from nineinfra_spark.plans import registry
+
+    available = set(registry.names())
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in available:
+            continue
+        fn = registry.get(name).fn
+        _force(fn(spark, sf_dir))  # warm-up: JVM JIT, codegen, file listing
+        t0 = time.perf_counter()
+        _force(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    result = {
+        "metric": "headline_total_wall",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # The ONE json line — everything else (Spark logs) goes to stderr.
+    print(json.dumps(result), flush=True)
+    engine.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -92,7 +92,11 @@ class Engine:
             .config("spark.sql.files.maxPartitionBytes", cfg.max_partition_bytes)
             .config("spark.sql.session.timeZone", cfg.session_timezone)
             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+            # Nanos-parquet tolerance set up-front so session behavior is
+            # not order-dependent on which table gets read first.
+            .config("spark.sql.legacy.parquet.nanosAsLong", "true")
             .config("spark.ui.enabled", "false")
+            .config("spark.ui.showConsoleProgress", "false")
             .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         )
         if cfg.warehouse_dir:
@@ -132,20 +136,28 @@ class Engine:
 def register_testdata(
     spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TPCH_TABLES
 ) -> None:
-    """Register each ``{sf_dir}/{t}.parquet`` as temp view ``t``."""
+    """Register each ``{sf_dir}/{t}.parquet`` as temp view ``t``.
+
+    Uses the nanos-aware reader so ``events`` gets the same ts
+    semantics through the Engine API as through the query path.
+    """
+    from nineinfra_spark.sources.readers import read_table
+
     for t in tables:
         path = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(path):
-            spark.read.parquet(path).createOrReplaceTempView(t)
+            read_table(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Return {name: DataFrame} for every testdata table present in sf_dir."""
+    from nineinfra_spark.sources.readers import read_table
+
     out: dict[str, DataFrame] = {}
     for t in TPCH_TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(path):
-            out[t] = spark.read.parquet(path)
+            out[t] = read_table(spark, sf_dir, t)
     return out
 
 

@@ -46,15 +46,21 @@ def asof_join(
     if payload is None:
         payload = [c for c in right.columns if c not in (on, ts)]
 
-    out_cols = [f"{c}{suffix}" for c in payload] + [f"{ts}{suffix}"]
-
-    # Tag sides, align schemas, union. Left rows carry NULL payloads;
-    # the window fills them from the nearest preceding right row.
+    # The matched right row travels as ONE struct(ts, *payload) so a
+    # single last(ignorenulls) fill attaches an atomic right-row
+    # snapshot — per-column fills could mix payloads from different
+    # right rows whenever a payload value is NULL.
     l_tag = left.select(
         *[F.col(c) for c in left.columns],
         F.lit(1).alias("__is_left"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in payload],
-        F.lit(None).cast(right.schema[ts].dataType).alias(f"{ts}{suffix}"),
+        F.lit(None)
+        .cast(
+            "struct<" + ",".join(
+                [f"__ts:{right.schema[ts].dataType.simpleString()}"]
+                + [f"{c}:{right.schema[c].dataType.simpleString()}" for c in payload]
+            ) + ">"
+        )
+        .alias("__r"),
     )
     r_tag = right.select(
         *[
@@ -62,27 +68,34 @@ def asof_join(
             for c in left.columns
         ],
         F.lit(0).alias("__is_left"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in payload],
-        F.col(ts).alias(f"{ts}{suffix}"),
+        F.struct(
+            F.col(ts).alias("__ts"), *[F.col(c) for c in payload]
+        ).alias("__r"),
     )
     combined = l_tag.unionByName(r_tag)
 
-    if direction == "backward":
-        # Right rows sort before left rows at equal ts (inclusive match).
-        w = (
-            Window.partitionBy(on)
-            .orderBy(F.col(ts).asc(), F.col("__is_left").asc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-    else:
-        w = (
-            Window.partitionBy(on)
-            .orderBy(F.col(ts).desc(), F.col("__is_left").asc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
+    # Right rows sort before left rows at equal ts (inclusive match);
+    # among duplicate right rows at equal (key, ts) the struct value is
+    # the tie-break, so the winning payload is value-deterministic, not
+    # partition-layout-dependent.
+    order = [F.col(ts).asc() if direction == "backward" else F.col(ts).desc(),
+             F.col("__is_left").asc(),
+             F.col("__r").asc()]
+    w = (
+        Window.partitionBy(on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
 
     filled = combined.select(
-        *[c for c in combined.columns if c not in out_cols],
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in out_cols],
+        *[c for c in combined.columns if c != "__r"],
+        F.last("__r", ignorenulls=True).over(w).alias("__r"),
     )
-    return filled.filter(F.col("__is_left") == 1).drop("__is_left")
+    return (
+        filled.filter(F.col("__is_left") == 1)
+        .select(
+            *[c for c in filled.columns if c not in ("__is_left", "__r")],
+            *[F.col(f"__r.{c}").alias(f"{c}{suffix}") for c in payload],
+            F.col("__r.__ts").alias(f"{ts}{suffix}"),
+        )
+    )

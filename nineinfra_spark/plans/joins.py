@@ -166,7 +166,7 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_range_theta",
     oracle="""
     SELECT tier, COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events
     JOIN (VALUES ('low', 0.0, 50.0), ('mid', 50.0, 150.0), ('high', 150.0, 1e9))
          tiers(tier, lo, hi)
@@ -193,7 +193,13 @@ def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tier")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(dec("value")).cast("double").alias("sum_value"),
+            # Explicit round(2) BEFORE the decimal cast: both engines'
+            # ROUND on doubles is half-away-from-zero, whereas the raw
+            # double→decimal cast differs (Spark HALF_UP vs DuckDB
+            # half-even) exactly on .xx5 midpoints.
+            F.sum(F.round(F.col("value"), 2).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
         )
     )
 

