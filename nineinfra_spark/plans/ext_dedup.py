@@ -1,1 +1,414 @@
-"""Placeholder — populated in this round."""
+"""[EXT] Deduplication operators over the ``documents`` table.
+
+The core LLM-data-pipeline surface (SURVEY.md §2.10 [EXT]): exact
+dedup, exact n-gram-Jaccard near-dup pairs, banded MinHash-LSH
+near-dup detection, and SimHash fingerprints. The reference delegates
+all data processing to the engine it provisions
+(``internal/controller/kyuubi.go:189-203``); these are native.
+
+Every operator here is deterministic end-to-end — including MinHash —
+because all hash functions are md5-derived (first 15 hex digits → a
+60-bit integer), which both Spark (``conv(substr(md5(x),1,15),16,10)``)
+and DuckDB (``CAST('0x' || substr(md5(x),1,15) AS BIGINT)``) compute
+identically. That makes even the LSH pipeline oracle-checkable by
+hash-equality, not just tolerance.
+
+Scale design (the 100 TB posture):
+
+- Exact dedup: hash → groupBy(hash). One shuffle keyed on a uniform
+  hash — no skew by construction.
+- Near-dup: NEVER all-pairs. Candidate pairs come only from shared
+  5-gram shingles (selective: random docs rarely share an exact
+  5-token sequence) or shared LSH band buckets. The self-join is keyed
+  on shingle/bucket, so the shuffle is bounded by the posting lists,
+  and a hot shingle (boilerplate) is exactly what AQE skew-join
+  splits. For adversarial corpora, add a document-frequency cutoff on
+  shingles before the join (drop shingles with DF > K) — standard
+  positional-filtering; not needed at the tested scale.
+- Verification: exact Jaccard via array_intersect on the two docs'
+  distinct-shingle arrays — per-candidate-pair work, no re-explosion.
+- Thresholding: ``jaccard >= 0.5`` is evaluated as the integer
+  predicate ``3*common >= na + nb`` — no float compare, no engine
+  divergence. Reported Jaccard is integer-scaled half-up rounding.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nineinfra_spark.plans._util import t
+from nineinfra_spark.plans.ext_text import TOKS_DUCK, TOKS_SPARK
+from nineinfra_spark.plans.registry import query
+
+N_PERM = 16  # minhash permutations
+N_BANDS = 4  # bands of N_PERM // N_BANDS rows each
+ROWS_PER_BAND = N_PERM // N_BANDS
+
+#: distinct 5-gram word shingles from a ``toks`` array column.
+#: Spark's sequence(1, n) is DESCENDING for n < 1, hence the CASE guard.
+SH_SPARK = (
+    "case when size(toks) >= 5 then array_distinct(transform("
+    "sequence(1, size(toks) - 4), i -> array_join(slice(toks, i, 5), ' ')))"
+    " else array() end"
+)
+SH_DUCK = (
+    "list_distinct(list_transform(generate_series(1, greatest(len(toks) - 4, 0)),"
+    " i -> array_to_string(toks[i:i+4], ' ')))"
+)
+
+
+def _h_spark(expr: str) -> str:
+    """60-bit md5-derived hash of a string expression (Spark SQL)."""
+    return f"cast(conv(substr(md5({expr}), 1, 15), 16, 10) as long)"
+
+
+def _h_duck(expr: str) -> str:
+    """Same 60-bit hash in DuckDB SQL."""
+    return f"CAST(CONCAT('0x', SUBSTR(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id + distinct 5-gram shingle array (docs with ≥1 shingle)."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.expr(TOKS_SPARK).alias("toks"))
+        .select("doc_id", F.expr(SH_SPARK).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+    )
+
+
+# -- exact dedup -----------------------------------------------------------
+
+
+@query(
+    "dedup_exact_content",
+    oracle=f"""
+    WITH f AS (
+        SELECT doc_id, md5(array_to_string({TOKS_DUCK}, ' ')) AS content_hash
+        FROM documents
+    )
+    SELECT content_hash, MIN(doc_id) AS canonical_doc_id, COUNT(*) AS n_copies
+    FROM f
+    GROUP BY content_hash
+    """,
+    tags=("ext", "dedup"),
+)
+def dedup_exact_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: md5 over the normalized token stream,
+    groupBy(hash) keeping the lowest doc_id as canonical. The shuffle
+    key is a uniform hash → perfectly balanced at any scale; the
+    map-side partial agg collapses duplicates before the exchange."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.md5(F.array_join(F.expr(TOKS_SPARK), " ")).alias("content_hash"),
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# -- exact n-gram Jaccard pairs -------------------------------------------
+
+#: integer-exact half-up rounding of common/union to 6 dp.
+#: 1e6 (not 1000000.0): Spark SQL parses the latter as a DECIMAL
+#: literal, which would turn the division into decimal arithmetic.
+_JAC6_SPARK = "(2000000 * common + union_sz) div (2 * union_sz) / 1e6"
+_JAC6_DUCK = "((2000000 * common + union_sz) // (2 * union_sz)) / 1e6"
+
+
+@query(
+    "dedup_shingle_jaccard",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {TOKS_DUCK} AS toks FROM documents),
+    sh AS (
+        SELECT doc_id, {SH_DUCK} AS shingles FROM d
+    ),
+    sz AS (SELECT doc_id, shingles, len(shingles) AS n FROM sh WHERE len(shingles) > 0),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sz),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
+    ),
+    ver AS (
+        SELECT doc_a, doc_b,
+               len(list_intersect(a.shingles, b.shingles)) AS common,
+               a.n + b.n - len(list_intersect(a.shingles, b.shingles)) AS union_sz,
+               a.n + b.n AS total
+        FROM cand
+        JOIN sz a ON cand.doc_a = a.doc_id
+        JOIN sz b ON cand.doc_b = b.doc_id
+    )
+    SELECT doc_a, doc_b, common, union_sz, {_JAC6_DUCK} AS jaccard
+    FROM ver WHERE 3 * common >= total
+    """,
+    tags=("ext", "dedup", "jaccard"),
+)
+def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs: 5-gram shingle Jaccard ≥ 0.5.
+
+    Candidates are generated ONLY from shared shingles (an inverted-
+    index self-join — the sparse exact algorithm), then verified with
+    array_intersect on the distinct-shingle arrays. No all-pairs stage
+    exists anywhere in the plan; at 100 TB add a shingle-DF cutoff
+    before the join to bound posting lists (see module docstring).
+    """
+    sz = _shingled(spark, sf_dir).select(
+        "doc_id", "shingles", F.size("shingles").alias("n")
+    )
+    ex = sz.select("doc_id", F.explode("shingles").alias("s"))
+    cand = (
+        ex.alias("x")
+        .join(
+            ex.alias("y"),
+            (F.col("x.s") == F.col("y.s")) & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    a = sz.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("n").alias("na"),
+    )
+    b = sz.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("n").alias("nb"),
+    )
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("common"),
+            (F.col("na") + F.col("nb")).alias("total"),
+        )
+        .filter(3 * F.col("common") >= F.col("total"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "common",
+            (F.col("total") - F.col("common")).alias("union_sz"),
+        )
+        .select("doc_a", "doc_b", "common", "union_sz", F.expr(_JAC6_SPARK).alias("jaccard"))
+    )
+
+
+# -- banded MinHash LSH ----------------------------------------------------
+
+
+#: Double-hashing (Kirsch–Mitzenmacher): the k-th minhash permutation
+#: is h1 + k*h2 — two md5 evaluations per shingle instead of N_PERM.
+#: h2 is truncated to 56 bits so h1 + 15*h2 stays < 2^61 (DuckDB
+#: errors on BIGINT overflow; Spark would silently wrap — neither is
+#: allowed to happen).
+_H2_MOD = 1 << 56
+
+
+def _minhash_oracle() -> str:
+    mins = ",\n           ".join(
+        f"MIN(h1 + {k} * h2) AS m{k}" for k in range(N_PERM)
+    )
+    band_cols = ",\n           ".join(
+        "md5(concat_ws(':', "
+        + ", ".join(f"m{b * ROWS_PER_BAND + j}" for j in range(ROWS_PER_BAND))
+        + f")) AS b{b}"
+        for b in range(N_BANDS)
+    )
+    band_union = "\n        UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, b{b} AS band_key FROM bands"
+        for b in range(N_BANDS)
+    )
+    return f"""
+    WITH d AS (SELECT doc_id, {TOKS_DUCK} AS toks FROM documents),
+    sh AS (SELECT doc_id, {SH_DUCK} AS shingles FROM d),
+    sz AS (SELECT doc_id, shingles, len(shingles) AS n FROM sh WHERE len(shingles) > 0),
+    hs AS (
+        SELECT doc_id,
+               {_h_duck("'a:' || s")} AS h1,
+               {_h_duck("'b:' || s")} % {_H2_MOD} AS h2
+        FROM (SELECT doc_id, unnest(shingles) AS s FROM sz)
+    ),
+    sig AS (
+        SELECT doc_id,
+           {mins}
+        FROM hs GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id,
+           {band_cols}
+        FROM sig
+    ),
+    bb AS (
+        {band_union}
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bb x JOIN bb y
+          ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+         AND x.doc_id < y.doc_id
+    ),
+    ver AS (
+        SELECT doc_a, doc_b,
+               len(list_intersect(a.shingles, b.shingles)) AS common,
+               a.n + b.n - len(list_intersect(a.shingles, b.shingles)) AS union_sz,
+               a.n + b.n AS total
+        FROM cand
+        JOIN sz a ON cand.doc_a = a.doc_id
+        JOIN sz b ON cand.doc_b = b.doc_id
+    )
+    SELECT doc_a, doc_b, common, union_sz, {_JAC6_DUCK} AS jaccard
+    FROM ver WHERE 3 * common >= total
+    """
+
+
+@query("dedup_minhash_pairs", oracle=_minhash_oracle(), tags=("ext", "dedup", "lsh"))
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash-LSH near-dup pairs (shingle → 16 minhashes →
+    4 bands of 4 → bucket self-join → exact-Jaccard verify ≥ 0.5).
+
+    The LSH pipeline itself is deterministic (md5-derived hash
+    family), so the oracle replicates it exactly — this row is
+    hash-matched, not tolerance-checked; recall vs the exact
+    shingle-Jaccard pairs is asserted separately in
+    tests/test_ext_pipeline.py.
+
+    Scale: signatures are one explode + one groupBy (16 mins computed
+    map-side); candidates come from equality self-join on (band_idx,
+    band_key) — shuffle bounded by bucket posting lists, never
+    all-pairs; verification touches candidate pairs only.
+    """
+    sz = _shingled(spark, sf_dir).select(
+        "doc_id", "shingles", F.size("shingles").alias("n")
+    )
+    ex = sz.select("doc_id", F.explode("shingles").alias("s")).select(
+        "doc_id",
+        F.expr(_h_spark("concat('a:', s)")).alias("h1"),
+        (F.expr(_h_spark("concat('b:', s)")) % _H2_MOD).alias("h2"),
+    )
+    sig = ex.groupBy("doc_id").agg(
+        *[F.min(F.col("h1") + k * F.col("h2")).alias(f"m{k}") for k in range(N_PERM)]
+    )
+    bands = sig.select(
+        "doc_id",
+        *[
+            F.md5(
+                F.concat_ws(
+                    ":", *[F.col(f"m{b * ROWS_PER_BAND + j}") for j in range(ROWS_PER_BAND)]
+                )
+            ).alias(f"b{b}")
+            for b in range(N_BANDS)
+        ],
+    )
+    bb = bands.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"b{b}") for b in range(N_BANDS)])).alias(
+            "band_idx", "band_key"
+        ),
+    )
+    cand = (
+        bb.alias("x")
+        .join(
+            bb.alias("y"),
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    a = sz.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("n").alias("na"),
+    )
+    b = sz.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("n").alias("nb"),
+    )
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("common"),
+            (F.col("na") + F.col("nb")).alias("total"),
+        )
+        .filter(3 * F.col("common") >= F.col("total"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "common",
+            (F.col("total") - F.col("common")).alias("union_sz"),
+        )
+        .select("doc_a", "doc_b", "common", "union_sz", F.expr(_JAC6_SPARK).alias("jaccard"))
+    )
+
+
+# -- SimHash ---------------------------------------------------------------
+
+N_BITS = 32
+
+
+def _simhash_oracle() -> str:
+    sums = ",\n           ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(N_BITS)
+    )
+    recon = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(N_BITS)
+    )
+    return f"""
+    WITH ex AS (
+        SELECT doc_id, unnest({TOKS_DUCK}) AS tok FROM documents
+    ),
+    h AS (SELECT doc_id, {_h_duck('tok')} AS h FROM ex),
+    bits AS (
+        SELECT doc_id,
+           {sums}
+        FROM h GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({recon} AS BIGINT) AS simhash FROM bits
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_oracle(), tags=("ext", "dedup", "simhash"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 32-bit SimHash over the (multiplicity-weighted)
+    token stream: bit j is the sign of the sum of ±1 contributions
+    from each token's hash bit j. Near-dup docs land within small
+    Hamming distance; identical docs collide exactly.
+
+    Scale: one explode + one groupBy(doc_id) with 32 integer sums —
+    all map-side partials, shuffle carries 32 ints per doc. Pair
+    finding at scale uses the standard rotate-and-sort trick over the
+    fingerprints (sort by rotated key, compare neighbors) — no
+    all-pairs.
+    """
+    docs = t(spark, sf_dir, "documents")
+    ex = docs.select("doc_id", F.explode(F.expr(TOKS_SPARK)).alias("tok")).select(
+        "doc_id", F.expr(_h_spark("tok")).alias("h")
+    )
+    bits = ex.groupBy("doc_id").agg(
+        *[
+            F.sum(F.expr(f"case when (h >> {j}) & 1 = 1 then 1 else -1 end")).alias(f"s{j}")
+            for j in range(N_BITS)
+        ]
+    )
+    recon = reduce(
+        lambda acc, j: acc + F.expr(f"case when s{j} > 0 then {1 << j}L else 0L end"),
+        range(1, N_BITS),
+        F.expr(f"case when s0 > 0 then 1L else 0L end"),
+    )
+    return bits.select("doc_id", recon.cast("long").alias("simhash"))

@@ -1,1 +1,292 @@
-"""Placeholder — populated in this round."""
+"""[EXT] Embedding similarity search over the ``embeddings`` table.
+
+LLM-data-pipeline surface (SURVEY.md §2.3/§2.10 [EXT]): brute-force
+cosine top-k (the exact baseline), an exact threshold similarity
+join, a sign-bucket LSH variant (the scale path), and an
+Arrow-vectorized pandas-UDF kernel.
+
+Precision contract: both Spark (``aggregate`` fold) and DuckDB
+(``list_aggregate 'sum'``) reduce arrays sequentially left-to-right
+in double, so cosine values are BIT-IDENTICAL across engines
+(verified empirically) — results are hash-compared raw, no rounding.
+The pandas kernel preserves this by summing dims sequentially
+(vectorized across rows, ordered across dims).
+
+Scale design:
+
+- Top-k: the query set is the small side → broadcast; candidates
+  stream by. Per-query top-k via window over query_id. Cost is
+  O(|Q|·N) — the right baseline; past that, switch to the bucketed
+  variant.
+- Threshold join: exact all-pairs is quadratic and exists here only
+  as the verification oracle shape; the LSH query shows the bucketed
+  plan (candidates only from same-bucket pairs → the self-join is
+  keyed on the bucket, shuffle bounded by bucket occupancy).
+- No ``collect()`` anywhere; the kernels are JVM expressions or
+  Arrow-batched pandas — never row-at-a-time Python.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nineinfra_spark.plans._util import t
+from nineinfra_spark.plans.registry import query
+
+# -- shared expressions ----------------------------------------------------
+
+#: Spark SQL: cosine between two array<float> cols (sequential fold).
+COS_SPARK = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
+    " cast(0 as double), (acc, v) -> acc + v)"
+    " / (sqrt(aggregate({a}, cast(0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))"
+    " * sqrt(aggregate({b}, cast(0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double))))"
+)
+
+#: DuckDB: same cosine, same fold order.
+COS_DUCK = (
+    "list_aggregate(list_transform(generate_series(1, len({a})),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), 'sum')"
+    " / (sqrt(list_aggregate(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+    " * sqrt(list_aggregate(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))"
+)
+
+N_QUERIES = 5  # vec_id < 5 are the query vectors
+TOP_K = 3
+SIM_T = 0.4  # threshold for the similarity joins (see data calibration)
+
+#: Sign-code LSH: 4 bands, each a 6-bit sign pattern over a disjoint
+#: dim group (an axis-aligned random-hyperplane family). A pair is a
+#: candidate if it collides in ANY band — the same banding OR-
+#: construction as MinHash-LSH, deterministic and SQL-expressible.
+N_SIM_BANDS = 4
+_BITS_PER_BAND = 6
+
+
+def _band_spark(b: int) -> str:
+    return " + ".join(
+        f"(case when element_at(embedding, {b * _BITS_PER_BAND + i + 1}) > 0"
+        f" then {1 << i} else 0 end)"
+        for i in range(_BITS_PER_BAND)
+    )
+
+
+def _band_duck(b: int, e: str = "embedding") -> str:
+    return " + ".join(
+        f"(CASE WHEN {e}[{b * _BITS_PER_BAND + i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(_BITS_PER_BAND)
+    )
+
+
+@query(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
+         c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= {N_QUERIES})
+    SELECT query_id, cand_id, cos, rank
+    FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               {COS_DUCK.format(a='q.embedding', b='c.embedding')} AS cos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {COS_DUCK.format(a='q.embedding', b='c.embedding')} DESC,
+                            c.vec_id
+               ) AS rank
+        FROM q, c
+    )
+    WHERE rank <= {TOP_K}
+    """,
+    tags=("ext", "similarity", "topk"),
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: each query vector against every
+    candidate. The query set is broadcast (small side), candidates
+    stream — one scan, no shuffle of the big side until the per-query
+    window (keyed on query_id, |Q| partitions). Exact baseline for
+    the ANN variants."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "cand_id")
+    return (
+        c.crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            "cand_id",
+            F.expr(COS_SPARK.format(a="q_emb", b="c_emb")).alias("cos"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", "cos", "rank")
+    )
+
+
+@query(
+    "sim_join_threshold",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {COS_DUCK.format(a='a.embedding', b='b.embedding')} AS cos
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE {COS_DUCK.format(a='a.embedding', b='b.embedding')} >= {SIM_T}
+    """,
+    tags=("ext", "similarity", "join"),
+)
+def sim_join_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine threshold self-join (all candidate pairs scored,
+    pairs with cos ≥ t kept). This is the exact reference shape —
+    quadratic by definition, correct at dimension scale; the bucketed
+    `ann_lsh_buckets` plan is the 100 TB path and is recall-tested
+    against this output in tests/test_ext_pipeline.py."""
+    emb = t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(COS_SPARK.format(a="ea", b="eb")).alias("cos"),
+        )
+        .filter(F.col("cos") >= SIM_T)
+    )
+
+
+def _lsh_oracle() -> str:
+    band_union = "\n        UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band_idx, {_band_duck(b)} AS code FROM embeddings"
+        for b in range(N_SIM_BANDS)
+    )
+    return f"""
+    WITH bb AS (
+        {band_union}
+    ),
+    cand AS (
+        SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+        FROM bb x JOIN bb y
+          ON x.band_idx = y.band_idx AND x.code = y.code AND x.vec_id < y.vec_id
+    )
+    SELECT id_a, id_b,
+           {COS_DUCK.format(a='a.embedding', b='b.embedding')} AS cos
+    FROM cand
+    JOIN embeddings a ON cand.id_a = a.vec_id
+    JOIN embeddings b ON cand.id_b = b.vec_id
+    WHERE {COS_DUCK.format(a='a.embedding', b='b.embedding')} >= {SIM_T}
+    """
+
+
+@query("ann_lsh_buckets", oracle=_lsh_oracle(), tags=("ext", "similarity", "lsh"))
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded sign-code LSH similarity join: 4 bands × 6-bit sign
+    patterns over disjoint dim groups; a pair is a candidate if it
+    collides in ANY band (the OR-construction), then exact-cosine
+    verified. Candidates come from equi-joins on (band, code) —
+    shuffle keyed on the code, never all-pairs. Deterministic, so the
+    oracle replicates it exactly; recall vs the exact join is
+    tolerance-tested in pytest."""
+    emb = t(spark, sf_dir, "embeddings")
+    bb = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.expr(_band_spark(b)) for b in range(N_SIM_BANDS)])
+        ).alias("band_idx", "code"),
+    )
+    cand = (
+        bb.alias("x")
+        .join(
+            bb.alias("y"),
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.code") == F.col("y.code"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b"))
+        .distinct()
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", F.expr(COS_SPARK.format(a="ea", b="eb")).alias("cos"))
+        .filter(F.col("cos") >= SIM_T)
+    )
+
+
+# -- Arrow-vectorized pandas kernel ---------------------------------------
+
+
+def _cosine_pandas(ea: pd.Series, eb: pd.Series) -> pd.Series:
+    """Cosine between two array columns, Arrow-batched.
+
+    Vectorized ACROSS rows, sequential ACROSS dims — the dim-order
+    summation matches the JVM/DuckDB fold exactly, so results are
+    bit-identical to the built-in expression path (a plain np.dot
+    would use pairwise summation and drift in the last ulp).
+    """
+    import numpy as np
+
+    a = np.stack(ea.to_numpy()).astype("float64")
+    b = np.stack(eb.to_numpy()).astype("float64")
+    dot = np.zeros(len(a))
+    na = np.zeros(len(a))
+    nb = np.zeros(len(a))
+    for k in range(a.shape[1]):
+        dot += a[:, k] * b[:, k]
+        na += a[:, k] * a[:, k]
+        nb += b[:, k] * b[:, k]
+    return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+
+
+@query(
+    "ann_cosine_topk_pandas",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
+         c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= {N_QUERIES})
+    SELECT query_id, cand_id, cos, rank
+    FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               {COS_DUCK.format(a='q.embedding', b='c.embedding')} AS cos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {COS_DUCK.format(a='q.embedding', b='c.embedding')} DESC,
+                            c.vec_id
+               ) AS rank
+        FROM q, c
+    )
+    WHERE rank <= {TOP_K}
+    """,
+    tags=("ext", "similarity", "pandas-udf"),
+)
+def ann_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same top-k as `ann_cosine_topk`, but the cosine kernel is an
+    Arrow-batched pandas UDF (SURVEY.md §2.10 vectorized-UDF surface).
+    Demonstrates the pattern for kernels Spark expressions can't
+    express (model scoring, learned filters): Arrow transfer + numpy
+    across the batch — never per-row Python. Same oracle, bit-equal
+    results."""
+    from pyspark.sql.functions import pandas_udf
+
+    cos_udf = pandas_udf(_cosine_pandas, "double")
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "cand_id")
+    return (
+        c.crossJoin(F.broadcast(q))
+        .select("query_id", "cand_id", cos_udf("q_emb", "c_emb").alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", "cos", "rank")
+    )

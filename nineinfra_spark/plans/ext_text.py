@@ -1,1 +1,233 @@
-"""Placeholder — populated in this round."""
+"""[EXT] Text-analysis operators over the ``documents`` table.
+
+Part of the LLM-data-pipeline surface (SURVEY.md §2.10 [EXT]): quality
+scoring, language-ID heuristics, token statistics, and content
+fingerprinting — the per-document scoring passes a training-data
+pipeline runs before dedup/filtering. The reference platform reserves
+this data-processing role to the engine it provisions
+(``internal/controller/kyuubi.go:189-203``); these are native
+implementations.
+
+Scale design: every operator here is a pure per-row projection or a
+single hash aggregation — embarrassingly parallel, no shuffle except
+the final small agg, and all expressions are JVM-side built-ins
+(whole-stage codegen; no Python in the hot path). At 100 TB these run
+at scan speed.
+
+All tokenization is shared: lowercase alpha runs, so the Spark
+expressions and the DuckDB oracles compute identical token streams.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nineinfra_spark.plans._util import t
+from nineinfra_spark.plans.registry import query
+
+#: tokens = lowercase alpha runs — identical regex semantics in Spark
+#: (regexp_extract_all 3-arg) and DuckDB (2-arg).
+TOKS_SPARK = "regexp_extract_all(lower(text), '[a-z]+', 0)"
+TOKS_DUCK = "regexp_extract_all(lower(text), '[a-z]+')"
+
+_STOP = "'the','a','and','of','in'"
+
+
+@query(
+    "text_quality_stats",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, length(text) AS n_chars_measured,
+               {TOKS_DUCK} AS toks
+        FROM documents
+    ), s AS (
+        SELECT doc_id, n_chars_measured,
+               len(toks) AS n_tokens,
+               list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS sum_len,
+               len(list_filter(toks, x -> list_contains([{_STOP}], x))) AS n_stop
+        FROM d
+    )
+    SELECT doc_id, n_chars_measured, n_tokens,
+           ((20000 * sum_len + n_tokens) // (2 * n_tokens)) / 10000.0 AS avg_token_len,
+           ((20000 * n_stop + n_tokens) // (2 * n_tokens)) / 10000.0 AS stopword_ratio,
+           (40 * LEAST(n_tokens, 100)
+            + 3000 - (6000 * n_stop + n_tokens) // (2 * n_tokens)
+            + LEAST((6000 * sum_len + 8 * n_tokens) // (16 * n_tokens), 3000)
+           ) / 10000.0 AS quality_score
+    FROM s
+    """,
+    tags=("ext", "text"),
+)
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality scoring: token count, mean token length,
+    stopword ratio, and a composite quality score — the standard
+    pre-filter signals for training-data curation. Pure projection:
+    runs at scan speed at any scale.
+
+    The composite score is computed in scaled-integer arithmetic with
+    explicit half-up integer division, then divided by 10000 — double
+    rounding of a float composite lands on .xxxx5 midpoints where
+    engines disagree in the last ulp; integers never do."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.length("text").alias("n_chars_measured"),
+            F.expr(TOKS_SPARK).alias("toks"),
+        )
+        .select(
+            "doc_id",
+            "n_chars_measured",
+            F.size("toks").alias("n_tokens"),
+            F.expr("aggregate(toks, 0L, (acc, x) -> acc + length(x))").alias("sum_len"),
+            F.expr(f"size(filter(toks, x -> array_contains(array({_STOP}), x)))").alias(
+                "n_stop"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_chars_measured",
+            "n_tokens",
+            (
+                F.expr("(20000 * sum_len + n_tokens) div (2 * n_tokens)") / 10000.0
+            ).alias("avg_token_len"),
+            (
+                F.expr("(20000 * n_stop + n_tokens) div (2 * n_tokens)") / 10000.0
+            ).alias("stopword_ratio"),
+            (
+                (
+                    40 * F.least(F.col("n_tokens"), F.lit(100))
+                    + 3000
+                    - F.expr("(6000 * n_stop + n_tokens) div (2 * n_tokens)")
+                    + F.least(
+                        F.expr("(6000 * sum_len + 8 * n_tokens) div (16 * n_tokens)"),
+                        F.lit(3000),
+                    )
+                )
+                / 10000.0
+            ).alias("quality_score"),
+        )
+    )
+
+
+_MARKERS = {
+    "en": "'the','a','and'",
+    "de": "'der','die','und','das'",
+    "fr": "'le','la','et','les'",
+}
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, lang, {TOKS_DUCK} AS toks FROM documents
+    ), s AS (
+        SELECT lang,
+               len(list_filter(toks, x -> list_contains([{_MARKERS['en']}], x))) AS s_en,
+               len(list_filter(toks, x -> list_contains([{_MARKERS['de']}], x))) AS s_de,
+               len(list_filter(toks, x -> list_contains([{_MARKERS['fr']}], x))) AS s_fr
+        FROM d
+    )
+    SELECT lang,
+           CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+                WHEN s_de >= s_fr THEN 'de'
+                ELSE 'fr' END AS pred_lang,
+           COUNT(*) AS n_docs
+    FROM s
+    GROUP BY 1, 2
+    """,
+    tags=("ext", "text"),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic: score each doc against
+    per-language stopword sets, argmax with a deterministic tie-break
+    (en > de > fr), then cross-tab predicted vs declared language.
+
+    The n-gram-profile approach at scale is the same shape: a per-row
+    projection over a broadcast marker table, then one tiny agg.
+    (The synthetic corpus is English-ish word salad, so predictions
+    skew 'en' — the operator contract is the deterministic scoring.)
+    """
+    docs = t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "lang",
+        *[
+            F.expr(
+                f"size(filter({TOKS_SPARK}, x -> array_contains(array({m}), x)))"
+            ).alias(f"s_{lg}")
+            for lg, m in _MARKERS.items()
+        ],
+    )
+    pred = F.when(
+        (F.col("s_en") >= F.col("s_de")) & (F.col("s_en") >= F.col("s_fr")), "en"
+    ).when(F.col("s_de") >= F.col("s_fr"), "de").otherwise("fr")
+    return (
+        scored.select("lang", pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "text_token_topk",
+    oracle=f"""
+    SELECT tok, COUNT(*) AS n
+    FROM (SELECT unnest({TOKS_DUCK}) AS tok FROM documents)
+    GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT 20
+    """,
+    tags=("ext", "text", "explode"),
+)
+def text_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequency top-k via explode (the table-function /
+    LATERAL VIEW shape, SURVEY.md §2.10). At scale: explode → partial
+    map-side count → shuffle only (token, partial-count) pairs — the
+    shuffle carries vocabulary-sized data, not corpus-sized."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.expr(TOKS_SPARK)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(20)
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    WITH f AS (
+        SELECT doc_id,
+               md5(array_to_string({TOKS_DUCK}, ' ')) AS fingerprint
+        FROM documents
+    )
+    SELECT doc_id, fingerprint,
+           doc_id = MIN(doc_id) OVER (PARTITION BY fingerprint) AS is_canonical
+    FROM f
+    """,
+    tags=("ext", "text", "fingerprint"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprinting: md5 over whitespace-normalized token
+    stream (case/punctuation-insensitive), plus canonical-row marking
+    per fingerprint group. The canonical flag is one window over the
+    fingerprint hash — shuffle keyed on the hash, uniform by
+    construction, no skew at any scale."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("fingerprint")
+    return (
+        docs.select(
+            "doc_id",
+            F.md5(F.array_join(F.expr(TOKS_SPARK), " ")).alias("fingerprint"),
+        )
+        .select(
+            "doc_id",
+            "fingerprint",
+            (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_canonical"),
+        )
+    )
