@@ -20,7 +20,9 @@ def _load_all() -> None:
         joins,
         setops,
         sortlimit,
+        sources_sinks,
         tpch,
+        udfs,
         windows,
     )
 

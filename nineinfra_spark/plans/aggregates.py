@@ -281,7 +281,13 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "percentile"),
 )
 def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles (continuous)."""
+    """Exact interpolated percentiles (continuous).
+
+    DIMENSION-SCALE ONLY: exact percentile buffers every value per
+    group. With bounded groups (orders per priority tier at test SFs)
+    that's fine; at 100 TB the default is `percentile_approx` (see
+    agg_approx_sketches — constant-memory KLL-style sketch, mergeable
+    map-side), with exact reserved for bounded dimensions."""
     orders = t(spark, sf_dir, "orders")
     return orders.groupBy("o_orderpriority").agg(
         F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
@@ -300,4 +306,120 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_p50"),
         F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "agg_first_last_by",
+    oracle="""
+    SELECT o_orderpriority,
+           arg_min(o_totalprice, o_orderkey) AS first_price,
+           arg_max(o_totalprice, o_orderkey) AS last_price,
+           arg_min(o_orderstatus, o_orderkey) AS first_status,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg", "first-last"),
+)
+def agg_first_last_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last aggregate semantics, made deterministic: raw
+    F.first/F.last depend on partition arrival order, so the engine
+    surface is min_by/max_by keyed on the unique orderkey — "value at
+    the first/last row" with a total order. Same single hash-agg
+    shape (and at 100 TB, the same map-side partials) as any groupBy."""
+    orders = t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.expr("min_by(o_totalprice, o_orderkey)").alias("first_price"),
+        F.expr("max_by(o_totalprice, o_orderkey)").alias("last_price"),
+        F.expr("min_by(o_orderstatus, o_orderkey)").alias("first_status"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "agg_skew_kurt",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               SUM(CAST(l_quantity AS BIGINT)) AS s1,
+               SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS s2,
+               SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                   * CAST(l_quantity AS BIGINT)) AS s3,
+               SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                   * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS s4
+        FROM lineitem GROUP BY l_returnflag
+    ), m AS (
+        SELECT l_returnflag, n,
+               CAST(s1 AS DOUBLE) / n AS m1,
+               CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS m2,
+               CAST(s3 AS DOUBLE) / n
+                 - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+                 + 2 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS m3,
+               CAST(s4 AS DOUBLE) / n
+                 - 4 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+                 + 6 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+                 - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                     * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS m4
+        FROM s
+    )
+    SELECT l_returnflag, n,
+           ROUND(m3 / (m2 * sqrt(m2)), 6) AS skew,
+           ROUND(m4 / (m2 * m2) - 3, 6) AS kurt
+    FROM m
+    """,
+    tags=("agg", "stats"),
+)
+def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness / excess kurtosis (Spark's definitions) via
+    exact integer power sums: l_quantity is integral, so s1..s4 are
+    exact BIGINTs, the central moments are computed once in double
+    from exact inputs, and the result is bit-stable at any
+    parallelism. (The native one-pass F.skewness/F.kurtosis stream
+    merge-order-dependent moments — tolerance-tested in
+    tests/test_aggregates.py, same policy as stddev/corr.)"""
+    li = t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("long")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("s1"),
+        F.sum(q * q).alias("s2"),
+        F.sum(q * q * q).alias("s3"),
+        F.sum(q * q * q * q).alias("s4"),
+    )
+    m1 = F.col("s1").cast("double") / F.col("n")
+    m2 = F.col("s2").cast("double") / F.col("n") - m1 * m1
+    m3 = F.col("s3").cast("double") / F.col("n") - 3 * m1 * (F.col("s2").cast("double") / F.col("n")) + 2 * m1 * m1 * m1
+    m4 = (
+        F.col("s4").cast("double") / F.col("n")
+        - 4 * m1 * (F.col("s3").cast("double") / F.col("n"))
+        + 6 * m1 * m1 * (F.col("s2").cast("double") / F.col("n"))
+        - 3 * m1 * m1 * m1 * m1
+    )
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(m3 / (m2 * F.sqrt(m2)), 6).alias("skew"),
+        F.round(m4 / (m2 * m2) - 3, 6).alias("kurt"),
+    )
+
+
+@query(
+    "agg_collect_list_sorted",
+    oracle="""
+    SELECT n_regionkey,
+           array_to_string(list_sort(list(n_name)), ',') AS all_names,
+           len(list(n_name)) AS n
+    FROM nation GROUP BY n_regionkey
+    """,
+    tags=("agg", "collect"),
+)
+def agg_collect_list_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list (bag semantics, duplicates kept) → canonical
+    sorted string. Collection order is partition-dependent, so the
+    deterministic surface is always sort-then-join."""
+    nat = t(spark, sf_dir, "nation")
+    return nat.groupBy("n_regionkey").agg(
+        F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("all_names"),
+        F.size(F.collect_list("n_name")).alias("n"),
     )

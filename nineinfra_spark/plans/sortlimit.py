@@ -132,3 +132,44 @@ def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_name", "n_regionkey", "n_nationkey")
         .orderBy(F.desc("n_regionkey"), F.asc("n_name"))
     )
+
+
+@query(
+    "sort_within_partitions",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    """,
+    tags=("sort", "sort-by"),
+)
+def sort_within_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-local sort (SQL SORT BY): orders each partition
+    without a global range exchange — the cheap ordering used before
+    per-partition writes or merge-friendly downstream ops. Content is
+    partition-order-agnostic (the oracle checks the bag of rows);
+    the local-ordering property itself is asserted in
+    tests/test_aggregates.py."""
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.repartition(8, "o_custkey")
+        .sortWithinPartitions("o_totalprice")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@query(
+    "project_rename_drop",
+    oracle="""
+    SELECT o_orderkey AS order_id, o_totalprice AS amount
+    FROM orders
+    """,
+    tags=("project", "rename", "drop"),
+)
+def project_rename_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema surgery: withColumnRenamed + drop (dedicated coverage —
+    pure metadata ops, zero execution cost)."""
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.withColumnRenamed("o_orderkey", "order_id")
+        .withColumnRenamed("o_totalprice", "amount")
+        .drop("o_custkey", "o_orderstatus", "o_orderdate", "o_orderpriority")
+    )

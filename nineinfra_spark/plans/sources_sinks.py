@@ -1,0 +1,175 @@
+"""Source/sink + catalog lifecycle queries (SURVEY.md §2.1).
+
+Round-trip pattern: each query WRITES a testdata table through a sink
+(CSV/JSON/ORC/text/partitioned-parquet/managed table), READS it back
+through the matching source, and returns the re-read contents — the
+oracle is plain SELECT over the original parquet view, so any fidelity
+loss in either direction fails the hash-match.
+
+Write targets live under ``/tmp/nineinfra_spark_io`` (overwrite mode →
+rerunnable). The catalog queries mirror the reference's actual data
+model — metastore-registered tables under a warehouse root
+(``internal/controller/metastore.go:105-114``,
+``ninecluster_types.go:29-31``) — using the session catalog with an
+explicit database LOCATION, so they run on any SparkSession.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nineinfra_spark.plans._util import t
+from nineinfra_spark.plans.registry import query
+from nineinfra_spark.sources import readers, writers
+
+IO_ROOT = "/tmp/nineinfra_spark_io"
+WAREHOUSE = "/tmp/nineinfra_spark_warehouse"
+
+
+def _out(*parts: str) -> str:
+    return os.path.join(IO_ROOT, *parts)
+
+
+@query(
+    "src_csv_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    tags=("source", "sink", "csv"),
+)
+def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink → CSV source with explicit schema (no inference pass —
+    at scale, inferSchema is a full extra read of the data)."""
+    nation = t(spark, sf_dir, "nation")
+    path = _out("csv", os.path.basename(sf_dir), "nation")
+    writers.write_csv(nation, path, mode="overwrite")
+    return readers.read_csv(spark, path, schema=nation.schema)
+
+
+@query(
+    "src_json_roundtrip",
+    oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+    tags=("source", "sink", "json"),
+)
+def src_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink → source with explicit schema. Doubles survive
+    because Spark serializes with round-trip precision."""
+    supplier = t(spark, sf_dir, "supplier")
+    path = _out("json", os.path.basename(sf_dir), "supplier")
+    writers.write_json(supplier, path, mode="overwrite")
+    return readers.read_json(spark, path, schema=supplier.schema).select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+
+
+@query(
+    "src_orc_roundtrip",
+    oracle="SELECT r_regionkey, r_name FROM region",
+    tags=("source", "sink", "orc"),
+)
+def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC columnar sink → source (vectorized reader + pushdown, the
+    second columnar format the platform stores, SURVEY.md §1.2)."""
+    region = t(spark, sf_dir, "region")
+    path = _out("orc", os.path.basename(sf_dir), "region")
+    writers.write_orc(region, path, mode="overwrite")
+    return readers.read_orc(spark, path)
+
+
+@query(
+    "src_text_scan",
+    oracle="SELECT n_name AS value FROM nation",
+    tags=("source", "sink", "text"),
+)
+def src_text_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text sink (one line per row) → text source (one ``value``
+    string column per line)."""
+    nation = t(spark, sf_dir, "nation")
+    path = _out("text", os.path.basename(sf_dir), "nation_names")
+    writers.write_text(nation.select(F.col("n_name").cast("string")), path, mode="overwrite")
+    return readers.read_text(spark, path)
+
+
+@query(
+    "sink_partitioned_pruning",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY o_orderpriority
+    """,
+    tags=("sink", "partitioned", "pruning"),
+)
+def sink_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-layout partitioned write (``o_orderpriority=<v>/`` dirs) +
+    partition-pruned read-back: the filter on the partition column is
+    resolved against directory names — pruned partitions are never
+    opened. At 100 TB this is the difference between scanning 2/5 of
+    the table and all of it (verify with .explain: PartitionFilters).
+    """
+    orders = t(spark, sf_dir, "orders")
+    path = _out("part", os.path.basename(sf_dir), "orders_by_priority")
+    writers.write_parquet(
+        orders, path, mode="overwrite", partition_by=["o_orderpriority"]
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+    )
+
+
+@query(
+    "catalog_table_lifecycle",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer
+    WHERE c_acctbal > 0
+    GROUP BY c_mktsegment
+    """,
+    tags=("catalog", "ddl", "ctas"),
+)
+def catalog_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full managed-table lifecycle against the session catalog:
+    CREATE DATABASE (explicit warehouse LOCATION ≙ the reference's
+    ``/nineinfra/datahouse`` root), saveAsTable, CTAS from SQL over
+    the registered table, read back via the catalog, DROP handled by
+    overwrite semantics on re-run.
+
+    The catalog is the session one (≙ Hive Metastore in the deployed
+    platform, ``metastore.go:105-114``); the table files land under
+    the database LOCATION in standard layout either way.
+    """
+    import shutil
+
+    sfx = os.path.basename(sf_dir).replace(".", "_")
+    db = f"nine_wh_{sfx}"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{WAREHOUSE}/{db}'")
+    # A fresh session's in-memory catalog forgets tables whose managed
+    # locations persist on disk — DROP what the catalog knows, then
+    # clear orphaned locations (with a persistent metastore, DROP
+    # TABLE alone removes the managed dir).
+    for tbl in ("customer_t", "segment_summary"):
+        spark.sql(f"DROP TABLE IF EXISTS {db}.{tbl}")
+        shutil.rmtree(f"{WAREHOUSE}/{db}/{tbl}", ignore_errors=True)
+    customer = t(spark, sf_dir, "customer")
+    writers.save_as_table(customer, f"{db}.customer_t", mode="overwrite")
+    spark.sql(
+        f"""
+        CREATE TABLE {db}.segment_summary AS
+        SELECT c_mktsegment,
+               COUNT(*) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        FROM {db}.customer_t
+        WHERE c_acctbal > 0
+        GROUP BY c_mktsegment
+        """
+    )
+    return spark.read.table(f"{db}.segment_summary")

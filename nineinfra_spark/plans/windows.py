@@ -161,7 +161,15 @@ def window_moving_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "frame", "range"),
 )
 def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANGE frame keyed on a numeric ordering (value-based peers)."""
+    """RANGE frame keyed on a numeric ordering (value-based peers).
+
+    DIMENSION-ONLY by design: an unpartitioned ORDER BY window funnels
+    the table through one task, which is fine for a 100-per-SF-unit
+    supplier dimension and wrong for a fact table. The fact-scale
+    equivalent of "count within ±500" is a two-pass bucketed plan:
+    bucket = floor(value/500), count per bucket (hash agg), then each
+    row sums its own ±1 neighbor buckets — O(n) with a uniform
+    shuffle key, no global window."""
     supp = t(spark, sf_dir, "supplier")
     w = Window.orderBy("s_acctbal").rangeBetween(-500, 500)
     return supp.select(

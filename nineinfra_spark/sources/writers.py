@@ -1,0 +1,76 @@
+"""File/table sinks (SURVEY.md §2.1).
+
+The reference platform's whole purpose is storing warehouse data on
+object storage (MinIO bucket + ``datahouse/`` folder,
+``internal/controller/minio.go:72-121``; metastore-registered tables
+under the warehouse root, ``internal/controller/metastore.go:105-114``).
+These wrappers are the engine-native write surface: file sinks in
+every format, partitioned layout, and managed-table persistence.
+
+Scale notes baked into the defaults:
+
+- Writers never coalesce to one file — output parallelism follows the
+  input partitioning, which is what survives a 1000-executor cluster.
+- ``partition_by`` produces the Hive ``k=v`` directory layout that
+  makes partition pruning work on read (see the pruning query in
+  plans/sources_sinks.py).
+- Modes are plain Spark save modes; default ``error`` so accidental
+  overwrite of warehouse data is loud.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+
+
+def _writer(df: DataFrame, mode: str, partition_by: Sequence[str] | None):
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    return w
+
+
+def write_parquet(
+    df: DataFrame, path: str, mode: str = "error",
+    partition_by: Sequence[str] | None = None,
+) -> None:
+    _writer(df, mode, partition_by).parquet(path)
+
+
+def write_orc(
+    df: DataFrame, path: str, mode: str = "error",
+    partition_by: Sequence[str] | None = None,
+) -> None:
+    _writer(df, mode, partition_by).orc(path)
+
+
+def write_csv(
+    df: DataFrame, path: str, mode: str = "error",
+    partition_by: Sequence[str] | None = None, header: bool = True, **options: str,
+) -> None:
+    _writer(df, mode, partition_by).options(
+        header=str(header).lower(), **options
+    ).csv(path)
+
+
+def write_json(
+    df: DataFrame, path: str, mode: str = "error",
+    partition_by: Sequence[str] | None = None,
+) -> None:
+    _writer(df, mode, partition_by).json(path)
+
+
+def write_text(df: DataFrame, path: str, mode: str = "error") -> None:
+    """Text sink: df must have exactly one string column."""
+    df.write.mode(mode).text(path)
+
+
+def save_as_table(
+    df: DataFrame, name: str, mode: str = "error",
+    partition_by: Sequence[str] | None = None,
+) -> None:
+    """Managed-table sink (≙ metastore-registered tables under the
+    warehouse root, ``metastore.go:105-114``)."""
+    _writer(df, mode, partition_by).saveAsTable(name)

@@ -1,0 +1,82 @@
+"""Source/sink layer tests: plan-level partition pruning, JDBC reader
+option validation, and write-mode safety."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from nineinfra_spark.plans._util import t
+from nineinfra_spark.sources import readers, writers
+
+SF = "/root/testdata/sf0.001"
+IO = "/tmp/nineinfra_spark_io/tests"
+
+
+def _explain_str(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(True)
+    return buf.getvalue()
+
+
+def test_partition_pruning_reaches_scan(spark):
+    """A filter on the partition column must become a PartitionFilters
+    entry on the scan (pruned dirs never opened) — the property that
+    keeps partitioned reads O(selected partitions) at 100 TB."""
+    orders = t(spark, SF, "orders")
+    path = os.path.join(IO, "orders_part")
+    writers.write_parquet(orders, path, mode="overwrite", partition_by=["o_orderpriority"])
+    back = spark.read.parquet(path).filter(F.col("o_orderpriority") == "1-URGENT")
+    plan = _explain_str(back)
+    assert "PartitionFilters" in plan
+    assert "o_orderpriority" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_predicate_pushdown_reaches_parquet(spark):
+    """Non-partition predicates must reach the parquet scan as
+    PushedFilters (row-group skipping)."""
+    li = t(spark, SF, "lineitem").filter(F.col("l_quantity") < 10).select("l_orderkey")
+    plan = _explain_str(li)
+    assert "PushedFilters" in plan
+    assert "l_quantity" in plan.split("PushedFilters", 1)[1][:200]
+
+
+def test_column_pruning_reaches_scan(spark):
+    """A 2-column projection must not read the full lineitem schema."""
+    li = t(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    plan = _explain_str(li)
+    read_schema = plan.split("ReadSchema", 1)[1][:300]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema
+
+
+def test_jdbc_requires_bounds_with_partition_column(spark):
+    with pytest.raises(ValueError, match="bound"):
+        readers.read_jdbc(
+            spark, "jdbc:postgresql://localhost/x", "t", partition_column="id"
+        )
+
+
+def test_default_write_mode_is_error(spark):
+    """Accidental overwrite must be loud: default mode errors if the
+    target exists."""
+    nation = t(spark, SF, "nation")
+    path = os.path.join(IO, "nation_once")
+    writers.write_parquet(nation, path, mode="overwrite")
+    with pytest.raises(Exception):
+        writers.write_parquet(nation, path)  # default mode="error"
+
+
+def test_csv_roundtrip_preserves_types(spark):
+    nation = t(spark, SF, "nation")
+    path = os.path.join(IO, "nation_csv")
+    writers.write_csv(nation, path, mode="overwrite")
+    back = readers.read_csv(spark, path, schema=nation.schema)
+    assert back.schema == nation.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
