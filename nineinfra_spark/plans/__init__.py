@@ -21,6 +21,7 @@ def _load_all() -> None:
         setops,
         sortlimit,
         sources_sinks,
+        streaming_queries,
         tpch,
         udfs,
         windows,

@@ -1,0 +1,282 @@
+"""Streaming queries (SURVEY.md §2.9) registered for the correctness
+gate: each replays ``events`` through Structured Streaming
+(availableNow → memory sink, see streaming/ops.py) and returns the
+drained result, which the DuckDB oracle checks against the batch-SQL
+equivalent — streaming output is held to the same hash-match bar as
+batch.
+
+Coverage: tumbling / sliding / session windows with watermarks,
+stateful dedup, stream-static join, stream-stream interval join, and
+arbitrary stateful processing (applyInPandasWithState). Output modes:
+append (windows close under watermark), update (stateful counts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nineinfra_spark.plans._util import t
+from nineinfra_spark.plans.registry import query
+from nineinfra_spark.streaming.ops import (
+    read_events_stream,
+    run_available_now,
+    sink_name,
+)
+
+#: replay watermark — longer than any disorder in the historical file,
+#: so no late row is dropped and streaming == batch exactly.
+WM = "35 days"
+
+
+@query(
+    "stream_tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
+           time_bucket(INTERVAL '6 hours', ts) + INTERVAL 6 HOUR AS window_end,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    tags=("streaming", "window", "tumbling"),
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 6-hour window aggregation with watermark.
+
+    Replay uses COMPLETE output (emit every window at drain end):
+    append mode only emits windows the watermark has passed, and a
+    replay's watermark stops at max(event_time) - delay, which would
+    hold the trailing windows in state forever. A continuously-fed
+    production deployment uses append + a short watermark — windows
+    then close as the stream advances and state stays bounded."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", WM)
+        .groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value"), 2).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    return run_available_now(agg, sink_name("mem_tumbling", sf_dir), "complete")
+
+
+@query(
+    "stream_sliding_window",
+    oracle="""
+    WITH expanded AS (
+        SELECT event_type,
+               time_bucket(INTERVAL '6 hours', ts) - k * (INTERVAL 6 HOUR) AS ws
+        FROM events, (SELECT unnest([0, 1]) AS k)
+    )
+    SELECT ws AS window_start, ws + INTERVAL 12 HOUR AS window_end,
+           event_type, COUNT(*) AS n
+    FROM expanded
+    GROUP BY 1, 2, 3
+    """,
+    tags=("streaming", "window", "sliding"),
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (12 h size, 6 h slide): each event lands in two
+    overlapping windows. Both engines align windows to the epoch (the
+    oracle expands each event into its two covering windows
+    explicitly). State is 2× tumbling — still watermark-bounded."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", WM)
+        .groupBy(F.window("ts", "12 hours", "6 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+        )
+    )
+    return run_available_now(agg, sink_name("mem_sliding", sf_dir), "complete")
+
+
+@query(
+    "stream_session_window",
+    oracle="""
+    WITH x AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                     OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                        > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+    ), y AS (
+        SELECT user_id, ts,
+               SUM(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+               ) AS sess_id
+        FROM x
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM y GROUP BY user_id, sess_id
+    """,
+    tags=("streaming", "window", "session"),
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (30-min inactivity gap) per user —
+    the operator batch SQL needs a gaps-and-islands window dance for
+    (that dance IS the oracle). Session state merges as events arrive
+    and closes via watermark; keyed on user_id so it shuffles like
+    any keyed agg."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", WM)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return run_available_now(agg, sink_name("mem_session", sf_dir), "complete")
+
+
+@query(
+    "stream_dedup_watermark",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    tags=("streaming", "dedup"),
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup: first-seen (user_id, event_type)
+    pairs pass, repeats are dropped against the state store; the
+    watermark bounds how long each key is remembered. Key-only output
+    makes the result order-independent (= DISTINCT in batch)."""
+    ev = read_events_stream(spark, sf_dir)
+    dedup = (
+        ev.withWatermark("ts", WM)
+        .select("user_id", "event_type", "ts")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return run_available_now(dedup, sink_name("mem_dedup", sf_dir), "append")
+
+
+@query(
+    "stream_static_join",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_events
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    tags=("streaming", "join", "stream-static"),
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: each micro-batch joins against the static
+    dimension (broadcast when small — the classic enrichment shape),
+    then a windowless keyed agg in update mode... here drained with a
+    watermark-free global agg via availableNow + complete mode."""
+    ev = read_events_stream(spark, sf_dir)
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = (
+        ev.join(cust, ev.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return run_available_now(joined, sink_name("mem_ssjoin", sf_dir), "complete")
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, s.event_id AS signup_id, p.user_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id
+     AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 7 DAY
+    """,
+    tags=("streaming", "join", "stream-stream"),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases matched to same-user
+    signups within the preceding 7 days. Both sides are watermarked
+    and the join condition bounds event time on both ends — that
+    bound is what lets the engine evict buffered state; an unbounded
+    stream-stream join would buffer forever."""
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", WM)
+    )
+    signups = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id").alias("s_user_id"),
+            F.col("ts").alias("s_ts"),
+        )
+        .withWatermark("s_ts", WM)
+    )
+    joined = purchases.join(
+        signups,
+        (F.col("user_id") == F.col("s_user_id"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 7 DAYS")),
+    ).select("purchase_id", "signup_id", "user_id")
+    return run_available_now(joined, sink_name("mem_sstream", sf_dir), "append")
+
+
+@query(
+    "stream_stateful_counts",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "state", "applyInPandasWithState"),
+)
+def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful processing (``applyInPandasWithState``):
+    per-user running totals held in explicit GroupState — the escape
+    hatch for operators the built-in stateful set can't express
+    (custom sessionization, CEP-ish logic). Decimal-exact value sums
+    via integer cents so the result is reduce-order-independent."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update_counts(key, pdfs, state: GroupState):
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            # integer cents: exact under any accumulation order
+            cents += int(round(pdf["value"], 2).mul(100).round().astype("int64").sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [cents / 100.0]}
+        )
+
+    ev = read_events_stream(spark, sf_dir).select("user_id", "ts", "value")
+    counted = ev.withWatermark("ts", WM).groupBy("user_id").applyInPandasWithState(
+        update_counts,
+        outputStructType="user_id long, n_events long, sum_value double",
+        stateStructType="n long, cents long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_available_now(counted, sink_name("mem_state", sf_dir), "update")

@@ -1,0 +1,91 @@
+"""Structured Streaming operators (SURVEY.md §2.9).
+
+The reference declares a streaming cluster type it never implemented
+("Todo support flink", ``internal/controller/kyuubi.go:204-206``,
+``api/v1alpha1/ninecluster_types.go:40-45``); this module provides
+that mode natively with Structured Streaming.
+
+Test/replay harness: every operator reads ``events.parquet`` as a
+file-source stream and runs with ``trigger(availableNow=True)`` into
+a memory sink — a deterministic replay of historical data through the
+real streaming engine (incremental planner, state store, watermarks).
+With a watermark longer than the replay's disorder, no row is
+dropped, so each streaming result equals its batch equivalent — which
+is what lets the driver's DuckDB oracle hash-check streaming output.
+
+Production posture: the same pipelines point at a directory that
+keeps receiving files (or Kafka), the memory sink becomes a
+parquet/delta sink with a checkpoint, and ``availableNow`` becomes a
+continuous or periodic trigger. State scale: window/session state is
+keyed on (key, window) — bounded by watermark eviction; the state
+store shuffles on the grouping key exactly like a batch hash agg.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nineinfra_spark.sources.readers import NANOS_CONF, _rebuild_nanos_ts
+
+
+STREAM_SRC_ROOT = "/tmp/nineinfra_stream_src"
+
+
+def _staged_events_dir(sf_dir: str) -> str:
+    """The file source streams a DIRECTORY (new files appear → new
+    micro-batches); the read-only testdata ships one parquet file. We
+    stage a per-SF directory containing a symlink to that file — zero
+    copy, and appending more links later is exactly how new data would
+    arrive in production."""
+    staged = os.path.join(
+        STREAM_SRC_ROOT, os.path.basename(sf_dir).replace(".", "_"), "events"
+    )
+    os.makedirs(staged, exist_ok=True)
+    link = os.path.join(staged, "events-000.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    return staged
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table (schema fixed up-front
+    — file streams never infer), with the same nanos→micros timestamp
+    rebuild as the batch reader so both modes see identical values."""
+    staged = _staged_events_dir(sf_dir)
+    spark.conf.set(NANOS_CONF, "true")
+    raw_schema = spark.read.parquet(staged).schema
+    raw = spark.readStream.schema(raw_schema).parquet(staged)
+    # Watermarks require TIMESTAMP (instant) — with the engine's UTC
+    # session timezone the ntz→ltz cast preserves the wall-clock value.
+    return _rebuild_nanos_ts(raw).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def run_available_now(
+    df: DataFrame, name: str, output_mode: str = "append"
+) -> DataFrame:
+    """Drain all available input through the streaming engine into a
+    memory sink; return the sink contents as a batch DataFrame.
+
+    Memory sinks are driver-resident — replay/test scale only. The
+    file-sink path (checkpointed, executor-parallel, the production
+    shape) is exercised in tests/test_streaming.py.
+    """
+    spark = df.sparkSession
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def sink_name(prefix: str, sf_dir: str) -> str:
+    """Memory-sink table name, unique per sf_dir so queries re-run
+    cleanly against different scale factors in one session."""
+    return f"{prefix}_{os.path.basename(sf_dir).replace('.', '_')}"

@@ -1,0 +1,91 @@
+"""Streaming coverage the oracle rows can't express: the checkpointed
+file sink (the production sink shape), the rate source, and the
+processingTime trigger path."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+OUT = "/tmp/nineinfra_stream_test"
+
+
+def test_file_sink_with_checkpoint(spark):
+    """availableNow → parquet sink + checkpoint: the executor-parallel
+    production sink. Re-reading the sink must reproduce the full
+    event count (exactly-once via the checkpoint/commit log)."""
+    from nineinfra_spark.streaming.ops import read_events_stream
+
+    sink = os.path.join(OUT, "events_copy")
+    ckpt = os.path.join(OUT, "ckpt")
+    shutil.rmtree(sink, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    ev = read_events_stream(spark, SF).select("event_id", "user_id", "ts", "event_type")
+    q = (
+        ev.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(sink).count()
+    want = spark.read.parquet(os.path.join(SF, "events.parquet")).count()
+    assert got == want
+
+
+def test_rate_source_produces_rows(spark):
+    """Rate source (synthetic benchmark stream) through a short
+    processingTime-triggered run."""
+    rate = spark.readStream.format("rate").option("rowsPerSecond", "50").load()
+    q = (
+        rate.select("timestamp", "value")
+        .writeStream.format("memory")
+        .queryName("mem_rate_test")
+        .outputMode("append")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 20
+        while time.time() < deadline and spark.table("mem_rate_test").count() == 0:
+            time.sleep(0.5)
+        assert spark.table("mem_rate_test").count() > 0
+    finally:
+        q.stop()
+
+
+def test_streaming_batch_equivalence_tumbling(spark):
+    """The §2.9 acceptance shape from SURVEY.md §5: a streaming replay
+    result equals the identical batch computation, row for row."""
+    from nineinfra_spark.plans.streaming_queries import stream_tumbling_window
+    from nineinfra_spark.sources.readers import read_table
+
+    streamed = sorted(map(tuple, stream_tumbling_window(spark, SF).collect()))
+    ev = read_table(spark, SF, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    batch = sorted(
+        map(
+            tuple,
+            ev.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(F.col("value"), 2).cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "event_type",
+                "n",
+                "sum_value",
+            )
+            .collect(),
+        )
+    )
+    assert streamed == batch
