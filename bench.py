@@ -35,6 +35,9 @@ HEADLINE = [
     "dedup_minhash_pairs",
     "ann_cosine_topk",
     "text_quality_stats",
+    "fn_math",
+    "sink_partitioned_pruning",
+    "stream_tumbling_window",
 ]
 
 

@@ -132,6 +132,43 @@ class Engine:
         """Register one temp view per parquet table under ``sf_dir``."""
         register_testdata(self.spark, sf_dir, tables)
 
+    # -- IO façade (≙ the platform's storage formats over s3a) --------------
+    def read_parquet(self, path: str) -> DataFrame:
+        from nineinfra_spark.sources import readers
+
+        return readers.read_parquet(self.spark, path)
+
+    def read_orc(self, path: str) -> DataFrame:
+        from nineinfra_spark.sources import readers
+
+        return readers.read_orc(self.spark, path)
+
+    def read_csv(self, path: str, schema=None, **options) -> DataFrame:
+        from nineinfra_spark.sources import readers
+
+        return readers.read_csv(self.spark, path, schema=schema, **options)
+
+    def read_json(self, path: str, schema=None, **options) -> DataFrame:
+        from nineinfra_spark.sources import readers
+
+        return readers.read_json(self.spark, path, schema=schema, **options)
+
+    def read_text(self, path: str) -> DataFrame:
+        from nineinfra_spark.sources import readers
+
+        return readers.read_text(self.spark, path)
+
+    def read_jdbc(self, url: str, table: str, **options) -> DataFrame:
+        from nineinfra_spark.sources import readers
+
+        return readers.read_jdbc(self.spark, url, table, **options)
+
+    def save_as_table(self, df: DataFrame, name: str, mode: str = "error",
+                      partition_by=None) -> None:
+        from nineinfra_spark.sources import writers
+
+        writers.save_as_table(df, name, mode=mode, partition_by=partition_by)
+
 
 def register_testdata(
     spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TPCH_TABLES

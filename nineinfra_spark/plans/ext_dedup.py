@@ -163,6 +163,11 @@ def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sz = _shingled(spark, sf_dir).select(
         "doc_id", "shingles", F.size("shingles").alias("n")
     )
+    # The shingle table feeds three consumers (candidate generation +
+    # both verify sides); checkpointing materializes the tokenize/
+    # shingle work once instead of 3x. At warehouse scale this is a
+    # persisted intermediate table.
+    sz = sz.localCheckpoint(eager=False)
     ex = sz.select("doc_id", F.explode("shingles").alias("s"))
     cand = (
         ex.alias("x")
@@ -290,6 +295,8 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sz = _shingled(spark, sf_dir).select(
         "doc_id", "shingles", F.size("shingles").alias("n")
     )
+    # Same three-consumer reuse as dedup_shingle_jaccard (see above).
+    sz = sz.localCheckpoint(eager=False)
     ex = sz.select("doc_id", F.explode("shingles").alias("s")).select(
         "doc_id",
         F.expr(_h_spark("concat('a:', s)")).alias("h1"),
