@@ -135,42 +135,66 @@ def _byte_histogram_batches(
 ) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: per-payload byte histogram (deterministic
     fake 'decode' — see module docstring). Vectorized per Arrow batch;
-    emits fixed-shape feature arrays like a real embedding extractor
-    would."""
+    emits a fixed set of scalar feature columns (h0..h7) like a real
+    embedding extractor would emit fixed-shape features. Scalar
+    columns (not array<double>) keep the row hashable for downstream
+    row-wise tooling and make the result exactly oracle-able."""
     import numpy as np
 
     for pdf in batches:
         out = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             arr = np.frombuffer(payload, dtype=np.uint8)
-            hist = np.bincount(arr >> 5, minlength=N_HIST_BUCKETS).astype("float64")
-            total = float(len(arr)) if len(arr) else 1.0
-            out.append(
-                {
-                    "doc_id": int(doc_id),
-                    "n_bytes": int(len(arr)),
-                    "features": (hist / total).tolist(),
-                }
-            )
+            hist = np.bincount(arr >> 5, minlength=N_HIST_BUCKETS)
+            row = {"doc_id": int(doc_id), "n_bytes": int(len(arr))}
+            for k in range(N_HIST_BUCKETS):
+                row[f"h{k}"] = int(hist[k])
+            out.append(row)
         yield pd.DataFrame(out)
 
 
-@query("mm_decode_features", oracle=None, tags=("ext", "multimodal", "mapInPandas"))
+_HIST_ORACLE = """
+    WITH b AS (
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               hex(encode(text)) AS hx
+        FROM documents
+    )
+    SELECT doc_id, n_bytes,
+{bucket_cols}
+    FROM b
+"""
+# byte >> 5 == hi_nibble >> 1, so the bucket of byte i is determined by
+# the i-th odd hex digit alone — exact integer arithmetic, no float.
+_BUCKET_COL = (
+    "        len(list_filter(range(1, n_bytes + 1), "
+    "i -> (strpos('0123456789ABCDEF', substr(hx, CAST(2*i-1 AS INT), 1)) - 1) // 2 = {k}"
+    ")) AS h{k}"
+)
+
+
+@query(
+    "mm_decode_features",
+    oracle=_HIST_ORACLE.format(
+        bucket_cols=",\n".join(_BUCKET_COL.format(k=k) for k in range(N_HIST_BUCKETS))
+    ),
+    tags=("ext", "multimodal", "mapInPandas"),
+)
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over binary payloads via ``mapInPandas``:
-    Arrow-batched rows → numpy per batch → fixed-shape float features
-    (8-bucket normalized byte histogram as the deterministic decode
-    stand-in; the real decoder plugs into ``decode_image``).
+    Arrow-batched rows → numpy per batch → fixed-shape integer features
+    (8-bucket byte histogram as the deterministic decode stand-in; the
+    real decoder plugs into ``decode_image``).
 
     This is THE pattern for multimodal feature extraction at 100 TB:
     embarrassingly parallel over partitions, Arrow transfer (no
     per-row pickling), bounded memory per batch (Spark caps Arrow
     batch rows), output schema fixed so downstream plans are stable.
-    No oracle: mapInPandas is outside DuckDB's surface; determinism
-    and schema are pytest-asserted (tests/test_ext_pipeline.py).
-    """
+    The histogram is fully deterministic, so it carries a real DuckDB
+    oracle (bucket counts recomputed from the hex of the encoded
+    payload — ``byte >> 5`` depends only on the high nibble)."""
     src = payloads(spark, sf_dir).select("doc_id", "payload")
-    return src.mapInPandas(
-        _byte_histogram_batches,
-        "doc_id long, n_bytes long, features array<double>",
-    ).orderBy("doc_id")
+    schema = "doc_id long, n_bytes long, " + ", ".join(
+        f"h{k} long" for k in range(N_HIST_BUCKETS)
+    )
+    return src.mapInPandas(_byte_histogram_batches, schema).orderBy("doc_id")
