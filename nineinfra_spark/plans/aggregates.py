@@ -295,17 +295,52 @@ def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_sketches", oracle=None, tags=("agg", "approx"))
+@query(
+    "agg_approx_sketches",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS hll_within_rsd,
+           TRUE AS p50_within_iqr
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "approx"),
+)
 def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL + quantile sketches — approximate by design, so no exact
-    oracle; bounds are asserted in tests/test_aggregates.py. These are
-    the 100 TB workhorses: constant memory vs exact distinct's shuffle.
-    """
+    """HLL + quantile sketches — the 100 TB workhorses (constant
+    memory, mergeable map-side partials vs exact distinct's shuffle).
+    Approximate values can't hash-match an oracle, so the query emits
+    the BOUNDS CHECK as its result: exact counts plus Spark-computed
+    booleans that the HLL estimate lands within 5×rsd of exact and
+    the sketch median within the exact IQR; DuckDB recomputes the
+    exact columns and expects literal TRUE. (The exact distinct /
+    percentile columns here exist to verify the sketches — in
+    production you'd ship only the sketch columns. Tighter bound
+    assertions: tests/test_aggregates.py.)"""
     li = t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_p50"),
-        F.count(F.lit(1)).alias("n"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.approx_count_distinct("l_partkey", 0.02).alias("_hll_parts"),
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("_sk_p50"),
+            F.expr("percentile(l_extendedprice, 0.25)").alias("_p25"),
+            F.expr("percentile(l_extendedprice, 0.75)").alias("_p75"),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            "exact_parts",
+            (
+                F.abs(F.col("_hll_parts") - F.col("exact_parts"))
+                <= F.lit(5 * 0.02) * F.col("exact_parts")
+            ).alias("hll_within_rsd"),
+            F.col("_sk_p50").between(F.col("_p25"), F.col("_p75")).alias(
+                "p50_within_iqr"
+            ),
+        )
     )
 
 

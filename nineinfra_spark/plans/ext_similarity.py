@@ -129,7 +129,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "sim_join_threshold",
+    "sim_join_exact_oracle",
     oracle=f"""
     WITH v AS (SELECT vec_id, embedding FROM embeddings)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -137,14 +137,16 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM v a JOIN v b ON a.vec_id < b.vec_id
     WHERE {COS_DUCK.format(a='a.embedding', b='b.embedding')} >= {SIM_T}
     """,
-    tags=("ext", "similarity", "join"),
+    tags=("ext", "similarity", "exact-oracle", "not-for-scale"),
 )
-def sim_join_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine threshold self-join (all candidate pairs scored,
-    pairs with cos ≥ t kept). This is the exact reference shape —
-    quadratic by definition, correct at dimension scale; the bucketed
-    `ann_lsh_buckets` plan is the 100 TB path and is recall-tested
-    against this output in tests/test_ext_pipeline.py."""
+def sim_join_exact_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERIFICATION ORACLE, not a production operator (the name and
+    the ``not-for-scale`` tag say so): exact cosine threshold
+    self-join — all pairs scored, pairs with cos ≥ t kept. Quadratic
+    by definition; it exists to define ground truth at dimension
+    scale so `ann_lsh_buckets` (the bucketed 100 TB path) can be
+    recall-tested against it (tests/test_ext_pipeline.py). Reach for
+    `ann_lsh_buckets` for any real corpus."""
     emb = t(spark, sf_dir, "embeddings")
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))

@@ -28,9 +28,12 @@ from nineinfra_spark.plans.registry import query
     tags=("join",),
 )
 def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain shuffled hash join: customer GROWS with SF, so no
+    broadcast hint — AQE + the autoBroadcastJoinThreshold decide at
+    runtime (at sf0.1 it still broadcasts; at 100 TB it must not)."""
     orders = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
     cust = t(spark, sf_dir, "customer")
-    return orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+    return orders.join(cust, orders.o_custkey == cust.c_custkey).select(
         "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
     )
 

@@ -110,11 +110,57 @@ def dedup_by_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sample_bernoulli", oracle=None, tags=("sample",))
+@query(
+    "sample_bernoulli",
+    oracle="""
+    SELECT COUNT(*) AS n_total, TRUE AS frac_ok FROM orders
+    """,
+    tags=("sample",),
+)
 def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded Bernoulli sample — sampling is engine-specific RNG, so
-    rows-only (determinism within Spark is unit-tested)."""
-    return t(spark, sf_dir, "orders").sample(fraction=0.1, seed=42)
+    """Seeded Bernoulli sample, verified as a bounds check: the RNG
+    stream is engine-specific so the sampled ROWS can't be oracled,
+    but the sampled FRACTION can — emit the exact total plus a
+    Spark-computed boolean that the observed fraction sits within
+    ±5σ of p=0.1 (binomial normal bound, computed from n itself so
+    it holds at every SF). The oracle recomputes the exact count and
+    expects literal TRUE. Row-level seeded determinism stays a
+    pytest (tests/test_aggregates.py::TestSampleDeterminism)."""
+    orders = t(spark, sf_dir, "orders")
+    n_sampled = (
+        orders.sample(fraction=0.1, seed=42)
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    n_total = orders.agg(F.count(F.lit(1)).alias("n_total"))
+    return n_total.crossJoin(n_sampled).select(
+        "n_total",
+        (
+            F.abs(F.col("n_sampled") / F.col("n_total") - F.lit(0.1))
+            <= F.lit(5.0) * F.sqrt(F.lit(0.1 * 0.9) / F.col("n_total"))
+        ).alias("frac_ok"),
+    )
+
+
+@query(
+    "sample_hash_bucket",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
+    """,
+    tags=("sample", "deterministic"),
+)
+def sample_hash_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucket sample (md5 of the key, first hex
+    digit in {0,1} → exactly a 1/8 expected-rate sample). This is the
+    scale-stable sampling idiom: reproducible across engines, runs,
+    partitionings, and cluster sizes — the property seeded RNG
+    sampling cannot give — so it carries an exact row-level oracle.
+    Pure pushed-down filter: no shuffle, scan-speed at 100 TB."""
+    orders = t(spark, sf_dir, "orders")
+    return orders.filter(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1).isin("0", "1")
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
 
 
 @query(

@@ -103,17 +103,22 @@ class TestSketchBounds:
 
 class TestSampleDeterminism:
     def test_same_seed_same_rows(self, spark):
-        from nineinfra_spark.plans.sortlimit import sample_bernoulli
-
-        a = sorted(r["o_orderkey"] for r in sample_bernoulli(spark, SF).collect())
-        b = sorted(r["o_orderkey"] for r in sample_bernoulli(spark, SF).collect())
+        orders = t(spark, SF, "orders")
+        a = sorted(r["o_orderkey"] for r in orders.sample(fraction=0.1, seed=42).collect())
+        b = sorted(r["o_orderkey"] for r in orders.sample(fraction=0.1, seed=42).collect())
         assert a == b
         assert 0.05 <= len(a) / 15000 <= 0.15  # fraction=0.1 ± slack
 
+    def test_hash_bucket_sample_rate(self, spark):
+        from nineinfra_spark.plans.sortlimit import sample_hash_bucket
+
+        n = sample_hash_bucket(spark, SF).count()
+        assert 0.09 <= n / 15000 <= 0.16  # expected 1/8 = 0.125
+
     def test_different_seed_differs(self, spark):
         orders = t(spark, SF, "orders")
-        a = sorted(r["o_orderkey"] for r in orders.sample(0.1, seed=42).collect())
-        b = sorted(r["o_orderkey"] for r in orders.sample(0.1, seed=43).collect())
+        a = sorted(r["o_orderkey"] for r in orders.sample(fraction=0.1, seed=42).collect())
+        b = sorted(r["o_orderkey"] for r in orders.sample(fraction=0.1, seed=43).collect())
         assert a != b
 
 

@@ -60,10 +60,10 @@ class TestSimilarityRecall:
         loosely (single-probe sign-LSH on weakly-clustered vectors)."""
         from nineinfra_spark.plans.ext_similarity import (
             ann_lsh_buckets,
-            sim_join_threshold,
+            sim_join_exact_oracle,
         )
 
-        exact = _pairs(sim_join_threshold(spark, SF), "id_a", "id_b")
+        exact = _pairs(sim_join_exact_oracle(spark, SF), "id_a", "id_b")
         lsh = _pairs(ann_lsh_buckets(spark, SF), "id_a", "id_b")
         assert exact, "ground-truth pair set is empty — testdata changed?"
         assert lsh <= exact
