@@ -21,6 +21,20 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _has_map_type(dt: T.DataType) -> bool:
+    """True if the type contains a MapType anywhere — Spark's one
+    non-orderable data type (sorting a struct that embeds one raises
+    AnalysisException)."""
+    if isinstance(dt, T.MapType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _has_map_type(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return any(_has_map_type(f.dataType) for f in dt.fields)
+    return False
 
 
 def asof_join(
@@ -38,13 +52,25 @@ def asof_join(
     ----------
     on : key column name (same on both sides)
     ts : timestamp column name (same on both sides)
-    payload : right columns to attach (default: all non-key/ts columns)
+    payload : right columns to attach (default: all non-key/ts columns).
+        Payload columns must have ORDERABLE types (no map<...>): the
+        duplicate-right-row tie-break sorts the payload struct, which
+        is what makes the winning payload value-deterministic instead
+        of partition-layout-dependent. Non-orderable payloads are
+        rejected up front with a clear error.
     direction : "backward" (<=) or "forward" (>=)
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     if payload is None:
         payload = [c for c in right.columns if c not in (on, ts)]
+    unorderable = [c for c in payload if _has_map_type(right.schema[c].dataType)]
+    if unorderable:
+        raise TypeError(
+            "asof_join payload columns must be orderable (used as the "
+            f"deterministic tie-break); map-typed columns: {unorderable}. "
+            "Drop them from `payload` or recast them (e.g. map_entries)."
+        )
 
     # The matched right row travels as ONE struct(ts, *payload) so a
     # single last(ignorenulls) fill attaches an atomic right-row

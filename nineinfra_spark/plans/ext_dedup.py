@@ -120,7 +120,14 @@ def dedup_exact_content(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: integer-exact half-up rounding of common/union to 6 dp.
 #: 1e6 (not 1000000.0): Spark SQL parses the latter as a DECIMAL
 #: literal, which would turn the division into decimal arithmetic.
-_JAC6_SPARK = "(2000000 * common + union_sz) div (2 * union_sz) / 1e6"
+#: common/union_sz come from F.size (32-bit int) — cast to bigint
+#: BEFORE the 2000000× scale so long shared-shingle lists (>1073)
+#: can't silently wrap under non-ANSI arithmetic; DuckDB's len() is
+#: already BIGINT, so this keeps both sides exact.
+_JAC6_SPARK = (
+    "(2000000 * cast(common as bigint) + union_sz)"
+    " div (2 * cast(union_sz as bigint)) / 1e6"
+)
 _JAC6_DUCK = "((2000000 * common + union_sz) // (2 * union_sz)) / 1e6"
 
 

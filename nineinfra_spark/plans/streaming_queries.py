@@ -261,11 +261,19 @@ def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update_counts(key, pdfs, state: GroupState):
+        import numpy as np
+
         n, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            # integer cents: exact under any accumulation order
-            cents += int(round(pdf["value"], 2).mul(100).round().astype("int64").sum())
+            # integer cents via HALF-AWAY-FROM-ZERO rounding (pandas
+            # .round is half-even; Spark/DuckDB ROUND is half-away —
+            # the repo-wide rounding discipline), exact under any
+            # accumulation order
+            v = pdf["value"].to_numpy(dtype="float64")
+            cents += int(
+                (np.floor(np.abs(v) * 100.0 + 0.5) * np.sign(v)).astype("int64").sum()
+            )
         state.update((n, cents))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "sum_value": [cents / 100.0]}

@@ -43,9 +43,13 @@ def _qty_band(q: float) -> str:
     return "high"
 
 
+#: NULL branch stated explicitly so the SQL CASE agrees with the
+#: kernel's ``None -> 'unknown'`` — without it, CASE falls through to
+#: ELSE 'high' and the two definitions silently diverge on NULL input.
 _BAND_ORACLE = """
     SELECT l_orderkey, l_linenumber,
-           CASE WHEN l_quantity < 10 THEN 'low'
+           CASE WHEN l_quantity IS NULL THEN 'unknown'
+                WHEN l_quantity < 10 THEN 'low'
                 WHEN l_quantity < 30 THEN 'mid'
                 ELSE 'high' END AS band
     FROM lineitem

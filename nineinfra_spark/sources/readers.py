@@ -24,30 +24,53 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """Parquet scan with nanos-timestamp tolerance.
 
     ``events.parquet`` in the testdata stores ``ts`` as INT64
-    TIMESTAMP(NANOS), which Spark's reader rejects by default. We read
-    nanos as raw long (session conf, set idempotently — the engine also
-    sets it at ``Engine.open``) and rebuild ``timestamp_ntz`` by
-    truncating nanos → micros, exactly like DuckDB's reader, so both
-    engines see identical values.
+    TIMESTAMP(NANOS), which Spark's reader rejects by default. The
+    rebuild is gated on the parquet footer's own logical-type
+    annotation (a metadata-only pyarrow read, no data scan), so a
+    plain bigint column — even one named ``ts`` holding epoch millis —
+    passes through untouched. Annotated columns are read as raw long
+    (session conf) and rebuilt as ``timestamp_ntz`` by truncating
+    nanos → micros, exactly like DuckDB's reader, so both engines see
+    identical values.
     """
-    spark.conf.set(NANOS_CONF, "true")
+    nanos_cols = _nanos_ts_columns(path)
+    if nanos_cols:
+        spark.conf.set(NANOS_CONF, "true")
     df = spark.read.parquet(path)
-    return _rebuild_nanos_ts(df)
+    return _rebuild_nanos_ts(df, nanos_cols)
 
 
-def _rebuild_nanos_ts(df: DataFrame) -> DataFrame:
-    """Convert any ``*`` long column that was a TIMESTAMP(NANOS) back to
-    timestamp_ntz. We can't see the original parquet annotation from the
-    DataFrame, so this targets the known testdata shape: a ``ts`` bigint
-    column."""
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn(
-            "ts",
-            F.expr(
-                "timestamp_ntz'1970-01-01 00:00:00' + "
-                "make_dt_interval(0, 0, 0, cast(ts div 1000 as decimal(20,0)) / 1000000)"
-            ),
-        )
+def _nanos_ts_columns(path: str) -> set[str]:
+    """Names of columns annotated TIMESTAMP(NANOS) in the parquet
+    footer (file or directory). Driver-side footer read only — cost is
+    one metadata fetch, never a data scan."""
+    try:
+        import pyarrow as pa
+        import pyarrow.dataset as pads
+
+        schema = pads.dataset(path, format="parquet").schema
+    except Exception:
+        return set()
+    return {
+        f.name
+        for f in schema
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    }
+
+
+def _rebuild_nanos_ts(df: DataFrame, nanos_cols: set[str]) -> DataFrame:
+    """Convert footer-annotated TIMESTAMP(NANOS) columns (surfaced as
+    bigint under ``nanosAsLong``) back to timestamp_ntz."""
+    dtypes = dict(df.dtypes)
+    for c in nanos_cols:
+        if dtypes.get(c) == "bigint":
+            df = df.withColumn(
+                c,
+                F.expr(
+                    "timestamp_ntz'1970-01-01 00:00:00' + "
+                    f"make_dt_interval(0, 0, 0, cast({c} div 1000 as decimal(20,0)) / 1000000)"
+                ),
+            )
     return df
 
 

@@ -28,7 +28,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nineinfra_spark.sources.readers import NANOS_CONF, _rebuild_nanos_ts
+from nineinfra_spark.sources.readers import (
+    NANOS_CONF,
+    _nanos_ts_columns,
+    _rebuild_nanos_ts,
+)
 
 
 STREAM_SRC_ROOT = "/tmp/nineinfra_stream_src"
@@ -55,12 +59,16 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     — file streams never infer), with the same nanos→micros timestamp
     rebuild as the batch reader so both modes see identical values."""
     staged = _staged_events_dir(sf_dir)
-    spark.conf.set(NANOS_CONF, "true")
+    nanos_cols = _nanos_ts_columns(staged)
+    if nanos_cols:
+        spark.conf.set(NANOS_CONF, "true")
     raw_schema = spark.read.parquet(staged).schema
     raw = spark.readStream.schema(raw_schema).parquet(staged)
     # Watermarks require TIMESTAMP (instant) — with the engine's UTC
     # session timezone the ntz→ltz cast preserves the wall-clock value.
-    return _rebuild_nanos_ts(raw).withColumn("ts", F.col("ts").cast("timestamp"))
+    return _rebuild_nanos_ts(raw, nanos_cols).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
 
 
 def run_available_now(

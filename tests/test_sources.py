@@ -80,3 +80,29 @@ def test_csv_roundtrip_preserves_types(spark):
     back = readers.read_csv(spark, path, schema=nation.schema)
     assert back.schema == nation.schema
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+
+
+def test_nanos_rebuild_gated_on_parquet_annotation(spark, tmp_path):
+    """A plain bigint column named 'ts' (e.g. epoch millis) must pass
+    through read_parquet untouched — the nanos→timestamp rebuild fires
+    only for columns the parquet footer annotates TIMESTAMP(NANOS)."""
+    p = str(tmp_path / "plain_ts")
+    spark.range(5).selectExpr("id", "id * 1000 AS ts").write.parquet(p)
+    back = readers.read_parquet(spark, p)
+    assert dict(back.dtypes)["ts"] == "bigint"
+    assert sorted(r["ts"] for r in back.collect()) == [0, 1000, 2000, 3000, 4000]
+
+    # the annotated testdata column IS rebuilt
+    ev = readers.read_table(spark, SF, "events")
+    assert dict(ev.dtypes)["ts"].startswith("timestamp")
+
+
+def test_asof_rejects_map_payload(spark):
+    """Map-typed payload columns are non-orderable (they'd break the
+    deterministic tie-break) — asof_join refuses them up front."""
+    from nineinfra_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10)], "k int, ts int")
+    right = spark.sql("SELECT 1 AS k, 5 AS ts, map('a', 1) AS payload")
+    with pytest.raises(TypeError, match="orderable"):
+        asof_join(left, right, on="k", ts="ts")
