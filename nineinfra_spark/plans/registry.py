@@ -29,6 +29,13 @@ class RegisteredQuery:
 
 _REGISTRY: dict[str, RegisteredQuery] = {}
 
+#: Explicit verification-priority prefix for the exported ordering
+#: (set once by ``plans/__init__``). The driver's CORRECTNESS gate
+#: checks a bounded window of queries in ``queries()`` order, so the
+#: queries that most need a fresh differential row must come first —
+#: per-query control here beats reordering module imports.
+_ORDER: list[str] = []
+
 
 def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` as a query."""
@@ -42,12 +49,34 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     return deco
 
 
+def set_order(priority: list[str]) -> None:
+    """Pin the leading export order. Every name must exist — a stale
+    entry (e.g. after a query rename) fails loudly here rather than
+    silently burning a verification slot."""
+    unknown = sorted(set(priority) - set(_REGISTRY))
+    if unknown:
+        raise ValueError(f"set_order: unknown query names {unknown}")
+    if len(set(priority)) != len(priority):
+        dupes = sorted({n for n in priority if priority.count(n) > 1})
+        raise ValueError(f"set_order: duplicate names {dupes}")
+    _ORDER[:] = priority
+
+
+def _ordered_names() -> list[str]:
+    head = set(_ORDER)
+    return list(_ORDER) + [n for n in _REGISTRY if n not in head]
+
+
 def queries() -> dict[str, QueryFn]:
-    return {name: rq.fn for name, rq in _REGISTRY.items()}
+    return {name: _REGISTRY[name].fn for name in _ordered_names()}
 
 
 def oracles() -> dict[str, str]:
-    return {name: rq.oracle for name, rq in _REGISTRY.items() if rq.oracle is not None}
+    return {
+        name: _REGISTRY[name].oracle
+        for name in _ordered_names()
+        if _REGISTRY[name].oracle is not None
+    }
 
 
 def get(name: str) -> RegisteredQuery:
@@ -55,4 +84,4 @@ def get(name: str) -> RegisteredQuery:
 
 
 def names() -> list[str]:
-    return list(_REGISTRY)
+    return _ordered_names()
