@@ -45,6 +45,16 @@ class EngineConfig:
     master: str | None = None  # default: local[N] from SPARK_GRAFT_CPUS
     shuffle_partitions: int | None = None  # default: matched to cores locally
     warehouse_dir: str | None = None  # ≙ /nineinfra/datahouse
+    # Persistent catalog (≙ the reference's Hive Metastore role,
+    # ``internal/controller/metastore.go:105-114``): managed tables
+    # registered durably, DROP TABLE removes managed locations, and a
+    # later session sees the same catalog. Local deployment uses the
+    # embedded derby metastore under ``metastore_dir``; a real cluster
+    # points ``hive.metastore.uris`` at the shared metastore instead
+    # (via ``extra_conf``). NOTE: catalog implementation is fixed at
+    # JVM/session creation — one engine profile per process.
+    hive_metastore: bool = False
+    metastore_dir: str | None = None  # default: <warehouse_dir>/metastore_db
     # 64 MB: small-side tables up to this size replicate instead of shuffling.
     broadcast_threshold: str = "64m"
     # Cap bytes per input split so one task's scan fits executor memory
@@ -101,6 +111,14 @@ class Engine:
         )
         if cfg.warehouse_dir:
             builder = builder.config("spark.sql.warehouse.dir", cfg.warehouse_dir)
+        if cfg.hive_metastore:
+            ms_dir = cfg.metastore_dir or os.path.join(
+                cfg.warehouse_dir or "/tmp/nineinfra_spark_warehouse", "metastore_db"
+            )
+            builder = builder.enableHiveSupport().config(
+                "javax.jdo.option.ConnectionURL",
+                f"jdbc:derby:;databaseName={ms_dir};create=true",
+            )
         for k, v in cfg.s3a.items():
             builder = builder.config(f"spark.hadoop.fs.s3a.{k}", v)
         for k, v in cfg.extra_conf.items():

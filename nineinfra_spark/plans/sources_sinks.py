@@ -143,22 +143,27 @@ def catalog_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     the registered table, read back via the catalog, DROP handled by
     overwrite semantics on re-run.
 
-    The catalog is the session one (≙ Hive Metastore in the deployed
-    platform, ``metastore.go:105-114``); the table files land under
-    the database LOCATION in standard layout either way.
+    Runs on any session: with the Engine's hive/derby profile
+    (``EngineConfig.hive_metastore`` ≙ the platform's persistent Hive
+    Metastore, ``metastore.go:105-114``) DROP TABLE alone removes the
+    managed location — real lifecycle semantics, verified with a
+    second-session read-back in tests/test_catalog_hive.py. On a
+    vanilla in-memory-catalog session (the driver's), the catalog
+    forgets tables whose managed dirs persist on disk, so orphaned
+    locations are cleared explicitly.
     """
-    import shutil
-
     sfx = os.path.basename(sf_dir).replace(".", "_")
     db = f"nine_wh_{sfx}"
+    is_hive = (
+        spark.conf.get("spark.sql.catalogImplementation", "in-memory") == "hive"
+    )
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{WAREHOUSE}/{db}'")
-    # A fresh session's in-memory catalog forgets tables whose managed
-    # locations persist on disk — DROP what the catalog knows, then
-    # clear orphaned locations (with a persistent metastore, DROP
-    # TABLE alone removes the managed dir).
     for tbl in ("customer_t", "segment_summary"):
         spark.sql(f"DROP TABLE IF EXISTS {db}.{tbl}")
-        shutil.rmtree(f"{WAREHOUSE}/{db}/{tbl}", ignore_errors=True)
+        if not is_hive:
+            import shutil
+
+            shutil.rmtree(f"{WAREHOUSE}/{db}/{tbl}", ignore_errors=True)
     customer = t(spark, sf_dir, "customer")
     writers.save_as_table(customer, f"{db}.customer_t", mode="overwrite")
     spark.sql(
