@@ -55,6 +55,12 @@ class EngineConfig:
     # JVM/session creation — one engine profile per process.
     hive_metastore: bool = False
     metastore_dir: str | None = None  # default: <warehouse_dir>/metastore_db
+    # SQL gateway (≙ the Kyuubi THRIFT_BINARY frontend,
+    # ``ninecluster_metadata.go:21-28``): when set, ``open()`` starts
+    # an in-JVM HiveServer2-protocol endpoint on this port; any
+    # JDBC/thrift client can then run SQL against the engine session
+    # (shared temp views / UDFs via thriftServer.singleSession).
+    thrift_port: int | None = None
     # 64 MB: small-side tables up to this size replicate instead of shuffling.
     broadcast_threshold: str = "64m"
     # Cap bytes per input split so one task's scan fits executor memory
@@ -121,10 +127,18 @@ class Engine:
             )
         for k, v in cfg.s3a.items():
             builder = builder.config(f"spark.hadoop.fs.s3a.{k}", v)
+        if cfg.thrift_port is not None:
+            builder = builder.config(
+                "hive.server2.thrift.port", str(cfg.thrift_port)
+            ).config("spark.sql.hive.thriftServer.singleSession", "true")
         for k, v in cfg.extra_conf.items():
             builder = builder.config(k, v)
         self._spark = builder.getOrCreate()
         self._spark.sparkContext.setLogLevel("WARN")
+        if cfg.thrift_port is not None:
+            from nineinfra_spark.gateway import start_thrift_gateway
+
+            start_thrift_gateway(self._spark, cfg.thrift_port)
         return self
 
     def close(self) -> None:

@@ -1,0 +1,84 @@
+"""Multi-session SQL gateway (the reference's Kyuubi role).
+
+The platform's headline product surface is a SQL gateway speaking
+HiveServer2 thrift in front of Spark (REST + THRIFT_BINARY frontends,
+``internal/controller/ninecluster_metadata.go:21-28``; Kyuubi wiring
+``internal/controller/kyuubi.go:189-203``). In-process, Spark ships
+the same protocol as HiveThriftServer2 — this module starts it inside
+the engine's JVM so any JDBC/thrift client (beeline, Superset, a BI
+tool) can run SQL against the engine's catalog and registered views.
+
+``spark.sql.hive.thriftServer.singleSession=true`` makes gateway
+sessions share the engine session's state (temp views, registered
+UDFs) — the Kyuubi USER-level share semantic. With the hive/derby
+metastore profile (``EngineConfig.hive_metastore``) gateway clients
+additionally see all persistent tables.
+
+Port conf must be set at session build time, so the Engine owns the
+lifecycle: set ``EngineConfig.thrift_port`` and ``Engine.open()``
+brings the gateway up.
+"""
+
+from __future__ import annotations
+
+import subprocess
+import time
+
+from pyspark.sql import SparkSession
+
+BEELINE = "/opt/spark/bin/beeline"
+
+
+def start_thrift_gateway(spark: SparkSession, port: int, timeout_s: float = 30.0) -> None:
+    """Start the HiveServer2-protocol gateway inside ``spark``'s JVM
+    and block until the port accepts connections.
+
+    Requires ``hive.server2.thrift.port`` to have been set to ``port``
+    on the session builder (the server reads it from the conf, not
+    from an argument) — ``Engine.open`` does this when
+    ``EngineConfig.thrift_port`` is set.
+    """
+    jvm = spark._jvm  # noqa: SLF001 — JVM bridge is the only entry point
+    jvm.org.apache.spark.sql.hive.thriftserver.HiveThriftServer2.startWithContext(
+        spark._jsparkSession.sqlContext()  # noqa: SLF001
+    )
+    _wait_for_port(port, timeout_s)
+
+
+def _wait_for_port(port: int, timeout_s: float) -> None:
+    import socket
+
+    deadline = time.monotonic() + timeout_s
+    while time.monotonic() < deadline:
+        with socket.socket(socket.AF_INET, socket.SOCK_STREAM) as s:
+            s.settimeout(1.0)
+            if s.connect_ex(("localhost", port)) == 0:
+                return
+        time.sleep(0.5)
+    raise TimeoutError(f"thrift gateway did not open port {port} in {timeout_s}s")
+
+
+def beeline_sql(port: int, sql: str, timeout_s: float = 120.0) -> str:
+    """Run one SQL statement through beeline — a REAL second client
+    over the thrift wire (Hive JDBC driver), not an in-process
+    shortcut. Returns beeline's rendered stdout; raises on nonzero
+    exit. CSV-ish output: ``--outputformat=csv2``."""
+    proc = subprocess.run(
+        [
+            BEELINE,
+            "-u",
+            f"jdbc:hive2://localhost:{port}",
+            "--silent=true",
+            "--outputformat=csv2",
+            "-e",
+            sql,
+        ],
+        capture_output=True,
+        text=True,
+        timeout=timeout_s,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"beeline failed (rc={proc.returncode}):\n{proc.stderr[-2000:]}"
+        )
+    return proc.stdout

@@ -159,11 +159,18 @@ def catalog_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{WAREHOUSE}/{db}'")
     for tbl in ("customer_t", "segment_summary"):
+        owned = spark.catalog.tableExists(f"{db}.{tbl}")
         spark.sql(f"DROP TABLE IF EXISTS {db}.{tbl}")
-        if not is_hive:
+        loc = f"{WAREHOUSE}/{db}/{tbl}"
+        if os.path.exists(loc) and (not is_hive or not owned):
+            # Orphaned location: either the in-memory catalog (which
+            # never removes managed dirs) or a DIFFERENT catalog
+            # instance owned this dir. A hive catalog that owned the
+            # table has already removed it via DROP — that semantic is
+            # asserted in tests/test_catalog_hive.py.
             import shutil
 
-            shutil.rmtree(f"{WAREHOUSE}/{db}/{tbl}", ignore_errors=True)
+            shutil.rmtree(loc, ignore_errors=True)
     customer = t(spark, sf_dir, "customer")
     writers.save_as_table(customer, f"{db}.customer_t", mode="overwrite")
     spark.sql(

@@ -100,8 +100,9 @@ class TestMultimodal:
         rows = mm_decode_features(spark, SF).limit(20).collect()
         assert rows
         for r in rows:
-            assert len(r["features"]) == N_HIST_BUCKETS
-            assert abs(sum(r["features"]) - 1.0) < 1e-9  # normalized histogram
+            hist = [r[f"h{k}"] for k in range(N_HIST_BUCKETS)]
+            assert all(h >= 0 for h in hist)
+            assert sum(hist) == r["n_bytes"]  # every byte lands in one bucket
             assert r["n_bytes"] > 0
 
     def test_decode_image_is_explicit_stub(self):
