@@ -99,7 +99,7 @@ def _band_duck(b: int, e: str = "embedding") -> str:
     )
     WHERE rank <= {TOP_K}
     """,
-    tags=("ext", "similarity", "topk"),
+    tags=("ext", "similarity", "topk", "bounded-nlj"),  # broadcast |Q| side
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: each query vector against every
@@ -264,7 +264,7 @@ def _cosine_pandas(ea: pd.Series, eb: pd.Series) -> pd.Series:
     )
     WHERE rank <= {TOP_K}
     """,
-    tags=("ext", "similarity", "pandas-udf"),
+    tags=("ext", "similarity", "pandas-udf", "bounded-nlj"),
 )
 def ann_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same top-k as `ann_cosine_topk`, but the cosine kernel is an

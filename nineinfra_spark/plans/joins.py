@@ -153,7 +153,7 @@ def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT r_name, n_name FROM region CROSS JOIN nation
     """,
-    tags=("join",),
+    tags=("join", "dimension-only"),  # region x nation cross
 )
 def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cartesian product (both sides dimension-sized — never cross-join
@@ -176,7 +176,7 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON value >= lo AND value < hi
     GROUP BY tier
     """,
-    tags=("join", "range"),
+    tags=("join", "range", "dimension-only"),
 )
 def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta/range join: banding rows into tiers via inequality

@@ -115,7 +115,7 @@ def dedup_by_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT COUNT(*) AS n_total, TRUE AS frac_ok FROM orders
     """,
-    tags=("sample",),
+    tags=("sample", "bounded-nlj"),  # 1-row x 1-row agg cross
 )
 def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded Bernoulli sample, verified as a bounds check: the RNG

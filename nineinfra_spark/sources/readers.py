@@ -9,6 +9,7 @@ pushdown stay intact because nothing here forces materialization.
 
 from __future__ import annotations
 
+import functools as _functools
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -40,22 +41,26 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return _rebuild_nanos_ts(df, nanos_cols)
 
 
-def _nanos_ts_columns(path: str) -> set[str]:
+@_functools.lru_cache(maxsize=256)
+def _nanos_ts_columns(path: str) -> frozenset[str]:
     """Names of columns annotated TIMESTAMP(NANOS) in the parquet
     footer (file or directory). Driver-side footer read only — cost is
-    one metadata fetch, never a data scan."""
+    one metadata fetch, never a data scan. Cached per path (a path
+    whose files are REPLACED with a different schema mid-process would
+    need ``_nanos_ts_columns.cache_clear()`` — the write paths here
+    never do that)."""
     try:
         import pyarrow as pa
         import pyarrow.dataset as pads
 
         schema = pads.dataset(path, format="parquet").schema
     except Exception:
-        return set()
-    return {
+        return frozenset()
+    return frozenset(
         f.name
         for f in schema
         if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
-    }
+    )
 
 
 def _rebuild_nanos_ts(df: DataFrame, nanos_cols: set[str]) -> DataFrame:
