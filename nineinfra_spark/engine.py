@@ -201,6 +201,30 @@ class Engine:
 
         writers.save_as_table(df, name, mode=mode, partition_by=partition_by)
 
+    # -- serve profile (≙ the Doris accelerated-OLAP role) ------------------
+    def pin_hot_tables(self, names: tuple[str, ...] | list[str],
+                       eager: bool = True) -> None:
+        """Pin catalog tables/views in executor memory for repeated
+        low-latency serving — the reference's Doris tier
+        (``internal/controller/doris.go:64-140``: FE/BE nodes caching
+        hot tables in front of the lakehouse) expressed as Spark's
+        columnar in-memory cache. Subsequent plans over these names
+        read ``InMemoryTableScan`` instead of re-scanning parquet.
+
+        ``eager=True`` materializes now (serving wants warm caches,
+        not first-query stalls). Storage level is MEMORY_AND_DISK:
+        at 100 TB you pin DIMENSIONS and hot aggregates, never raw
+        facts — spill keeps an oversized pin from evicting the JVM.
+        """
+        for n in names:
+            self.spark.catalog.cacheTable(n)
+            if eager:
+                self.spark.table(n).count()
+
+    def unpin_tables(self, names: tuple[str, ...] | list[str]) -> None:
+        for n in names:
+            self.spark.catalog.uncacheTable(n)
+
 
 def register_testdata(
     spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TPCH_TABLES

@@ -68,6 +68,7 @@ _VERIFY_FIRST = [
     "sample_hash_bucket",
     "sim_join_exact_oracle",
     "join_inner_equi",
+    "ann_ivf_topk",  # new in round 3
     # (c) last verified in round 1
     "q1_pricing_summary",
     "q3_shipping_priority",

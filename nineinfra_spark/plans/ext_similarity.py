@@ -292,3 +292,123 @@ def ann_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "cand_id", "cos", "rank")
     )
+
+
+# -- IVF (inverted-file) ANN ----------------------------------------------
+
+N_IVF_CELLS = 8  # coarse quantizer size (vec_id in [N_QUERIES, N_QUERIES+8))
+N_IVF_PROBE = 3  # cells probed per query
+
+
+def _ivf_oracle() -> str:
+    cos_qc = COS_DUCK.format(a="v.embedding", b="c.embedding")
+    return f"""
+    WITH cent AS (
+        SELECT vec_id - {N_QUERIES} AS cell, embedding
+        FROM embeddings
+        WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_IVF_CELLS}
+    ),
+    cand AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= {N_QUERIES}),
+    assigned AS (
+        SELECT vec_id, cell FROM (
+            SELECT v.vec_id, c.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {cos_qc} DESC, c.cell
+                   ) AS rn
+            FROM cand v, cent c
+        ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
+    probed AS (
+        SELECT vec_id AS query_id, cell FROM (
+            SELECT v.vec_id, c.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {cos_qc} DESC, c.cell
+                   ) AS rn
+            FROM q v, cent c
+        ) WHERE rn <= {N_IVF_PROBE}
+    )
+    SELECT query_id, cand_id, cos, rank FROM (
+        SELECT p.query_id, a.vec_id AS cand_id,
+               {COS_DUCK.format(a='qe.embedding', b='ce.embedding')} AS cos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.query_id
+                   ORDER BY {COS_DUCK.format(a='qe.embedding', b='ce.embedding')} DESC,
+                            a.vec_id
+               ) AS rank
+        FROM probed p
+        JOIN assigned a ON p.cell = a.cell
+        JOIN embeddings qe ON qe.vec_id = p.query_id
+        JOIN embeddings ce ON ce.vec_id = a.vec_id
+    ) WHERE rank <= {TOP_K}
+    """
+
+
+@query("ann_ivf_topk", oracle=_ivf_oracle(), tags=("ext", "similarity", "ivf", "bounded-nlj"))
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the third leg of the ANN
+    surface next to brute force (`ann_cosine_topk`) and sign-LSH
+    (`ann_lsh_buckets`).
+
+    Index: a coarse quantizer of K=8 centroids assigns every candidate
+    to its nearest cell — one scan against a BROADCAST centroid set
+    (K is constant, hence the bounded-nlj tag). Search: each query
+    probes its n_probe=3 closest cells and scores exact cosine only
+    against those cells' posting lists — at 100 TB the corpus scan
+    drops to ~n_probe/K of the data, and the posting-list join is an
+    equi-join on cell id (hash-partitionable, AQE-skew-splittable;
+    cell sizes are balanced by construction when centroids come from
+    a sample of the corpus).
+
+    Centroids are taken deterministically (vec_id ∈ [5, 13) — the
+    no-training analog of sampled k-means seeds) so the whole index is
+    oracle-replicable; recall vs the exact top-k is asserted in
+    tests/test_lsh_curve.py. NOTE: the synthetic corpus is weakly
+    clustered, so measured recall sits near the n_probe/K floor —
+    on real (clustered) embeddings the same index concentrates
+    neighbors in probed cells, which is the IVF premise.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    cent = emb.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_IVF_CELLS)
+    ).select((F.col("vec_id") - N_QUERIES).alias("cell"), F.col("embedding").alias("c_emb"))
+
+    cos_vc = F.expr(COS_SPARK.format(a="embedding", b="c_emb"))
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cos_vc"), "cell")
+
+    cand = emb.filter(F.col("vec_id") >= N_QUERIES)
+    assigned = (
+        cand.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cell", cos_vc.alias("cos_vc"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select(F.col("vec_id").alias("cand_id"), "cell")
+    )
+
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    probed = (
+        q.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cell", cos_vc.alias("cos_vc"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") <= N_IVF_PROBE)
+        .select(F.col("vec_id").alias("query_id"), "cell")
+    )
+
+    qe = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    ce = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("e_emb"))
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cos"), "cand_id")
+    return (
+        probed.join(assigned, "cell")
+        .join(qe, "query_id")
+        .join(ce, "cand_id")
+        .select(
+            "query_id",
+            "cand_id",
+            F.expr(COS_SPARK.format(a="q_emb", b="e_emb")).alias("cos"),
+        )
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", "cos", "rank")
+    )

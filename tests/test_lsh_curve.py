@@ -218,3 +218,26 @@ def test_sign_lsh_collision_monotone_in_cosine(spark, sf_dir):
     assert got <= exact, "LSH emitted a pair the exact join lacks"
     recall = len(got) / len(exact)
     assert recall >= 0.2, f"sign-LSH recall {recall:.2f} < 0.2"
+
+
+@pytest.mark.parametrize("sf_dir", SFS)
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    """IVF pipeline sanity at both SFs. On THIS corpus the embeddings
+    are weakly clustered (same caveat as sign-LSH), so cells barely
+    correlate with neighborhoods and recall sits near the no-structure
+    floor of n_probe/K = 3/8; the assertion pins that floor (a broken
+    index would fall below it) while the DuckDB oracle pins the
+    pipeline's exactness. On clustered real embeddings recall is far
+    above the probe fraction — that correlation is the IVF premise,
+    not something a near-uniform synthetic corpus can exhibit."""
+    from nineinfra_spark.plans.ext_similarity import ann_cosine_topk, ann_ivf_topk
+
+    exact = {
+        (r["query_id"], r["cand_id"]) for r in ann_cosine_topk(spark, sf_dir).collect()
+    }
+    ivf = {
+        (r["query_id"], r["cand_id"]) for r in ann_ivf_topk(spark, sf_dir).collect()
+    }
+    assert exact
+    recall = len(ivf & exact) / len(exact)
+    assert recall >= 0.3, f"IVF recall {recall:.2f} < 0.3 (no-structure floor)"
