@@ -34,6 +34,8 @@ HEADLINE = [
     "dedup_exact_content",
     "dedup_minhash_pairs",
     "ann_cosine_topk",
+    "ann_ivf_topk",
+    "mm_decode_features",
     "text_quality_stats",
     "fn_math",
     "sink_partitioned_pruning",
