@@ -72,11 +72,13 @@ def ngram_shingles(toks: str | Column, n: int = 5) -> Column:
 
 
 def jaccard(a: str | Column, b: str | Column) -> Column:
-    """Exact Jaccard similarity of two array columns (double)."""
+    """Exact Jaccard similarity of two array columns (double).
+    Both-empty input yields NULL (``try_divide`` — no 0/0 error under
+    ANSI mode, which is Spark 4's default)."""
     ca, cb = _c(a), _c(b)
     common = F.size(F.array_intersect(ca, cb)).cast("bigint")
     union = (F.size(ca) + F.size(cb)).cast("bigint") - common
-    return common / union
+    return F.try_divide(common, union)
 
 
 def cosine_similarity(a: str | Column, b: str | Column) -> Column:
@@ -98,7 +100,10 @@ def cosine_similarity(a: str | Column, b: str | Column) -> Column:
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    return dot / (F.sqrt(_sq_sum(ca)) * F.sqrt(_sq_sum(cb)))
+    # try_divide: zero-norm sides yield NULL instead of an ANSI
+    # DIVIDE_BY_ZERO error; non-degenerate results are bit-identical
+    # to the plain division the SQL expression path uses.
+    return F.try_divide(dot, F.sqrt(_sq_sum(ca)) * F.sqrt(_sq_sum(cb)))
 
 
 def stable_hash64(col: str | Column, salt: str = "") -> Column:

@@ -78,3 +78,88 @@ def test_intersect_except_all_partition(spark, a, b):
     da, db = _df(spark, a), _df(spark, b)
     part = _bag(da.intersectAll(db)) + _bag(da.exceptAll(db))
     assert sorted(part) == _bag(da)
+
+
+# -- nineinfra_spark.functions algebraic properties ------------------------
+
+VEC = st.lists(
+    st.floats(min_value=-4.0, max_value=4.0, allow_nan=False, width=32),
+    min_size=3,
+    max_size=3,
+)
+
+
+@SETTINGS
+@given(a=VEC, b=VEC)
+def test_cosine_symmetric_and_bounded(spark, a, b):
+    """cos(a,b) == cos(b,a), |cos| ≤ 1 (+ε), cos(a,a) == 1 for a ≠ 0."""
+    import math
+
+    from nineinfra_spark import functions as NF
+
+    df = spark.createDataFrame(
+        [(a, b)], "ea array<float>, eb array<float>"
+    ).select(
+        NF.cosine_similarity("ea", "eb").alias("ab"),
+        NF.cosine_similarity("eb", "ea").alias("ba"),
+        NF.cosine_similarity("ea", "ea").alias("aa"),
+    )
+    r = df.collect()[0]
+    if r["ab"] is not None:  # zero-norm sides divide by 0 → NULL/NaN
+        if not math.isnan(r["ab"]):
+            assert r["ab"] == r["ba"]
+            assert abs(r["ab"]) <= 1.0 + 1e-9
+    if any(x != 0.0 for x in a) and r["aa"] is not None and not math.isnan(r["aa"]):
+        assert abs(r["aa"] - 1.0) <= 1e-9
+
+
+TOKSETS = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=6),
+    min_size=1,
+    max_size=4,
+)
+
+
+@SETTINGS
+@given(arrs=TOKSETS)
+def test_jaccard_identity_and_symmetry(spark, arrs):
+    """j(x,x) == 1 for non-empty x; j(a,b) == j(b,a); 0 ≤ j ≤ 1."""
+    from nineinfra_spark import functions as NF
+
+    rows = [(list(dict.fromkeys(x)),) for x in arrs]  # distinct elements
+    df = spark.createDataFrame(rows, "s array<string>")
+    pairs = (
+        df.selectExpr("s AS sa").crossJoin(df.selectExpr("s AS sb"))
+        .select(
+            F.size("sa").alias("na"),
+            NF.jaccard("sa", "sb").alias("jab"),
+            NF.jaccard("sb", "sa").alias("jba"),
+            NF.jaccard("sa", "sa").alias("jaa"),
+        )
+        .collect()
+    )
+    for r in pairs:
+        if r["jab"] is not None:
+            assert r["jab"] == r["jba"]
+            assert -1e-12 <= r["jab"] <= 1.0 + 1e-12
+        if r["na"] > 0:
+            assert r["jaa"] == 1.0
+
+
+@SETTINGS
+@given(text=st.text(alphabet="ab X.", min_size=0, max_size=30), n=st.integers(2, 4))
+def test_shingle_count_property(spark, text, n):
+    """len(distinct n-gram shingles) ≤ max(len(tokens) - n + 1, 0), and
+    0 tokens → empty array (never NULL)."""
+    from nineinfra_spark import functions as NF
+
+    r = (
+        spark.createDataFrame([(text,)], "text string")
+        .select(
+            F.size(NF.tokens("text")).alias("ntok"),
+            F.size(NF.ngram_shingles(NF.tokens("text"), n)).alias("nsh"),
+        )
+        .collect()[0]
+    )
+    assert r["nsh"] >= 0  # size() of NULL would be -1
+    assert r["nsh"] <= max(r["ntok"] - n + 1, 0)
