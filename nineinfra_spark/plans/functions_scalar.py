@@ -347,3 +347,33 @@ def fn_null_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bal_sign"),
         F.least(F.col("c_nationkey"), F.lit(10)).isNotNull().alias("nn"),
     )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS b_and,
+           o_orderkey | 4096 AS b_or,
+           xor(o_orderkey, 129) AS b_xor,
+           o_orderkey << 2 AS b_shl,
+           o_orderkey >> 3 AS b_shr,
+           CAST(bit_count(o_orderkey) AS INTEGER) AS b_pop
+    FROM orders WHERE o_orderkey < 2000
+    """,
+    tags=("function", "bitwise"),
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family: AND/OR/XOR, shifts, popcount — pure JVM
+    expressions inside whole-stage codegen, with the filter pushed to
+    the scan."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    return o.select(
+        "o_orderkey",
+        F.expr("o_orderkey & 255").alias("b_and"),
+        F.expr("o_orderkey | 4096").alias("b_or"),
+        F.expr("o_orderkey ^ 129").alias("b_xor"),
+        F.shiftleft("o_orderkey", 2).alias("b_shl"),
+        F.shiftright("o_orderkey", 3).alias("b_shr"),
+        F.bit_count("o_orderkey").cast("int").alias("b_pop"),
+    )

@@ -71,3 +71,12 @@ def test_lint_covers_most_of_registry():
     """The skip set must stay the minority — if a refactor re-tags
     half the registry into the skip list, this fails."""
     assert len(_LINTABLE) >= 70, (len(_LINTABLE), len(registry.names()))
+
+
+def test_verify_priority_fits_driver_window():
+    """_VERIFY_FIRST must fit the driver's ~50-slot CORRECTNESS
+    window — an oversized priority list silently pushes its own tail
+    outside the gate, defeating the point."""
+    from nineinfra_spark.plans import _VERIFY_FIRST
+
+    assert len(_VERIFY_FIRST) <= 50, len(_VERIFY_FIRST)

@@ -89,3 +89,49 @@ def test_streaming_batch_equivalence_tumbling(spark):
         )
     )
     assert streamed == batch
+
+
+def test_foreach_batch_sink(spark):
+    """foreachBatch: the escape-hatch sink for targets without a
+    native streaming writer (JDBC upserts, custom formats). Each
+    micro-batch arrives as a BATCH DataFrame with its epoch id —
+    verify exactly-once-shaped delivery by aggregating into an
+    idempotent per-epoch parquet write and re-reading the union."""
+    from nineinfra_spark.streaming.ops import read_events_stream
+
+    sink = os.path.join(OUT, "fb_sink")
+    ckpt = os.path.join(OUT, "fb_ckpt")
+    shutil.rmtree(sink, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    def handle(batch_df, epoch_id: int) -> None:
+        # per-epoch subdir => idempotent under retries (same epoch
+        # overwrites itself, never double-appends)
+        (
+            batch_df.groupBy("event_type")
+            .count()
+            .write.mode("overwrite")
+            .parquet(os.path.join(sink, f"epoch={epoch_id}"))
+        )
+
+    ev = read_events_stream(spark, SF).select("event_id", "event_type")
+    q = (
+        ev.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = (
+        spark.read.option("basePath", sink).parquet(sink + "/epoch=*")
+        .groupBy("event_type")
+        .agg(F.sum("count").alias("n"))
+    )
+    want = (
+        spark.read.parquet(os.path.join(SF, "events.parquet"))
+        .groupBy("event_type")
+        .count()
+        .withColumnRenamed("count", "n")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
