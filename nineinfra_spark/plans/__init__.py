@@ -70,6 +70,7 @@ _VERIFY_FIRST = [
     "join_inner_equi",
     "ann_ivf_topk",  # new in round 3
     "fn_bitwise",  # new in round 3
+    "catalog_bucketed_join",  # new in round 3
     # (c) last verified in round 1
     "q1_pricing_summary",
     "q3_shipping_priority",

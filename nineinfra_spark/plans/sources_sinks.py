@@ -185,3 +185,49 @@ def catalog_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return spark.read.table(f"{db}.segment_summary")
+
+
+@query(
+    "catalog_bucketed_join",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_name
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_totalprice > 450000
+    """,
+    tags=("catalog", "bucketed", "join"),
+)
+def catalog_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join via bucketed tables: both sides written with
+    ``bucketBy(8, custkey)`` + sorted buckets, so the join matches
+    bucket-to-bucket with NO Exchange on either side (plan-asserted in
+    tests/test_sources.py). This is the write-once/join-many-times
+    idiom that removes the dominant shuffle from repeated fact⋈fact
+    joins at 100 TB — the bucketing survives in the metastore, so
+    every later session gets the exchange-free plan for free."""
+    sfx = os.path.basename(sf_dir).replace(".", "_")
+    db = f"nine_wh_{sfx}"
+    is_hive = (
+        spark.conf.get("spark.sql.catalogImplementation", "in-memory") == "hive"
+    )
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{WAREHOUSE}/{db}'")
+    for tbl, src in (("orders_bkt", "orders"), ("customer_bkt", "customer")):
+        owned = spark.catalog.tableExists(f"{db}.{tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {db}.{tbl}")
+        loc = f"{WAREHOUSE}/{db}/{tbl}"
+        if os.path.exists(loc) and (not is_hive or not owned):
+            import shutil
+
+            shutil.rmtree(loc, ignore_errors=True)  # orphaned location
+    writers.save_as_bucketed_table(
+        t(spark, sf_dir, "orders"), f"{db}.orders_bkt", ["o_custkey"], 8,
+        mode="overwrite",
+    )
+    writers.save_as_bucketed_table(
+        t(spark, sf_dir, "customer"), f"{db}.customer_bkt", ["c_custkey"], 8,
+        mode="overwrite",
+    )
+    o = spark.table(f"{db}.orders_bkt").filter(F.col("o_totalprice") > 450000)
+    c = spark.table(f"{db}.customer_bkt")
+    return o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_totalprice", "c_name"
+    )

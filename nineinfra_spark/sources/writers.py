@@ -74,3 +74,21 @@ def save_as_table(
     """Managed-table sink (≙ metastore-registered tables under the
     warehouse root, ``metastore.go:105-114``)."""
     _writer(df, mode, partition_by).saveAsTable(name)
+
+
+def save_as_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_by: Sequence[str],
+    n_buckets: int,
+    mode: str = "error",
+) -> None:
+    """Bucketed managed-table sink: rows are hash-partitioned into
+    ``n_buckets`` files per partition ON WRITE, so a later join or
+    aggregation on the bucket key needs NO shuffle — the 100 TB idiom
+    for fact⋈fact joins that repeat (write once, join many times
+    exchange-free). Buckets are also sorted by the key, so the join
+    side skips its sort.
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_by).sortBy(*bucket_by)
+    writer.saveAsTable(name)

@@ -106,3 +106,22 @@ def test_asof_rejects_map_payload(spark):
     right = spark.sql("SELECT 1 AS k, 5 AS ts, map('a', 1) AS payload")
     with pytest.raises(TypeError, match="orderable"):
         asof_join(left, right, on="k", ts="ts")
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Both sides bucketed by the join key → SortMergeJoin with NO
+    shuffle Exchange on either side (the write-once/join-many-times
+    co-location idiom). Broadcast is disabled for the assertion so the
+    small test tables can't hide the bucketing behind a BHJ."""
+    from nineinfra_spark.plans.sources_sinks import catalog_bucketed_join
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = catalog_bucketed_join(spark, SF)
+        plan = _explain_str(df)
+        assert "SortMergeJoin" in plan, plan[:1500]
+        assert "Exchange hashpartitioning" not in plan, plan[:1500]
+        assert df.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
