@@ -283,3 +283,117 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(20)
     )
+
+
+@query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_quantity >= 45
+      )
+    GROUP BY o_orderpriority
+    """,
+    tags=("agg", "join", "subquery"),
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority checking (TPC-H Q4 shape; the testdata lineitem
+    carries no commit/receipt dates, so the EXISTS predicate is a
+    large-line condition instead): EXISTS subquery as a LEFT SEMI
+    join — the semi side is pre-filtered, the join deduplicates
+    matches itself (no row duplication to undo), then a tiny
+    hash-agg. At 100 TB the semi join shuffles only matching
+    orderkeys, never lineitem payload columns."""
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= ts("1996-07-01"))
+        & (F.col("o_orderdate") < ts("1996-10-01"))
+    )
+    big = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "q12_priority_lines",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_quantity >= 30
+    GROUP BY l_linestatus
+    """,
+    tags=("agg", "join", "case"),
+)
+def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (the testdata has no l_shipmode, so the group
+    key is l_linestatus and the selective predicates are quantity +
+    ship-date window): pushed-down lineitem filters, fact⋈fact
+    equi-join shuffled on orderkey, conditional-sum CASE aggregation.
+    The lineitem side is filtered BEFORE the join — at 100 TB the
+    shuffle carries only the qualifying window."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= ts("1996-01-01"))
+        & (F.col("l_shipdate") < ts("1997-01-01"))
+        & (F.col("l_quantity") >= 30)
+    )
+    orders = t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q14_promo_effect",
+    oracle="""
+    SELECT CAST(100.00 * SUM(CASE WHEN p_type LIKE 'PROMO%%'
+                    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))
+                    ELSE CAST(0 AS DECIMAL(22,6)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DOUBLE)
+           AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+    tags=("agg", "join", "global"),
+)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion effect (TPC-H Q14 shape): one-month lineitem slice
+    joined to part, global conditional-revenue ratio. Decimal sums on
+    BOTH branches keep the single-row double division bit-stable. The
+    date filter prunes the fact scan; part joins by key (AQE decides
+    broadcast vs shuffle as part grows with SF)."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= ts("1996-03-01"))
+        & (F.col("l_shipdate") < ts("1996-04-01"))
+    )
+    part = t(spark, sf_dir, "part")
+    rev = _revenue()
+    zero = F.lit(0).cast("decimal(22,6)")
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(zero)
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                (F.lit(100.0) * F.sum(promo).cast("double"))
+                / F.sum(rev).cast("double")
+            ).alias("promo_revenue")
+        )
+    )

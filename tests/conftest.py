@@ -47,6 +47,18 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _driver_vhash(df: pd.DataFrame) -> str:
+    """Mirror of the driver's order-insensitive value hash (cells
+    stringified, rows sorted) — see scripts/drive_driver_contract.py."""
+    import hashlib
+
+    df = df[sorted(df.columns)]
+    rows = sorted(
+        repr([str(v) for v in r]) for r in df.itertuples(index=False, name=None)
+    )
+    return hashlib.sha256("\n".join(rows).encode()).hexdigest()
+
+
 def _norm_cell(v):
     if v is None:
         return None
@@ -98,3 +110,14 @@ def assert_matches_oracle(spark, name: str, fn, oracle: str, sf_dir: str = SF_OR
                     )
                 else:
                     assert a == b, f"{name}.{col}[{i}]: spark={a!r} oracle={b!r}"
+
+    # Driver-faithful hash: the driver stringifies every cell before
+    # hashing, so 740 (bigint) vs 740.0 (double) MISMATCHES there even
+    # though == passes above. Reproduce that strictness here so dtype
+    # drift (e.g. DuckDB HUGEINT sums surfacing as float) is caught in
+    # the fast loop, not by the gate.
+    assert _driver_vhash(g) == _driver_vhash(w), (
+        f"{name}: driver-style value hash differs — dtype/format "
+        f"mismatch (e.g. int vs float column)? spark dtypes="
+        f"{dict(g.dtypes.astype(str))} oracle dtypes={dict(w.dtypes.astype(str))}"
+    )
