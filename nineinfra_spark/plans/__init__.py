@@ -71,6 +71,7 @@ _VERIFY_FIRST = [
     "ann_ivf_topk",  # new in round 3
     "fn_bitwise",  # new in round 3
     "catalog_bucketed_join",  # new in round 3
+    "events_sessionize",  # new in round 3 (fills the 50-slot window)
     # (c) last verified in round 1
     "q1_pricing_summary",
     "q3_shipping_priority",

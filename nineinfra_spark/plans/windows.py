@@ -207,3 +207,67 @@ def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderdate").over(w).alias("last_order_date"),
         F.nth_value("o_orderdate", 2).over(w).alias("second_order_date"),
     )
+
+
+@query(
+    "events_sessionize",
+    oracle="""
+    WITH l AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR date_diff('second', LAG(ts) OVER w, ts) > 1800
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT user_id, ts,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM l
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           COUNT(*) AS n_events, MIN(ts) AS t_start, MAX(ts) AS t_end
+    FROM s GROUP BY user_id, session_idx
+    """,
+    tags=("window", "sessionize", "gaps-islands"),
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): a new session starts
+    after a >30 min silence; session id is the running count of
+    session starts per user. The batch twin of the streaming
+    ``stream_session_window`` — ONE shuffle on user_id serves both
+    window passes and the final per-session aggregate, so at 100 TB
+    this costs the same as any keyed window. Gap comparison uses
+    whole-second truncation on BOTH engines (Spark date_trunc +
+    timestampdiff == DuckDB date_diff('second'), which counts second
+    BOUNDARIES), so boundary events classify identically and no
+    timezone enters the arithmetic (ts stays ntz throughout);
+    (ts, event_id) ordering pins ties."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", F.date_trunc("second", "ts").alias("_sec")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("_sec").over(w)
+    sess = (
+        ev.withColumn("_prev", prev)
+        .withColumn(
+            "new_s",
+            F.when(
+                F.col("_prev").isNull()
+                | (F.expr("timestampdiff(SECOND, _prev, _sec)") > 1800),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "session_idx",
+            F.sum("new_s").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("t_start"),
+        F.max("ts").alias("t_end"),
+    )
