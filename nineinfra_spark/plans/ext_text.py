@@ -231,3 +231,41 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_canonical"),
         )
     )
+
+
+@query(
+    "text_token_classes",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-zA-Z]+')) AS n_word_toks,
+           len(regexp_extract_all(text, '[0-9]+')) AS n_num_toks,
+           len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]+')) AS n_punct_toks,
+           len(regexp_extract_all(text, '\\S+')) AS n_ws_toks,
+           len(regexp_extract_all(text, '[a-zA-Z]+'))
+             + len(regexp_extract_all(text, '[0-9]+'))
+             + len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]+')) AS n_bpe_toks
+    FROM documents
+    """,
+    tags=("ext", "text", "tokenize"),
+)
+def text_token_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways (the LLM-pipeline budget signals):
+    whitespace tokens (`\\S+` runs) and a BPE-ish pre-tokenization —
+    letter runs / digit runs / punctuation runs counted separately,
+    the class split a byte-pair pre-tokenizer (GPT-2 style) makes
+    before merges. Lookahead-free on purpose so the exact same regex
+    family runs on Spark (java.util.regex) and DuckDB (RE2). Pure
+    projection: scan-speed at any scale, no shuffle."""
+    docs = t(spark, sf_dir, "documents")
+    word = "size(regexp_extract_all(text, '[a-zA-Z]+', 0))"
+    num = "size(regexp_extract_all(text, '[0-9]+', 0))"
+    punct = "size(regexp_extract_all(text, '[^a-zA-Z0-9\\\\s]+', 0))"
+    ws = "size(regexp_extract_all(text, '\\\\S+', 0))"
+    return docs.select(
+        "doc_id",
+        F.expr(word).cast("long").alias("n_word_toks"),
+        F.expr(num).cast("long").alias("n_num_toks"),
+        F.expr(punct).cast("long").alias("n_punct_toks"),
+        F.expr(ws).cast("long").alias("n_ws_toks"),
+        (F.expr(word) + F.expr(num) + F.expr(punct)).cast("long").alias("n_bpe_toks"),
+    )
