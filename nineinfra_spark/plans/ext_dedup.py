@@ -426,3 +426,92 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"case when s0 > 0 then 1L else 0L end"),
     )
     return bits.select("doc_id", recon.cast("long").alias("simhash"))
+
+
+# -- connected-component clustering (pairs → clusters) ---------------------
+
+
+def _cc_oracle() -> str:
+    """Recursive-CTE min-label reachability over the exact near-dup
+    pair graph: a node's cluster id is the MIN doc_id reachable from
+    it (undirected edges in both directions)."""
+    pairs_sql = dedup_shingle_jaccard_oracle_pairs()
+    return f"""
+    WITH RECURSIVE
+    pairs AS (SELECT doc_a, doc_b FROM ({pairs_sql})),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+    cc AS (
+        SELECT doc_id, doc_id AS label FROM nodes
+        UNION
+        SELECT e.dst AS doc_id, c.label
+        FROM cc c JOIN edges e ON c.doc_id = e.src
+    ),
+    lab AS (SELECT doc_id, MIN(label) AS cluster_id FROM cc GROUP BY doc_id)
+    SELECT l.doc_id, l.cluster_id, s.n_members
+    FROM lab l
+    JOIN (SELECT cluster_id, COUNT(*) AS n_members FROM lab GROUP BY cluster_id) s
+      USING (cluster_id)
+    """
+
+
+def dedup_shingle_jaccard_oracle_pairs() -> str:
+    """The dedup_shingle_jaccard oracle reduced to (doc_a, doc_b) —
+    kept in one place so the clustering oracle can embed it."""
+    from nineinfra_spark.plans.registry import get
+
+    return get("dedup_shingle_jaccard").oracle
+
+
+@query("dedup_connected_clusters", oracle=_cc_oracle(), tags=("ext", "dedup", "iterative", "graph"))
+def dedup_connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → CLUSTERS: the last step of production dedup. Near-dup
+    PAIRS don't dedupe a corpus — transitive groups do (A~B, B~C ⇒
+    {A,B,C} keep one). Connected components by iterative min-label
+    propagation: every doc starts labeled with its own id; each round
+    takes the min of its own and its neighbors' labels; at fixpoint
+    the label is the component's min doc_id (the canonical survivor).
+
+    Scale posture: this is the Pregel pattern on DataFrames — each
+    iteration is one equi-join + one groupBy (both shuffle on doc id,
+    AQE-managed), iterations ≈ graph DIAMETER (near-dup clusters are
+    shallow — tiny diameters in practice), and ``localCheckpoint``
+    cuts lineage each round so plans don't snowball. The driver loop
+    only checks a convergence flag; all data stays distributed. The
+    DuckDB oracle computes the same fixpoint as a recursive CTE."""
+    pairs = dedup_shingle_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint(eager=False)
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(25):  # cap >> any real near-dup cluster diameter
+        neigh = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy(edges.doc_a.alias("doc_id"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        updated = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
+                (F.coalesce("nmin", "label") < F.col("label")).alias("_chg"),
+            )
+        ).localCheckpoint()  # eager: cut lineage AND materialize once
+        changed = updated.filter("_chg").limit(1).count() > 0
+        labels = updated.drop("_chg")
+        if not changed:
+            break
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
+    return labels.join(sizes, "label").select(
+        "doc_id", F.col("label").alias("cluster_id"), "n_members"
+    )
