@@ -271,3 +271,63 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("t_start"),
         F.max("ts").alias("t_end"),
     )
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t1
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_stage_view,
+           (SELECT COUNT(*) FROM c) AS n_stage_click,
+           (SELECT COUNT(*) FROM p) AS n_stage_purchase
+    """,
+    tags=("window", "funnel", "bounded-nlj"),  # 1-row x 1-row count joins
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel (view → click → purchase): a user
+    advances a stage only with an event strictly AFTER their previous
+    stage's first event. Each stage is one filter + groupBy(user_id)
+    + semi-filtering join — all shuffles keyed on user_id, so AQE can
+    reuse the partitioning; the final stage counts are three 1-row
+    frames cross-joined (hence bounded-nlj). The product-analytics
+    primitive behind conversion reporting at any scale."""
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_stage_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_stage_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_stage_purchase")))
+    )
