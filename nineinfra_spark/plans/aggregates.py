@@ -458,3 +458,28 @@ def agg_collect_list_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("all_names"),
         F.size(F.collect_list("n_name")).alias("n"),
     )
+
+
+@query(
+    "agg_boolean_family",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
+           bool_and(o_totalprice > 1000) AS all_over_1k,
+           bool_or(o_orderstatus = 'F') AS any_finished,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg", "boolean"),
+)
+def agg_boolean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate family (count_if / bool_and / bool_or) —
+    predicate summaries as single-bit map-side partials, the cheapest
+    aggregates that exist at any scale."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+        F.count(F.lit(1)).alias("n"),
+    )

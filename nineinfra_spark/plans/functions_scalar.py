@@ -377,3 +377,31 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright("o_orderkey", 3).alias("b_shr"),
         F.bit_count("o_orderkey").cast("int").alias("b_pop"),
     )
+
+
+@query(
+    "fn_string_distance",
+    oracle="""
+    SELECT p_partkey,
+           levenshtein(p_brand, 'Brand#23') AS lev_brand,
+           levenshtein(p_name, p_brand) AS lev_name_brand,
+           CASE WHEN levenshtein(p_brand, 'Brand#23') <= 1 THEN 'near'
+                ELSE 'far' END AS brand_band
+    FROM part WHERE p_partkey < 500
+    """,
+    tags=("function", "string", "distance"),
+)
+def fn_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance family (levenshtein — the one distance both
+    engines define identically): fuzzy-match scoring as a pure
+    projection. The scale note: edit distance belongs AFTER a
+    blocking stage (shared tokens / LSH buckets), never as a join
+    predicate — it can't push into a scan or hash-partition."""
+    p = t(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    lev = F.levenshtein(F.col("p_brand"), F.lit("Brand#23"))
+    return p.select(
+        "p_partkey",
+        lev.alias("lev_brand"),
+        F.levenshtein(F.col("p_name"), F.col("p_brand")).alias("lev_name_brand"),
+        F.when(lev <= 1, "near").otherwise("far").alias("brand_band"),
+    )
