@@ -51,3 +51,55 @@ def test_thrift_gateway_second_client():
         f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-3000:]}"
     )
     assert "GATEWAY_OK" in proc.stdout
+
+
+_FULL_PROFILE = """
+import os, sys
+from nineinfra_spark.engine import Engine, EngineConfig
+from nineinfra_spark.gateway import beeline_sql
+
+root = sys.argv[1]
+eng = Engine(EngineConfig(
+    app_name="full_profile", master="local[4]",
+    warehouse_dir=os.path.join(root, "warehouse"),
+    hive_metastore=True,
+    metastore_dir=os.path.join(root, "metastore_db"),
+    thrift_port={port},
+)).open()
+spark = eng.spark
+
+nation = eng.read_parquet("{sf}/nation.parquet")
+spark.sql("CREATE DATABASE IF NOT EXISTS serve_db")
+eng.save_as_table(nation, "serve_db.nation_hot", mode="overwrite")
+eng.pin_hot_tables(["serve_db.nation_hot"])
+
+# the wire client reads the hive-persisted, memory-pinned table
+out = beeline_sql({port}, "SELECT COUNT(*) AS n FROM serve_db.nation_hot")
+assert "25" in out, out
+# and the serving plan actually reads the columnar cache
+plan = spark.sql("SELECT COUNT(*) FROM serve_db.nation_hot")._jdf.queryExecution().executedPlan().toString()
+assert "InMemoryRelation" in plan or "In-memory" in plan, plan[:800]
+print("FULL_PROFILE_OK")
+eng.close()
+"""
+
+
+def test_all_platform_roles_compose():
+    """Capstone: persistent metastore + thrift gateway + serve cache
+    in ONE engine profile — a JDBC client queries a hive-registered
+    managed table that serves from the in-memory columnar cache (the
+    deployed platform's kyuubi+metastore+doris stack, in-process)."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as root:
+        proc = subprocess.run(
+            [sys.executable, "-c", _FULL_PROFILE.format(sf=SF, port=10891), root],
+            capture_output=True,
+            text=True,
+            timeout=420,
+            cwd="/root/repo",
+        )
+        assert proc.returncode == 0, (
+            f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-3000:]}"
+        )
+        assert "FULL_PROFILE_OK" in proc.stdout
