@@ -493,7 +493,9 @@ def dedup_connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint(eager=False)
     )
-    for _ in range(25):  # cap >> any real near-dup cluster diameter
+    max_iter = 25  # cap >> any real near-dup cluster diameter
+    converged = False
+    for _ in range(max_iter):
         neigh = (
             edges.join(labels, edges.doc_b == labels.doc_id)
             .groupBy(edges.doc_a.alias("doc_id"))
@@ -510,7 +512,18 @@ def dedup_connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         changed = updated.filter("_chg").limit(1).count() > 0
         labels = updated.drop("_chg")
         if not changed:
+            converged = True
             break
+    if not converged:
+        # No silent caps: an unconverged fixpoint would return WRONG
+        # cluster ids. A diameter > 25 near-dup graph means chained
+        # near-identical documents — raise so the caller deliberately
+        # bumps the cap (or pre-splits the chain) instead of shipping
+        # partial labels.
+        raise RuntimeError(
+            f"connected-components did not converge in {max_iter} iterations "
+            "(graph diameter exceeds cap); raise max_iter for this corpus"
+        )
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
     return labels.join(sizes, "label").select(
         "doc_id", F.col("label").alias("cluster_id"), "n_members"
