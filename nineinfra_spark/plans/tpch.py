@@ -363,7 +363,7 @@ def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q14_promo_effect",
     oracle="""
-    SELECT CAST(100.00 * SUM(CASE WHEN p_type LIKE 'PROMO%%'
+    SELECT 100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%%'
                     THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))
                     ELSE CAST(0 AS DECIMAL(22,6)) END) AS DOUBLE)
            / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DOUBLE)
