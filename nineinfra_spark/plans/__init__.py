@@ -23,6 +23,7 @@ def _load_all() -> None:
         sources_sinks,
         streaming_queries,
         tpch,
+        tpch_sql,
         udfs,
         windows,
     )
@@ -40,59 +41,62 @@ _load_all()
 #: functions, joins, setops, ext dedup/text/similarity) follow in
 #: registration order.
 _VERIFY_FIRST = [
-    # (a) never driver-verified
-    "src_csv_roundtrip",
-    "src_json_roundtrip",
-    "src_orc_roundtrip",
-    "src_text_scan",
-    "sink_partitioned_pruning",
-    "catalog_table_lifecycle",
-    "stream_tumbling_window",
-    "stream_sliding_window",
-    "stream_session_window",
-    "stream_dedup_watermark",
-    "stream_static_join",
-    "stream_stream_join",
-    "stream_stateful_counts",
-    "udf_scalar_python",
-    "udf_sql_registered",
-    "udf_pandas_vectorized",
-    "udf_grouped_agg_pandas",
-    "udf_apply_in_pandas",
-    "sort_within_partitions",
-    "project_rename_drop",
-    # (b) shape changed this round
-    "mm_decode_features",
-    "agg_approx_sketches",
-    "sample_bernoulli",
-    "sample_hash_bucket",
-    "sim_join_exact_oracle",
-    "join_inner_equi",
-    "ann_ivf_topk",  # new in round 3
-    "fn_bitwise",  # new in round 3
-    "catalog_bucketed_join",  # new in round 3
-    "events_sessionize",  # new in round 3 (fills the 50-slot window)
-    # (c) last verified in round 1
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q18_large_volume_customers",
-    "window_ranking",
-    "window_lag_lead",
-    "window_running_agg",
-    "window_moving_frame",
-    "window_range_frame",
-    "window_first_last_nth",
-    "topk_global",
-    "project_compute",
-    "filter_predicates",
-    "distinct_projection",
-    "dedup_by_subset",
-    "sort_multi_key",
-    "setop_except_all",
-    "setop_union_by_name",
+    # (a) never driver-verified (registered in round 3, outside its window)
+    "q4_order_priority",
+    "q12_priority_lines",
+    "q14_promo_effect",
+    "q19_disjunctive_revenue",
+    "events_funnel",
+    "dedup_connected_clusters",
+    "agg_boolean_family",
+    "fn_string_distance",
+    "text_token_classes",
+    # (b) new in round 4
+    "q17_small_qty_revenue",
+    "q2_above_partition_avg",
+    "q22_inactive_customers",
+    "join_skew_hotkey",
+    "catalog_table_lifecycle",  # lifecycle extended (ALTER/INSERT OVERWRITE)
+    # (c) last verified in round 2 — oldest rows, refreshed oldest-first
+    "agg_global",
+    "agg_multi_distinct",
+    "agg_stats_moments",
+    "agg_corr_moments",
+    "agg_skew_kurt",
+    "agg_first_last_by",
+    "agg_collect_sorted",
+    "agg_collect_list_sorted",
+    "agg_percentile_exact",
+    "agg_cube",
+    "agg_rollup",
+    "agg_grouping_sets",
+    "agg_pivot",
+    "join_left_outer",
+    "join_right_outer",
+    "join_full_outer",
+    "join_left_semi",
+    "join_left_anti",
+    "join_cross",
+    "join_range_theta",
+    "join_asof_backward",
+    "setop_union_all",
+    "setop_union_distinct",
+    "setop_except",
+    "setop_intersect",
+    "setop_intersect_all",
+    "fn_string",
+    "fn_datetime",
+    "fn_math",
+    "fn_array",
+    "fn_map",
+    "fn_json",
+    "fn_null_misc",
+    "dedup_exact_content",
+    "dedup_shingle_jaccard",
+    "dedup_minhash_pairs",
+    "dedup_simhash",
+    # r2 rows past the ~50-slot window (text_*, ann_*, mm_*) roll to the
+    # next rotation; everything above here has an older or missing row.
 ]
 
 registry.set_order(_VERIFY_FIRST)

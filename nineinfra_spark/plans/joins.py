@@ -233,3 +233,53 @@ def join_asof_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts_r").alias("signup_ts"),
         F.col("value_r").alias("signup_value"),
     )
+
+
+@query(
+    "join_skew_hotkey",
+    oracle="""
+    SELECT hot_key, COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           MAX(c_name) AS key_owner
+    FROM (SELECT CASE WHEN user_id < 120 THEN 0 ELSE user_id END AS hot_key,
+                 value
+          FROM events) e
+    JOIN customer c ON c.c_custkey = e.hot_key
+    GROUP BY hot_key
+    """,
+    tags=("join", "skew"),
+)
+def join_skew_hotkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed-key join witness: the testdata's uniform ``user_id`` is
+    deliberately collapsed into a power-law key (key 0 carries ~80% of
+    events — the "one whale account" shape every real event stream
+    has), then joined to a per-key dim.
+
+    Scale posture, in order of preference:
+    1. AQE skew-join (on by default, engine.py:106) splits the fat
+       post-shuffle partition at runtime — plan-asserted with
+       ``skew=true`` in tests/test_skew.py.
+    2. ``operators.skew.salted_join`` is the deterministic rewrite for
+       the cases AQE can't reach (equivalence-tested there too).
+    Here the dim is dimension-sized, so at ANY scale broadcast is the
+    honest winner and AQE picks it; the pytest forces the shuffle path
+    to make the skew machinery observable."""
+    events = t(spark, sf_dir, "events")
+    cust = t(spark, sf_dir, "customer")
+    e = events.select(
+        F.when(F.col("user_id") < 120, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .alias("hot_key"),
+        "value",
+    )
+    return (
+        e.join(cust, cust.c_custkey == e.hot_key)
+        .groupBy("hot_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value"), 2).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+            F.max("c_name").alias("key_owner"),
+        )
+    )

@@ -1,0 +1,130 @@
+"""SQL-text query shapes: correlated scalar subqueries + NOT EXISTS.
+
+The reference serves ad-hoc SQL through the Kyuubi gateway
+(``internal/controller/kyuubi.go:189-203``) — users write subqueries,
+not pre-decorrelated joins. These queries therefore go through
+``spark.sql`` as SQL TEXT, witnessing the Catalyst rewrites a real SQL
+workload leans on (SURVEY.md §4):
+
+- ``RewriteCorrelatedScalarSubquery``: a per-group scalar subquery in
+  WHERE becomes aggregate → equi-join — executed once, never per-row.
+- ``RewritePredicateSubquery``: NOT EXISTS becomes a LEFT ANTI join.
+
+Both rewrites are plan-asserted in ``tests/test_sql_shapes.py``: if a
+plan ever regresses to per-row subquery execution, the tests fail, not
+just the benchmark. At 100 TB a non-decorrelated subquery is a
+quadratic scan — this surface existing and staying rewritten is a
+scale guarantee, not a style point.
+
+Exactness: every predicate that compares an aggregate is written in
+multiply-through decimal form (``x * COUNT > SUM`` instead of
+``x > SUM/COUNT``) wherever float rounding could flip a boundary row,
+so Spark and the DuckDB oracle agree bit-for-bit. The one plain
+``AVG`` threshold kept (q17) is over integer-valued quantities whose
+double sums are exact in any order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from nineinfra_spark.engine import register_testdata
+from nineinfra_spark.plans.registry import query
+
+# Same text runs on both engines: keep to the ANSI intersection of
+# Spark SQL and DuckDB (TIMESTAMP literals, EXISTS, scalar subqueries).
+_Q17 = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+           AS avg_yearly,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#23'
+  AND l_quantity < (
+      SELECT 0.2 * AVG(l2.l_quantity)
+      FROM lineitem l2
+      WHERE l2.l_partkey = p_partkey
+  )
+"""
+
+_Q2 = """
+SELECT c_nationkey, c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE CAST(c_acctbal AS DECIMAL(18,2)) * (
+          SELECT COUNT(*) FROM customer c2
+          WHERE c2.c_nationkey = c.c_nationkey
+      ) > (
+          SELECT SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) FROM customer c2
+          WHERE c2.c_nationkey = c.c_nationkey
+      )
+"""
+
+_Q22 = """
+SELECT c_nationkey, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer c
+WHERE CAST(c_acctbal AS DECIMAL(18,2)) * (
+          SELECT COUNT(*) FROM customer WHERE c_acctbal > 0.0
+      ) > (
+          SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer
+          WHERE c_acctbal > 0.0
+      )
+  AND NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '1998-01-01'
+  )
+GROUP BY c_nationkey
+"""
+
+
+def _sql(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
+    """Register the testdata views, then plan the SQL text."""
+    register_testdata(spark, sf_dir)
+    return spark.sql(text)
+
+
+@query("q17_small_qty_revenue", oracle=_Q17, tags=("subquery", "correlated", "sql"))
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (no p_container in testdata, so the brand alone
+    selects the part family): revenue from small-quantity orders of one
+    brand, where "small" is 20% of that PART's average quantity — a
+    correlated scalar subquery in WHERE.
+
+    Catalyst decorrelates it into ``lineitem → Aggregate(avg per
+    partkey) → join back on partkey`` — one extra aggregation and one
+    equi-join, both shuffling only (partkey, avg). The naive reading
+    (re-scan lineitem per outer row) would be O(n²) at 100 TB; the
+    plan assertion in tests/test_sql_shapes.py pins the rewrite.
+    Threshold exactness: l_quantity is integer-valued (1..50), so its
+    double AVG is exact in any reduce order on both engines."""
+    return _sql(spark, sf_dir, _Q17)
+
+
+@query("q2_above_partition_avg", oracle=_Q2, tags=("subquery", "correlated", "sql"))
+def q2_above_partition_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (testdata has no partsupp, so the per-group
+    extremum runs over customer): customers whose balance beats their
+    nation's average, as TWO correlated scalar subqueries against the
+    same group — Catalyst merges them into one aggregate before the
+    join (``MergeScalarSubqueries``), so the customer table is scanned
+    twice, not three times.
+
+    The comparison is multiply-through decimal (``bal * COUNT > SUM``)
+    instead of ``bal > SUM/COUNT``: division would round to a scale
+    the two engines choose differently, and a boundary row would flip
+    the driver's hash. Exact integer/decimal arithmetic has no
+    boundary."""
+    return _sql(spark, sf_dir, _Q2)
+
+
+@query("q22_inactive_customers", oracle=_Q22, tags=("subquery", "anti", "sql"))
+def q22_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (nationkey stands in for the phone country
+    code): positive-balance customers above the global average with no
+    recent orders. Uncorrelated scalar subqueries (planned once,
+    broadcast as literals) + NOT EXISTS, which
+    ``RewritePredicateSubquery`` turns into a LEFT ANTI join — the
+    orders side is pre-filtered to the date window BEFORE the anti
+    join, so at 100 TB the anti-join shuffle carries only the recent
+    slice, and only its key column."""
+    return _sql(spark, sf_dir, _Q22)
