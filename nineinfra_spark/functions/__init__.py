@@ -72,10 +72,14 @@ def ngram_shingles(toks: str | Column, n: int = 5) -> Column:
 
 
 def jaccard(a: str | Column, b: str | Column) -> Column:
-    """Exact Jaccard similarity of two array columns (double).
-    Both-empty input yields NULL (``try_divide`` — no 0/0 error under
-    ANSI mode, which is Spark 4's default)."""
-    ca, cb = _c(a), _c(b)
+    """Exact SET Jaccard similarity of two array columns (double).
+    Inputs are de-duplicated internally (``array_distinct``), so arrays
+    with repeated elements still get set semantics — without it the
+    ``|a| + |b| - common`` union term over-counts duplicates while
+    ``array_intersect`` dedups, skewing the ratio low. Both-empty input
+    yields NULL (``try_divide`` — no 0/0 error under ANSI mode, which
+    is Spark 4's default)."""
+    ca, cb = F.array_distinct(_c(a)), F.array_distinct(_c(b))
     common = F.size(F.array_intersect(ca, cb)).cast("bigint")
     union = (F.size(ca) + F.size(cb)).cast("bigint") - common
     return F.try_divide(common, union)

@@ -35,27 +35,50 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     identical values.
     """
     nanos_cols = _nanos_ts_columns(path)
-    if nanos_cols:
+    if nanos_cols is None:
+        # Footer unprobeable (path on a filesystem pyarrow can't open,
+        # e.g. an s3a:// URI): set the conf defensively so a scan of
+        # nanos-annotated columns surfaces them as raw long instead of
+        # failing outright. No rebuild — the column set is unknown.
+        spark.conf.set(NANOS_CONF, "true")
+        nanos_cols = frozenset()
+    elif nanos_cols:
         spark.conf.set(NANOS_CONF, "true")
     df = spark.read.parquet(path)
     return _rebuild_nanos_ts(df, nanos_cols)
 
 
 @_functools.lru_cache(maxsize=256)
-def _nanos_ts_columns(path: str) -> frozenset[str]:
+def _nanos_ts_columns(path: str) -> frozenset[str] | None:
     """Names of columns annotated TIMESTAMP(NANOS) in the parquet
     footer (file or directory). Driver-side footer read only — cost is
     one metadata fetch, never a data scan. Cached per path (a path
     whose files are REPLACED with a different schema mid-process would
     need ``_nanos_ts_columns.cache_clear()`` — the write paths here
-    never do that)."""
+    never do that).
+
+    Returns ``None`` when the footer cannot be probed at all (no
+    pyarrow, or a path on a filesystem pyarrow can't open) — distinct
+    from "probed, no nanos columns", so the caller can fall back to
+    setting the conf rather than silently disabling the rebuild. A
+    genuinely missing/corrupt LOCAL path still raises, like the Spark
+    read after it would."""
     try:
         import pyarrow as pa
         import pyarrow.dataset as pads
-
+    except ImportError:
+        return None
+    if "://" in path and not path.startswith("file://"):
+        # Remote scheme (s3a://, hdfs://): Spark's Hadoop connectors
+        # read these, but pyarrow here has no credentials/connector —
+        # don't even attempt, report unknown.
+        return None
+    try:
         schema = pads.dataset(path, format="parquet").schema
-    except Exception:
-        return frozenset()
+    except FileNotFoundError:
+        raise
+    except (OSError, ValueError, pa.lib.ArrowException):
+        return None
     return frozenset(
         f.name
         for f in schema

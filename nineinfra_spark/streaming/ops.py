@@ -59,7 +59,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     — file streams never infer), with the same nanos→micros timestamp
     rebuild as the batch reader so both modes see identical values."""
     staged = _staged_events_dir(sf_dir)
-    nanos_cols = _nanos_ts_columns(staged)
+    nanos_cols = _nanos_ts_columns(staged) or frozenset()  # local dir: never None
     if nanos_cols:
         spark.conf.set(NANOS_CONF, "true")
     raw_schema = spark.read.parquet(staged).schema

@@ -9,27 +9,38 @@ shared pytest session."""
 
 from __future__ import annotations
 
+import socket
 import subprocess
 import sys
 
 SF = "/root/testdata/sf0.001"
-PORT = 10877
 
-_SCRIPT = f"""
+
+def _free_port() -> int:
+    """An ephemeral port from the OS (bind 0, read it back) — no
+    hardcoded port, so concurrent test runs can't collide. The tiny
+    close-then-rebind race is accepted; the old fixed ports made every
+    concurrent run collide deterministically."""
+    with socket.socket(socket.AF_INET, socket.SOCK_STREAM) as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+_SCRIPT = """
 from nineinfra_spark.engine import Engine, EngineConfig
 from nineinfra_spark.gateway import beeline_sql
 
 eng = Engine(EngineConfig(
-    app_name="gateway_test", master="local[4]", thrift_port={PORT}
+    app_name="gateway_test", master="local[4]", thrift_port={port}
 )).open()
-eng.register_dir("{SF}")
+eng.register_dir("{sf}")
 
 # second client, over the wire: aggregate a registered view
-out = beeline_sql({PORT}, "SELECT COUNT(*) AS n FROM nation")
+out = beeline_sql({port}, "SELECT COUNT(*) AS n FROM nation")
 assert "25" in out, f"unexpected beeline output: {{out!r}}"
 
 # and a real engine query via SQL text (the gateway user's path)
-out2 = beeline_sql({PORT}, (
+out2 = beeline_sql({port}, (
     "SELECT l_returnflag, COUNT(*) AS n FROM lineitem "
     "GROUP BY l_returnflag ORDER BY l_returnflag"
 ))
@@ -41,7 +52,7 @@ eng.close()
 
 def test_thrift_gateway_second_client():
     proc = subprocess.run(
-        [sys.executable, "-c", _SCRIPT],
+        [sys.executable, "-c", _SCRIPT.format(sf=SF, port=_free_port())],
         capture_output=True,
         text=True,
         timeout=420,
@@ -93,7 +104,7 @@ def test_all_platform_roles_compose():
 
     with tempfile.TemporaryDirectory() as root:
         proc = subprocess.run(
-            [sys.executable, "-c", _FULL_PROFILE.format(sf=SF, port=10891), root],
+            [sys.executable, "-c", _FULL_PROFILE.format(sf=SF, port=_free_port()), root],
             capture_output=True,
             text=True,
             timeout=420,
