@@ -31,26 +31,42 @@ def salted_join(
     on: Column,
     n_salts: int = 8,
     how: str = "inner",
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Join ``fact`` to ``dim`` on ``on`` with the fact side salted
     ``n_salts`` ways.
 
     ``on`` is the ordinary equi-join condition (e.g. ``fact.k ==
     dim.k``); the salt conjunct is added internally. The salt is
-    ``pmod(hash(<all fact columns>), n)`` — deterministic per row
-    content, no RNG, so the plan is replayable and retry-safe (a
-    recomputed task salts identically). Returns the same columns a
+    ``pmod(hash(<salt_cols or all fact columns>), n)`` — deterministic
+    per row content, no RNG, so the plan is replayable and retry-safe
+    (a recomputed task salts identically). Returns the same columns a
     plain ``fact.join(dim, on, how)`` would.
 
     Supported ``how``: inner / left / left_outer (dim replication is
     transparent for these; semi/anti would dedup wrongly — use AQE or
     pre-aggregation for those).
+
+    Caveats of the content-hash salt (pass ``salt_cols`` to address
+    both):
+
+    - ``fact`` must not carry duplicate column names (common after a
+      prior join): ``F.hash(*fact.columns)`` resolves by NAME and
+      raises ``AMBIGUOUS_REFERENCE``. Give ``salt_cols`` an
+      unambiguous subset instead.
+    - Rows with identical content in the hashed columns all land on
+      ONE salt — a hot key whose rows are exact duplicates is not
+      spread at all. Include a high-cardinality column (an event id,
+      a timestamp) in ``salt_cols``, or de-duplicate/pre-aggregate
+      first (duplicate-heavy hot keys usually want the aggregation
+      rewrite anyway, not a bigger join).
     """
     if how not in ("inner", "left", "left_outer"):
         raise ValueError(f"salted_join: unsupported join type {how!r}")
     if n_salts < 1:
         raise ValueError("salted_join: n_salts must be >= 1")
-    salted_fact = fact.withColumn(_SALT, F.pmod(F.hash(*fact.columns), F.lit(n_salts)))
+    hashed = [F.col(c) for c in (salt_cols if salt_cols is not None else fact.columns)]
+    salted_fact = fact.withColumn(_SALT, F.pmod(F.hash(*hashed), F.lit(n_salts)))
     exploded_dim = dim.withColumn(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )

@@ -105,9 +105,12 @@ def q2_above_partition_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape (testdata has no partsupp, so the per-group
     extremum runs over customer): customers whose balance beats their
     nation's average, as TWO correlated scalar subqueries against the
-    same group — Catalyst merges them into one aggregate before the
-    join (``MergeScalarSubqueries``), so the customer table is scanned
-    twice, not three times.
+    same group — Catalyst decorrelates each into its own per-nation
+    aggregate + equi-join (``MergeScalarSubqueries`` does not apply to
+    correlated subqueries post-rewrite), so the plan scans customer
+    exactly three times (main + COUNT agg + SUM agg) and joins twice —
+    bounded and linear, never a per-outer-row re-scan. Pinned in
+    tests/test_sql_shapes.py.
 
     The comparison is multiply-through decimal (``bal * COUNT > SUM``)
     instead of ``bal > SUM/COUNT``: division would round to a scale

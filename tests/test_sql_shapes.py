@@ -1,0 +1,83 @@
+"""Plan assertions for the SQL-text subquery shapes (plans/tpch_sql.py).
+
+These queries enter as SQL TEXT with correlated scalar subqueries and
+NOT EXISTS — the shapes an ad-hoc gateway user writes. The scale
+guarantee is that Catalyst's rewrites fire and stay fired:
+
+- ``RewriteCorrelatedScalarSubquery``: the correlated aggregate in
+  WHERE becomes aggregate → equi-join. Witness: the ANALYZED plan
+  contains ``scalar-subquery`` expressions, the OPTIMIZED plan
+  contains none — and the physical plan scans each table a bounded,
+  exact number of times (a per-row re-scan would be O(n²) at 100 TB).
+- ``RewritePredicateSubquery``: NOT EXISTS becomes a LEFT ANTI join,
+  with the date predicate pushed into the orders SCAN (below every
+  exchange), so the anti-join shuffle carries only the recent slice.
+
+If a Spark upgrade ever regresses a rewrite, these fail — not just
+the benchmark.
+"""
+
+from __future__ import annotations
+
+from nineinfra_spark.plans.registry import get
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plans(spark, name: str) -> tuple[str, str, str]:
+    qe = get(name).fn(spark, SF)._jdf.queryExecution()  # noqa: SLF001
+    return (
+        qe.analyzed().toString(),
+        qe.optimizedPlan().toString(),
+        qe.executedPlan().toString(),
+    )
+
+
+def test_q17_correlated_avg_decorrelates_to_aggregate_join(spark):
+    ana, opt, phys = _plans(spark, "q17_small_qty_revenue")
+    # the user WROTE a correlated scalar subquery...
+    assert "scalar-subquery" in ana
+    # ...and the optimizer removed every scalar-subquery expression
+    # (per-row execution is impossible once none remain)
+    assert "scalar-subquery" not in opt
+    # the decorrelated form: avg(l_quantity) grouped by partkey,
+    # joined back — visible as a keyed aggregate in the physical plan
+    assert "avg(l_quantity" in phys
+    assert "l_partkey" in phys
+    # lineitem is scanned exactly twice (main + the avg aggregate),
+    # regardless of row count — the whole point of decorrelation
+    assert phys.count("lineitem.parquet") == 2, phys.count("lineitem.parquet")
+
+
+def test_q2_twin_correlated_subqueries_decorrelate(spark):
+    ana, opt, phys = _plans(spark, "q2_above_partition_avg")
+    assert ana.count("scalar-subquery") >= 2  # both written as subqueries
+    assert "scalar-subquery" not in opt
+    # each subquery became its own per-nation aggregate + equi-join:
+    # exactly 3 customer scans (main + COUNT agg + SUM agg), 2 joins —
+    # bounded and linear; never a per-outer-row re-scan
+    assert phys.count("customer.parquet") == 3, phys.count("customer.parquet")
+    # correlation is gone: no outer() references survive optimization
+    assert "outer(" not in opt
+
+
+def test_q22_not_exists_becomes_left_anti_with_pushed_filter(spark):
+    ana, opt, phys = _plans(spark, "q22_inactive_customers")
+    # NOT EXISTS in the text...
+    assert "Exists" in ana or "exists" in ana
+    # ...rewritten to LEFT ANTI (RewritePredicateSubquery)
+    assert "LeftAnti" in phys
+    # correlation eliminated; the two UNcorrelated scalar subqueries
+    # legitimately remain (planned once, reused as literals)
+    assert "outer(" not in opt
+    # the date window is evaluated AT THE ORDERS SCAN — below every
+    # exchange — so the anti join shuffles only the recent slice
+    orders_scans = [
+        line
+        for line in phys.splitlines()
+        if "orders.parquet" in line and "FileScan" in line
+    ]
+    assert orders_scans, phys[:2000]
+    assert any(
+        "o_orderdate" in line and "1998-01-01" in line for line in orders_scans
+    ), orders_scans
