@@ -25,14 +25,21 @@ import time
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q4_order_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q10_returned_items",
+    "q12_priority_lines",
+    "q14_promo_effect",
+    "q17_small_qty_revenue",
     "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q22_inactive_customers",
     "window_ranking",
     "join_asof_backward",
     "dedup_exact_content",
     "dedup_minhash_pairs",
+    "dedup_connected_clusters",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "mm_decode_features",

@@ -32,71 +32,69 @@ def _load_all() -> None:
 _load_all()
 
 #: Verification-priority prefix: the driver's CORRECTNESS gate checks
-#: a bounded window (~50) of queries in export order, so the queries
-#: that most need a fresh driver-green differential row are pinned
-#: first — (a) surface that has never had a driver row (sources/sinks,
-#: catalog, all streaming, all UDFs, SORT BY, rename/drop), (b)
-#: queries whose shape changed this round, (c) families last verified
-#: in round 1. Families with current green rows (aggregates, scalar
-#: functions, joins, setops, ext dedup/text/similarity) follow in
-#: registration order.
+#: a bounded window (exactly 50) of queries in export order, so the
+#: queries that most need a fresh driver-green differential row are
+#: pinned first — (a) the queries whose latest green row is OLDEST
+#: (the r2 stragglers that rolled out of the r4 window), (b) queries
+#: new or shape-changed this round, (c) backfill from the r3-latest
+#: cohort to exactly 50. Rows refreshed in r4 (aggregates, scalar fns,
+#: outer joins, setops, ext dedup) follow in registration order and
+#: rotate back in next round.
 _VERIFY_FIRST = [
-    # (a) never driver-verified (registered in round 3, outside its window)
-    "q4_order_priority",
-    "q12_priority_lines",
-    "q14_promo_effect",
-    "q19_disjunctive_revenue",
-    "events_funnel",
-    "dedup_connected_clusters",
-    "agg_boolean_family",
-    "fn_string_distance",
-    "text_token_classes",
-    # (b) new in round 4
-    "q17_small_qty_revenue",
-    "q2_above_partition_avg",
-    "q22_inactive_customers",
-    "join_skew_hotkey",
-    "catalog_table_lifecycle",  # lifecycle extended (ALTER/INSERT OVERWRITE)
-    # (c) last verified in round 2 — oldest rows, refreshed oldest-first
-    "agg_global",
-    "agg_multi_distinct",
-    "agg_stats_moments",
-    "agg_corr_moments",
-    "agg_skew_kurt",
-    "agg_first_last_by",
-    "agg_collect_sorted",
-    "agg_collect_list_sorted",
-    "agg_percentile_exact",
-    "agg_cube",
-    "agg_rollup",
-    "agg_grouping_sets",
-    "agg_pivot",
-    "join_left_outer",
-    "join_right_outer",
-    "join_full_outer",
-    "join_left_semi",
-    "join_left_anti",
-    "join_cross",
-    "join_range_theta",
-    "join_asof_backward",
-    "setop_union_all",
-    "setop_union_distinct",
-    "setop_except",
-    "setop_intersect",
-    "setop_intersect_all",
-    "fn_string",
-    "fn_datetime",
-    "fn_math",
-    "fn_array",
-    "fn_map",
-    "fn_json",
-    "fn_null_misc",
-    "dedup_exact_content",
-    "dedup_shingle_jaccard",
-    "dedup_minhash_pairs",
+    # (a) latest row is r2 — the oldest verification in the registry
+    "ann_cosine_topk",
+    "ann_cosine_topk_pandas",
+    "ann_lsh_buckets",
     "dedup_simhash",
-    # r2 rows past the ~50-slot window (text_*, ann_*, mm_*) roll to the
-    # next rotation; everything above here has an older or missing row.
+    "mm_frame_sample",
+    "mm_metadata_extract",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality_stats",
+    "text_token_topk",
+    # (b) new or shape-changed in round 5
+    "catalog_table_lifecycle",  # now exercises ALTER TABLE + INSERT OVERWRITE
+    "catalog_insert_overwrite_dynamic",  # new: dynamic-partition overwrite
+    # (c) backfill: latest row is r3 (the 11 left over — windows,
+    # events_sessionize, non-scalar UDFs — head the r6 rotation)
+    "agg_approx_sketches",
+    "mm_decode_features",
+    "sim_join_exact_oracle",
+    "ann_ivf_topk",
+    "fn_bitwise",
+    "join_inner_equi",
+    "setop_except_all",
+    "setop_union_by_name",
+    "topk_global",
+    "project_compute",
+    "filter_predicates",
+    "distinct_projection",
+    "dedup_by_subset",
+    "sample_bernoulli",
+    "sample_hash_bucket",
+    "sort_multi_key",
+    "sort_within_partitions",
+    "project_rename_drop",
+    "src_csv_roundtrip",
+    "src_json_roundtrip",
+    "src_orc_roundtrip",
+    "src_text_scan",
+    "sink_partitioned_pruning",
+    "catalog_bucketed_join",
+    "stream_tumbling_window",
+    "stream_sliding_window",
+    "stream_session_window",
+    "stream_dedup_watermark",
+    "stream_static_join",
+    "stream_stream_join",
+    "stream_stateful_counts",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q18_large_volume_customers",
+    "udf_scalar_python",
 ]
 
 registry.set_order(_VERIFY_FIRST)

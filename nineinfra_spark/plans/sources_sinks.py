@@ -140,8 +140,13 @@ def catalog_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full managed-table lifecycle against the session catalog:
     CREATE DATABASE (explicit warehouse LOCATION ≙ the reference's
     ``/nineinfra/datahouse`` root), saveAsTable, CTAS from SQL over
-    the registered table, read back via the catalog, DROP handled by
-    overwrite semantics on re-run.
+    the registered table, ALTER TABLE ADD COLUMNS (schema evolution on
+    a live table), INSERT OVERWRITE (full recompute into the evolved
+    schema), read back via the catalog, DROP handled by overwrite
+    semantics on re-run. The reference's metastore role implies the
+    full DDL verb set (``internal/controller/metastore.go:181-219``);
+    the two-session persistence of ALTER/OVERWRITE is asserted in
+    tests/test_catalog_hive.py.
 
     Runs on any session: with the Engine's hive/derby profile
     (``EngineConfig.hive_metastore`` ≙ the platform's persistent Hive
@@ -173,9 +178,24 @@ def catalog_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(loc, ignore_errors=True)
     customer = t(spark, sf_dir, "customer")
     writers.save_as_table(customer, f"{db}.customer_t", mode="overwrite")
+    # CTAS with the count only; the balance column arrives via ALTER.
     spark.sql(
         f"""
         CREATE TABLE {db}.segment_summary AS
+        SELECT c_mktsegment,
+               COUNT(*) AS n_customers
+        FROM {db}.customer_t
+        WHERE c_acctbal > 0
+        GROUP BY c_mktsegment
+        """
+    )
+    # Schema evolution on the live table, then a full recompute into
+    # the evolved schema — the INSERT OVERWRITE path a nightly rebuild
+    # uses (metadata-only ALTER: no data rewrite until the INSERT).
+    spark.sql(f"ALTER TABLE {db}.segment_summary ADD COLUMNS (total_bal DOUBLE)")
+    spark.sql(
+        f"""
+        INSERT OVERWRITE TABLE {db}.segment_summary
         SELECT c_mktsegment,
                COUNT(*) AS n_customers,
                CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
@@ -185,6 +205,87 @@ def catalog_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return spark.read.table(f"{db}.segment_summary")
+
+
+@query(
+    "catalog_insert_overwrite_dynamic",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM (
+        SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        WHERE o_orderpriority <> '1-URGENT'
+        UNION ALL
+        SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 200000
+    ) final_state
+    GROUP BY o_orderpriority
+    """,
+    tags=("catalog", "ddl", "partitioned", "overwrite"),
+)
+def catalog_insert_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-partition INSERT OVERWRITE: replace ONLY the partitions
+    present in the incoming data, leave every other partition
+    untouched — the idempotent-backfill idiom (re-run yesterday's
+    load without wiping the rest of the table). Reference DDL role:
+    the metastore manages partitioned warehouse tables
+    (``internal/controller/metastore.go:181-219``).
+
+    Lifecycle here: CREATE a partitioned table, INSERT the full orders
+    set, then INSERT OVERWRITE a filtered slice of the '1-URGENT'
+    partition under ``partitionOverwriteMode=dynamic``. The oracle
+    reconstructs the expected final state (non-urgent untouched +
+    replaced urgent slice) — STATIC overwrite mode would have wiped
+    the other partitions and fail the differential, so the dynamic
+    semantic itself is what's verified. At 100 TB the overwrite
+    rewrites one partition's files; the others are never read."""
+    sfx = os.path.basename(sf_dir).replace(".", "_")
+    db = f"nine_wh_{sfx}"
+    is_hive = (
+        spark.conf.get("spark.sql.catalogImplementation", "in-memory") == "hive"
+    )
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{WAREHOUSE}/{db}'")
+    tbl = f"{db}.orders_dynpart"
+    owned = spark.catalog.tableExists(tbl)
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    loc = f"{WAREHOUSE}/{db}/orders_dynpart"
+    if os.path.exists(loc) and (not is_hive or not owned):
+        import shutil
+
+        shutil.rmtree(loc, ignore_errors=True)  # orphaned location
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_src_dyn")
+    spark.sql(
+        f"""
+        CREATE TABLE {tbl} (o_orderkey BIGINT, o_totalprice DOUBLE)
+        USING parquet PARTITIONED BY (o_orderpriority STRING)
+        """
+    )
+    spark.sql(
+        f"""
+        INSERT INTO {tbl}
+        SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders_src_dyn
+        """
+    )
+    saved_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        spark.sql(
+            f"""
+            INSERT OVERWRITE TABLE {tbl}
+            SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders_src_dyn
+            WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 200000
+            """
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved_mode)
+    return (
+        spark.table(tbl)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+    )
 
 
 @query(

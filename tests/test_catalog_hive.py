@@ -7,6 +7,10 @@ an in-memory session catalog cannot give:
 
 1. DROP TABLE on a managed table removes its data directory.
 2. A *later, separate* session sees tables created by an earlier one.
+3. ALTER TABLE ADD COLUMNS + INSERT OVERWRITE survive into the later
+   session: the evolved schema and the overwritten contents are what
+   the second JVM reads back (the full DDL verb set the reference's
+   metastore role implies, ``internal/controller/metastore.go:181-219``).
 
 Catalog implementation is fixed at JVM creation, and the pytest
 session already holds a vanilla SparkContext — so each phase runs in
@@ -45,6 +49,16 @@ doomed_dir = os.path.join(root, "warehouse", "nine_db.db", "doomed_t")
 assert os.path.isdir(doomed_dir), f"managed dir missing: {{doomed_dir}}"
 spark.sql("DROP TABLE nine_db.doomed_t")
 assert not os.path.exists(doomed_dir), "DROP TABLE left the managed dir behind"
+
+# schema evolution + full overwrite, persisted for the second session:
+# add a column the original table never had, then overwrite with a
+# recompute that fills it.
+spark.sql("CREATE TABLE nine_db.evolved_t AS "
+          "SELECT n_nationkey, n_name FROM nine_db.nation_t WHERE n_regionkey = 0")
+spark.sql("ALTER TABLE nine_db.evolved_t ADD COLUMNS (name_len INT)")
+spark.sql("INSERT OVERWRITE TABLE nine_db.evolved_t "
+          "SELECT n_nationkey, n_name, CAST(LENGTH(n_name) AS INT) "
+          "FROM nine_db.nation_t WHERE n_regionkey = 1")
 print("PHASE1_OK", nation.count())
 eng.close()
 """
@@ -69,10 +83,22 @@ n = spark.read.table("nine_db.nation_t").count()
 assert n == 25, f"expected 25 nations, got {{n}}"
 assert not spark.catalog.tableExists("nine_db.doomed_t")
 
-# the registered lifecycle query runs on the hive session with NO
-# filesystem workaround (is_hive branch)
+# ALTER + INSERT OVERWRITE from phase 1 persisted: the second JVM
+# sees the evolved 3-column schema and ONLY the overwritten rows
+ev = spark.read.table("nine_db.evolved_t")
+assert ev.columns == ["n_nationkey", "n_name", "name_len"], ev.columns
+rows = ev.collect()
+assert all(r.name_len == len(r.n_name) for r in rows), rows[:3]
+region1 = spark.read.table("nine_db.nation_t").where("n_regionkey = 1").count()
+assert len(rows) == region1, (len(rows), region1)
+
+# the registered lifecycle queries run on the hive session with NO
+# filesystem workaround (is_hive branch) — incl. the ALTER/OVERWRITE
+# steps and the dynamic-partition overwrite
 out = get("catalog_table_lifecycle").fn(spark, "{sf}")
 assert out.count() > 0
+out2 = get("catalog_insert_overwrite_dynamic").fn(spark, "{sf}")
+assert out2.count() > 0
 print("PHASE2_OK", n)
 eng.close()
 """
