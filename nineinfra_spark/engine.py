@@ -61,6 +61,11 @@ class EngineConfig:
     # JDBC/thrift client can then run SQL against the engine session
     # (shared temp views / UDFs via thriftServer.singleSession).
     thrift_port: int | None = None
+    # REST SQL frontend (≙ the Kyuubi REST frontend on 10099,
+    # ``ninecluster_metadata.go:22-27``): when set, ``open()`` serves
+    # ``POST /api/v1/sql`` on this port (0 = OS-assigned; read back
+    # via ``Engine.rest_gateway.port``).
+    rest_port: int | None = None
     # 64 MB: small-side tables up to this size replicate instead of shuffling.
     broadcast_threshold: str = "64m"
     # Cap bytes per input split so one task's scan fits executor memory
@@ -93,6 +98,7 @@ class Engine:
     def __init__(self, config: EngineConfig | None = None):
         self.config = config or EngineConfig()
         self._spark: SparkSession | None = None
+        self.rest_gateway = None  # set by open() when rest_port configured
 
     # -- lifecycle ---------------------------------------------------------
     def open(self) -> "Engine":
@@ -139,9 +145,16 @@ class Engine:
             from nineinfra_spark.gateway import start_thrift_gateway
 
             start_thrift_gateway(self._spark, cfg.thrift_port)
+        if cfg.rest_port is not None:
+            from nineinfra_spark.rest import start_rest_gateway
+
+            self.rest_gateway = start_rest_gateway(self._spark, cfg.rest_port)
         return self
 
     def close(self) -> None:
+        if self.rest_gateway is not None:
+            self.rest_gateway.stop()
+            self.rest_gateway = None
         if self._spark is not None:
             self._spark.stop()
             self._spark = None

@@ -55,6 +55,8 @@ _VERIFY_FIRST = [
     # (b) new or shape-changed in round 5
     "catalog_table_lifecycle",  # now exercises ALTER TABLE + INSERT OVERWRITE
     "catalog_insert_overwrite_dynamic",  # new: dynamic-partition overwrite
+    "ann_ivf_refined_topk",  # new: IVF + one Lloyd refinement pass
+    "dedup_embedding_clusters",  # new: embedding near-dup -> clusters
     # (c) backfill: latest row is r3 (the 11 left over — windows,
     # events_sessionize, non-scalar UDFs — head the r6 rotation)
     "agg_approx_sketches",
@@ -93,8 +95,6 @@ _VERIFY_FIRST = [
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q10_returned_items",
-    "q18_large_volume_customers",
-    "udf_scalar_python",
 ]
 
 registry.set_order(_VERIFY_FIRST)

@@ -467,23 +467,23 @@ def dedup_shingle_jaccard_oracle_pairs() -> str:
     return get("dedup_shingle_jaccard").oracle
 
 
-@query("dedup_connected_clusters", oracle=_cc_oracle(), tags=("ext", "dedup", "iterative", "graph"))
-def dedup_connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairs → CLUSTERS: the last step of production dedup. Near-dup
-    PAIRS don't dedupe a corpus — transitive groups do (A~B, B~C ⇒
-    {A,B,C} keep one). Connected components by iterative min-label
-    propagation: every doc starts labeled with its own id; each round
-    takes the min of its own and its neighbors' labels; at fixpoint
-    the label is the component's min doc_id (the canonical survivor).
+def min_label_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components over an undirected pair graph by iterative
+    min-label propagation (the Pregel pattern on DataFrames).
 
-    Scale posture: this is the Pregel pattern on DataFrames — each
-    iteration is one equi-join + one groupBy (both shuffle on doc id,
-    AQE-managed), iterations ≈ graph DIAMETER (near-dup clusters are
-    shallow — tiny diameters in practice), and ``localCheckpoint``
-    cuts lineage each round so plans don't snowball. The driver loop
-    only checks a convergence flag; all data stays distributed. The
-    DuckDB oracle computes the same fixpoint as a recursive CTE."""
-    pairs = dedup_shingle_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    ``pairs``: two-column DataFrame (a, b), one row per edge.
+    Returns ``(doc_id, cluster_id, n_members)`` where cluster_id is
+    the component's MIN node id (the canonical survivor).
+
+    Scale posture: each iteration is one equi-join + one groupBy (both
+    shuffle on node id, AQE-managed), iterations ≈ graph DIAMETER
+    (near-dup clusters are shallow — tiny diameters in practice), and
+    ``localCheckpoint`` cuts lineage each round so plans don't
+    snowball. The driver loop only checks a convergence flag; all data
+    stays distributed. Raises on non-convergence — an unconverged
+    fixpoint would return WRONG cluster ids (no silent caps)."""
+    a, b = pairs.columns
+    pairs = pairs.select(F.col(a).alias("doc_a"), F.col(b).alias("doc_b"))
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).localCheckpoint(eager=False)
@@ -493,7 +493,6 @@ def dedup_connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint(eager=False)
     )
-    max_iter = 25  # cap >> any real near-dup cluster diameter
     converged = False
     for _ in range(max_iter):
         neigh = (
@@ -515,9 +514,8 @@ def dedup_connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             converged = True
             break
     if not converged:
-        # No silent caps: an unconverged fixpoint would return WRONG
-        # cluster ids. A diameter > 25 near-dup graph means chained
-        # near-identical documents — raise so the caller deliberately
+        # A diameter > max_iter near-dup graph means chained
+        # near-identical items — raise so the caller deliberately
         # bumps the cap (or pre-splits the chain) instead of shipping
         # partial labels.
         raise RuntimeError(
@@ -528,3 +526,20 @@ def dedup_connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.join(sizes, "label").select(
         "doc_id", F.col("label").alias("cluster_id"), "n_members"
     )
+
+
+@query("dedup_connected_clusters", oracle=_cc_oracle(), tags=("ext", "dedup", "iterative", "graph"))
+def dedup_connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → CLUSTERS: the last step of production dedup. Near-dup
+    PAIRS don't dedupe a corpus — transitive groups do (A~B, B~C ⇒
+    {A,B,C} keep one). Min-label propagation over the shingle-Jaccard
+    pair graph; see :func:`min_label_components` for the algorithm and
+    the 100 TB posture. The DuckDB oracle computes the same fixpoint
+    as a recursive CTE."""
+    pairs = dedup_shingle_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    return min_label_components(pairs)
+
+
+# The embedding-modality twin of dedup_connected_clusters lives in
+# ext_similarity.py (dedup_embedding_clusters) — it is registered after
+# ann_lsh_buckets, whose oracle SQL it embeds.

@@ -221,6 +221,64 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- embedding near-dup clustering -----------------------------------------
+
+
+def _emb_cc_oracle() -> str:
+    """Recursive-CTE min-label reachability over the EMBEDDING
+    near-dup pair graph (the deterministic sign-LSH + cosine-threshold
+    join above, which DuckDB replicates exactly)."""
+    pairs_sql = _lsh_oracle()
+    return f"""
+    WITH RECURSIVE
+    pairs AS (SELECT id_a, id_b FROM ({pairs_sql})),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS vec_id FROM edges),
+    cc AS (
+        SELECT vec_id, vec_id AS label FROM nodes
+        UNION
+        SELECT e.dst AS vec_id, c.label
+        FROM cc c JOIN edges e ON c.vec_id = e.src
+    ),
+    lab AS (SELECT vec_id, MIN(label) AS cluster_id FROM cc GROUP BY vec_id)
+    SELECT l.vec_id, l.cluster_id, s.n_members
+    FROM lab l
+    JOIN (SELECT cluster_id, COUNT(*) AS n_members FROM lab GROUP BY cluster_id) s
+      USING (cluster_id)
+    """
+
+
+@query(
+    "dedup_embedding_clusters",
+    oracle=_emb_cc_oracle(),
+    tags=("ext", "dedup", "similarity", "iterative", "graph"),
+)
+def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup → transitive clusters: the semantic
+    twin of `dedup_connected_clusters` for the vector modality (two
+    paraphrases never share shingles but sit close in embedding
+    space). Candidate pairs come from the banded sign-LSH join
+    (`ann_lsh_buckets` — bucket-keyed equi-join, never all-pairs),
+    exact-cosine verified at threshold, then clustered by the same
+    min-label propagation (`ext_dedup.min_label_components`).
+    cluster_id = min vec_id of the component (the canonical
+    representative a dedup pass keeps).
+
+    At 100 TB both stages are shuffle-bounded: LSH candidates by
+    bucket occupancy, propagation by graph degree — no driver-side
+    state beyond the convergence flag."""
+    from nineinfra_spark.plans.ext_dedup import min_label_components
+
+    pairs = ann_lsh_buckets(spark, sf_dir).select("id_a", "id_b")
+    return min_label_components(pairs).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id", "n_members"
+    )
+
+
 # -- Arrow-vectorized pandas kernel ---------------------------------------
 
 
@@ -344,6 +402,168 @@ def _ivf_oracle() -> str:
         JOIN embeddings ce ON ce.vec_id = a.vec_id
     ) WHERE rank <= {TOP_K}
     """
+
+
+def _ivf_refined_oracle() -> str:
+    cos_qc = COS_DUCK.format(a="v.embedding", b="c.embedding")
+    return f"""
+    WITH cent0 AS (
+        SELECT vec_id - {N_QUERIES} AS cell, embedding
+        FROM embeddings
+        WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_IVF_CELLS}
+    ),
+    cand AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= {N_QUERIES}),
+    assigned0 AS (
+        SELECT vec_id, cell FROM (
+            SELECT v.vec_id, c.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {cos_qc} DESC, c.cell
+                   ) AS rn
+            FROM cand v, cent0 c
+        ) WHERE rn = 1
+    ),
+    member_comp AS (
+        SELECT a.cell,
+               unnest(generate_series(1, len(v.embedding))) - 1 AS pos,
+               CAST(unnest(v.embedding) AS DOUBLE) AS val
+        FROM assigned0 a JOIN cand v ON a.vec_id = v.vec_id
+    ),
+    refined AS (
+        SELECT cell, array_agg(comp ORDER BY pos) AS embedding FROM (
+            SELECT cell, pos,
+                   CAST(SUM(CAST(val AS DECIMAL(38,18))) AS DOUBLE) AS comp
+            FROM member_comp GROUP BY cell, pos
+        ) GROUP BY cell
+    ),
+    assigned AS (
+        SELECT vec_id, cell FROM (
+            SELECT v.vec_id, c.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {cos_qc} DESC, c.cell
+                   ) AS rn
+            FROM cand v, refined c
+        ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
+    probed AS (
+        SELECT vec_id AS query_id, cell FROM (
+            SELECT v.vec_id, c.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {cos_qc} DESC, c.cell
+                   ) AS rn
+            FROM q v, refined c
+        ) WHERE rn <= {N_IVF_PROBE}
+    )
+    SELECT query_id, cand_id, cos, rank FROM (
+        SELECT p.query_id, a.vec_id AS cand_id,
+               {COS_DUCK.format(a='qe.embedding', b='ce.embedding')} AS cos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.query_id
+                   ORDER BY {COS_DUCK.format(a='qe.embedding', b='ce.embedding')} DESC,
+                            a.vec_id
+               ) AS rank
+        FROM probed p
+        JOIN assigned a ON p.cell = a.cell
+        JOIN embeddings qe ON qe.vec_id = p.query_id
+        JOIN embeddings ce ON ce.vec_id = a.vec_id
+    ) WHERE rank <= {TOP_K}
+    """
+
+
+@query(
+    "ann_ivf_refined_topk",
+    oracle=_ivf_refined_oracle(),
+    tags=("ext", "similarity", "ivf", "kmeans", "bounded-nlj"),
+)
+def ann_ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with ONE deterministic Lloyd refinement pass — the centroid
+    training step `ann_ivf_topk` skips, run as a distributed job:
+
+    1. assign every candidate to its nearest SEED centroid (broadcast,
+       one scan — the E-step);
+    2. refine each cell's centroid from its members (the M-step),
+       computed as the elementwise DECIMAL SUM per (cell, dim) via
+       posexplode → groupBy — fully distributed, map-side-combined,
+       never a per-cell collect. Cosine is scale-invariant, so the
+       unnormalized sum IS the mean direction — skipping the division
+       keeps the arithmetic exact (decimal sums are reduce-order-
+       independent), which is what lets DuckDB replicate the refined
+       index bit-for-bit;
+    3. re-assign candidates and probe queries against the refined
+       centroids; exact-cosine score within probed cells only.
+
+    At 100 TB each Lloyd pass is one broadcast-assign scan + one
+    (cell, dim)-keyed aggregation (K×d rows out — tiny); more passes
+    iterate the same two jobs. Refinement tightens cells around the
+    data's actual clusters, raising recall at the same n_probe — the
+    train/index/search split every production IVF system uses."""
+    emb = t(spark, sf_dir, "embeddings")
+    cent0 = emb.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_IVF_CELLS)
+    ).select((F.col("vec_id") - N_QUERIES).alias("cell"), F.col("embedding").alias("c_emb"))
+
+    cos_vc = F.expr(COS_SPARK.format(a="embedding", b="c_emb"))
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cos_vc"), "cell")
+
+    cand = emb.filter(F.col("vec_id") >= N_QUERIES)
+    assigned0 = (
+        cand.crossJoin(F.broadcast(cent0))
+        .select("vec_id", "embedding", "cell", cos_vc.alias("cos_vc"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cell")
+    )
+
+    # M-step: refined[cell][pos] = exact decimal sum of member dims.
+    refined = (
+        assigned0.select("cell", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("cell", "pos")
+        .agg(
+            F.sum(F.col("val").cast("double").cast("decimal(38,18)"))
+            .cast("double")
+            .alias("comp")
+        )
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "comp"))).alias("sc"))
+        .select("cell", F.transform("sc", lambda s: s.comp).alias("c_emb"))
+    )
+
+    assigned = (
+        cand.crossJoin(F.broadcast(refined))
+        .select("vec_id", "cell", cos_vc.alias("cos_vc"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select(F.col("vec_id").alias("cand_id"), "cell")
+    )
+
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    probed = (
+        q.crossJoin(F.broadcast(refined))
+        .select("vec_id", "cell", cos_vc.alias("cos_vc"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") <= N_IVF_PROBE)
+        .select(F.col("vec_id").alias("query_id"), "cell")
+    )
+
+    qe = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    ce = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("e_emb"))
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cos"), "cand_id")
+    return (
+        probed.join(assigned, "cell")
+        .join(qe, "query_id")
+        .join(ce, "cand_id")
+        .select(
+            "query_id",
+            "cand_id",
+            F.expr(COS_SPARK.format(a="q_emb", b="e_emb")).alias("cos"),
+        )
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", "cos", "rank")
+    )
 
 
 @query("ann_ivf_topk", oracle=_ivf_oracle(), tags=("ext", "similarity", "ivf", "bounded-nlj"))

@@ -1,0 +1,124 @@
+"""REST SQL gateway (the reference's Kyuubi REST frontend role).
+
+The platform pins ``kyuubi.frontend.protocols=REST,THRIFT_BINARY``
+(``api/v1alpha1/ninecluster_metadata.go:22-27``) — THRIFT_BINARY is
+served by ``gateway.py`` (HiveServer2 in-JVM); this module provides
+the REST half: a thin HTTP endpoint that accepts SQL text and returns
+JSON rows, the shape BI tools and job submitters hit on Kyuubi's
+port 10099.
+
+Design constraints, mirrored from the gateway tier's reality:
+
+- The server is a daemon thread in the driver process; Spark sessions
+  are thread-safe for concurrent ``sql()`` calls (each request plans
+  on the shared session, like Kyuubi's USER-share engine mode).
+- Result fetch is a bounded ``limit(n).collect()`` — a gateway FETCHES
+  a window of rows to the client by definition; the cap (default
+  1000, per-request override) keeps a careless ``SELECT * FROM fact``
+  from materializing 100 TB on the driver. Unbounded extraction is a
+  WRITE (``INSERT INTO``/``CREATE TABLE AS``) through the same SQL
+  surface, exactly as on the real platform.
+
+Endpoints:
+
+- ``GET  /api/v1/ping``    → ``{"status": "ok"}`` liveness
+- ``POST /api/v1/sql``     → body ``{"sql": "...", "limit": 100}``;
+  responds ``{"columns": [...], "rows": [[...]], "rowCount": N,
+  "truncated": bool}``. Errors → HTTP 400 with ``{"error": ...}``.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from pyspark.sql import SparkSession
+
+DEFAULT_FETCH_LIMIT = 1000
+
+
+def _json_default(v):
+    # datetimes, Decimals, bytearrays → strings; keeps the wire format
+    # engine-agnostic (clients parse values, not pickles)
+    return str(v)
+
+
+class _Handler(BaseHTTPRequestHandler):
+    spark: SparkSession  # injected by start_rest_gateway
+
+    def log_message(self, *args) -> None:  # silence per-request stderr noise
+        pass
+
+    def _reply(self, code: int, payload: dict) -> None:
+        body = json.dumps(payload, default=_json_default).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self) -> None:  # noqa: N802 — http.server API
+        if self.path == "/api/v1/ping":
+            self._reply(200, {"status": "ok"})
+        else:
+            self._reply(404, {"error": f"unknown path {self.path}"})
+
+    def do_POST(self) -> None:  # noqa: N802 — http.server API
+        if self.path != "/api/v1/sql":
+            self._reply(404, {"error": f"unknown path {self.path}"})
+            return
+        try:
+            length = int(self.headers.get("Content-Length", "0"))
+            req = json.loads(self.rfile.read(length) or b"{}")
+            sql = req["sql"]
+            limit = int(req.get("limit", DEFAULT_FETCH_LIMIT))
+        except (KeyError, ValueError, json.JSONDecodeError) as exc:
+            self._reply(400, {"error": f"bad request: {exc}"})
+            return
+        try:
+            df = self.spark.sql(sql)
+            # fetch limit+1 to report truncation without a count() pass
+            rows = df.limit(limit + 1).collect()
+            truncated = len(rows) > limit
+            rows = rows[:limit]
+            self._reply(
+                200,
+                {
+                    "columns": df.columns,
+                    "rows": [list(r) for r in rows],
+                    "rowCount": len(rows),
+                    "truncated": truncated,
+                },
+            )
+        except Exception as exc:  # engine errors → structured 400, not a 500 stack
+            self._reply(400, {"error": str(exc)[:4000]})
+
+
+class RestGateway:
+    """Handle for a running REST endpoint (returned by
+    :func:`start_rest_gateway`; ``Engine.close`` calls :meth:`stop`)."""
+
+    def __init__(self, server: ThreadingHTTPServer, thread: threading.Thread):
+        self._server = server
+        self._thread = thread
+
+    @property
+    def port(self) -> int:
+        return self._server.server_address[1]
+
+    def stop(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()
+        self._thread.join(timeout=10)
+
+
+def start_rest_gateway(spark: SparkSession, port: int = 0) -> RestGateway:
+    """Serve the REST SQL frontend on ``port`` (0 = OS-assigned; read
+    the bound port from the returned handle). Binds immediately; the
+    accept loop runs on a daemon thread."""
+    handler = type("BoundHandler", (_Handler,), {"spark": spark})
+    server = ThreadingHTTPServer(("127.0.0.1", port), handler)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    return RestGateway(server, thread)

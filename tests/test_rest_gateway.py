@@ -1,0 +1,108 @@
+"""REST SQL frontend (the Kyuubi REST role, ninecluster_metadata.go:22-27).
+
+A real HTTP client (urllib, over the wire on localhost) runs SQL
+against the engine session's registered views — liveness, result
+shape, fetch-limit truncation, and error mapping. The server is a
+daemon thread on the shared session, so no subprocess/JVM isolation
+is needed (unlike the thrift gateway, it sets no session conf).
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from nineinfra_spark.engine import register_testdata
+from nineinfra_spark.rest import start_rest_gateway
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def rest(spark):
+    register_testdata(spark, SF)
+    gw = start_rest_gateway(spark, port=0)  # OS-assigned, no collisions
+    yield gw
+    gw.stop()
+
+
+def _get(gw, path):
+    with urllib.request.urlopen(f"http://127.0.0.1:{gw.port}{path}") as r:
+        return json.loads(r.read())
+
+
+def _post(gw, payload):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{gw.port}/api/v1/sql",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req) as r:
+        return json.loads(r.read())
+
+
+def test_ping(rest):
+    assert _get(rest, "/api/v1/ping") == {"status": "ok"}
+
+
+def test_sql_over_http(rest):
+    out = _post(rest, {"sql": "SELECT COUNT(*) AS n FROM nation"})
+    assert out["columns"] == ["n"]
+    assert out["rows"] == [[25]]
+    assert out["truncated"] is False
+
+
+def test_aggregate_query(rest):
+    out = _post(
+        rest,
+        {
+            "sql": (
+                "SELECT l_returnflag, COUNT(*) AS n FROM lineitem "
+                "GROUP BY l_returnflag ORDER BY l_returnflag"
+            )
+        },
+    )
+    assert [r[0] for r in out["rows"]] == ["A", "N", "R"]
+    assert all(isinstance(r[1], int) and r[1] > 0 for r in out["rows"])
+
+
+def test_fetch_limit_truncates(rest):
+    out = _post(rest, {"sql": "SELECT c_custkey FROM customer", "limit": 10})
+    assert out["rowCount"] == 10
+    assert out["truncated"] is True
+
+
+def test_sql_error_maps_to_400(rest):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{rest.port}/api/v1/sql",
+        data=json.dumps({"sql": "SELECT * FROM no_such_table"}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req)
+    assert ei.value.code == 400
+    body = json.loads(ei.value.read())
+    assert "no_such_table" in body["error"].lower() or "TABLE_OR_VIEW" in body["error"]
+
+
+def test_engine_config_wires_rest_port():
+    """EngineConfig.rest_port plumbs through Engine.open/close. The
+    pytest process already holds the shared session, so getOrCreate
+    returns it — the REST thread attaches to it and is torn down
+    without stopping the shared session (close only stops what this
+    Engine opened... the shared SparkSession is process-global, so we
+    stop only the gateway here)."""
+    from nineinfra_spark.engine import Engine, EngineConfig
+
+    eng = Engine(EngineConfig(rest_port=0))
+    eng.open()
+    try:
+        assert eng.rest_gateway is not None
+        assert eng.rest_gateway.port > 0
+        assert _get(eng.rest_gateway, "/api/v1/ping") == {"status": "ok"}
+    finally:
+        eng.rest_gateway.stop()
+        eng.rest_gateway = None  # NOT eng.close(): shared session must live
