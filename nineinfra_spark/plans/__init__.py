@@ -57,6 +57,9 @@ _VERIFY_FIRST = [
     "catalog_insert_overwrite_dynamic",  # new: dynamic-partition overwrite
     "ann_ivf_refined_topk",  # new: IVF + one Lloyd refinement pass
     "dedup_embedding_clusters",  # new: embedding near-dup -> clusters
+    "dedup_keep_canonical",  # new: clusters -> deduplicated corpus
+    "sample_stratified_hash",  # new: per-stratum deterministic rates
+    "text_quality_topk_per_lang",  # new: keep best-N per language
     # (c) backfill: latest row is r3 (the 11 left over — windows,
     # events_sessionize, non-scalar UDFs — head the r6 rotation)
     "agg_approx_sketches",
@@ -92,9 +95,6 @@ _VERIFY_FIRST = [
     "stream_stateful_counts",
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q10_returned_items",
 ]
 
 registry.set_order(_VERIFY_FIRST)

@@ -543,3 +543,45 @@ def dedup_connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The embedding-modality twin of dedup_connected_clusters lives in
 # ext_similarity.py (dedup_embedding_clusters) — it is registered after
 # ann_lsh_buckets, whose oracle SQL it embeds.
+
+
+def _keep_canonical_oracle() -> str:
+    return f"""
+    WITH clusters AS ({_cc_oracle()})
+    SELECT d.doc_id,
+           c.doc_id IS NOT NULL AS had_dupes,
+           COALESCE(c.n_members, 1) AS n_merged
+    FROM documents d
+    LEFT JOIN clusters c ON d.doc_id = c.doc_id
+    WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id
+    """
+
+
+@query(
+    "dedup_keep_canonical",
+    oracle=_keep_canonical_oracle(),
+    tags=("ext", "dedup", "iterative", "graph"),
+)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END of the dedup pipeline: the deduplicated corpus itself.
+    Shingle pairs → transitive clusters → keep each cluster's
+    canonical representative (min doc_id) plus every unclustered doc;
+    ``n_merged`` records how many near-dups each survivor absorbed
+    (the provenance count a curation report wants).
+
+    Shape: `dedup_connected_clusters` (bounded pair graph + min-label
+    propagation) left-joined back to the corpus — the join is keyed on
+    doc_id, and the clusters side is only the docs that HAD a near-dup
+    (tiny vs the corpus), so at 100 TB this is a broadcast-size right
+    side filtering a scan."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    clusters = dedup_connected_clusters(spark, sf_dir)
+    return (
+        docs.join(clusters, "doc_id", "left")
+        .filter(F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id")))
+        .select(
+            "doc_id",
+            F.col("cluster_id").isNotNull().alias("had_dupes"),
+            F.coalesce("n_members", F.lit(1)).cast("bigint").alias("n_merged"),
+        )
+    )

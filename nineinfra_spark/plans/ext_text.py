@@ -233,6 +233,49 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quality_topk_oracle() -> str:
+    from nineinfra_spark.plans.registry import get
+
+    quality_sql = get("text_quality_stats").oracle
+    return f"""
+    WITH q AS ({quality_sql})
+    SELECT lang, doc_id, quality_score, rank FROM (
+        SELECT d.lang, q.doc_id, q.quality_score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY d.lang
+                   ORDER BY q.quality_score DESC, q.doc_id
+               ) AS rank
+        FROM q JOIN documents d USING (doc_id)
+    ) WHERE rank <= 5
+    """
+
+
+@query(
+    "text_quality_topk_per_lang",
+    oracle=_quality_topk_oracle(),
+    tags=("ext", "text", "topk"),
+)
+def text_quality_topk_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality selection: the top-5 documents of each
+    declared language by the composite quality score — the "keep the
+    best N per stratum" curation step that follows scoring. One window
+    over (lang), shuffle keyed on language; deterministic tie-break on
+    doc_id so the selection is stable under re-partitioning. Reuses
+    `text_quality_stats` (same scaled-integer score, so the oracle
+    agrees digit-for-digit)."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    scores = text_quality_stats(spark, sf_dir).select("doc_id", "quality_score")
+    w = Window.partitionBy("lang").orderBy(F.desc("quality_score"), "doc_id")
+    return (
+        docs.join(scores, "doc_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("lang", "doc_id", "quality_score", "rank")
+    )
+
+
 @query(
     "text_token_classes",
     oracle="""

@@ -164,6 +164,42 @@ def sample_hash_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_stratified_hash",
+    oracle="""
+    SELECT event_id, event_type, user_id
+    FROM events
+    WHERE CASE event_type
+        WHEN 'purchase' THEN TRUE
+        WHEN 'signup' THEN substr(md5(CAST(event_id AS VARCHAR)), 1, 1)
+                           IN ('0','1','2','3','4','5','6','7')
+        WHEN 'error' THEN substr(md5(CAST(event_id AS VARCHAR)), 1, 1) = '0'
+        ELSE substr(md5(CAST(event_id AS VARCHAR)), 1, 1) IN ('0','1')
+    END
+    """,
+    tags=("sample", "deterministic", "stratified"),
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-stratum keep-rates via
+    the md5 hex-digit bucket (purchase 16/16, signup 8/16, error 1/16,
+    default 2/16) — the training-data curation move of downsampling
+    abundant low-value strata while keeping every rare/valuable row.
+    Unlike ``df.sampleBy`` (seeded RNG — engine-specific stream, no
+    row-level oracle, resample drift on repartition), the hash bucket
+    is reproducible across engines/runs/partitionings, so it carries
+    an exact row-level oracle. Pure pushed-down filter: no shuffle,
+    scan-speed at 100 TB."""
+    events = t(spark, sf_dir, "events")
+    d = F.substring(F.md5(F.col("event_id").cast("string")), 1, 1)
+    keep = (
+        F.when(F.col("event_type") == "purchase", F.lit(True))
+        .when(F.col("event_type") == "signup", d.isin(*"01234567"))
+        .when(F.col("event_type") == "error", d == "0")
+        .otherwise(d.isin("0", "1"))
+    )
+    return events.filter(keep).select("event_id", "event_type", "user_id")
+
+
+@query(
     "sort_multi_key",
     oracle="""
     SELECT n_name, n_regionkey, n_nationkey
