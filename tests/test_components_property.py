@@ -1,0 +1,70 @@
+"""Property test: min_label_components == union-find ground truth.
+
+The min-label propagation loop (ext_dedup.min_label_components) now
+backs THREE registered queries (shingle clusters, embedding clusters,
+corpus finalizer) — worth a direct algorithmic check on adversarial
+graph shapes (chains, stars, cycles, singleton-free edge lists), not
+just the corpus-derived graphs the oracle differentials see.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from nineinfra_spark.plans.ext_dedup import min_label_components
+
+
+def _union_find(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Reference components: node -> min node id of its component."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_min_label_components_matches_union_find(spark, edges):
+    want = _union_find(edges)
+    sizes: dict[int, int] = {}
+    for root in want.values():
+        sizes[root] = sizes.get(root, 0) + 1
+
+    df = spark.createDataFrame(edges, ["a", "b"])
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["n_members"])
+        for r in min_label_components(df.select("a", "b")).collect()
+    }
+    assert set(got) == set(want)
+    for node, (cluster, n_members) in got.items():
+        assert cluster == want[node], (node, cluster, want[node])
+        assert n_members == sizes[want[node]]
+
+
+def test_chain_converges_and_labels_min(spark):
+    """A 12-node chain (worst diameter-per-edge shape for label
+    propagation) still converges under the iteration cap and labels
+    every node with the chain's min id."""
+    edges = [(i, i + 1) for i in range(12)]
+    df = spark.createDataFrame(edges, ["a", "b"])
+    rows = min_label_components(df).collect()
+    assert len(rows) == 13
+    assert all(r["cluster_id"] == 0 and r["n_members"] == 13 for r in rows)
