@@ -28,12 +28,15 @@ HEADLINE = [
     "q4_order_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q7_volume_shipping",
     "q10_returned_items",
     "q12_priority_lines",
+    "q13_customer_distribution",
     "q14_promo_effect",
     "q17_small_qty_revenue",
     "q18_large_volume_customers",
     "q19_disjunctive_revenue",
+    "q21_waiting_suppliers",
     "q22_inactive_customers",
     "window_ranking",
     "join_asof_backward",

@@ -60,6 +60,9 @@ _VERIFY_FIRST = [
     "dedup_keep_canonical",  # new: clusters -> deduplicated corpus
     "sample_stratified_hash",  # new: per-stratum deterministic rates
     "text_quality_topk_per_lang",  # new: keep best-N per language
+    "q7_volume_shipping",  # new: two-role nation dim, per-year rollup
+    "q13_customer_distribution",  # new: outer join + double aggregation
+    "q21_waiting_suppliers",  # new: correlated EXISTS + NOT EXISTS pair
     # (c) backfill: latest row is r3 (the 11 left over — windows,
     # events_sessionize, non-scalar UDFs — head the r6 rotation)
     "agg_approx_sketches",
@@ -92,9 +95,6 @@ _VERIFY_FIRST = [
     "stream_dedup_watermark",
     "stream_static_join",
     "stream_stream_join",
-    "stream_stateful_counts",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
 ]
 
 registry.set_order(_VERIFY_FIRST)

@@ -77,6 +77,30 @@ GROUP BY c_nationkey
 """
 
 
+_Q21 = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND n.n_name = 'NATION_3'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_orderkey = l1.l_orderkey
+        AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+      SELECT 1 FROM lineitem l3
+      WHERE l3.l_orderkey = l1.l_orderkey
+        AND l3.l_suppkey <> l1.l_suppkey
+        AND l3.l_returnflag = 'R'
+  )
+GROUP BY s_name
+"""
+
+
 def _sql(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
     """Register the testdata views, then plan the SQL text."""
     register_testdata(spark, sf_dir)
@@ -118,6 +142,23 @@ def q2_above_partition_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver's hash. Exact integer/decimal arithmetic has no
     boundary."""
     return _sql(spark, sf_dir, _Q2)
+
+
+@query("q21_waiting_suppliers", oracle=_Q21, tags=("subquery", "semi", "anti", "sql"))
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (testdata has no commit/receipt dates, so
+    ``l_returnflag = 'R'`` stands in for the late-delivery marker):
+    suppliers who were the SOLE failing supplier on a multi-supplier
+    finalized order — a correlated EXISTS and a correlated NOT EXISTS
+    against the same fact table in one query, each carrying a non-equi
+    conjunct (``l2.l_suppkey <> l1.l_suppkey``).
+
+    ``RewritePredicateSubquery`` turns the pair into a LEFT SEMI and a
+    LEFT ANTI join on orderkey with the inequality as a join-side
+    filter — lineitem is scanned exactly three times, each shuffle
+    keyed on orderkey (the naive reading re-scans lineitem twice PER
+    ROW). Plan-asserted in tests/test_sql_shapes.py."""
+    return _sql(spark, sf_dir, _Q21)
 
 
 @query("q22_inactive_customers", oracle=_Q22, tags=("subquery", "anti", "sql"))

@@ -61,6 +61,19 @@ def test_q2_twin_correlated_subqueries_decorrelate(spark):
     assert "outer(" not in opt
 
 
+def test_q21_exists_pair_becomes_semi_plus_anti(spark):
+    ana, opt, phys = _plans(spark, "q21_waiting_suppliers")
+    # the correlated EXISTS / NOT EXISTS pair rewrites to one LEFT
+    # SEMI and one LEFT ANTI join (RewritePredicateSubquery), with the
+    # non-equi suppkey conjunct carried as a join condition
+    assert "LeftSemi" in phys
+    assert "LeftAnti" in phys
+    assert "outer(" not in opt  # correlation fully eliminated
+    # lineitem is scanned exactly three times (main + semi + anti
+    # sides) — bounded, never per-outer-row
+    assert phys.count("lineitem.parquet") == 3, phys.count("lineitem.parquet")
+
+
 def test_q22_not_exists_becomes_left_anti_with_pushed_filter(spark):
     ana, opt, phys = _plans(spark, "q22_inactive_customers")
     # NOT EXISTS in the text...
