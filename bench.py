@@ -29,10 +29,12 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q7_volume_shipping",
+    "q8_market_share",
     "q10_returned_items",
     "q12_priority_lines",
     "q13_customer_distribution",
     "q14_promo_effect",
+    "q15_top_supplier",
     "q17_small_qty_revenue",
     "q18_large_volume_customers",
     "q19_disjunctive_revenue",
@@ -42,6 +44,7 @@ HEADLINE = [
     "join_asof_backward",
     "dedup_exact_content",
     "dedup_minhash_pairs",
+    "text_decontaminate",
     "dedup_connected_clusters",
     "ann_cosine_topk",
     "ann_ivf_topk",

@@ -63,6 +63,9 @@ _VERIFY_FIRST = [
     "q7_volume_shipping",  # new: two-role nation dim, per-year rollup
     "q13_customer_distribution",  # new: outer join + double aggregation
     "q21_waiting_suppliers",  # new: correlated EXISTS + NOT EXISTS pair
+    "q8_market_share",  # new: two-role nation + bit-stable ratio
+    "q15_top_supplier",  # new: CTE + uncorrelated MAX scalar subquery
+    "text_decontaminate",  # new: eval-set n-gram overlap removal
     # (c) backfill: latest row is r3 (the 11 left over — windows,
     # events_sessionize, non-scalar UDFs — head the r6 rotation)
     "agg_approx_sketches",
@@ -92,9 +95,6 @@ _VERIFY_FIRST = [
     "stream_tumbling_window",
     "stream_sliding_window",
     "stream_session_window",
-    "stream_dedup_watermark",
-    "stream_static_join",
-    "stream_stream_join",
 ]
 
 registry.set_order(_VERIFY_FIRST)

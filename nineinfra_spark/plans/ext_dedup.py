@@ -545,6 +545,65 @@ def dedup_connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ann_lsh_buckets, whose oracle SQL it embeds.
 
 
+N_EVAL_DOCS = 10  # doc_id < 10 plays the benchmark/eval set
+
+
+@query(
+    "text_decontaminate",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {TOKS_DUCK} AS toks FROM documents),
+    sh AS (SELECT doc_id, {SH_DUCK} AS shingles FROM tok),
+    eval_sh AS (
+        SELECT DISTINCT unnest(shingles) AS s FROM sh
+        WHERE doc_id < {N_EVAL_DOCS}
+    ),
+    contaminated AS (
+        SELECT DISTINCT doc_id FROM (
+            SELECT doc_id, unnest(shingles) AS s FROM sh
+            WHERE doc_id >= {N_EVAL_DOCS}
+        ) c WHERE c.s IN (SELECT s FROM eval_sh)
+    )
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id >= {N_EVAL_DOCS}
+      AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """,
+    tags=("ext", "dedup", "decontamination"),
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: drop every training document that
+    shares ANY 5-gram shingle with the eval set (doc_id < 10 plays
+    the held-out benchmark) — the n-gram overlap removal every serious
+    LLM training pipeline runs so test sets don't leak into training
+    data.
+
+    Scale posture: the eval set is FIXED-SIZE by construction
+    (benchmarks don't grow with the corpus), so its distinct shingle
+    set is broadcast and contamination is a broadcast semi-join probed
+    at scan speed over the exploded corpus shingles — the corpus is
+    never shuffled; the final anti-join keys on doc_id against the
+    (small) contaminated list."""
+    docs = t(spark, sf_dir, "documents")
+    sh = _shingled(spark, sf_dir)
+    eval_sh = (
+        sh.filter(F.col("doc_id") < N_EVAL_DOCS)
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+    )
+    corpus_sh = sh.filter(F.col("doc_id") >= N_EVAL_DOCS).select(
+        "doc_id", F.explode("shingles").alias("s")
+    )
+    contaminated = (
+        corpus_sh.join(F.broadcast(eval_sh), "s", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        docs.filter(F.col("doc_id") >= N_EVAL_DOCS)
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id")
+    )
+
+
 def _keep_canonical_oracle() -> str:
     return f"""
     WITH clusters AS ({_cc_oracle()})

@@ -551,3 +551,86 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("o_orderkey").alias("c_count"))
     )
     return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+    SELECT o_year,
+           CAST(SUM(CASE WHEN nation = 'NATION_1' THEN volume
+                         ELSE CAST(0 AS DECIMAL(22,6)) END) AS DOUBLE) AS nation_volume,
+           CAST(SUM(volume) AS DOUBLE) AS total_volume,
+           CAST(SUM(CASE WHEN nation = 'NATION_1' THEN volume
+                         ELSE CAST(0 AS DECIMAL(22,6)) END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+    FROM (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6)) AS volume,
+               n2.n_name AS nation
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA'
+          AND p_type = 'PROMO'
+          AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    ) all_nations
+    GROUP BY o_year
+    """,
+    tags=("join", "agg"),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share (TPC-H Q8 shape): one nation's share of
+    a region's PROMO-part order volume by year — an 8-way join with
+    nation again in two roles (customer-side restricts the market,
+    supplier-side labels the share).
+
+    Exactness: volumes are decimal sums (order-independent); the share
+    is computed by DOUBLE division of the two exact decimal sums cast
+    to double — identical operands, identical IEEE division on both
+    engines, so even the ratio is bit-stable. Scale posture: part is
+    filtered before its join (PROMO slice), nation/region broadcast,
+    and the market restriction (region) prunes customers before the
+    orders join."""
+    part = t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= ts("1995-01-01")) & (F.col("o_orderdate") < ts("1997-01-01"))
+    )
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    reg = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = F.when(F.col("nation") == "NATION_1", F.col("volume")).otherwise(
+        F.lit(0).cast("decimal(22,6)")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(reg), F.col("n1_region") == reg.r_regionkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            _revenue().alias("volume"),
+            "nation",
+        )
+        .groupBy("o_year")
+        .agg(
+            F.sum(vol).cast("double").alias("nation_volume"),
+            F.sum("volume").cast("double").alias("total_volume"),
+        )
+        .withColumn("mkt_share", F.col("nation_volume") / F.col("total_volume"))
+    )

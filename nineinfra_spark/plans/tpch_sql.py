@@ -101,6 +101,23 @@ GROUP BY s_name
 """
 
 
+_Q15 = """
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6)))
+               AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+FROM supplier
+JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
 def _sql(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
     """Register the testdata views, then plan the SQL text."""
     register_testdata(spark, sf_dir)
@@ -142,6 +159,18 @@ def q2_above_partition_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver's hash. Exact integer/decimal arithmetic has no
     boundary."""
     return _sql(spark, sf_dir, _Q2)
+
+
+@query("q15_top_supplier", oracle=_Q15, tags=("subquery", "cte", "sql"))
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the top-revenue supplier of a quarter via a
+    CTE consumed TWICE — once as the join input, once inside an
+    uncorrelated MAX scalar subquery. The subquery is planned once
+    and its result broadcast as a literal; decimal revenue makes the
+    MAX-equality exact (a double max would tie-break differently per
+    engine on reduce order). At scale the CTE's per-supplier aggregate
+    shuffles once; everything downstream is supplier-dimension-sized."""
+    return _sql(spark, sf_dir, _Q15)
 
 
 @query("q21_waiting_suppliers", oracle=_Q21, tags=("subquery", "semi", "anti", "sql"))
