@@ -66,6 +66,7 @@ _VERIFY_FIRST = [
     "q8_market_share",  # new: two-role nation + bit-stable ratio
     "q15_top_supplier",  # new: CTE + uncorrelated MAX scalar subquery
     "text_decontaminate",  # new: eval-set n-gram overlap removal
+    "catalog_compact_small_files",  # new: small-files compaction
     # (c) backfill: latest row is r3 (the 11 left over — windows,
     # events_sessionize, non-scalar UDFs — head the r6 rotation)
     "agg_approx_sketches",
@@ -94,7 +95,6 @@ _VERIFY_FIRST = [
     "catalog_bucketed_join",
     "stream_tumbling_window",
     "stream_sliding_window",
-    "stream_session_window",
 ]
 
 registry.set_order(_VERIFY_FIRST)

@@ -289,6 +289,66 @@ def catalog_insert_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @query(
+    "catalog_compact_small_files",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("catalog", "ddl", "partitioned", "compaction"),
+)
+def catalog_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction: a partitioned table is deliberately
+    fragmented (16-way repartition before insert → 16 files per
+    partition directory), then rewritten with
+    ``writers.compact_partitioned_table`` so each partition holds ONE
+    file — the remediation every long-lived warehouse table needs
+    (frequent small appends at 100 TB degrade scan and listing until
+    compacted; the reference's metastore-managed warehouse implies
+    exactly this maintenance op). The rewrite is a dynamic-partition
+    self-overwrite: untouched partitions stay untouched, content is
+    byte-identical — which is what the oracle checks (file-count
+    reduction is asserted in tests/test_sources.py)."""
+    sfx = os.path.basename(sf_dir).replace(".", "_")
+    db = f"nine_wh_{sfx}"
+    is_hive = (
+        spark.conf.get("spark.sql.catalogImplementation", "in-memory") == "hive"
+    )
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{WAREHOUSE}/{db}'")
+    tbl = f"{db}.orders_smallfiles"
+    owned = spark.catalog.tableExists(tbl)
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    loc = f"{WAREHOUSE}/{db}/orders_smallfiles"
+    if os.path.exists(loc) and (not is_hive or not owned):
+        import shutil
+
+        shutil.rmtree(loc, ignore_errors=True)  # orphaned location
+    spark.sql(
+        f"""
+        CREATE TABLE {tbl} (o_orderkey BIGINT, o_totalprice DOUBLE)
+        USING parquet PARTITIONED BY (o_orderpriority STRING)
+        """
+    )
+    (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .repartition(16)  # manufacture the small-files problem
+        .write.mode("append")
+        .insertInto(tbl)
+    )
+    writers.compact_partitioned_table(spark, tbl, ["o_orderpriority"])
+    return (
+        spark.table(tbl)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+    )
+
+
+@query(
     "catalog_bucketed_join",
     oracle="""
     SELECT o_orderkey, o_totalprice, c_name

@@ -76,6 +76,39 @@ def save_as_table(
     _writer(df, mode, partition_by).saveAsTable(name)
 
 
+def compact_partitioned_table(
+    df_source, table: str, partition_cols: Sequence[str]
+) -> None:
+    """Compact a partitioned table's small files: rewrite every
+    partition present in the table so each partition directory holds
+    ONE file per partition value (the small-files remediation every
+    long-lived warehouse table needs — a 100 TB table fed by frequent
+    small appends degrades scan/listing performance until compacted).
+
+    Mechanics: read the table, shuffle-repartition on the partition
+    columns so each partition value lands in exactly one task, and
+    dynamic-partition INSERT OVERWRITE it back — partitions not
+    present in the data are untouched, readers see either the old or
+    the new complete file set (the parquet commit protocol swaps
+    per-partition), and the table's schema/metadata are unchanged.
+
+    ``df_source``: the SparkSession owning ``table``.
+    """
+    spark = df_source
+    df = spark.table(table)
+    saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        n = max(df.select(*partition_cols).distinct().count(), 1)
+        (
+            df.repartition(n, *[df[c] for c in partition_cols])
+            .write.mode("overwrite")
+            .insertInto(table, overwrite=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+
+
 def save_as_bucketed_table(
     df: DataFrame,
     name: str,

@@ -125,3 +125,27 @@ def test_bucketed_join_has_no_exchange(spark):
         assert df.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_compact_small_files_reduces_to_one_per_partition(spark):
+    """catalog_compact_small_files manufactures a 16-files-per-
+    partition table and compacts it; the registered query's oracle
+    checks content — THIS asserts the physical effect: exactly one
+    parquet file per partition directory afterward, same rows."""
+    import glob
+    import os
+
+    from nineinfra_spark.plans.sources_sinks import (
+        WAREHOUSE,
+        catalog_compact_small_files,
+    )
+
+    out = catalog_compact_small_files(spark, SF)
+    assert out.count() > 0
+    sfx = os.path.basename(SF).replace(".", "_")
+    loc = f"{WAREHOUSE}/nine_wh_{sfx}/orders_smallfiles"
+    part_dirs = [d for d in glob.glob(f"{loc}/o_orderpriority=*") if os.path.isdir(d)]
+    assert part_dirs, loc
+    for d in part_dirs:
+        files = glob.glob(f"{d}/*.parquet")
+        assert len(files) == 1, (d, len(files))
