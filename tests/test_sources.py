@@ -149,3 +149,35 @@ def test_compact_small_files_reduces_to_one_per_partition(spark):
     for d in part_dirs:
         files = glob.glob(f"{d}/*.parquet")
         assert len(files) == 1, (d, len(files))
+
+
+def test_compact_multi_partition_table(spark, tmp_path):
+    """compact_partitioned_table on a fresh two-partition table:
+    every partition directory ends at exactly one file and no row is
+    lost — exercised on a table the helper builds itself (unlike the
+    registered query's orders-derived table), so the helper's
+    contract is pinned independently of the query plumbing."""
+    import glob
+
+    from nineinfra_spark.sources.writers import compact_partitioned_table
+
+    wh = str(tmp_path / "wh")
+    db = "compact_edge_db"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{wh}/{db}'")
+    tbl = f"{db}.t"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    spark.sql(
+        f"CREATE TABLE {tbl} (k BIGINT) USING parquet PARTITIONED BY (pr STRING)"
+    )
+    spark.range(100).selectExpr(
+        "id AS k", "CASE WHEN id % 2 = 0 THEN 'A' ELSE 'B' END AS pr"
+    ).repartition(8).write.mode("append").insertInto(tbl)
+    loc = f"{wh}/{db}/t"
+    assert len(glob.glob(f"{loc}/pr=A/*.parquet")) > 1
+
+    compact_partitioned_table(spark, tbl, ["pr"])
+    assert len(glob.glob(f"{loc}/pr=A/*.parquet")) == 1
+    assert len(glob.glob(f"{loc}/pr=B/*.parquet")) == 1
+    assert spark.table(tbl).count() == 100
+    spark.sql(f"DROP TABLE {tbl}")
+    spark.sql(f"DROP DATABASE {db}")
