@@ -88,6 +88,27 @@ def test_sql_error_maps_to_400(rest):
     assert "no_such_table" in body["error"].lower() or "TABLE_OR_VIEW" in body["error"]
 
 
+def test_concurrent_clients(rest):
+    """The multi-tenant claim: 8 clients fire distinct aggregates
+    concurrently (ThreadingHTTPServer → one thread per request, all
+    planning on the shared session); every client gets its own
+    correct answer."""
+    import concurrent.futures
+
+    def one(k: int):
+        out = _post(
+            rest,
+            {"sql": f"SELECT COUNT(*) AS n FROM customer WHERE c_custkey % 8 = {k}"},
+        )
+        return k, out["rows"][0][0]
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+        results = dict(ex.map(one, range(8)))
+    assert len(results) == 8
+    assert sum(results.values()) == 150  # sf0.001 customer count
+    assert all(n > 0 for n in results.values())
+
+
 def test_engine_config_wires_rest_port():
     """EngineConfig.rest_port plumbs through Engine.open/close. The
     pytest process already holds the shared session, so getOrCreate
