@@ -475,31 +475,44 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape): 6-way join with TWO roles for the nation dim (supplier's
     and customer's), symmetric nation-pair predicate, per-year rollup.
 
-    Scale posture: both nation copies broadcast (fixed size); the
-    nation-pair filter lands on supplier and customer BEFORE the fact
-    joins, so the orders⋈lineitem shuffle carries only the two
-    nations' slice. Year extraction is a scan-side projection."""
+    Scale posture: both nation copies broadcast (fixed size) and are
+    pre-filtered to the two pair nations — Catalyst cannot derive
+    those unilateral IN-filters from the symmetric OR predicate on its
+    own (it references both roles), so we state them explicitly. The
+    broadcast joins against the 2-row filtered dims then semi-filter
+    supplier and customer BEFORE the fact joins, so the
+    orders⋈lineitem shuffle carries only the two nations' slice; the
+    symmetric pair filter on top only removes the two same-nation
+    combinations. Year extraction is a scan-side projection."""
+    pair_nations = ("NATION_1", "NATION_2")
     supp = t(spark, sf_dir, "supplier")
     li = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= ts("1995-01-01")) & (F.col("l_shipdate") < ts("1997-01-01"))
     )
     orders = t(spark, sf_dir, "orders")
     cust = t(spark, sf_dir, "customer")
-    n1 = t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    n1 = (
+        t(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*pair_nations))
+        .select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
     )
-    n2 = t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    n2 = (
+        t(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*pair_nations))
+        .select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
     )
+    # Inner-joining the pre-filtered 2-row dims restricts supplier and
+    # customer to the pair nations; each fact side is then reduced to
+    # its two-nation slice BEFORE the orderkey fact-fact shuffle.
+    supp2 = supp.join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
+    cust2 = cust.join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
+    li2 = li.join(supp2, li.l_suppkey == supp2.s_suppkey)
+    orders2 = orders.join(cust2, orders.o_custkey == cust2.c_custkey)
     pair = (
         (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(supp, li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
-        .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
+        li2.join(orders2, li2.l_orderkey == orders2.o_orderkey)
         .filter(pair)
         .select(
             "supp_nation",

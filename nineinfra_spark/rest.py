@@ -36,6 +36,10 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pyspark.sql import SparkSession
 
 DEFAULT_FETCH_LIMIT = 1000
+#: Server-side ceiling on the per-request ``limit`` override — the cap
+#: exists to stop careless driver materialization, so the client must
+#: not be able to raise it past this.
+MAX_FETCH_LIMIT = 10_000
 
 
 def _json_default(v):
@@ -71,9 +75,13 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             length = int(self.headers.get("Content-Length", "0"))
             req = json.loads(self.rfile.read(length) or b"{}")
+            if not isinstance(req, dict):
+                raise TypeError(f"body must be a JSON object, got {type(req).__name__}")
             sql = req["sql"]
             limit = int(req.get("limit", DEFAULT_FETCH_LIMIT))
-        except (KeyError, ValueError, json.JSONDecodeError) as exc:
+            if limit < 0 or limit > MAX_FETCH_LIMIT:
+                raise ValueError(f"limit must be in [0, {MAX_FETCH_LIMIT}], got {limit}")
+        except (KeyError, TypeError, ValueError, json.JSONDecodeError) as exc:
             self._reply(400, {"error": f"bad request: {exc}"})
             return
         try:

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import functools as _functools
 import os
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -33,6 +34,14 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     (session conf) and rebuilt as ``timestamp_ntz`` by truncating
     nanos → micros, exactly like DuckDB's reader, so both engines see
     identical values.
+
+    CAVEAT (remote paths): when the footer cannot be probed (s3a://
+    and other non-local schemes, or no pyarrow), NO rebuild runs —
+    nanos-annotated columns come back as raw BIGINT epoch-nanos, a
+    schema divergence from the local-path read of the same file. A
+    ``UserWarning`` is emitted; callers on remote storage that expect
+    nanosecond timestamps must rebuild those columns themselves (see
+    ``_rebuild_nanos_ts`` for the truncation expression).
     """
     nanos_cols = _nanos_ts_columns(path)
     if nanos_cols is None:
@@ -40,6 +49,14 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
         # e.g. an s3a:// URI): set the conf defensively so a scan of
         # nanos-annotated columns surfaces them as raw long instead of
         # failing outright. No rebuild — the column set is unknown.
+        warnings.warn(
+            f"read_parquet({path!r}): parquet footer not probeable from the "
+            f"driver; any TIMESTAMP(NANOS) column will read as raw BIGINT "
+            f"(no timestamp rebuild). Rebuild nanos columns downstream if "
+            f"this path contains them.",
+            UserWarning,
+            stacklevel=2,
+        )
         spark.conf.set(NANOS_CONF, "true")
         nanos_cols = frozenset()
     elif nanos_cols:

@@ -77,7 +77,7 @@ def save_as_table(
 
 
 def compact_partitioned_table(
-    df_source, table: str, partition_cols: Sequence[str]
+    spark, table: str, partition_cols: Sequence[str]
 ) -> None:
     """Compact a partitioned table's small files: rewrite every
     partition present in the table so each partition directory holds
@@ -92,9 +92,22 @@ def compact_partitioned_table(
     the new complete file set (the parquet commit protocol swaps
     per-partition), and the table's schema/metadata are unchanged.
 
-    ``df_source``: the SparkSession owning ``table``.
+    ``spark``: the SparkSession owning ``table``. ``partition_cols``
+    must be exactly the table's declared partition columns — the whole
+    mechanism depends on dynamic-partition overwrite engaging; on an
+    unpartitioned table (or with the wrong columns) the
+    self-referential INSERT OVERWRITE would degenerate into a static
+    full overwrite of a path being read, so we validate up front and
+    fail with a clear error instead.
     """
-    spark = df_source
+    declared = [c.name for c in spark.catalog.listColumns(table) if c.isPartition]
+    if sorted(declared) != sorted(partition_cols):
+        raise ValueError(
+            f"compact_partitioned_table({table!r}): partition_cols "
+            f"{sorted(partition_cols)} != table's declared partition columns "
+            f"{sorted(declared)} — compaction requires dynamic-partition "
+            f"overwrite on exactly the declared partitioning"
+        )
     df = spark.table(table)
     saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

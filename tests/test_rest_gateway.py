@@ -88,6 +88,50 @@ def test_sql_error_maps_to_400(rest):
     assert "no_such_table" in body["error"].lower() or "TABLE_OR_VIEW" in body["error"]
 
 
+def _post_expect_400(rest, data: bytes) -> dict:
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{rest.port}/api/v1/sql",
+        data=data,
+        headers={"Content-Type": "application/json"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req)
+    assert ei.value.code == 400
+    return json.loads(ei.value.read())
+
+
+def test_limit_above_ceiling_rejected(rest):
+    """A client cannot defeat the fetch cap: limit above
+    MAX_FETCH_LIMIT is a 400, not a driver-side collect of 10**9."""
+    body = _post_expect_400(
+        rest, json.dumps({"sql": "SELECT 1 AS x", "limit": 10**9}).encode()
+    )
+    assert "limit" in body["error"]
+
+
+def test_negative_limit_rejected(rest):
+    body = _post_expect_400(
+        rest, json.dumps({"sql": "SELECT 1 AS x", "limit": -5}).encode()
+    )
+    assert "limit" in body["error"]
+
+
+def test_limit_at_ceiling_accepted(rest):
+    from nineinfra_spark.rest import MAX_FETCH_LIMIT
+
+    out = _post(rest, {"sql": "SELECT 1 AS x", "limit": MAX_FETCH_LIMIT})
+    assert out["rows"] == [[1]]
+
+
+def test_non_object_json_body_maps_to_400(rest):
+    """A body that parses as JSON but isn't an object ([1], "x", null)
+    must map to the documented 400 shape, not kill the handler
+    thread with a TypeError."""
+    for payload in (b"[1]", b'"x"', b"null", b"3"):
+        body = _post_expect_400(rest, payload)
+        assert "bad request" in body["error"]
+
+
 def test_concurrent_clients(rest):
     """The multi-tenant claim: 8 clients fire distinct aggregates
     concurrently (ThreadingHTTPServer → one thread per request, all

@@ -179,5 +179,21 @@ def test_compact_multi_partition_table(spark, tmp_path):
     assert len(glob.glob(f"{loc}/pr=A/*.parquet")) == 1
     assert len(glob.glob(f"{loc}/pr=B/*.parquet")) == 1
     assert spark.table(tbl).count() == 100
+
+    # Wrong partition_cols must fail loudly BEFORE any write — not
+    # degenerate into a static full overwrite of a path being read.
+    import pytest
+
+    with pytest.raises(ValueError, match="declared partition columns"):
+        compact_partitioned_table(spark, tbl, ["k"])
+    assert spark.table(tbl).count() == 100  # untouched
+
+    spark.sql(f"DROP TABLE {tbl}")
+
+    # Unpartitioned table: same loud rejection.
+    spark.sql(f"CREATE TABLE {tbl} (k BIGINT) USING parquet")
+    spark.range(10).selectExpr("id AS k").write.mode("append").insertInto(tbl)
+    with pytest.raises(ValueError, match="declared partition columns"):
+        compact_partitioned_table(spark, tbl, ["k"])
     spark.sql(f"DROP TABLE {tbl}")
     spark.sql(f"DROP DATABASE {db}")
