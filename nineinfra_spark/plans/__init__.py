@@ -34,67 +34,68 @@ _load_all()
 #: Verification-priority prefix: the driver's CORRECTNESS gate checks
 #: a bounded window (exactly 50) of queries in export order, so the
 #: queries that most need a fresh driver-green differential row are
-#: pinned first — (a) the queries whose latest green row is OLDEST
-#: (the r2 stragglers that rolled out of the r4 window), (b) queries
-#: new or shape-changed this round, (c) backfill from the r3-latest
-#: cohort to exactly 50. Rows refreshed in r4 (aggregates, scalar fns,
-#: outer joins, setops, ext dedup) follow in registration order and
-#: rotate back in next round.
+#: pinned first — (a) queries new or shape-changed this round (r6:
+#: the partsupp-backed TPC-H queries, plus q7 whose join tree was
+#: restructured for pushdown), (b) the 23 queries whose latest green
+#: row is r3 — the oldest in the registry, (c) backfill from the
+#: r4-latest cohort to exactly 50. Rows refreshed in r5 (ext text/
+#: similarity/multimodal, sources/catalog, streams tumbling/sliding)
+#: follow in registration order and rotate back next round.
 _VERIFY_FIRST = [
-    # (a) latest row is r2 — the oldest verification in the registry
-    "ann_cosine_topk",
-    "ann_cosine_topk_pandas",
-    "ann_lsh_buckets",
-    "dedup_simhash",
-    "mm_frame_sample",
-    "mm_metadata_extract",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_quality_stats",
-    "text_token_topk",
-    # (b) new or shape-changed in round 5
-    "catalog_table_lifecycle",  # now exercises ALTER TABLE + INSERT OVERWRITE
-    "catalog_insert_overwrite_dynamic",  # new: dynamic-partition overwrite
-    "ann_ivf_refined_topk",  # new: IVF + one Lloyd refinement pass
-    "dedup_embedding_clusters",  # new: embedding near-dup -> clusters
-    "dedup_keep_canonical",  # new: clusters -> deduplicated corpus
-    "sample_stratified_hash",  # new: per-stratum deterministic rates
-    "text_quality_topk_per_lang",  # new: keep best-N per language
-    "q7_volume_shipping",  # new: two-role nation dim, per-year rollup
-    "q13_customer_distribution",  # new: outer join + double aggregation
-    "q21_waiting_suppliers",  # new: correlated EXISTS + NOT EXISTS pair
-    "q8_market_share",  # new: two-role nation + bit-stable ratio
-    "q15_top_supplier",  # new: CTE + uncorrelated MAX scalar subquery
-    "text_decontaminate",  # new: eval-set n-gram overlap removal
-    "catalog_compact_small_files",  # new: small-files compaction
-    # (c) backfill: latest row is r3 (the 11 left over — windows,
-    # events_sessionize, non-scalar UDFs — head the r6 rotation)
-    "agg_approx_sketches",
-    "mm_decode_features",
-    "sim_join_exact_oracle",
-    "ann_ivf_topk",
-    "fn_bitwise",
-    "join_inner_equi",
-    "setop_except_all",
-    "setop_union_by_name",
-    "topk_global",
-    "project_compute",
-    "filter_predicates",
-    "distinct_projection",
-    "dedup_by_subset",
-    "sample_bernoulli",
-    "sample_hash_bucket",
-    "sort_multi_key",
-    "sort_within_partitions",
-    "project_rename_drop",
-    "src_csv_roundtrip",
-    "src_json_roundtrip",
-    "src_orc_roundtrip",
-    "src_text_scan",
-    "sink_partitioned_pruning",
-    "catalog_bucketed_join",
-    "stream_tumbling_window",
-    "stream_sliding_window",
+    # (a) new or shape-changed in round 6
+    "q9_product_type_profit",  # new: synthetic partsupp, widest join
+    "q11_important_stock",  # new: HAVING over 1-row total broadcast
+    "q16_supplier_cnt",  # new: NOT IN blacklist + count-distinct
+    "q20_potential_promotion",  # new: decorrelated half-qty threshold
+    "q7_volume_shipping",  # r6: fact sides pre-reduced before shuffle
+    # (b) latest row is r3 — the oldest verification in the registry
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q18_large_volume_customers",
+    "window_ranking",
+    "window_lag_lead",
+    "window_running_agg",
+    "window_moving_frame",
+    "window_range_frame",
+    "window_first_last_nth",
+    "events_sessionize",
+    "stream_session_window",
+    "stream_dedup_watermark",
+    "stream_static_join",
+    "stream_stream_join",
+    "stream_stateful_counts",
+    "udf_scalar_python",
+    "udf_sql_registered",
+    "udf_pandas_vectorized",
+    "udf_grouped_agg_pandas",
+    "udf_apply_in_pandas",
+    # (c) backfill: latest row is r4 (a cross-module spread — the
+    # remaining r4 queries rotate in next round)
+    "agg_global",
+    "agg_multi_distinct",
+    "agg_cube",
+    "agg_pivot",
+    "agg_percentile_exact",
+    "agg_first_last_by",
+    "agg_boolean_family",
+    "fn_string",
+    "fn_datetime",
+    "fn_array",
+    "fn_json",
+    "join_left_outer",
+    "join_full_outer",
+    "join_left_semi",
+    "join_left_anti",
+    "join_asof_backward",
+    "join_skew_hotkey",
+    "setop_union_all",
+    "setop_intersect_all",
+    "q17_small_qty_revenue",
+    "q2_above_partition_avg",
+    "events_funnel",
 ]
 
 registry.set_order(_VERIFY_FIRST)

@@ -647,3 +647,321 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("mkt_share", F.col("nation_volume") / F.col("total_volume"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Synthetic partsupp: the testdata ships no partsupp table, so the four
+# TPC-H shapes that need one (q9/q11/q16/q20) derive it DETERMINISTICALLY
+# from part × a 4-element sequence — pure integer arithmetic over
+# contiguous 0-based keys, reproduced verbatim by the DuckDB oracle CTE,
+# so both engines see the identical relation without any stored state.
+#
+# Scale posture: the derivation is a scan-side projection + explode over
+# the part dim (4 rows out per part, no shuffle to build); at TPC-H scale
+# partsupp is exactly 4×|part| rows, same as the real table. The supplier
+# count is one cheap job over the supplier dim (SF×10k rows) — on a real
+# warehouse deployment that's a catalog-stats lookup, not a scan.
+# ---------------------------------------------------------------------------
+
+#: Oracle-side mirror of ``_partsupp``. Must stay arithmetically
+#: identical to the Spark derivation below — the correctness gate diffs
+#: query results built on both.
+_PARTSUPP_CTE = """
+WITH partsupp AS (
+    SELECT ps_partkey, ps_suppkey,
+           CAST((ps_partkey * 37 + ps_suppkey * 11) % 9999 + 1 AS BIGINT)
+               AS ps_availqty,
+           CAST(CAST((ps_partkey * 181 + ps_suppkey * 59) % 99900 + 100
+                     AS DECIMAL(14,2)) * CAST(0.01 AS DECIMAL(3,2))
+                AS DECIMAL(12,2)) AS ps_supplycost
+    FROM (
+        SELECT p_partkey AS ps_partkey,
+               (p_partkey * 7 + i * 13) % (SELECT COUNT(*) FROM supplier)
+                   AS ps_suppkey
+        FROM part
+        CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) gen
+    ) base
+)
+"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic ``partsupp``: 4 suppliers per part.
+
+    ``ps_suppkey = (p_partkey*7 + i*13) mod |supplier|`` (i ∈ 0..3 —
+    the four offsets are distinct mod |supplier| at every testdata SF,
+    so each part gets 4 distinct suppliers, mirroring TPC-H);
+    ``ps_availqty`` / ``ps_supplycost`` are integer hashes of the key
+    pair, the cost built as exact DECIMAL(12,2) (cents × 0.01 in
+    decimal arithmetic — never a float literal, so Spark and DuckDB
+    agree bit-for-bit)."""
+    n_supp = t(spark, sf_dir, "supplier").count()
+    cents = F.pmod(F.col("ps_partkey") * 181 + F.col("ps_suppkey") * 59, F.lit(99900)) + 100
+    return (
+        t(spark, sf_dir, "part")
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i"),
+        )
+        .select(
+            "ps_partkey",
+            F.pmod(F.col("ps_partkey") * 7 + F.col("i") * 13, F.lit(n_supp)).alias(
+                "ps_suppkey"
+            ),
+        )
+        .select(
+            "ps_partkey",
+            "ps_suppkey",
+            (
+                F.pmod(F.col("ps_partkey") * 37 + F.col("ps_suppkey") * 11, F.lit(9999))
+                + 1
+            ).alias("ps_availqty"),
+            (cents.cast("decimal(14,2)") * F.expr("CAST(0.01 AS DECIMAL(3,2))"))
+            .cast("decimal(12,2)")
+            .alias("ps_supplycost"),
+        )
+    )
+
+
+@query(
+    "q9_product_type_profit",
+    oracle=_PARTSUPP_CTE
+    + """
+    SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+    FROM (
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))
+                   - ps_supplycost * CAST(l_quantity AS DECIMAL(18,2)) AS amount
+        FROM lineitem
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+        JOIN part     ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        WHERE p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+    tags=("join", "agg"),
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-type profit by nation and year (TPC-H Q9 shape): the
+    widest join in the suite — lineitem against part, partsupp,
+    supplier, orders, nation — with profit = revenue − supply cost.
+
+    Scale posture: the part-name filter lands on part BEFORE any fact
+    join and the (partkey, suppkey) partsupp join keeps the derived
+    relation bucketed by the same key the fact side shuffles on;
+    nation broadcasts. All money math is exact decimal, so the sum is
+    reduce-order-independent (100 TB: result must not depend on
+    parallelism). Cites the reference's full-SQL surface
+    (``internal/controller/kyuubi.go:189-203``)."""
+    li = t(spark, sf_dir, "lineitem")
+    part_f = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+    )
+    ps = _partsupp(spark, sf_dir)
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    nation = t(spark, sf_dir, "nation")
+    amount = _revenue() - F.col("ps_supplycost") * dec("l_quantity", 18, 2)
+    return (
+        li.join(part_f, li.l_partkey == part_f.p_partkey)
+        .join(ps, (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("amount").cast("double").alias("sum_profit"))
+    )
+
+
+@query(
+    "q11_important_stock",
+    oracle=_PARTSUPP_CTE
+    + """
+    , in_nation AS (
+        SELECT ps_partkey,
+               ps_supplycost * CAST(ps_availqty AS DECIMAL(18,0)) AS val
+        FROM partsupp
+        JOIN supplier ON s_suppkey = ps_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        WHERE n_name = 'NATION_3'
+    ),
+    grouped AS (
+        SELECT ps_partkey, SUM(val) AS value_dec
+        FROM in_nation GROUP BY ps_partkey
+    )
+    SELECT ps_partkey, CAST(value_dec AS DOUBLE) AS part_value
+    FROM grouped
+    WHERE value_dec > (
+        SELECT SUM(value_dec) * CAST(0.004 AS DECIMAL(6,4)) FROM grouped
+    )
+    """,
+    tags=("join", "agg", "bounded-nlj"),
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important-stock identification (TPC-H Q11 shape): per-part
+    inventory value for one nation's suppliers, kept only where the
+    part's value exceeds a fraction of the nation-wide total —
+    HAVING over an uncorrelated scalar aggregate.
+
+    Scale posture: the nation filter reduces supplier to one nation
+    before touching partsupp; the grand total is a 1-row aggregate
+    broadcast back over the grouped values (tagged bounded-nlj — the
+    broadcast side is exactly one row by construction). The threshold
+    comparison is decimal-vs-decimal, so the boundary row can't flip
+    between engines."""
+    ps = _partsupp(spark, sf_dir)
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    val = (F.col("ps_supplycost") * F.col("ps_availqty").cast("decimal(18,0)")).alias(
+        "val"
+    )
+    grouped = (
+        ps.join(supp, ps.ps_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .select("ps_partkey", val)
+        .groupBy("ps_partkey")
+        .agg(F.sum("val").alias("value_dec"))
+    )
+    total = grouped.agg(
+        (F.sum("value_dec") * F.expr("CAST(0.004 AS DECIMAL(6,4))")).alias("threshold")
+    )
+    return (
+        grouped.crossJoin(F.broadcast(total))  # 1-row total: bounded
+        .filter(F.col("value_dec") > F.col("threshold"))
+        .select("ps_partkey", F.col("value_dec").cast("double").alias("part_value"))
+    )
+
+
+@query(
+    "q16_supplier_cnt",
+    oracle=_PARTSUPP_CTE
+    + """
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+    FROM partsupp
+    JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand <> 'Brand#4'
+      AND p_type NOT LIKE 'MEDIUM%'
+      AND p_size IN (1, 4, 7, 10, 14, 19, 23, 45)
+      AND ps_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    """,
+    tags=("join", "agg"),
+)
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts/supplier relationship (TPC-H Q16 shape): supplier count
+    per (brand, type, size) bucket, excluding a blacklist of suppliers
+    via NOT IN subquery. The reference's p_comment/s_comment columns
+    don't exist in the testdata, so the blacklist predicate is adapted
+    to ``s_acctbal < 0`` (same NOT-IN-over-subquery shape).
+
+    Scale posture: all part predicates push to the part scan; the
+    blacklist is a LEFT ANTI join against a tiny filtered supplier
+    projection (s_suppkey is never null, so anti-join ≡ NOT IN here);
+    COUNT(DISTINCT) shuffles once on the grouping key with the
+    distinct handled by a partial expand — no driver-side set."""
+    ps = _partsupp(spark, sf_dir)
+    part_f = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#4")
+        & ~F.col("p_type").like("MEDIUM%")
+        & F.col("p_size").isin(1, 4, 7, 10, 14, 19, 23, 45)
+    )
+    blacklist = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(part_f, ps.ps_partkey == part_f.p_partkey)
+        .join(blacklist, ps.ps_suppkey == blacklist.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q20_potential_promotion",
+    oracle=_PARTSUPP_CTE
+    + """
+    , shipped AS (
+        SELECT l_partkey, l_suppkey,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+        GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_name = 'NATION_13'
+      AND s_suppkey IN (
+          SELECT ps_suppkey
+          FROM partsupp
+          JOIN part ON p_partkey = ps_partkey AND p_name LIKE 'small%'
+          JOIN shipped ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+          WHERE CAST(ps_availqty AS DECIMAL(18,2))
+                    > CAST(0.5 AS DECIMAL(2,1)) * qty
+      )
+    """,
+    tags=("join", "agg", "semi"),
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Potential part promotion (TPC-H Q20 shape): suppliers in one
+    nation whose stock of name-matched parts exceeds half of what they
+    shipped in 1995 — a nested IN over a join against a pre-aggregated
+    fact slice.
+
+    Scale posture: the correlated half-quantity threshold is
+    decorrelated by hand into a (partkey, suppkey) aggregate of the
+    date-sliced lineitem, then equi-joined — never a per-row subquery;
+    the final membership test is a LEFT SEMI join on suppkey. The
+    availqty-vs-half-shipped comparison is decimal-exact on both
+    engines."""
+    ps = _partsupp(spark, sf_dir)
+    part_f = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    shipped = (
+        t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= ts("1995-01-01"))
+            & (F.col("l_shipdate") < ts("1996-01-01"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(dec("l_quantity")).alias("qty"))
+    )
+    qualifying = (
+        ps.join(part_f, ps.ps_partkey == part_f.p_partkey)
+        .join(
+            shipped,
+            (ps.ps_partkey == shipped.l_partkey) & (ps.ps_suppkey == shipped.l_suppkey),
+        )
+        .filter(
+            F.col("ps_availqty").cast("decimal(18,2)")
+            > F.expr("CAST(0.5 AS DECIMAL(2,1))") * F.col("qty")
+        )
+        .select("ps_suppkey")
+    )
+    supp = t(spark, sf_dir, "supplier")
+    nat = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_13")
+    return (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(qualifying, supp.s_suppkey == qualifying.ps_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
