@@ -17,6 +17,17 @@ additionally see all persistent tables.
 Port conf must be set at session build time, so the Engine owns the
 lifecycle: set ``EngineConfig.thrift_port`` and ``Engine.open()``
 brings the gateway up.
+
+Authentication: the reference fronts this protocol with Kyuubi's JDBC
+auth (salted-MD5 users-table lookup, ``kyuubi.go:55-64,138-164``) and
+runs engines as the authenticated user (``doAs`` impersonation). The
+in-JVM HiveThriftServer2 exposes the same knobs as server-launch conf
+(``hive.server2.authentication``, ``hive.server2.enable.doAs``) — they
+require a Hadoop auth provider in the classpath, which this container
+doesn't ship, so thrift auth is an ENV-BLOCKED integration point; the
+engine-native scheme itself is implemented and enforced on the REST
+frontend (``nineinfra_spark/auth.py`` + ``rest.py``), backed by the
+same users table a thrift deployment would query.
 """
 
 from __future__ import annotations

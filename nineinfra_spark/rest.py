@@ -21,16 +21,28 @@ Design constraints, mirrored from the gateway tier's reality:
 
 Endpoints:
 
-- ``GET  /api/v1/ping``    → ``{"status": "ok"}`` liveness
+- ``GET  /api/v1/ping``    → ``{"status": "ok"}`` liveness (always
+  open — a load balancer probes it without credentials)
 - ``POST /api/v1/sql``     → body ``{"sql": "...", "limit": 100}``;
   responds ``{"columns": [...], "rows": [[...]], "rowCount": N,
   "truncated": bool}``. Errors → HTTP 400 with ``{"error": ...}``.
+
+Authentication: pass ``auth`` (any ``(username, password) -> bool``,
+typically :class:`nineinfra_spark.auth.UserStore` — the reference's
+salted-MD5 users-table scheme, ``internal/controller/kyuubi.go:55-64``)
+to require HTTP Basic credentials on ``/api/v1/sql``; missing or
+invalid credentials → 401 with ``WWW-Authenticate``. With ``auth=None``
+the frontend is open, matching the reference's non-JDBC auth mode
+(``kyuubi.go:66-69`` omits ``kyuubi.authentication`` entirely).
 """
 
 from __future__ import annotations
 
+import base64
+import binascii
 import json
 import threading
+from collections.abc import Callable
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from pyspark.sql import SparkSession
@@ -50,6 +62,7 @@ def _json_default(v):
 
 class _Handler(BaseHTTPRequestHandler):
     spark: SparkSession  # injected by start_rest_gateway
+    auth: Callable[[str, str], bool] | None  # None → open frontend
 
     def log_message(self, *args) -> None:  # silence per-request stderr noise
         pass
@@ -68,9 +81,34 @@ class _Handler(BaseHTTPRequestHandler):
         else:
             self._reply(404, {"error": f"unknown path {self.path}"})
 
+    def _authorized(self) -> bool:
+        """HTTP Basic check against the injected validator. The
+        username/password split and charset follow RFC 7617; any parse
+        failure is simply 'not authorized' (no 500s on garbage)."""
+        if self.auth is None:
+            return True
+        header = self.headers.get("Authorization", "")
+        if not header.startswith("Basic "):
+            return False
+        try:
+            decoded = base64.b64decode(header[6:], validate=True).decode("utf-8")
+            username, _, password = decoded.partition(":")
+        except (binascii.Error, UnicodeDecodeError):
+            return False
+        return bool(self.auth(username, password))
+
     def do_POST(self) -> None:  # noqa: N802 — http.server API
         if self.path != "/api/v1/sql":
             self._reply(404, {"error": f"unknown path {self.path}"})
+            return
+        if not self._authorized():
+            self.send_response(401)
+            self.send_header("WWW-Authenticate", 'Basic realm="nineinfra"')
+            body = json.dumps({"error": "unauthorized"}).encode()
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
             return
         try:
             length = int(self.headers.get("Content-Length", "0"))
@@ -121,11 +159,17 @@ class RestGateway:
         self._thread.join(timeout=10)
 
 
-def start_rest_gateway(spark: SparkSession, port: int = 0) -> RestGateway:
+def start_rest_gateway(
+    spark: SparkSession,
+    port: int = 0,
+    auth: Callable[[str, str], bool] | None = None,
+) -> RestGateway:
     """Serve the REST SQL frontend on ``port`` (0 = OS-assigned; read
     the bound port from the returned handle). Binds immediately; the
-    accept loop runs on a daemon thread."""
-    handler = type("BoundHandler", (_Handler,), {"spark": spark})
+    accept loop runs on a daemon thread. ``auth``: optional
+    ``(username, password) -> bool`` validator enforcing HTTP Basic on
+    ``/api/v1/sql`` (see module docstring)."""
+    handler = type("BoundHandler", (_Handler,), {"spark": spark, "auth": auth})
     server = ThreadingHTTPServer(("127.0.0.1", port), handler)
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()

@@ -153,6 +153,92 @@ def test_concurrent_clients(rest):
     assert all(n > 0 for n in results.values())
 
 
+class TestAuth:
+    """Salted-MD5 users-table auth (kyuubi.go:55-64,138-164 mirrored
+    by nineinfra_spark/auth.py) enforced as HTTP Basic on the REST
+    frontend: 401 without/with-bad credentials, 200 with good ones."""
+
+    @pytest.fixture(scope="class")
+    def auth_rest(self, spark):
+        from nineinfra_spark.auth import UserStore, init_users_table
+
+        register_testdata(spark, SF)
+        init_users_table(
+            spark, {"admin": "s3cret", "bi_user": "pw2"}, table="nine_auth.users_t"
+        )
+        store = UserStore(spark, table="nine_auth.users_t")
+        gw = start_rest_gateway(spark, port=0, auth=store)
+        yield gw
+        gw.stop()
+        spark.sql("DROP TABLE IF EXISTS nine_auth.users_t")
+
+    @staticmethod
+    def _basic(user, pw):
+        import base64
+
+        return {"Authorization": "Basic " + base64.b64encode(f"{user}:{pw}".encode()).decode()}
+
+    def _post(self, gw, payload, headers=None):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{gw.port}/api/v1/sql",
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json", **(headers or {})},
+        )
+        return urllib.request.urlopen(req)
+
+    def test_missing_credentials_401(self, auth_rest):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            self._post(auth_rest, {"sql": "SELECT 1 AS x"})
+        assert ei.value.code == 401
+        assert ei.value.headers["WWW-Authenticate"].startswith("Basic")
+        assert json.loads(ei.value.read()) == {"error": "unauthorized"}
+
+    def test_bad_password_401(self, auth_rest):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            self._post(auth_rest, {"sql": "SELECT 1 AS x"}, self._basic("admin", "wrong"))
+        assert ei.value.code == 401
+
+    def test_unknown_user_401(self, auth_rest):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            self._post(auth_rest, {"sql": "SELECT 1 AS x"}, self._basic("eve", "s3cret"))
+        assert ei.value.code == 401
+
+    def test_garbage_basic_header_401(self, auth_rest):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            self._post(
+                auth_rest,
+                {"sql": "SELECT 1 AS x"},
+                {"Authorization": "Basic !!!not-base64!!!"},
+            )
+        assert ei.value.code == 401
+
+    def test_good_credentials_200(self, auth_rest):
+        with self._post(
+            auth_rest, {"sql": "SELECT COUNT(*) AS n FROM nation"}, self._basic("admin", "s3cret")
+        ) as r:
+            assert json.loads(r.read())["rows"] == [[25]]
+
+    def test_second_user_200(self, auth_rest):
+        with self._post(
+            auth_rest, {"sql": "SELECT 1 AS x"}, self._basic("bi_user", "pw2")
+        ) as r:
+            assert json.loads(r.read())["rows"] == [[1]]
+
+    def test_ping_stays_open(self, auth_rest):
+        # liveness must not require credentials (LB probes)
+        assert _get(auth_rest, "/api/v1/ping") == {"status": "ok"}
+
+    def test_stored_form_is_salted_md5(self, spark):
+        """The stored password must be the reference's exact form:
+        hex(md5('nineinfra' || password)) — never plaintext."""
+        import hashlib
+
+        from nineinfra_spark.auth import hash_password
+
+        assert hash_password("abc") == hashlib.md5(b"nineinfraabc").hexdigest()
+        assert hash_password("abc") == "59a13902aa0611ae96eb572e26964e40"
+
+
 def test_engine_config_wires_rest_port():
     """EngineConfig.rest_port plumbs through Engine.open/close. The
     pytest process already holds the shared session, so getOrCreate
