@@ -195,3 +195,85 @@ def read_jdbc(
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def kafka_options(
+    bootstrap_servers: str,
+    topic: str | None = None,
+    *,
+    subscribe_pattern: str | None = None,
+    assign: str | None = None,
+    starting_offsets: str = "earliest",
+    ending_offsets: str | None = None,
+    fail_on_data_loss: bool = True,
+    max_offsets_per_trigger: int | None = None,
+    **options: str,
+) -> dict[str, str]:
+    """Build the option map for Spark's Kafka source (pure function —
+    unit-testable without a broker).
+
+    Exactly one subscription mode must be given: ``topic`` (comma-
+    separated list → ``subscribe``), ``subscribe_pattern``, or
+    ``assign`` (JSON partition map). ``starting_offsets`` defaults to
+    ``earliest`` — a batch read of a topic means "what's there", and a
+    stream's first run starts from the beginning unless the checkpoint
+    says otherwise (subsequent runs always resume from the checkpoint,
+    ignoring this option).
+
+    Scale posture: one Spark input partition per Kafka topic-partition
+    — parallelism is decided by the topic layout, not the reader;
+    ``max_offsets_per_trigger`` caps per-microbatch intake so a replay
+    of a deep topic backlog doesn't produce one giant first batch.
+    """
+    modes = {
+        "subscribe": topic,
+        "subscribePattern": subscribe_pattern,
+        "assign": assign,
+    }
+    given = {k: v for k, v in modes.items() if v is not None}
+    if len(given) != 1:
+        raise ValueError(
+            f"exactly one of topic/subscribe_pattern/assign required, got {sorted(given) or 'none'}"
+        )
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": str(fail_on_data_loss).lower(),
+        **given,
+    }
+    if ending_offsets is not None:
+        opts["endingOffsets"] = ending_offsets
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    opts.update(options)
+    return opts
+
+
+def read_kafka(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str | None = None,
+    streaming: bool = True,
+    **kwargs,
+) -> DataFrame:
+    """Kafka source (the platform's stream ingestion once the
+    reference's ``stream`` cluster type lands,
+    ``api/v1alpha1/ninecluster_types.go:40-45``).
+
+    ``streaming=True`` → ``readStream`` (Structured Streaming);
+    ``False`` → bounded batch read of the current topic contents.
+    Output columns follow the Spark Kafka source schema: ``key`` /
+    ``value`` (binary), ``topic``, ``partition``, ``offset``,
+    ``timestamp``, ``timestampType`` — callers cast ``value`` and
+    apply a schema (``F.from_json`` etc.).
+
+    ENV-BLOCKED in this container: the ``spark-sql-kafka`` connector
+    jar and a broker are absent, so ``.load()`` raises Spark's
+    missing-data-source error; the option plumbing above it is real
+    and unit-tested (same treatment as the JDBC reader).
+    """
+    opts = kafka_options(bootstrap_servers, topic, **kwargs)
+    reader = (spark.readStream if streaming else spark.read).format("kafka")
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    return reader.load()

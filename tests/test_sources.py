@@ -197,3 +197,57 @@ def test_compact_multi_partition_table(spark, tmp_path):
         compact_partitioned_table(spark, tbl, ["k"])
     spark.sql(f"DROP TABLE {tbl}")
     spark.sql(f"DROP DATABASE {db}")
+
+
+class TestKafkaPlumbing:
+    """Kafka source option plumbing (no broker/connector in env — the
+    same signature-level treatment as the JDBC reader; the reference's
+    stream cluster type is ninecluster_types.go:40-45)."""
+
+    def test_subscribe_mode(self):
+        opts = readers.kafka_options("b1:9092,b2:9092", "events")
+        assert opts == {
+            "kafka.bootstrap.servers": "b1:9092,b2:9092",
+            "startingOffsets": "earliest",
+            "failOnDataLoss": "true",
+            "subscribe": "events",
+        }
+
+    def test_pattern_and_assign_modes(self):
+        assert (
+            readers.kafka_options("b:9092", subscribe_pattern="ev-.*")["subscribePattern"]
+            == "ev-.*"
+        )
+        a = readers.kafka_options("b:9092", assign='{"events":[0,1]}')
+        assert a["assign"] == '{"events":[0,1]}'
+
+    def test_exactly_one_mode_required(self):
+        with pytest.raises(ValueError, match="exactly one"):
+            readers.kafka_options("b:9092")
+        with pytest.raises(ValueError, match="exactly one"):
+            readers.kafka_options("b:9092", "t", subscribe_pattern="t.*")
+
+    def test_offset_and_rate_options(self):
+        opts = readers.kafka_options(
+            "b:9092",
+            "events",
+            starting_offsets="latest",
+            ending_offsets="latest",
+            fail_on_data_loss=False,
+            max_offsets_per_trigger=100_000,
+            **{"kafka.security.protocol": "SASL_SSL"},
+        )
+        assert opts["startingOffsets"] == "latest"
+        assert opts["endingOffsets"] == "latest"
+        assert opts["failOnDataLoss"] == "false"
+        assert opts["maxOffsetsPerTrigger"] == "100000"
+        assert opts["kafka.security.protocol"] == "SASL_SSL"
+
+    def test_load_reaches_spark_kafka_source(self, spark):
+        """The reader plumbing is real: .load() reaches Spark's data-
+        source resolution and fails with the documented missing-
+        connector error (env-block), not a python-side error."""
+        with pytest.raises(Exception, match="(?i)kafka"):
+            readers.read_kafka(spark, "localhost:9092", "events")
+        with pytest.raises(Exception, match="(?i)kafka"):
+            readers.read_kafka(spark, "localhost:9092", "events", streaming=False)
