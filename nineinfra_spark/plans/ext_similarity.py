@@ -497,9 +497,14 @@ def ann_ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB each Lloyd pass is one broadcast-assign scan + one
     (cell, dim)-keyed aggregation (K×d rows out — tiny); more passes
-    iterate the same two jobs. Refinement tightens cells around the
-    data's actual clusters, raising recall at the same n_probe — the
-    train/index/search split every production IVF system uses."""
+    iterate the same two jobs (the multi-pass loop with a convergence
+    metric lives in ``operators/ivf.py:train`` — this query runs
+    exactly one pass of it, keeping the oracle replicable).
+    Refinement tightens cells around the data's actual clusters,
+    raising recall at the same n_probe — the train/index/search split
+    every production IVF system uses."""
+    from nineinfra_spark.operators.ivf import train as ivf_train
+
     emb = t(spark, sf_dir, "embeddings")
     cent0 = emb.filter(
         (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_IVF_CELLS)
@@ -509,27 +514,7 @@ def ann_ivf_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cos_vc"), "cell")
 
     cand = emb.filter(F.col("vec_id") >= N_QUERIES)
-    assigned0 = (
-        cand.crossJoin(F.broadcast(cent0))
-        .select("vec_id", "embedding", "cell", cos_vc.alias("cos_vc"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cell")
-    )
-
-    # M-step: refined[cell][pos] = exact decimal sum of member dims.
-    refined = (
-        assigned0.select("cell", F.posexplode("embedding").alias("pos", "val"))
-        .groupBy("cell", "pos")
-        .agg(
-            F.sum(F.col("val").cast("double").cast("decimal(38,18)"))
-            .cast("double")
-            .alias("comp")
-        )
-        .groupBy("cell")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "comp"))).alias("sc"))
-        .select("cell", F.transform("sc", lambda s: s.comp).alias("c_emb"))
-    )
+    refined = ivf_train(cand, cent0, passes=1).centroids
 
     assigned = (
         cand.crossJoin(F.broadcast(refined))
