@@ -8,14 +8,22 @@ exactly ONE JSON line to stdout:
      "queries": {"q1_pricing_summary": <sec>, ...}, "sf": 0.1}
 
 Each query is forced end-to-end with a ``noop``-format write (full
-execution of every partition, no driver-side collect), timed after one
-warm-up pass so JVM/codegen startup is not attributed to the plan.
+execution of every partition, no driver-side collect). After one
+warm-up pass (JVM/codegen startup not attributed to the plan), the
+query is timed ``$SPARK_GRAFT_BENCH_RUNS`` times (default 3) and the
+reported figure is the MEDIAN — this VM's wall times drift up to
+~1.6× run-to-run, and a median of 3 suppresses that noise enough for
+round-over-round deltas to mean something. The emitted JSON carries
+``"timing": "median_of_<N>"`` so readers know the method.
+
+Also emits q9/q11/q16/q20 (the synthetic-partsupp queries) since r6.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -30,14 +38,18 @@ HEADLINE = [
     "q6_forecast_revenue",
     "q7_volume_shipping",
     "q8_market_share",
+    "q9_product_type_profit",
     "q10_returned_items",
+    "q11_important_stock",
     "q12_priority_lines",
     "q13_customer_distribution",
     "q14_promo_effect",
     "q15_top_supplier",
+    "q16_supplier_cnt",
     "q17_small_qty_revenue",
     "q18_large_volume_customers",
     "q19_disjunctive_revenue",
+    "q20_potential_promotion",
     "q21_waiting_suppliers",
     "q22_inactive_customers",
     "window_ranking",
@@ -76,6 +88,7 @@ def main() -> int:
 
     from nineinfra_spark.plans import registry
 
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     available = set(registry.names())
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -83,14 +96,18 @@ def main() -> int:
             continue
         fn = registry.get(name).fn
         _force(fn(spark, sf_dir))  # warm-up: JVM JIT, codegen, file listing
-        t0 = time.perf_counter()
-        _force(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 4)
+        samples = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            _force(fn(spark, sf_dir))
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 4)
 
     result = {
         "metric": "headline_total_wall",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
+        "timing": f"median_of_{n_runs}",
         "queries": timings,
         "sf": sf,
     }
