@@ -47,6 +47,7 @@ _VERIFY_FIRST = [
     "q11_important_stock",  # new: HAVING over 1-row total broadcast
     "q16_supplier_cnt",  # new: NOT IN blacklist + count-distinct
     "q20_potential_promotion",  # new: decorrelated half-qty threshold
+    "q2_min_cost_supplier",  # new: the real Q2 min-cost shape
     "q7_volume_shipping",  # r6: fact sides pre-reduced before shuffle
     # (b) latest row is r3 — the oldest verification in the registry
     "q1_pricing_summary",
@@ -94,7 +95,6 @@ _VERIFY_FIRST = [
     "setop_union_all",
     "setop_intersect_all",
     "q17_small_qty_revenue",
-    "q2_above_partition_avg",
     "events_funnel",
 ]
 

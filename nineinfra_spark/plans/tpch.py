@@ -965,3 +965,85 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(qualifying, supp.s_suppkey == qualifying.ps_suppkey, "left_semi")
         .select("s_suppkey", "s_name")
     )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle=_PARTSUPP_CTE
+    + """
+    SELECT s_acctbal, s_name, n_name, p_partkey,
+           CAST(ps_supplycost AS DOUBLE) AS supplycost
+    FROM partsupp ps
+    JOIN part     ON p_partkey = ps.ps_partkey
+    JOIN supplier ON s_suppkey = ps.ps_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    JOIN region   ON r_regionkey = n_regionkey
+    WHERE r_name = 'EUROPE'
+      AND p_size BETWEEN 10 AND 20
+      AND p_type = 'PROMO'
+      AND ps_supplycost = (
+          SELECT MIN(ps2.ps_supplycost)
+          FROM partsupp ps2
+          JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+          JOIN nation n2   ON n2.n_nationkey = s2.s_nationkey
+          JOIN region r2   ON r2.r_regionkey = n2.n_regionkey
+          WHERE ps2.ps_partkey = ps.ps_partkey AND r2.r_name = 'EUROPE'
+      )
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    tags=("join", "agg", "subquery", "topk"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-cost supplier (the REAL TPC-H Q2 shape, now expressible
+    over the synthetic partsupp — the earlier `q2_above_partition_avg`
+    kept the correlated-scalar-subquery SHAPE over customer when no
+    partsupp existed): for each region-eligible part, the suppliers
+    offering exactly the region-wide minimum supply cost.
+
+    The correlated MIN is decorrelated by hand into a per-part
+    aggregate of the region-filtered partsupp, joined back on
+    (partkey, cost) — cost is exact DECIMAL(12,2), so the equality
+    join can't miss the boundary row. The oracle keeps the correlated
+    form, witnessing that both formulations agree.
+
+    Scale posture: nation/region broadcast; the region filter reduces
+    supplier before it meets partsupp; the min-cost aggregate reuses
+    the (partkey)-keyed shuffle of its own input; the final ORDER BY
+    ... LIMIT is a TakeOrderedAndProject with a fully deterministic
+    tie-break (acctbal DESC, nation, name, partkey)."""
+    ps = _partsupp(spark, sf_dir)
+    supp = t(spark, sf_dir, "supplier")
+    nat = t(spark, sf_dir, "nation")
+    reg = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    supp_eu = (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eligible = ps.join(supp_eu, ps.ps_suppkey == supp_eu.s_suppkey)
+    min_cost = eligible.groupBy(F.col("ps_partkey").alias("mc_partkey")).agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    part_f = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_size").between(10, 20) & (F.col("p_type") == "PROMO"))
+        .select("p_partkey")
+    )
+    return (
+        eligible.join(
+            min_cost,
+            (eligible.ps_partkey == min_cost.mc_partkey)
+            & (eligible.ps_supplycost == min_cost.min_cost),
+        )
+        .join(part_f, eligible.ps_partkey == part_f.p_partkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            F.col("ps_supplycost").cast("double").alias("supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )

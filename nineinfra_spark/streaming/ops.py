@@ -40,17 +40,29 @@ STREAM_SRC_ROOT = "/tmp/nineinfra_stream_src"
 
 def _staged_events_dir(sf_dir: str) -> str:
     """The file source streams a DIRECTORY (new files appear → new
-    micro-batches); the read-only testdata ships one parquet file. We
-    stage a per-SF directory containing a symlink to that file — zero
-    copy, and appending more links later is exactly how new data would
-    arrive in production."""
+    micro-batches). The read-only testdata ships ``events.parquet`` as
+    one file; generated datasets (e.g. the sf1 scale-proof tiling)
+    ship it as a directory of part files. Either way we stage a per-SF
+    directory of symlinks to the leaf parquet files — zero copy, one
+    potential micro-batch per file, which is exactly how new data
+    arrives in production."""
     staged = os.path.join(
         STREAM_SRC_ROOT, os.path.basename(sf_dir).replace(".", "_"), "events"
     )
     os.makedirs(staged, exist_ok=True)
-    link = os.path.join(staged, "events-000.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    src = os.path.join(sf_dir, "events.parquet")
+    leaves = (
+        sorted(
+            f for f in os.listdir(src)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        if os.path.isdir(src)
+        else [None]
+    )
+    for i, leaf in enumerate(leaves):
+        link = os.path.join(staged, f"events-{i:03d}.parquet")
+        if not os.path.exists(link):
+            os.symlink(src if leaf is None else os.path.join(src, leaf), link)
     return staged
 
 
