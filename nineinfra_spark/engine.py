@@ -66,6 +66,12 @@ class EngineConfig:
     # ``POST /api/v1/sql`` on this port (0 = OS-assigned; read back
     # via ``Engine.rest_gateway.port``).
     rest_port: int | None = None
+    # REST auth (≙ the reference's JDBC-auth mode,
+    # ``kyuubi.go:55-64``): name of the salted-MD5 users table
+    # (``auth.init_users_table``). When set alongside ``rest_port``,
+    # ``open()`` wraps the REST frontend in HTTP Basic against it;
+    # None = open frontend (the reference's non-JDBC mode).
+    rest_auth_table: str | None = None
     # 64 MB: small-side tables up to this size replicate instead of shuffling.
     broadcast_threshold: str = "64m"
     # Cap bytes per input split so one task's scan fits executor memory
@@ -148,7 +154,14 @@ class Engine:
         if cfg.rest_port is not None:
             from nineinfra_spark.rest import start_rest_gateway
 
-            self.rest_gateway = start_rest_gateway(self._spark, cfg.rest_port)
+            auth = None
+            if cfg.rest_auth_table is not None:
+                from nineinfra_spark.auth import UserStore
+
+                auth = UserStore(self._spark, table=cfg.rest_auth_table)
+            self.rest_gateway = start_rest_gateway(
+                self._spark, cfg.rest_port, auth=auth
+            )
         return self
 
     def close(self) -> None:

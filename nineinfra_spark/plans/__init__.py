@@ -48,6 +48,8 @@ _VERIFY_FIRST = [
     "q16_supplier_cnt",  # new: NOT IN blacklist + count-distinct
     "q20_potential_promotion",  # new: decorrelated half-qty threshold
     "q2_min_cost_supplier",  # new: the real Q2 min-cost shape
+    "text_chunk_windows",  # new: overlapping token-window chunking
+    "text_repetition_filter",  # new: Gopher-style repetition filter
     "q7_volume_shipping",  # r6: fact sides pre-reduced before shuffle
     # (b) latest row is r3 — the oldest verification in the registry
     "q1_pricing_summary",
@@ -76,7 +78,6 @@ _VERIFY_FIRST = [
     # (c) backfill: latest row is r4 (a cross-module spread — the
     # remaining r4 queries rotate in next round)
     "agg_global",
-    "agg_multi_distinct",
     "agg_cube",
     "agg_pivot",
     "agg_percentile_exact",
@@ -85,7 +86,6 @@ _VERIFY_FIRST = [
     "fn_string",
     "fn_datetime",
     "fn_array",
-    "fn_json",
     "join_left_outer",
     "join_full_outer",
     "join_left_semi",

@@ -312,3 +312,154 @@ def text_token_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(ws).cast("long").alias("n_ws_toks"),
         (F.expr(word) + F.expr(num) + F.expr(punct)).cast("long").alias("n_bpe_toks"),
     )
+
+
+# -- training-sample prep ---------------------------------------------------
+
+#: Fixed-size token windows with overlap (stride < size) — the
+#: standard packing step between curation and tokenization.
+CHUNK_SIZE = 16
+CHUNK_STRIDE = 12
+
+
+@query(
+    "text_chunk_windows",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {TOKS_DUCK} AS toks FROM documents),
+         w AS (
+             SELECT doc_id, toks, len(toks) AS n,
+                    unnest(generate_series(0, len(toks) - 1, {CHUNK_STRIDE})) AS start
+             FROM d WHERE len(toks) > 0
+         )
+    SELECT doc_id,
+           CAST(start // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           CAST(LEAST({CHUNK_SIZE}, n - start) AS BIGINT) AS n_chunk_tokens,
+           md5(array_to_string(toks[start + 1 : start + {CHUNK_SIZE}], ' ')) AS chunk_hash
+    FROM w
+    """,
+    tags=("ext", "text", "chunk"),
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (training-sample prep): every
+    document becomes ⌈n/stride⌉ windows of up to CHUNK_SIZE tokens,
+    stride CHUNK_STRIDE (25% overlap), so no token span is lost at a
+    window boundary. The window CONTENT is carried as an md5 of the
+    joined tokens — the differential gate then pins the exact token
+    slice of every chunk without shipping duplicated text.
+
+    Scale posture: pure projection + explode — no shuffle, no window
+    function; output rows ≈ input tokens / stride. At 100 TB this is
+    the mapper-side packing pass a tokenizer feeds on, and it
+    parallelizes per input split with no coordination."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.expr(TOKS_SPARK).alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") > 0)
+        .select(
+            "doc_id",
+            "toks",
+            "n",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n") - 1, F.lit(CHUNK_STRIDE))
+            ).alias("start"),
+        )
+        .select(
+            "doc_id",
+            (F.col("start") / CHUNK_STRIDE).cast("bigint").alias("chunk_id"),
+            F.least(F.lit(CHUNK_SIZE), F.col("n") - F.col("start"))
+            .cast("bigint")
+            .alias("n_chunk_tokens"),
+            F.expr(
+                f"md5(array_join(slice(toks, start + 1, {CHUNK_SIZE}), ' '))"
+            ).alias("chunk_hash"),
+        )
+    )
+
+
+@query(
+    "text_repetition_filter",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {TOKS_DUCK} AS toks FROM documents),
+         base AS (
+             SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) >= 2
+         ),
+         top_tok AS (
+             SELECT doc_id, MAX(cnt) AS top_tok_cnt FROM (
+                 SELECT doc_id, tok, COUNT(*) AS cnt
+                 FROM (SELECT doc_id, unnest(toks) AS tok FROM base)
+                 GROUP BY doc_id, tok
+             ) GROUP BY doc_id
+         ),
+         bg AS (
+             SELECT doc_id, n,
+                    list_transform(
+                        generate_series(1, n - 1),
+                        i -> toks[i] || ' ' || toks[i + 1]
+                    ) AS bigrams
+             FROM base
+         )
+    SELECT bg.doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(top_tok_cnt AS BIGINT) AS top_tok_cnt,
+           CAST(len(bigrams) AS BIGINT) AS n_bigrams,
+           CAST(len(list_distinct(bigrams)) AS BIGINT) AS n_distinct_bigrams,
+           (top_tok_cnt * 10 <= n * 3
+            AND (len(bigrams) - len(list_distinct(bigrams))) * 2 <= len(bigrams))
+               AS keep
+    FROM bg JOIN top_tok ON bg.doc_id = top_tok.doc_id
+    """,
+    tags=("ext", "text", "quality"),
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filtering (the Gopher-rules family):
+    per document, the most-frequent-token count and the duplicate-
+    bigram fraction; ``keep`` = top-token fraction ≤ 0.3 AND
+    duplicate-bigram fraction ≤ 0.5. Both thresholds are evaluated by
+    CROSS-MULTIPLIED INTEGER comparison (never a float division), so
+    the boundary document cannot flip between engines.
+
+    Scale posture: the top-token count is explode → two groupBys
+    keyed on doc_id (map-side combined; the second reuses the first's
+    partitioning); the bigram stats are a pure per-row projection
+    (transform over the token array). Docs with <2 tokens have no
+    bigram signal and are excluded up front — at 100 TB they belong
+    to the length filter, not this one."""
+    docs = t(spark, sf_dir, "documents")
+    base = (
+        docs.select("doc_id", F.expr(TOKS_SPARK).alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") >= 2)
+    )
+    top_tok = (
+        base.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("top_tok_cnt"))
+    )
+    bg = base.select(
+        "doc_id",
+        "n",
+        F.expr(
+            "transform(sequence(1, n - 1),"
+            " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+        ).alias("bigrams"),
+    )
+    return (
+        bg.join(top_tok, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n").cast("bigint").alias("n_tokens"),
+            F.col("top_tok_cnt").cast("bigint").alias("top_tok_cnt"),
+            F.size("bigrams").cast("bigint").alias("n_bigrams"),
+            F.size(F.array_distinct("bigrams")).cast("bigint").alias("n_distinct_bigrams"),
+            (
+                (F.col("top_tok_cnt") * 10 <= F.col("n") * 3)
+                & (
+                    (F.size("bigrams") - F.size(F.array_distinct("bigrams"))) * 2
+                    <= F.size("bigrams")
+                )
+            ).alias("keep"),
+        )
+    )

@@ -239,6 +239,38 @@ class TestAuth:
         assert hash_password("abc") == "59a13902aa0611ae96eb572e26964e40"
 
 
+def test_engine_config_wires_rest_auth(spark):
+    """EngineConfig.rest_auth_table + rest_port → the Engine-started
+    frontend enforces HTTP Basic against that table."""
+    import base64
+
+    from nineinfra_spark.auth import init_users_table
+    from nineinfra_spark.engine import Engine, EngineConfig
+
+    init_users_table(spark, {"ops": "pw"}, table="nine_auth.users_eng")
+    eng = Engine(EngineConfig(rest_port=0, rest_auth_table="nine_auth.users_eng"))
+    eng.open()
+    try:
+        gw = eng.rest_gateway
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{gw.port}/api/v1/sql",
+            data=json.dumps({"sql": "SELECT 1 AS x"}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req)
+        assert ei.value.code == 401
+        req.add_header(
+            "Authorization", "Basic " + base64.b64encode(b"ops:pw").decode()
+        )
+        with urllib.request.urlopen(req) as r:
+            assert json.loads(r.read())["rows"] == [[1]]
+    finally:
+        eng.rest_gateway.stop()
+        eng.rest_gateway = None  # NOT eng.close(): shared session must live
+        spark.sql("DROP TABLE IF EXISTS nine_auth.users_eng")
+
+
 def test_engine_config_wires_rest_port():
     """EngineConfig.rest_port plumbs through Engine.open/close. The
     pytest process already holds the shared session, so getOrCreate
