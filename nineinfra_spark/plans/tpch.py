@@ -663,6 +663,20 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # warehouse deployment that's a catalog-stats lookup, not a scan.
 # ---------------------------------------------------------------------------
 
+#: |supplier| per sf_dir — a property of the DATA, not the session, so
+#: one count job per directory per process is enough (at warehouse
+#: scale this is a catalog-stats lookup; here it keeps repeated plan
+#: builds — bench iterations, the multi-query driver pass — from
+#: re-running the job).
+_SUPPLIER_COUNT_CACHE: dict[str, int] = {}
+
+
+def _supplier_count(spark: SparkSession, sf_dir: str) -> int:
+    if sf_dir not in _SUPPLIER_COUNT_CACHE:
+        _SUPPLIER_COUNT_CACHE[sf_dir] = t(spark, sf_dir, "supplier").count()
+    return _SUPPLIER_COUNT_CACHE[sf_dir]
+
+
 #: Oracle-side mirror of ``_partsupp``. Must stay arithmetically
 #: identical to the Spark derivation below — the correctness gate diffs
 #: query results built on both.
@@ -695,7 +709,7 @@ def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair, the cost built as exact DECIMAL(12,2) (cents × 0.01 in
     decimal arithmetic — never a float literal, so Spark and DuckDB
     agree bit-for-bit)."""
-    n_supp = t(spark, sf_dir, "supplier").count()
+    n_supp = _supplier_count(spark, sf_dir)
     cents = F.pmod(F.col("ps_partkey") * 181 + F.col("ps_suppkey") * 59, F.lit(99900)) + 100
     return (
         t(spark, sf_dir, "part")
