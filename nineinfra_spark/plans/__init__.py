@@ -50,6 +50,7 @@ _VERIFY_FIRST = [
     "q2_min_cost_supplier",  # new: the real Q2 min-cost shape
     "text_chunk_windows",  # new: overlapping token-window chunking
     "text_repetition_filter",  # new: Gopher-style repetition filter
+    "catalog_partsupp_bucketed",  # new: materialize-once bucketed partsupp
     "q7_volume_shipping",  # r6: fact sides pre-reduced before shuffle
     # (b) latest row is r3 — the oldest verification in the registry
     "q1_pricing_summary",
@@ -78,7 +79,6 @@ _VERIFY_FIRST = [
     # (c) backfill: latest row is r4 (a cross-module spread — the
     # remaining r4 queries rotate in next round)
     "agg_global",
-    "agg_cube",
     "agg_pivot",
     "agg_percentile_exact",
     "agg_first_last_by",

@@ -392,3 +392,73 @@ def catalog_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.join(c, o.o_custkey == c.c_custkey).select(
         "o_orderkey", "o_totalprice", "c_name"
     )
+
+
+@query(
+    "catalog_partsupp_bucketed",
+    oracle=None,  # set just below — needs tpch's partsupp CTE
+    tags=("catalog", "bucketed", "agg", "ext"),
+)
+def catalog_partsupp_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize-once for the derived ``partsupp``: CTAS the
+    synthetic relation (see ``tpch._partsupp``) into a table BUCKETED
+    by ``ps_partkey``, then compute the per-part supply profile
+    (min cost / total availability / supplier count) straight off the
+    buckets — the aggregation's grouping key matches the bucketing,
+    so the plan has NO Exchange (asserted in tests/test_sources.py).
+
+    This is the production answer to deriving partsupp per query
+    (NOTES.md r6 plan audit): at 100 TB the derivation runs once,
+    the bucket layout persists in the metastore, and every later
+    per-partkey join or aggregate — q2's min-cost probe, q11's value
+    rollup — reads it exchange-free."""
+    from nineinfra_spark.plans.tpch import _partsupp
+
+    sfx = os.path.basename(sf_dir).replace(".", "_")
+    db = f"nine_wh_{sfx}"
+    is_hive = (
+        spark.conf.get("spark.sql.catalogImplementation", "in-memory") == "hive"
+    )
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{WAREHOUSE}/{db}'")
+    tbl = f"{db}.partsupp_bkt"
+    owned = spark.catalog.tableExists(tbl)
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    loc = f"{WAREHOUSE}/{db}/partsupp_bkt"
+    if os.path.exists(loc) and (not is_hive or not owned):
+        import shutil
+
+        shutil.rmtree(loc, ignore_errors=True)  # orphaned location
+    writers.save_as_bucketed_table(
+        _partsupp(spark, sf_dir), tbl, ["ps_partkey"], 8, mode="overwrite"
+    )
+    return (
+        spark.table(tbl)
+        .groupBy("ps_partkey")
+        .agg(
+            F.min("ps_supplycost").cast("double").alias("min_cost"),
+            F.sum("ps_availqty").cast("bigint").alias("total_avail"),
+            F.count(F.lit(1)).alias("n_suppliers"),
+        )
+    )
+
+
+def _partsupp_bucketed_oracle() -> str:
+    from nineinfra_spark.plans.tpch import _PARTSUPP_CTE
+
+    return (
+        _PARTSUPP_CTE
+        + """
+    SELECT ps_partkey,
+           CAST(MIN(ps_supplycost) AS DOUBLE) AS min_cost,
+           CAST(SUM(ps_availqty) AS BIGINT) AS total_avail,
+           COUNT(*) AS n_suppliers
+    FROM partsupp
+    GROUP BY ps_partkey
+    """
+    )
+
+
+# late-bind the oracle (avoids importing tpch before registration)
+from nineinfra_spark.plans import registry as _registry  # noqa: E402
+
+_registry.get("catalog_partsupp_bucketed").oracle = _partsupp_bucketed_oracle()

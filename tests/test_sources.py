@@ -251,3 +251,16 @@ class TestKafkaPlumbing:
             readers.read_kafka(spark, "localhost:9092", "events")
         with pytest.raises(Exception, match="(?i)kafka"):
             readers.read_kafka(spark, "localhost:9092", "events", streaming=False)
+
+
+def test_partsupp_bucketed_agg_has_no_exchange(spark):
+    """The per-partkey aggregate over the bucketed partsupp table must
+    plan with ZERO Exchange — the bucket layout satisfies the
+    aggregation's required distribution (the materialize-once answer
+    to re-deriving partsupp per query)."""
+    from nineinfra_spark.plans.sources_sinks import catalog_partsupp_bucketed
+
+    df = catalog_partsupp_bucketed(spark, SF)
+    plan = _explain_str(df)
+    assert "Exchange" not in plan, plan[:1500]
+    assert df.count() > 0
