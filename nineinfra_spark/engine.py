@@ -72,6 +72,11 @@ class EngineConfig:
     # ``open()`` wraps the REST frontend in HTTP Basic against it;
     # None = open frontend (the reference's non-JDBC mode).
     rest_auth_table: str | None = None
+    # MySQL-protocol frontend (≙ the Doris FE serving port,
+    # ``doris.go:20-28``): when set, ``open()`` serves the MySQL text
+    # protocol on this port (0 = OS-assigned; read back via
+    # ``Engine.mysql_gateway.port``).
+    mysql_port: int | None = None
     # 64 MB: small-side tables up to this size replicate instead of shuffling.
     broadcast_threshold: str = "64m"
     # Cap bytes per input split so one task's scan fits executor memory
@@ -105,6 +110,7 @@ class Engine:
         self.config = config or EngineConfig()
         self._spark: SparkSession | None = None
         self.rest_gateway = None  # set by open() when rest_port configured
+        self.mysql_gateway = None  # set by open() when mysql_port configured
 
     # -- lifecycle ---------------------------------------------------------
     def open(self) -> "Engine":
@@ -162,12 +168,19 @@ class Engine:
             self.rest_gateway = start_rest_gateway(
                 self._spark, cfg.rest_port, auth=auth
             )
+        if cfg.mysql_port is not None:
+            from nineinfra_spark.mysql_wire import start_mysql_gateway
+
+            self.mysql_gateway = start_mysql_gateway(self._spark, cfg.mysql_port)
         return self
 
     def close(self) -> None:
         if self.rest_gateway is not None:
             self.rest_gateway.stop()
             self.rest_gateway = None
+        if self.mysql_gateway is not None:
+            self.mysql_gateway.stop()
+            self.mysql_gateway = None
         if self._spark is not None:
             self._spark.stop()
             self._spark = None

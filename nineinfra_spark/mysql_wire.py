@@ -1,0 +1,259 @@
+"""MySQL wire-protocol SQL endpoint (the reference's Doris FE role).
+
+The platform's OLAP tier serves SQL over the MySQL protocol — Doris FE
+listens on the MySQL port with a ``root`` / empty-password default
+(``internal/controller/doris.go:20-28``). The repo already covers the
+serving *capability* (pinned columnar cache + thrift/REST endpoints);
+this module closes the *protocol* gap: a minimal, spec-faithful server
+speaking the MySQL client/server text protocol, so any MySQL-dialect
+client can point at the engine session.
+
+Implemented surface (Protocol::HandshakeV10 + the classic text
+protocol — the subset every driver needs to connect and query):
+
+- HandshakeV10 greeting / HandshakeResponse41 parse (CLIENT_PROTOCOL_41
+  required, as in every modern client);
+- authentication mirrors the Doris default: any username accepted,
+  like ``root`` with empty password (``doris.go:26-27``) — the
+  platform's real user model lives on the gateway tier
+  (``auth.py`` + REST HTTP Basic);
+- ``COM_QUERY`` → ``spark.sql`` → text resultset (column-definition
+  packets, classic EOF framing, length-encoded row values — every
+  value rendered as text, NULL as 0xFB, the canonical lowest common
+  denominator every connector parses);
+- ``COM_PING`` → OK, ``COM_QUIT`` → close, anything else → ERR.
+
+Result fetch is bounded exactly like the REST frontend
+(``limit(n+1)`` probe, cap :data:`nineinfra_spark.rest.MAX_FETCH_LIMIT`)
+— a wire gateway FETCHES a window; unbounded extraction is a WRITE
+through SQL. The server is a daemon thread per connection on the
+shared session, like the other frontends.
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+import threading
+
+from pyspark.sql import SparkSession
+
+from nineinfra_spark.rest import DEFAULT_FETCH_LIMIT, MAX_FETCH_LIMIT
+
+SERVER_VERSION = "8.0.0-nineinfra-spark"
+
+# capability flags (the subset we speak)
+CLIENT_PROTOCOL_41 = 0x00000200
+CLIENT_SECURE_CONNECTION = 0x00008000
+CLIENT_PLUGIN_AUTH = 0x00080000
+_SERVER_CAPS = CLIENT_PROTOCOL_41 | CLIENT_SECURE_CONNECTION | CLIENT_PLUGIN_AUTH
+
+_CHARSET_UTF8 = 33  # utf8_general_ci
+_STATUS_AUTOCOMMIT = 0x0002
+_TYPE_VAR_STRING = 0xFD
+
+COM_QUIT, COM_QUERY, COM_PING = 0x01, 0x03, 0x0E
+
+
+def _lenenc_int(n: int) -> bytes:
+    if n < 251:
+        return bytes([n])
+    if n <= 0xFFFF:
+        return b"\xfc" + struct.pack("<H", n)
+    if n <= 0xFFFFFF:
+        return b"\xfd" + struct.pack("<I", n)[:3]
+    return b"\xfe" + struct.pack("<Q", n)
+
+
+def _lenenc_str(s: bytes) -> bytes:
+    return _lenenc_int(len(s)) + s
+
+
+class _Conn:
+    """One client connection: packet framing + the command loop."""
+
+    def __init__(self, sock: socket.socket, spark: SparkSession, conn_id: int):
+        self._sock = sock
+        self._spark = spark
+        self._conn_id = conn_id
+        self._seq = 0
+
+    # -- framing -----------------------------------------------------------
+    def _recv_exact(self, n: int) -> bytes:
+        buf = b""
+        while len(buf) < n:
+            chunk = self._sock.recv(n - len(buf))
+            if not chunk:
+                raise ConnectionError("client closed")
+            buf += chunk
+        return buf
+
+    def _read_packet(self) -> bytes:
+        header = self._recv_exact(4)
+        (length,) = struct.unpack("<I", header[:3] + b"\x00")
+        self._seq = header[3] + 1
+        return self._recv_exact(length)
+
+    def _send_packet(self, payload: bytes) -> None:
+        header = struct.pack("<I", len(payload))[:3] + bytes([self._seq & 0xFF])
+        self._sock.sendall(header + payload)
+        self._seq += 1
+
+    # -- protocol messages -------------------------------------------------
+    def _send_handshake(self) -> None:
+        # 20 bytes of auth-plugin-data (nonce); content is irrelevant to
+        # our accept-all auth but must be present and NUL-terminated.
+        nonce = bytes(range(1, 21))
+        payload = (
+            b"\x0a"  # protocol version 10
+            + SERVER_VERSION.encode() + b"\x00"
+            + struct.pack("<I", self._conn_id)
+            + nonce[:8] + b"\x00"
+            + struct.pack("<H", _SERVER_CAPS & 0xFFFF)
+            + bytes([_CHARSET_UTF8])
+            + struct.pack("<H", _STATUS_AUTOCOMMIT)
+            + struct.pack("<H", (_SERVER_CAPS >> 16) & 0xFFFF)
+            + bytes([21])  # auth-plugin-data total length
+            + b"\x00" * 10
+            + nonce[8:] + b"\x00"
+            + b"mysql_native_password\x00"
+        )
+        self._send_packet(payload)
+
+    def _send_ok(self) -> None:
+        self._send_packet(
+            b"\x00" + _lenenc_int(0) + _lenenc_int(0)
+            + struct.pack("<H", _STATUS_AUTOCOMMIT) + struct.pack("<H", 0)
+        )
+
+    def _send_eof(self) -> None:
+        self._send_packet(
+            b"\xfe" + struct.pack("<H", 0) + struct.pack("<H", _STATUS_AUTOCOMMIT)
+        )
+
+    def _send_err(self, message: str, code: int = 1064) -> None:
+        self._send_packet(
+            b"\xff" + struct.pack("<H", code) + b"#42000"
+            + message.encode("utf-8", "replace")[:1000]
+        )
+
+    def _send_column_def(self, name: str) -> None:
+        self._send_packet(
+            _lenenc_str(b"def") + _lenenc_str(b"") + _lenenc_str(b"")
+            + _lenenc_str(b"") + _lenenc_str(name.encode()) + _lenenc_str(b"")
+            + _lenenc_int(0x0C)
+            + struct.pack("<H", _CHARSET_UTF8)
+            + struct.pack("<I", 255)  # display length
+            + bytes([_TYPE_VAR_STRING])
+            + struct.pack("<H", 0)  # flags
+            + bytes([0x1F])  # decimals: text value, max
+            + b"\x00\x00"
+        )
+
+    # -- lifecycle ---------------------------------------------------------
+    def _handshake(self) -> bool:
+        self._send_handshake()
+        self._seq = 1  # client response carries seq 1
+        resp = self._read_packet()
+        if len(resp) < 32:
+            self._send_err("malformed HandshakeResponse")
+            return False
+        (caps,) = struct.unpack("<I", resp[:4])
+        if not caps & CLIENT_PROTOCOL_41:
+            self._send_err("CLIENT_PROTOCOL_41 required")
+            return False
+        # username (NUL-terminated after the fixed 32-byte prefix) is
+        # accepted as-is — the Doris-default root/"" model (doris.go:26-27)
+        self._send_ok()
+        return True
+
+    def _run_query(self, sql: str) -> None:
+        try:
+            df = self._spark.sql(sql)
+            limit = min(DEFAULT_FETCH_LIMIT, MAX_FETCH_LIMIT)
+            rows = df.limit(limit + 1).collect()[:limit]
+            cols = df.columns
+        except Exception as exc:  # engine error → ERR packet, connection lives
+            self._send_err(str(exc)[:900])
+            return
+        self._send_packet(_lenenc_int(len(cols)))
+        for c in cols:
+            self._send_column_def(c)
+        self._send_eof()
+        for row in rows:
+            payload = b""
+            for v in row:
+                payload += b"\xfb" if v is None else _lenenc_str(str(v).encode())
+            self._send_packet(payload)
+        self._send_eof()
+
+    def serve(self) -> None:
+        try:
+            if not self._handshake():
+                return
+            while True:
+                self._seq = 0
+                packet = self._read_packet()
+                self._seq = 1
+                if not packet or packet[0] == COM_QUIT:
+                    return
+                if packet[0] == COM_PING:
+                    self._send_ok()
+                elif packet[0] == COM_QUERY:
+                    self._run_query(packet[1:].decode("utf-8", "replace"))
+                else:
+                    self._send_err(f"unsupported command 0x{packet[0]:02x}", 1047)
+        except (ConnectionError, OSError):
+            pass  # client went away — normal teardown
+        finally:
+            self._sock.close()
+
+
+class MySqlGateway:
+    """Handle for a running MySQL-protocol endpoint."""
+
+    def __init__(self, server: socket.socket, thread: threading.Thread):
+        self._server = server
+        self._thread = thread
+        self._closing = False
+
+    @property
+    def port(self) -> int:
+        return self._server.getsockname()[1]
+
+    def stop(self) -> None:
+        self._closing = True
+        try:
+            self._server.close()
+        except OSError:
+            pass
+        self._thread.join(timeout=10)
+
+
+def start_mysql_gateway(spark: SparkSession, port: int = 0) -> MySqlGateway:
+    """Serve the MySQL-protocol frontend on ``port`` (0 = OS-assigned).
+    Accept loop on a daemon thread; one daemon thread per connection,
+    all planning on the shared session (same model as rest.py)."""
+    server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    server.bind(("127.0.0.1", port))
+    server.listen(16)
+    conn_counter = threading.Lock()
+    state = {"next_id": 1}
+
+    def _accept_loop() -> None:
+        while True:
+            try:
+                sock, _ = server.accept()
+            except OSError:
+                return  # stop() closed the listener
+            with conn_counter:
+                cid = state["next_id"]
+                state["next_id"] += 1
+            threading.Thread(
+                target=_Conn(sock, spark, cid).serve, daemon=True
+            ).start()
+
+    thread = threading.Thread(target=_accept_loop, daemon=True)
+    thread.start()
+    return MySqlGateway(server, thread)

@@ -264,3 +264,33 @@ def test_partsupp_bucketed_agg_has_no_exchange(spark):
     plan = _explain_str(df)
     assert "Exchange" not in plan, plan[:1500]
     assert df.count() > 0
+
+
+def test_partsupp_derivation_invariants(spark):
+    """The synthetic partsupp (tpch._partsupp) must satisfy the
+    TPC-H-like invariants at every shipped SF: exactly 4 DISTINCT
+    suppliers per part, suppkeys inside the supplier key range,
+    availqty in [1, 9999], supplycost an exact DECIMAL(12,2) in
+    [1.00, 1000.00). These are what q2/q9/q11/q16/q20 lean on."""
+    from decimal import Decimal
+
+    from nineinfra_spark.plans.tpch import _partsupp
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        ps = _partsupp(spark, sf_dir)
+        n_part = t(spark, sf_dir, "part").count()
+        n_supp = t(spark, sf_dir, "supplier").count()
+        assert ps.count() == 4 * n_part
+        per_part = ps.groupBy("ps_partkey").agg(
+            F.count_distinct("ps_suppkey").alias("d")
+        )
+        assert per_part.filter(F.col("d") != 4).count() == 0
+        stats = ps.agg(
+            F.min("ps_suppkey"), F.max("ps_suppkey"),
+            F.min("ps_availqty"), F.max("ps_availqty"),
+            F.min("ps_supplycost"), F.max("ps_supplycost"),
+        ).first()
+        assert 0 <= stats[0] and stats[1] < n_supp
+        assert 1 <= stats[2] and stats[3] <= 9999
+        assert Decimal("1.00") <= stats[4] and stats[5] < Decimal("1000.00")
+        assert dict(ps.dtypes)["ps_supplycost"] == "decimal(12,2)"
