@@ -51,6 +51,7 @@ _VERIFY_FIRST = [
     "text_chunk_windows",  # new: overlapping token-window chunking
     "text_repetition_filter",  # new: Gopher-style repetition filter
     "catalog_partsupp_bucketed",  # new: materialize-once bucketed partsupp
+    "udf_python_udtf",  # new: real @udtf class via LATERAL
     "q7_volume_shipping",  # r6: fact sides pre-reduced before shuffle
     # (b) latest row is r3 — the oldest verification in the registry
     "q1_pricing_summary",
@@ -84,7 +85,6 @@ _VERIFY_FIRST = [
     "agg_first_last_by",
     "agg_boolean_family",
     "fn_string",
-    "fn_datetime",
     "fn_array",
     "join_left_outer",
     "join_full_outer",

@@ -185,3 +185,58 @@ def udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats,
         "l_returnflag string, min_qty double, max_qty double, n long, qty_range double",
     )
+
+
+@query(
+    "udf_python_udtf",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(i AS INT) AS part_idx,
+           CAST(CASE WHEN (i + 1) * 10 <= l_quantity THEN 10
+                     ELSE l_quantity - i * 10 END AS DOUBLE) AS part_qty
+    FROM (
+        SELECT l_orderkey, l_linenumber, l_quantity,
+               unnest(generate_series(0, CAST(ceil(l_quantity / 10) AS BIGINT) - 1)) AS i
+        FROM lineitem WHERE l_quantity > 0
+    )
+    """,
+    tags=("udf", "udtf"),
+)
+def udf_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Python UDTF (``@udtf`` class, Spark 3.5+): one input row →
+    N output rows from Python, invoked as a LATERAL table function
+    from SQL — the genuine UDTF surface next to the explode-shaped
+    stand-in (``ext_text.text_token_topk``). The kernel splits each
+    lineitem quantity into full units of 10 plus a remainder
+    (deterministic, so DuckDB replicates it with generate_series).
+
+    Scale note: like the two scalar API-parity queries, this is the
+    SLOW path (``BatchEvalPythonUDTF`` — rows cross the JVM↔Python
+    boundary; the eval generator runs per row). Anything expressible
+    as explode/sequence should be — see text_chunk_windows for the
+    built-in-only equivalent shape. Exists to witness the API, and is
+    allow-listed as such in tests/test_plan_lint.py."""
+    import math
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="part_idx int, part_qty double")
+    class SplitQuantity:
+        def eval(self, q):
+            if q is None:
+                return
+            q = float(q)
+            if q <= 0:
+                return
+            for i in range(int(math.ceil(q / 10.0))):
+                yield i, 10.0 if (i + 1) * 10 <= q else q - i * 10.0
+
+    spark.udtf.register("split_qty", SplitQuantity)
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber, s.part_idx, s.part_qty
+        FROM lineitem_v, LATERAL split_qty(l_quantity) s
+        WHERE l_quantity > 0
+        """
+    )

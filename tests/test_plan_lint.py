@@ -7,10 +7,11 @@ test, so a regression can't sneak in behind a green differential:
 2. ``BroadcastNestedLoopJoin`` (the bounded cross shape) only where a
    tag declares WHY it's bounded: ``bounded-nlj`` (a broadcast
    constant-size side), ``dimension-only``, or ``not-for-scale``.
-3. Row-at-a-time Python (``BatchEvalPython``) only in the two
-   deliberate API-parity UDF queries — everywhere else Python must be
-   Arrow-batched (``ArrowEvalPython`` / ``MapInPandas`` /
-   ``FlatMapGroupsInPandas``) or absent.
+3. Row-at-a-time Python (``BatchEvalPython``, which also matches
+   ``BatchEvalPythonUDTF``) only in the three deliberate API-parity
+   UDF/UDTF queries — everywhere else Python must be Arrow-batched
+   (``ArrowEvalPython`` / ``MapInPandas`` / ``FlatMapGroupsInPandas``)
+   or absent.
 
 Queries whose build has side effects (streaming runs, sink writes,
 catalog DDL) are skipped: their returned frames are trivial sink/scan
@@ -35,7 +36,7 @@ _LINTABLE = [
 
 #: queries allowed to plan row-at-a-time Python, by design (API parity
 #: with the SLOW path — their docstrings say exactly that)
-_ROW_PYTHON_OK = {"udf_scalar_python", "udf_sql_registered"}
+_ROW_PYTHON_OK = {"udf_scalar_python", "udf_sql_registered", "udf_python_udtf"}
 
 
 def _plan(spark, name: str) -> str:
