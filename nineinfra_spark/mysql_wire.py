@@ -52,7 +52,7 @@ _CHARSET_UTF8 = 33  # utf8_general_ci
 _STATUS_AUTOCOMMIT = 0x0002
 _TYPE_VAR_STRING = 0xFD
 
-COM_QUIT, COM_QUERY, COM_PING = 0x01, 0x03, 0x0E
+COM_QUIT, COM_INIT_DB, COM_QUERY, COM_PING = 0x01, 0x02, 0x03, 0x0E
 
 
 def _lenenc_int(n: int) -> bytes:
@@ -199,6 +199,15 @@ class _Conn:
                     return
                 if packet[0] == COM_PING:
                     self._send_ok()
+                elif packet[0] == COM_INIT_DB:
+                    # connectors send USE <db> right after connecting
+                    try:
+                        self._spark.catalog.setCurrentDatabase(
+                            packet[1:].decode("utf-8", "replace")
+                        )
+                        self._send_ok()
+                    except Exception as exc:
+                        self._send_err(str(exc)[:900], 1049)  # unknown database
                 elif packet[0] == COM_QUERY:
                     self._run_query(packet[1:].decode("utf-8", "replace"))
                 else:

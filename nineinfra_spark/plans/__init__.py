@@ -52,6 +52,7 @@ _VERIFY_FIRST = [
     "text_repetition_filter",  # new: Gopher-style repetition filter
     "catalog_partsupp_bucketed",  # new: materialize-once bucketed partsupp
     "udf_python_udtf",  # new: real @udtf class via LATERAL
+    "text_boilerplate_ngrams",  # new: corpus-wide template-shingle detection
     "q7_volume_shipping",  # r6: fact sides pre-reduced before shuffle
     # (b) latest row is r3 — the oldest verification in the registry
     "q1_pricing_summary",
@@ -92,7 +93,6 @@ _VERIFY_FIRST = [
     "join_left_anti",
     "join_asof_backward",
     "join_skew_hotkey",
-    "setop_union_all",
     "setop_intersect_all",
     "q17_small_qty_revenue",
     "events_funnel",

@@ -644,3 +644,52 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_members", F.lit(1)).cast("bigint").alias("n_merged"),
         )
     )
+
+
+#: a shingle is "boilerplate" when it appears in at least this many
+#: distinct documents (headers, footers, licence blocks, templates).
+BOILER_MIN_DOCS = 2
+
+
+@query(
+    "text_boilerplate_ngrams",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {TOKS_DUCK} AS toks FROM documents),
+    sh AS (SELECT doc_id, {SH_DUCK} AS shingles FROM tok),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    boiler AS (
+        SELECT s FROM ex GROUP BY s
+        HAVING COUNT(*) >= {BOILER_MIN_DOCS}
+    )
+    SELECT doc_id, COUNT(*) AS n_boiler_shingles
+    FROM ex WHERE s IN (SELECT s FROM boiler)
+    GROUP BY doc_id
+    """,
+    tags=("ext", "dedup", "boilerplate"),
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide boilerplate detection: 5-gram shingles occurring in
+    ≥ BOILER_MIN_DOCS distinct documents (each doc's shingle set is
+    already distinct, so the count IS a document count) are template
+    text — headers, footers, licence blocks; per affected document,
+    how many such shingles it carries. The removal step this feeds is
+    the same anti-join shape as `text_decontaminate`, with the
+    blocklist coming from the corpus itself instead of an eval set.
+
+    Scale posture: explode → one groupBy keyed on the shingle (the
+    canonical inverted-index shuffle, bounded by corpus token count,
+    map-side combined); the surviving boilerplate set is frequency-
+    truncated and therefore small → AQE broadcasts it back for the
+    per-doc count. No all-pairs anywhere."""
+    ex = _shingled(spark, sf_dir).select("doc_id", F.explode("shingles").alias("s"))
+    boiler = (
+        ex.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= BOILER_MIN_DOCS)
+        .select("s")
+    )
+    return (
+        ex.join(boiler, "s", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_boiler_shingles"))
+    )

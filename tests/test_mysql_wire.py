@@ -205,3 +205,20 @@ def test_engine_config_wires_mysql_port():
     finally:
         eng.mysql_gateway.stop()
         eng.mysql_gateway = None  # NOT eng.close(): shared session must live
+
+
+def test_com_init_db(gw):
+    c = Client(gw.port)
+    c.handshake()
+    c.seq = 0
+    c.send_packet(bytes([0x02]) + b"default")
+    assert c.read_packet()[0] == 0x00  # OK
+    c.seq = 0
+    c.send_packet(bytes([0x02]) + b"no_such_db_xyz")
+    err = c.read_packet()
+    assert err[0] == 0xFF
+    assert struct.unpack("<H", err[1:3])[0] == 1049
+    # connection survives; queries still work
+    _, rows = c.query("SELECT 1 AS x")
+    assert rows == [["1"]]
+    c.close()
