@@ -77,20 +77,37 @@ def save_as_table(
 
 
 def compact_partitioned_table(
-    spark, table: str, partition_cols: Sequence[str]
+    spark,
+    table: str,
+    partition_cols: Sequence[str],
+    target_file_bytes: int | None = None,
 ) -> None:
-    """Compact a partitioned table's small files: rewrite every
-    partition present in the table so each partition directory holds
-    ONE file per partition value (the small-files remediation every
-    long-lived warehouse table needs — a 100 TB table fed by frequent
-    small appends degrades scan/listing performance until compacted).
+    """Compact a partitioned table's small files (the remediation
+    every long-lived warehouse table needs — a 100 TB table fed by
+    frequent small appends degrades scan/listing until compacted).
 
-    Mechanics: read the table, shuffle-repartition on the partition
-    columns so each partition value lands in exactly one task, and
-    dynamic-partition INSERT OVERWRITE it back — partitions not
-    present in the data are untouched, readers see either the old or
-    the new complete file set (the parquet commit protocol swaps
-    per-partition), and the table's schema/metadata are unchanged.
+    Two modes:
+
+    - ``target_file_bytes=None`` (default): each partition directory
+      ends at ONE file — right for dimension-scale partitions and the
+      deterministic contract the registered query pins.
+    - ``target_file_bytes=N``: each partition is rewritten into
+      ``ceil(partition_bytes / N)`` files — the 100 TB mode. One file
+      per partition would be WRONG at scale (a 1 TB partition → one
+      1 TB file written by one task and unsplittable pressure on
+      every later reader); sizing to ~128 MB keeps write parallelism
+      and scan splits healthy. Per-partition byte sizes come from the
+      table's CURRENT files (a driver-side listing — the same
+      metadata the metastore serves at scale), and rows are salted by
+      ``pmod(hash(all non-partition cols), k)`` so each partition
+      value spreads across exactly its k writer tasks.
+
+    Mechanics (both modes): read the table, shuffle-repartition so
+    each output file's rows land in one task, dynamic-partition
+    INSERT OVERWRITE back — partitions not present in the data are
+    untouched, readers see either the old or the new complete file
+    set (the parquet commit protocol swaps per-partition), and the
+    table's schema/metadata are unchanged.
 
     ``spark``: the SparkSession owning ``table``. ``partition_cols``
     must be exactly the table's declared partition columns — the whole
@@ -100,6 +117,10 @@ def compact_partitioned_table(
     full overwrite of a path being read, so we validate up front and
     fail with a clear error instead.
     """
+    import os
+
+    from pyspark.sql import functions as F
+
     declared = [c.name for c in spark.catalog.listColumns(table) if c.isPartition]
     if sorted(declared) != sorted(partition_cols):
         raise ValueError(
@@ -112,12 +133,63 @@ def compact_partitioned_table(
     saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        n = max(df.select(*partition_cols).distinct().count(), 1)
-        (
-            df.repartition(n, *[df[c] for c in partition_cols])
-            .write.mode("overwrite")
-            .insertInto(table, overwrite=True)
-        )
+        if target_file_bytes is None:
+            n = max(df.select(*partition_cols).distinct().count(), 1)
+            out = df.repartition(n, *[df[c] for c in partition_cols])
+        else:
+            # per-partition-value file budget from the current layout
+            location = (
+                spark.sql(f"DESCRIBE FORMATTED {table}")
+                .filter(F.col("col_name") == "Location")
+                .first()["data_type"]
+            )
+            root = location.removeprefix("file:")
+            budgets = []  # one row per partition value: cols + base + k
+            base = 0
+            for dirpath, _dirs, files in sorted(os.walk(root)):
+                pbytes = sum(
+                    os.path.getsize(os.path.join(dirpath, f))
+                    for f in files
+                    if f.endswith(".parquet")
+                )
+                if pbytes == 0:
+                    continue
+                rel = os.path.relpath(dirpath, root)
+                kv = dict(p.split("=", 1) for p in rel.split(os.sep) if "=" in p)
+                if sorted(kv) != sorted(partition_cols):
+                    continue
+                k = max(1, -(-pbytes // target_file_bytes))
+                budgets.append([kv[c] for c in partition_cols] + [base, k])
+                base += k
+            schema = (
+                ", ".join(f"{c} string" for c in partition_cols) + ", _base int, _k int"
+            )
+            kmap = spark.createDataFrame(budgets, schema)
+            # string-typed join keys: cast the data side to match the
+            # k=v directory names the listing produced
+            cond = [
+                df[c].cast("string") == kmap[c] for c in partition_cols
+            ]
+            data_cols = [c for c in df.columns if c not in partition_cols]
+            # dense global file id: each (partition value, salt) pair
+            # gets its own id in [0, total) → range-partitioning on it
+            # puts exactly one output file's rows in each task (hash
+            # repartition would merge groups on bucket collisions)
+            salted = (
+                df.join(F.broadcast(kmap), cond)
+                .drop(*[kmap[c] for c in partition_cols])
+                .withColumn(
+                    "_fid",
+                    F.col("_base") + F.pmod(F.hash(*data_cols), F.col("_k")),
+                )
+            )
+            total = max(base, 1)
+            out = (
+                salted.repartitionByRange(total, salted["_fid"])
+                .drop("_base", "_k", "_fid")
+                .select(*df.columns)  # insertInto matches by position
+            )
+        out.write.mode("overwrite").insertInto(table, overwrite=True)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
 

@@ -294,3 +294,48 @@ def test_partsupp_derivation_invariants(spark):
         assert 1 <= stats[2] and stats[3] <= 9999
         assert Decimal("1.00") <= stats[4] and stats[5] < Decimal("1000.00")
         assert dict(ps.dtypes)["ps_supplycost"] == "decimal(12,2)"
+
+
+def test_compact_with_target_file_bytes(spark, tmp_path):
+    """Size-targeted compaction (the 100 TB mode): a big partition is
+    rewritten into ceil(bytes/target) files, a small one into 1 —
+    never everything into one unsplittable file. Content preserved."""
+    import glob
+
+    from nineinfra_spark.sources.writers import compact_partitioned_table
+
+    wh = str(tmp_path / "wh")
+    db = "compact_size_db"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{wh}/{db}'")
+    tbl = f"{db}.t"
+    spark.sql(
+        f"CREATE TABLE {tbl} (k BIGINT, payload STRING) "
+        f"USING parquet PARTITIONED BY (pr STRING)"
+    )
+    # partition A: 20k rows with fat payloads; partition B: 50 rows
+    spark.sql(
+        """
+        SELECT id AS k, repeat(uuid(), 8) AS payload,
+               CASE WHEN id < 20000 THEN 'A' ELSE 'B' END AS pr
+        FROM range(20050)
+        """
+    ).repartition(16).write.mode("append").insertInto(tbl)
+    loc = f"{wh}/{db}/t"
+    assert len(glob.glob(f"{loc}/pr=A/*.parquet")) > 1
+    before = spark.table(tbl).count()
+
+    import os
+
+    a_bytes = sum(
+        os.path.getsize(p) for p in glob.glob(f"{loc}/pr=A/*.parquet")
+    )
+    target = max(a_bytes // 4, 1)  # expect ~4-5 files for A, 1 for B
+    compact_partitioned_table(spark, tbl, ["pr"], target_file_bytes=target)
+
+    n_a = len(glob.glob(f"{loc}/pr=A/*.parquet"))
+    n_b = len(glob.glob(f"{loc}/pr=B/*.parquet"))
+    assert n_a >= 3, n_a  # big partition split across multiple files
+    assert n_b == 1, n_b  # small partition compacted to one
+    assert spark.table(tbl).count() == before
+    spark.sql(f"DROP TABLE {tbl}")
+    spark.sql(f"DROP DATABASE {db}")
