@@ -617,3 +617,108 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "cand_id", "cos", "rank")
     )
+
+
+# -- semantic dedup (SemDeDup) ---------------------------------------------
+
+#: cosine threshold above which two same-cell embeddings are semantic
+#: duplicates (calibrated like SIM_T for the synthetic corpus).
+SEMDEDUP_T = SIM_T
+
+
+def _semdedup_oracle() -> str:
+    cos_vc = COS_DUCK.format(a="v.embedding", b="c.embedding")
+    cos_ab = COS_DUCK.format(a="ea.embedding", b="eb.embedding")
+    return f"""
+    WITH cent AS (
+        SELECT vec_id - {N_QUERIES} AS cell, embedding
+        FROM embeddings
+        WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_IVF_CELLS}
+    ),
+    cand AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= {N_QUERIES}),
+    assigned AS (
+        SELECT vec_id, cell FROM (
+            SELECT v.vec_id, c.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {cos_vc} DESC, c.cell
+                   ) AS rn
+            FROM cand v, cent c
+        ) WHERE rn = 1
+    ),
+    dups AS (
+        SELECT DISTINCT b.vec_id
+        FROM assigned a JOIN assigned b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id
+        WHERE {cos_ab} >= {SEMDEDUP_T}
+    )
+    SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+           d.vec_id IS NOT NULL AS is_dup
+    FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id
+    """
+
+
+@query(
+    "dedup_semantic_cells",
+    oracle=_semdedup_oracle(),
+    tags=("ext", "similarity", "dedup", "semdedup", "bounded-nlj"),
+)
+def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication, SemDeDup-style (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with the IVF coarse
+    quantizer, then WITHIN each cell mark every vector that has a
+    smaller-id neighbor above SEMDEDUP_T cosine as a semantic
+    duplicate — keep one representative per near-identical semantic
+    group. This is the embedding-space complement of the lexical
+    MinHash pipeline: it catches paraphrases and re-encodings that
+    share no shingles.
+
+    Scale posture — the defining SemDeDup trick is that the pairwise
+    step is CELL-LOCAL: the quadratic cost is bounded by cell size
+    (K grows with the corpus so cells stay ~constant), never
+    all-pairs over the corpus. Plan: one broadcast-assign scan
+    (centroids are the K-row side of a bounded NLJ), then a self
+    equi-join keyed on cell (hash-partitionable, AQE-skew-splittable)
+    with the cosine filter inside the join, then a doc-keyed left
+    join for the flag. Cosine and the ≥ threshold compare are
+    bit-identical across engines (sequential-fold contract above), so
+    the boundary pair cannot flip."""
+    emb = t(spark, sf_dir, "embeddings")
+    cent = emb.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_IVF_CELLS)
+    ).select((F.col("vec_id") - N_QUERIES).alias("cell"), F.col("embedding").alias("c_emb"))
+
+    cos_vc = F.expr(COS_SPARK.format(a="embedding", b="c_emb"))
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cos_vc"), "cell")
+    cand = emb.filter(F.col("vec_id") >= N_QUERIES)
+    assigned = (
+        cand.crossJoin(F.broadcast(cent))
+        .select("vec_id", "embedding", "cell", cos_vc.alias("cos_vc"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell", "embedding")
+    )
+
+    a = assigned.select(
+        F.col("cell"), F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb")
+    )
+    b = assigned.select(
+        F.col("cell"), F.col("vec_id").alias("vec_id"), F.col("embedding").alias("b_emb")
+    )
+    dups = (
+        a.join(b, "cell")
+        .filter(F.col("a_id") < F.col("vec_id"))
+        .filter(F.expr(COS_SPARK.format(a="a_emb", b="b_emb")) >= SEMDEDUP_T)
+        .select("vec_id")
+        .distinct()
+    )
+    return (
+        assigned.join(dups.withColumn("is_dup", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cell").cast("bigint").alias("cell"),
+            F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+        )
+    )

@@ -463,3 +463,90 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep"),
         )
     )
+
+
+#: Training-sequence length for the packing pass (tokens per sequence)
+#: and the shard width that bounds each packing unit: sequences are
+#: numbered per (source, shard), never globally.
+SEQ_LEN = 128
+PACK_SHARD_DOCS = 100
+
+
+@query(
+    "text_pack_sequences",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, source, len({TOKS_DUCK}) AS n_tokens
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, source, doc_id // {PACK_SHARD_DOCS} AS shard, n_tokens
+        FROM d WHERE n_tokens > 0
+    ),
+    off AS (
+        SELECT doc_id, source, shard, n_tokens,
+               SUM(n_tokens) OVER (
+                   PARTITION BY source, shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tokens AS tok_offset
+        FROM sh
+    )
+    SELECT doc_id, source, CAST(shard AS BIGINT) AS shard,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(tok_offset AS BIGINT) AS tok_offset,
+           CAST(tok_offset // {SEQ_LEN} AS BIGINT) AS first_seq,
+           CAST((tok_offset + n_tokens - 1) // {SEQ_LEN} AS BIGINT) AS last_seq,
+           CAST((tok_offset + n_tokens - 1) // {SEQ_LEN}
+                - tok_offset // {SEQ_LEN} + 1 AS BIGINT) AS n_seqs
+    FROM off
+    """,
+    tags=("ext", "text", "pack"),
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (the concat-and-chunk step a pretraining
+    pipeline runs after curation): documents are concatenated in
+    deterministic (doc_id) order and cut into SEQ_LEN-token training
+    sequences; per document this emits its token offset in the packed
+    stream and the [first_seq, last_seq] span it lands in.
+
+    The packing unit is (source, shard) — shard = doc_id //
+    PACK_SHARD_DOCS — exactly how a production packer works: each
+    output shard is packed INDEPENDENTLY, sequence ids are namespaced
+    per shard, and no global token offset exists. That bounds the
+    window partition (at 100 TB a global cumulative sum would
+    serialize; per-shard cumsums are thousands of small independent
+    windows → one shuffle keyed on (source, shard), embarrassingly
+    parallel). Integer arithmetic end-to-end — bit-stable on both
+    engines."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.size(F.expr(TOKS_SPARK)).cast("long").alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .withColumn("shard", F.expr(f"doc_id DIV {PACK_SHARD_DOCS}"))
+    )
+    off = base.withColumn(
+        "tok_offset", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    first_seq = F.expr(f"tok_offset DIV {SEQ_LEN}")
+    last_seq = F.expr(f"(tok_offset + n_tokens - 1) DIV {SEQ_LEN}")
+    return off.select(
+        "doc_id",
+        "source",
+        "shard",
+        "n_tokens",
+        "tok_offset",
+        first_seq.alias("first_seq"),
+        last_seq.alias("last_seq"),
+        (last_seq - first_seq + F.lit(1)).cast("bigint").alias("n_seqs"),
+    )

@@ -255,3 +255,73 @@ def project_rename_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("o_totalprice", "amount")
         .drop("o_custkey", "o_orderstatus", "o_orderdate", "o_orderpriority")
     )
+
+
+#: Target language mixture for ``sample_mixture_lang`` in basis
+#: points (sums to 10_000). The binding stratum (smallest
+#: n_lang/weight ratio) is kept whole; every other language is
+#: hash-downsampled to match the mixture at the largest feasible
+#: total.
+MIXTURE_BP = {"en": 3000, "de": 2000, "es": 2000, "fr": 1500, "zh": 1500}
+
+
+@query(
+    "sample_mixture_lang",
+    oracle=f"""
+    WITH w(lang, bp) AS (VALUES {", ".join(f"('{l}', {bp})" for l, bp in MIXTURE_BP.items())}),
+    n AS (
+        SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang
+    ),
+    feas AS (
+        SELECT MIN(n.n_lang * 10000 // w.bp) AS nstar
+        FROM n JOIN w ON n.lang = w.lang
+    ),
+    thr AS (
+        SELECT n.lang,
+               (4096 * w.bp * feas.nstar) // (10000 * n.n_lang) AS threshold
+        FROM n JOIN w ON n.lang = w.lang CROSS JOIN feas
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN thr ON d.lang = thr.lang
+    WHERE CAST(CONCAT('0x', SUBSTR(md5(CAST(d.doc_id AS VARCHAR)), 1, 3)) AS BIGINT)
+          < thr.threshold
+    """,
+    tags=("sample", "deterministic", "mixture", "bounded-nlj"),  # 1-row N* side
+)
+def sample_mixture_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-weighted corpus sampling: downsample each language to
+    hit a TARGET MIXTURE (MIXTURE_BP) at the largest feasible total —
+    the data-balancing move every multilingual pretraining run makes
+    (cap the over-represented languages instead of upsampling the
+    rare ones). The feasible total N* = min_lang(n_lang / w_lang);
+    each language then keeps ~w_lang·N* rows via a deterministic
+    md5-bucket filter (threshold over the first 3 hex digits,
+    0..4095), so the sample is reproducible across engines, runs and
+    partitionings, and carries an exact row-level oracle. All
+    threshold arithmetic is integer (basis points × floor division) —
+    no float boundary can flip a row between engines.
+
+    Scale posture: pass 1 is a column-pruned per-language count (tiny
+    agg result); N* and the K per-language thresholds derive from it
+    as 1-row/K-row broadcasts; pass 2 is a pushed-down filter joined
+    against the broadcast threshold table — scan speed, no shuffle of
+    the corpus at any size."""
+    docs = t(spark, sf_dir, "documents")
+    n = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    w = spark.createDataFrame(
+        [(l, bp) for l, bp in MIXTURE_BP.items()], "lang string, bp long"
+    )
+    nw = n.join(F.broadcast(w), "lang")
+    nstar = nw.agg(
+        F.min(F.expr("n_lang * 10000 DIV bp")).alias("nstar")
+    )
+    thr = (
+        nw.crossJoin(F.broadcast(nstar))
+        .select("lang", F.expr("(4096 * bp * nstar) DIV (10000 * n_lang)").alias("threshold"))
+    )
+    hx = F.expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 3), 16, 10) as bigint)")
+    return (
+        docs.join(F.broadcast(thr), "lang")
+        .filter(hx < F.col("threshold"))
+        .select("doc_id", "lang")
+    )

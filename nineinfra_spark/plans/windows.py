@@ -331,3 +331,84 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count(F.lit(1)).alias("n_stage_click")))
         .crossJoin(p.agg(F.count(F.lit(1)).alias("n_stage_purchase")))
     )
+
+
+@query(
+    "scd2_intervals",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, event_type, ts, event_id,
+               LAG(event_type) OVER w AS prev_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+        SELECT user_id, event_type, ts,
+               SUM(CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS version
+        FROM o
+    ),
+    hist AS (
+        SELECT user_id, version, event_type,
+               MIN(ts) AS valid_from, COUNT(*) AS n_events
+        FROM runs GROUP BY user_id, version, event_type
+    )
+    SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+           valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+               AS valid_to,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+               IS NULL AS is_current,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM hist
+    """,
+    tags=("window", "scd2", "gaps-islands"),
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension history: collapse each user's event stream
+    into validity intervals — consecutive runs of the same event_type
+    become one versioned row with [valid_from, valid_to) and an
+    is_current flag on the open interval. This is the
+    change-data-capture → warehouse-dimension build every platform
+    runs to track attribute history (the reference reserves exactly
+    this ELT role to its provisioned engine,
+    ``internal/controller/kyuubi.go:189-203``).
+
+    Shape: gaps-and-islands (lag → run counter → per-run agg → lead
+    for the closing bound). All three window passes and the aggregate
+    are keyed on user_id, so the whole query costs ONE shuffle; ties
+    are pinned by (ts, event_id). At 100 TB this parallelizes per
+    user like any keyed window — no global ordering exists anywhere."""
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .withColumn(
+            "version",
+            F.sum(
+                F.when(
+                    F.col("prev_type").isNull()
+                    | (F.col("prev_type") != F.col("event_type")),
+                    1,
+                ).otherwise(0)
+            ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        )
+    )
+    hist = runs.groupBy("user_id", "version", "event_type").agg(
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w_v = Window.partitionBy("user_id").orderBy("version")
+    valid_to = F.lead("valid_from").over(w_v)
+    return hist.select(
+        "user_id",
+        F.col("version").cast("bigint").alias("version"),
+        "event_type",
+        "valid_from",
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )
