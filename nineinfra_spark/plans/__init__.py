@@ -43,6 +43,11 @@ _load_all()
 #: follow in registration order and rotate back next round.
 _VERIFY_FIRST = [
     # (a) new or shape-changed in round 6
+    "text_pack_sequences",  # new: per-shard sequence packing
+    "sample_mixture_lang",  # new: mixture-weighted corpus sampling
+    "scd2_intervals",  # new: SCD2 validity intervals
+    "dedup_semantic_cells",  # new: SemDeDup cell-local semantic dedup
+    "catalog_merge_upsert",  # new: MERGE stage-and-swap
     "q9_product_type_profit",  # new: synthetic partsupp, widest join
     "q11_important_stock",  # new: HAVING over 1-row total broadcast
     "q16_supplier_cnt",  # new: NOT IN blacklist + count-distinct
@@ -91,11 +96,6 @@ _VERIFY_FIRST = [
     "join_full_outer",
     "join_left_semi",
     "join_left_anti",
-    "join_asof_backward",
-    "join_skew_hotkey",
-    "setop_intersect_all",
-    "q17_small_qty_revenue",
-    "events_funnel",
 ]
 
 registry.set_order(_VERIFY_FIRST)

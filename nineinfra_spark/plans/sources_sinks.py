@@ -458,6 +458,87 @@ def _partsupp_bucketed_oracle() -> str:
     )
 
 
+
+_MERGE_BASE_HEX = "('0','1','2','3','4','5','6','7')"
+_MERGE_UPD_HEX = "('0','9')"
+
+
+@query(
+    "catalog_merge_upsert",
+    oracle=f"""
+    WITH base AS (
+        SELECT * FROM orders
+        WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN {_MERGE_BASE_HEX}
+    ),
+    upd AS (
+        SELECT o_orderkey, o_custkey, 'M' AS o_orderstatus,
+               o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority
+        FROM orders
+        WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN {_MERGE_UPD_HEX}
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM upd
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM base
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+    """,
+    tags=("catalog", "ddl", "merge", "upsert"),
+)
+def catalog_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO against a live managed table — the row-level-update
+    verb the warehouse's plain-parquet storage lacks natively,
+    implemented as the lakehouse copy-on-write snapshot merge
+    (``operators/merge.py``): base snapshot → merge_upsert (update
+    matched, insert new) → stage table → ALTER RENAME swap. The base
+    is a deterministic half of ``orders`` (md5 bucket 0-7); the
+    updates batch doubles o_totalprice and restamps status 'M' for an
+    overlapping slice (bucket 0 — matched → UPDATE) plus a disjoint
+    slice (bucket 9 — unmatched → INSERT). The oracle states the same
+    MERGE in ANSI SQL (update-wins union + NOT IN), so the swap's
+    visible result is verified row-for-row.
+
+    Scale posture: the merge is ONE key-keyed anti-join (AQE
+    broadcasts the dimension-sized updates batch over the base scan)
+    and the swap is a metastore rename — no reader ever sees a
+    partial table, and nothing touches the driver. o_totalprice * 2
+    is exact IEEE doubling — bit-stable on both engines."""
+    sfx = os.path.basename(sf_dir).replace(".", "_")
+    db = f"nine_wh_{sfx}"
+    is_hive = (
+        spark.conf.get("spark.sql.catalogImplementation", "in-memory") == "hive"
+    )
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{WAREHOUSE}/{db}'")
+    for tbl in ("orders_m", "orders_m__merge_stage"):
+        owned = spark.catalog.tableExists(f"{db}.{tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {db}.{tbl}")
+        loc = f"{WAREHOUSE}/{db}/{tbl}"
+        if os.path.exists(loc) and (not is_hive or not owned):
+            import shutil
+
+            shutil.rmtree(loc, ignore_errors=True)
+    orders = t(spark, sf_dir, "orders")
+    hx = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+    base = orders.filter(hx.isin(*"01234567"))
+    writers.save_as_table(base, f"{db}.orders_m", mode="overwrite")
+    updates = orders.filter(hx.isin("0", "9")).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("M").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    from nineinfra_spark.operators.merge import merge_into_table
+
+    merge_into_table(spark, f"{db}.orders_m", updates, keys=["o_orderkey"])
+    return spark.read.table(f"{db}.orders_m").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    )
+
 # late-bind the oracle (avoids importing tpch before registration)
 from nineinfra_spark.plans import registry as _registry  # noqa: E402
 
