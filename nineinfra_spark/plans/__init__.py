@@ -12,6 +12,7 @@ def _load_all() -> None:
     # Import for side effect: each module registers its queries.
     from nineinfra_spark.plans import (  # noqa: F401
         aggregates,
+        dq,
         ext_dedup,
         ext_multimodal,
         ext_similarity,

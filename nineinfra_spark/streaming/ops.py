@@ -66,16 +66,21 @@ def _staged_events_dir(sf_dir: str) -> str:
     return staged
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, **options: str
+) -> DataFrame:
     """File-source stream over the events table (schema fixed up-front
     — file streams never infer), with the same nanos→micros timestamp
-    rebuild as the batch reader so both modes see identical values."""
+    rebuild as the batch reader so both modes see identical values.
+    ``options`` pass through to the file source (e.g.
+    ``maxFilesPerTrigger="1"`` to force one micro-batch per arriving
+    file — the incremental-replay shape)."""
     staged = _staged_events_dir(sf_dir)
     nanos_cols = _nanos_ts_columns(staged) or frozenset()  # local dir: never None
     if nanos_cols:
         spark.conf.set(NANOS_CONF, "true")
     raw_schema = spark.read.parquet(staged).schema
-    raw = spark.readStream.schema(raw_schema).parquet(staged)
+    raw = spark.readStream.schema(raw_schema).options(**options).parquet(staged)
     # Watermarks require TIMESTAMP (instant) — with the engine's UTC
     # session timezone the ntz→ltz cast preserves the wall-clock value.
     return _rebuild_nanos_ts(raw, nanos_cols).withColumn(
