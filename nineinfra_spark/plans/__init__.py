@@ -44,6 +44,11 @@ _load_all()
 #: follow in registration order and rotate back next round.
 _VERIFY_FIRST = [
     # (a) new or shape-changed in round 6
+    "stream_upsert_snapshot",  # new: CDC apply loop via foreachBatch
+    "dq_expectations",  # new: data-quality constraint gate
+    "catalog_rollup_incremental",  # new: partition-pruned MV refresh
+    "agg_histogram_bins",  # new: fixed-bin profiling histogram
+    "text_corpus_datasheet",  # new: per-language corpus profile
     "text_pack_sequences",  # new: per-shard sequence packing
     "sample_mixture_lang",  # new: mixture-weighted corpus sampling
     "scd2_intervals",  # new: SCD2 validity intervals
@@ -92,11 +97,6 @@ _VERIFY_FIRST = [
     "agg_first_last_by",
     "agg_boolean_family",
     "fn_string",
-    "fn_array",
-    "join_left_outer",
-    "join_full_outer",
-    "join_left_semi",
-    "join_left_anti",
 ]
 
 registry.set_order(_VERIFY_FIRST)

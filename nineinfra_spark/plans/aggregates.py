@@ -483,3 +483,69 @@ def agg_boolean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+#: fixed-bin histogram spec for ``agg_histogram_bins``: 10 bins of
+#: width 50 over [0, 500) in integer CENTS so the bin of a boundary
+#: value can't flip between engines' float arithmetic.
+_HIST_LO_C = 0
+_HIST_W_C = 50_00
+_HIST_N = 10
+
+
+@query(
+    "agg_histogram_bins",
+    oracle=f"""
+    WITH c AS (
+        SELECT event_type,
+               LEAST(GREATEST((CAST(ROUND(value * 100) AS BIGINT) - {_HIST_LO_C})
+                              // {_HIST_W_C}, 0), {_HIST_N - 1}) AS bin
+        FROM events
+    )
+    SELECT event_type, CAST(bin AS BIGINT) AS bin,
+           CAST(bin * {_HIST_W_C} AS DOUBLE) / 100.0 AS bin_lo,
+           CAST((bin + 1) * {_HIST_W_C} AS DOUBLE) / 100.0 AS bin_hi,
+           COUNT(*) AS n
+    FROM c
+    GROUP BY event_type, bin
+    """,
+    tags=("agg", "histogram", "profiling"),
+)
+def agg_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin numeric histogram per group — the data-profiling
+    aggregate every warehouse exposes (width_bucket semantics, with
+    under/overflow clamped into the edge bins). Bin assignment runs in
+    integer CENTS (round-to-cents → integer floor-divide), so a value
+    sitting exactly on a bin edge lands identically on both engines —
+    the float-boundary discipline used repo-wide.
+
+    Scale posture: one projection + one (event_type, bin)-keyed
+    hash aggregate — map-side combined, output cardinality is
+    #groups × #bins (tiny). Scan speed at any corpus size."""
+    ev = t(spark, sf_dir, "events")
+    bin_c = F.least(
+        F.greatest(
+            F.expr(f"(cast(round(value * 100) as bigint) - {_HIST_LO_C}) DIV {_HIST_W_C}"),
+            F.lit(0),
+        ),
+        F.lit(_HIST_N - 1),
+    )
+    return (
+        ev.select("event_type", bin_c.alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            F.col("bin").cast("bigint").alias("bin"),
+            (F.col("bin") * _HIST_W_C).cast("double").alias("bin_lo_raw"),
+            ((F.col("bin") + 1) * _HIST_W_C).cast("double").alias("bin_hi_raw"),
+            "n",
+        )
+        .select(
+            "event_type",
+            "bin",
+            (F.col("bin_lo_raw") / 100.0).alias("bin_lo"),
+            (F.col("bin_hi_raw") / 100.0).alias("bin_hi"),
+            "n",
+        )
+    )

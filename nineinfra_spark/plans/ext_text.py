@@ -550,3 +550,50 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         last_seq.alias("last_seq"),
         (last_seq - first_seq + F.lit(1)).cast("bigint").alias("n_seqs"),
     )
+
+
+@query(
+    "text_corpus_datasheet",
+    oracle=f"""
+    WITH d AS (
+        SELECT lang, source, len({TOKS_DUCK}) AS n_toks FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+           CAST(MIN(n_toks) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_toks) AS BIGINT) AS max_tokens,
+           quantile_cont(n_toks, 0.5)::DOUBLE AS p50_tokens,
+           quantile_cont(n_toks, 0.95)::DOUBLE AS p95_tokens
+    FROM d GROUP BY lang
+    """,
+    tags=("ext", "text", "datasheet", "profiling"),
+)
+def text_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus DATASHEET: per-language document counts, source
+    diversity, token totals, and the exact token-length distribution
+    (min/max/p50/p95) — the summary table every dataset card and
+    mixture decision starts from (and the input `sample_mixture_lang`
+    would consume to set its weights).
+
+    Exact interpolated percentiles buffer per-group values —
+    LANGUAGE-bounded groups here (bounded cardinality, the documented
+    exact-percentile regime of `agg_percentile_exact`); at 100 TB the
+    same datasheet swaps in percentile_approx per the sketch query.
+    Percentile interpolation is (a+b)/2-style arithmetic on INTEGER
+    token counts — exact in double on both engines. Everything else
+    is one map-side-combined hash aggregate at scan speed."""
+    docs = t(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang", "source", F.size(F.expr(TOKS_SPARK)).cast("long").alias("n_toks")
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_toks").alias("total_tokens"),
+        F.min("n_toks").alias("min_tokens"),
+        F.max("n_toks").alias("max_tokens"),
+        F.expr("percentile(n_toks, 0.5)").alias("p50_tokens"),
+        F.expr("percentile(n_toks, 0.95)").alias("p95_tokens"),
+    )
