@@ -44,6 +44,7 @@ _load_all()
 #: follow in registration order and rotate back next round.
 _VERIFY_FIRST = [
     # (a) new or shape-changed in round 6
+    "fn_zorder_values",  # new: Morton code kernel of the zorder layout op
     "stream_upsert_snapshot",  # new: CDC apply loop via foreachBatch
     "dq_expectations",  # new: data-quality constraint gate
     "catalog_rollup_incremental",  # new: partition-pruned MV refresh
@@ -96,7 +97,6 @@ _VERIFY_FIRST = [
     "agg_percentile_exact",
     "agg_first_last_by",
     "agg_boolean_family",
-    "fn_string",
 ]
 
 registry.set_order(_VERIFY_FIRST)

@@ -405,3 +405,61 @@ def fn_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.levenshtein(F.col("p_name"), F.col("p_brand")).alias("lev_name_brand"),
         F.when(lev <= 1, "near").otherwise("far").alias("brand_band"),
     )
+
+
+def _zorder_oracle() -> str:
+    """DuckDB mirror of operators/zorder.zvalue_column over the
+    integer pair (user_id, event_id), bits=16: identical IEEE-double
+    scaling expression, identical bit interleave."""
+    bits, k = 16, 2
+    grid = (1 << bits) - 1
+    cells = []
+    for c in ("user_id", "event_id"):
+        cells.append(
+            f"GREATEST(0, LEAST({grid}, CAST(FLOOR("
+            f"(CAST({c} AS DOUBLE) - lo_{c}) / span_{c} * {grid}) AS BIGINT)))"
+        )
+    terms = [
+        f"((((c{i} >> {b}) & 1)) << {b * k + i})"
+        for b in range(bits)
+        for i in range(k)
+    ]
+    return f"""
+    WITH stats AS (
+        SELECT CAST(MIN(CAST(user_id AS DOUBLE)) AS DOUBLE) AS lo_user_id,
+               CAST(MAX(CAST(user_id AS DOUBLE)) - MIN(CAST(user_id AS DOUBLE)) AS DOUBLE) AS span_user_id,
+               CAST(MIN(CAST(event_id AS DOUBLE)) AS DOUBLE) AS lo_event_id,
+               CAST(MAX(CAST(event_id AS DOUBLE)) - MIN(CAST(event_id AS DOUBLE)) AS DOUBLE) AS span_event_id
+        FROM events
+    ),
+    cells AS (
+        SELECT event_id AS eid, {cells[0]} AS c0, {cells[1]} AS c1
+        FROM events CROSS JOIN stats
+    )
+    SELECT eid AS event_id, {' | '.join(terms)} AS z
+    FROM cells
+    """
+
+
+@query(
+    "fn_zorder_values",
+    oracle=_zorder_oracle(),
+    tags=("fn", "zorder", "bitwise", "layout"),
+)
+def fn_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) code computation — the kernel of the
+    `operators/zorder.py` layout clustering (lakehouse
+    ``OPTIMIZE ... ZORDER BY``): min-max scale each column to a 16-bit
+    grid, interleave the bits. Verified bit-for-bit against the oracle
+    (IEEE-double scaling is reproducible; everything after is integer
+    bit arithmetic). The min/max constants are one tiny driver-side
+    aggregate — at 100 TB, a column-pruned scan-speed job that runs
+    once per layout rewrite, not per row. The layout payoff (per-file
+    min-max envelopes tight on BOTH clustered columns) is asserted in
+    tests/test_zorder.py."""
+    from nineinfra_spark.operators.zorder import zvalue_column
+
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id")
+    return ev.select(
+        "event_id", zvalue_column(ev, ["user_id", "event_id"]).alias("z")
+    )
