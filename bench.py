@@ -65,6 +65,13 @@ HEADLINE = [
     "fn_math",
     "sink_partitioned_pruning",
     "stream_tumbling_window",
+    # r6 continuation: curation/profiling/layout representatives
+    "dedup_semantic_cells",
+    "text_pack_sequences",
+    "sample_mixture_lang",
+    "scd2_intervals",
+    "agg_histogram_bins",
+    "fn_zorder_values",
 ]
 
 
