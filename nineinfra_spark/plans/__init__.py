@@ -44,6 +44,8 @@ _load_all()
 #: follow in registration order and rotate back next round.
 _VERIFY_FIRST = [
     # (a) new or shape-changed in round 6
+    "text_bigram_familiarity",  # new: corpus-relative LM familiarity filter
+    "catalog_analyze_stats",  # new: ANALYZE column stats + ndv bounds
     "fn_zorder_values",  # new: Morton code kernel of the zorder layout op
     "stream_upsert_snapshot",  # new: CDC apply loop via foreachBatch
     "dq_expectations",  # new: data-quality constraint gate
@@ -95,8 +97,6 @@ _VERIFY_FIRST = [
     "agg_global",
     "agg_pivot",
     "agg_percentile_exact",
-    "agg_first_last_by",
-    "agg_boolean_family",
 ]
 
 registry.set_order(_VERIFY_FIRST)

@@ -597,3 +597,82 @@ def text_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(n_toks, 0.5)").alias("p50_tokens"),
         F.expr("percentile(n_toks, 0.95)").alias("p95_tokens"),
     )
+
+
+@query(
+    "text_bigram_familiarity",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {TOKS_DUCK} AS toks FROM documents),
+    bg AS (
+        SELECT doc_id, unnest(list_transform(
+            generate_series(1, len(toks) - 1),
+            i -> toks[i] || ' ' || toks[i + 1]
+        )) AS bigram
+        FROM d WHERE len(toks) >= 2
+    ),
+    freq AS (
+        SELECT bigram, COUNT(*) AS corpus_n FROM bg GROUP BY bigram
+    ),
+    scored AS (
+        SELECT bg.doc_id,
+               COUNT(*) AS n_bigrams,
+               SUM(freq.corpus_n) AS familiarity_sum
+        FROM bg JOIN freq ON bg.bigram = freq.bigram
+        GROUP BY bg.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           CAST(familiarity_sum AS BIGINT) AS familiarity_sum,
+           familiarity_sum * 10 >= n_bigrams * 15 AS keep
+    FROM scored
+    """,
+    tags=("ext", "text", "quality", "lm"),
+)
+def text_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative language-model familiarity score — the
+    integer-exact stand-in for the CCNet/KenLM perplexity filter: a
+    document whose bigrams are RARE across the corpus reads as
+    unusual text (noise, boilerplate-stripped fragments, wrong
+    language); one whose bigrams are common reads as fluent. Score =
+    mean corpus frequency of the doc's bigrams, carried as the exact
+    integer pair (familiarity_sum, n_bigrams); ``keep`` compares the
+    mean against 1.5 by cross-multiplied integers, so no float
+    boundary exists anywhere.
+
+    Scale posture: the corpus bigram table is the classic inverted-
+    index aggregation (explode → map-side-combined count keyed on the
+    bigram — the shuffle carries vocabulary-sized pairs, not corpus
+    text); scoring joins each doc's bigrams back against that table
+    (same key, same partitioning — AQE reuses the exchange) and
+    reduces per doc_id. The KenLM upgrade path keeps this exact
+    shape: the n-gram table becomes the model, the join becomes a
+    log-prob lookup."""
+    docs = t(spark, sf_dir, "documents")
+    bg = (
+        docs.select("doc_id", F.expr(TOKS_SPARK).alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+                )
+            ).alias("bigram"),
+        )
+    )
+    freq = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("corpus_n"))
+    return (
+        bg.join(freq, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("corpus_n").alias("familiarity_sum"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+            F.col("familiarity_sum").cast("bigint").alias("familiarity_sum"),
+            (F.col("familiarity_sum") * 10 >= F.col("n_bigrams") * 15).alias("keep"),
+        )
+    )

@@ -632,6 +632,106 @@ def catalog_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m", "o_orderstatus", "n_orders", "total_price"
     )
 
+
+_ANALYZE_COLS = ("c_custkey", "c_mktsegment", "c_acctbal")
+
+
+@query(
+    "catalog_analyze_stats",
+    oracle=f"""
+    WITH exact AS (
+        SELECT 'c_custkey' AS col_name,
+               COUNT(*) FILTER (WHERE c_custkey IS NULL) AS num_nulls,
+               COUNT(DISTINCT c_custkey) AS exact_ndv
+        FROM customer
+        UNION ALL
+        SELECT 'c_mktsegment',
+               COUNT(*) FILTER (WHERE c_mktsegment IS NULL),
+               COUNT(DISTINCT c_mktsegment)
+        FROM customer
+        UNION ALL
+        SELECT 'c_acctbal',
+               COUNT(*) FILTER (WHERE c_acctbal IS NULL),
+               COUNT(DISTINCT c_acctbal)
+        FROM customer
+    )
+    SELECT col_name, CAST(num_nulls AS BIGINT) AS num_nulls,
+           CAST(exact_ndv AS BIGINT) AS exact_ndv,
+           TRUE AS ndv_ok
+    FROM exact
+    """,
+    tags=("catalog", "stats", "analyze"),
+)
+def catalog_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS — the
+    optimizer-statistics surface a metastore-backed warehouse relies
+    on for CBO join ordering and broadcast decisions
+    (``internal/controller/metastore.go:181-219`` implies the full
+    Hive DDL/stats verb set). The query ANALYZEs a managed copy of
+    ``customer``, reads back the catalog's per-column stats
+    (DESCRIBE EXTENDED t col), and emits per column: the catalog's
+    exact null count, the EXACT ndv recomputed from data, and
+    ``ndv_ok`` = catalog's HLL-approximate distinct_count within
+    ±15% of exact (3× the sketch's 5% relative standard deviation) — the same exact-vs-sketch
+    bounds-boolean contract as `agg_approx_sketches` (an approximate
+    value can't be hash-compared, its correctness bound can).
+
+    Scale posture: ANALYZE is one scan with a map-side-combinable
+    sketch per column; DESCRIBE is a metastore lookup. The stats
+    power the CBO at 100 TB — this query makes the repo's claim to
+    that machinery testable."""
+    sfx = os.path.basename(sf_dir).replace(".", "_")
+    db = f"nine_wh_{sfx}"
+    is_hive = (
+        spark.conf.get("spark.sql.catalogImplementation", "in-memory") == "hive"
+    )
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{WAREHOUSE}/{db}'")
+    tbl = f"{db}.customer_stats"
+    owned = spark.catalog.tableExists(tbl)
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    loc = f"{WAREHOUSE}/{db}/customer_stats"
+    if os.path.exists(loc) and (not is_hive or not owned):
+        import shutil
+
+        shutil.rmtree(loc, ignore_errors=True)
+    customer = t(spark, sf_dir, "customer")
+    writers.save_as_table(customer, tbl)
+    spark.sql(
+        f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR COLUMNS {', '.join(_ANALYZE_COLS)}"
+    )
+
+    rows = []
+    for c in _ANALYZE_COLS:
+        kv = {
+            r["info_name"]: r["info_value"]
+            for r in spark.sql(f"DESCRIBE EXTENDED {tbl} {c}").collect()
+        }
+        rows.append((c, int(kv["num_nulls"]), int(kv["distinct_count"])))
+    catalog_stats = spark.createDataFrame(
+        rows, "col_name string, num_nulls long, approx_ndv long"
+    )
+
+    exact = None
+    for c in _ANALYZE_COLS:
+        e = customer.agg(
+            F.lit(c).alias("col_name"),
+            F.countDistinct(F.col(c)).cast("bigint").alias("exact_ndv"),
+        )
+        exact = e if exact is None else exact.unionAll(e)
+
+    return (
+        catalog_stats.join(exact, "col_name")
+        .select(
+            "col_name",
+            "num_nulls",
+            "exact_ndv",
+            (
+                (F.col("approx_ndv") * 100 >= F.col("exact_ndv") * 85)
+                & (F.col("approx_ndv") * 100 <= F.col("exact_ndv") * 115)
+            ).alias("ndv_ok"),
+        )
+    )
+
 # late-bind the oracle (avoids importing tpch before registration)
 from nineinfra_spark.plans import registry as _registry  # noqa: E402
 
