@@ -626,14 +626,33 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEMDEDUP_T = SIM_T
 
 
+#: memoized per-sf_dir quantizer size: K = clamp(floor(sqrt(N)), 8, 1024)
+#: over the embeddings row count — a property of the DATA, not the
+#: session, so one tiny count job per directory serves every plan build.
+_SEMDEDUP_K_CACHE: dict[str, int] = {}
+
+
+def _semdedup_k(spark: SparkSession, sf_dir: str) -> int:
+    if sf_dir not in _SEMDEDUP_K_CACHE:
+        import math
+
+        n = t(spark, sf_dir, "embeddings").count()
+        _SEMDEDUP_K_CACHE[sf_dir] = max(8, min(1024, int(math.floor(math.sqrt(n)))))
+    return _SEMDEDUP_K_CACHE[sf_dir]
+
+
 def _semdedup_oracle() -> str:
     cos_vc = COS_DUCK.format(a="v.embedding", b="c.embedding")
     cos_ab = COS_DUCK.format(a="ea.embedding", b="eb.embedding")
     return f"""
-    WITH cent AS (
-        SELECT vec_id - {N_QUERIES} AS cell, embedding
+    WITH kk AS (
+        SELECT GREATEST(8, LEAST(1024, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT))) AS k
         FROM embeddings
-        WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_IVF_CELLS}
+    ),
+    cent AS (
+        SELECT vec_id - {N_QUERIES} AS cell, embedding
+        FROM embeddings, kk
+        WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES} + kk.k
     ),
     cand AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= {N_QUERIES}),
     assigned AS (
@@ -676,18 +695,26 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     share no shingles.
 
     Scale posture — the defining SemDeDup trick is that the pairwise
-    step is CELL-LOCAL: the quadratic cost is bounded by cell size
-    (K grows with the corpus so cells stay ~constant), never
-    all-pairs over the corpus. Plan: one broadcast-assign scan
+    step is CELL-LOCAL, and the quantizer is SIZED TO THE CORPUS:
+    K = clamp(floor(sqrt(N)), 8, 1024) cells (both engines derive K
+    from the same COUNT, so the oracle replicates the index), which
+    holds expected cell occupancy to ~sqrt(N). Total cost is then
+    assignment N·K + pairs N·(N/K) ≈ 2·N^1.5 — the balanced point;
+    a FIXED K would leave the pair step quadratic (the r6 sf1
+    scale-proof measured exactly that: 15.5× wall for 10× data before
+    this sizing, see NOTES). Plan: one broadcast-assign scan
     (centroids are the K-row side of a bounded NLJ), then a self
     equi-join keyed on cell (hash-partitionable, AQE-skew-splittable)
-    with the cosine filter inside the join, then a doc-keyed left
-    join for the flag. Cosine and the ≥ threshold compare are
-    bit-identical across engines (sequential-fold contract above), so
-    the boundary pair cannot flip."""
+    with the cosine filter inside the join (per-vector norms
+    precomputed once), then a doc-keyed left join for the flag.
+    Cosine and the ≥ threshold compare are bit-identical across
+    engines (sequential-fold contract above), so the boundary pair
+    cannot flip. K derives from a memoized driver-side COUNT — one
+    column-pruned count job per sf_dir, the `_partsupp` pattern."""
     emb = t(spark, sf_dir, "embeddings")
+    k = _semdedup_k(spark, sf_dir)
     cent = emb.filter(
-        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_IVF_CELLS)
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + k)
     ).select((F.col("vec_id") - N_QUERIES).alias("cell"), F.col("embedding").alias("c_emb"))
 
     cos_vc = F.expr(COS_SPARK.format(a="embedding", b="c_emb"))
