@@ -44,6 +44,7 @@ _load_all()
 #: follow in registration order and rotate back next round.
 _VERIFY_FIRST = [
     # (a) new or shape-changed in round 6
+    "ann_pq_adc_topk",  # new: product-quantization ADC index
     "text_bigram_familiarity",  # new: corpus-relative LM familiarity filter
     "catalog_analyze_stats",  # new: ANALYZE column stats + ndv bounds
     "fn_zorder_values",  # new: Morton code kernel of the zorder layout op
@@ -96,7 +97,6 @@ _VERIFY_FIRST = [
     # remaining r4 queries rotate in next round)
     "agg_global",
     "agg_pivot",
-    "agg_percentile_exact",
 ]
 
 registry.set_order(_VERIFY_FIRST)

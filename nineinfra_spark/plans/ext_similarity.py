@@ -771,3 +771,180 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
         )
     )
+
+
+# -- product quantization (PQ / ADC) ---------------------------------------
+
+PQ_M = 4  # subspaces
+PQ_SUB = 16  # dims per subspace (4 × 16 = 64)
+PQ_K = 8  # codewords per subspace (taken from vec_id ∈ [5, 13))
+
+
+def _pq_sub_spark(col: str, m: int) -> str:
+    return f"slice({col}, {m * PQ_SUB + 1}, {PQ_SUB})"
+
+
+def _pq_sub_duck(col: str, m: int) -> str:
+    return f"{col}[{m * PQ_SUB + 1}:{m * PQ_SUB + PQ_SUB}]"
+
+
+_PQ_DOT_SPARK = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
+    " cast(0 as double), (acc, v) -> acc + v)"
+)
+_PQ_DOT_DUCK = (
+    "list_aggregate(list_transform(generate_series(1, len({a})),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), 'sum')"
+)
+
+
+def _pq_oracle() -> str:
+    dot_vc = _PQ_DOT_DUCK.format(a="sv.sub", b="cw.sub")
+    dot_qc = _PQ_DOT_DUCK.format(a="qv.sub", b="cw.sub")
+    sub_union_cand = "\n        UNION ALL ".join(
+        f"SELECT vec_id, {m} AS m, {_pq_sub_duck('embedding', m)} AS sub"
+        f" FROM embeddings WHERE vec_id >= {N_QUERIES}"
+        for m in range(PQ_M)
+    )
+    sub_union_q = "\n        UNION ALL ".join(
+        f"SELECT vec_id, {m} AS m, {_pq_sub_duck('embedding', m)} AS sub"
+        f" FROM embeddings WHERE vec_id < {N_QUERIES}"
+        for m in range(PQ_M)
+    )
+    return f"""
+    WITH cw AS (
+        SELECT m, vec_id - {N_QUERIES} AS j, sub FROM (
+            {sub_union_cand.replace(f"WHERE vec_id >= {N_QUERIES}",
+                                    f"WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + PQ_K}")}
+        )
+    ),
+    sv AS ({sub_union_cand}),
+    codes AS (
+        SELECT vec_id, m, j AS code FROM (
+            SELECT sv.vec_id, sv.m, cw.j,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY sv.vec_id, sv.m
+                       ORDER BY {dot_vc} DESC, cw.j
+                   ) AS rn
+            FROM sv JOIN cw ON sv.m = cw.m
+        ) WHERE rn = 1
+    ),
+    qv AS ({sub_union_q}),
+    qtab AS (
+        SELECT qv.vec_id AS query_id, qv.m, cw.j, {dot_qc} AS qdot
+        FROM qv JOIN cw ON qv.m = cw.m
+    ),
+    scored AS (
+        -- fixed-order add (((d0+d1)+d2)+d3): a grouped SUM over
+        -- doubles is accumulation-order-dependent; the pivot is not
+        SELECT qtab.query_id, codes.vec_id AS cand_id,
+               ((MAX(CASE WHEN codes.m = 0 THEN qdot END)
+                 + MAX(CASE WHEN codes.m = 1 THEN qdot END))
+                 + MAX(CASE WHEN codes.m = 2 THEN qdot END))
+                 + MAX(CASE WHEN codes.m = 3 THEN qdot END) AS approx_dot
+        FROM codes JOIN qtab ON codes.m = qtab.m AND codes.code = qtab.j
+        GROUP BY qtab.query_id, codes.vec_id
+    )
+    SELECT query_id, cand_id, approx_dot, rank FROM (
+        SELECT query_id, cand_id, approx_dot,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY approx_dot DESC, cand_id
+               ) AS rank
+        FROM scored
+    ) WHERE rank <= {TOP_K}
+    """
+
+
+@query(
+    "ann_pq_adc_topk",
+    oracle=_pq_oracle(),
+    tags=("ext", "similarity", "pq", "adc", "bounded-nlj"),
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization with asymmetric distance computation — the
+    memory-side leg of the production ANN triad (IVF prunes WHAT you
+    scan, PQ compresses WHAT you store): each candidate's 64-dim
+    vector is encoded as M=4 one-byte codes (nearest codeword per
+    16-dim subspace, inner-product quantizer), and a query scores a
+    candidate by summing M table lookups instead of a 64-dim dot —
+    at 100 TB the index shrinks ~64× and search touches only the
+    code table plus a |Q|·M·K lookup table.
+
+    Codewords are taken deterministically from corpus rows (the
+    sampled-seed idiom of `ann_ivf_topk`), so the whole index —
+    encode, tables, ADC scores — is replicated bit-for-bit by the
+    oracle (subspace dots are the same sequential fold both engines
+    use). Plan: encoding is one scan against a BROADCAST M·K-row
+    codebook (groupBy (vec_id, m) argmax — map-side combinable);
+    the query table is |Q|·M·K rows (broadcast); ADC is an equi-join
+    on (m, code) + a (query, cand)-keyed sum. Recall floor vs exact
+    cosine is asserted in tests/test_pq.py; on real clustered
+    embeddings (and trained codebooks — the k-means upgrade reuses
+    `operators/ivf.py:train` per subspace) the same index
+    concentrates mass exactly as IVF does."""
+    emb = t(spark, sf_dir, "embeddings")
+
+    def subspaces(df: DataFrame, id_alias: str) -> DataFrame:
+        parts = None
+        for m in range(PQ_M):
+            p = df.select(
+                F.col("vec_id").alias(id_alias),
+                F.lit(m).alias("m"),
+                F.expr(_pq_sub_spark("embedding", m)).alias("sub"),
+            )
+            parts = p if parts is None else parts.unionAll(p)
+        return parts
+
+    cw = subspaces(
+        emb.filter(
+            (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + PQ_K)
+        ),
+        "cw_id",
+    ).select("m", (F.col("cw_id") - N_QUERIES).alias("j"), F.col("sub").alias("cw_sub"))
+
+    sv = subspaces(emb.filter(F.col("vec_id") >= N_QUERIES), "vec_id")
+    dot_vc = F.expr(_PQ_DOT_SPARK.format(a="sub", b="cw_sub"))
+    w_code = Window.partitionBy("vec_id", "m").orderBy(F.desc("d"), "j")
+    codes = (
+        sv.join(F.broadcast(cw), "m")
+        .select("vec_id", "m", "j", dot_vc.alias("d"))
+        .withColumn("rn", F.row_number().over(w_code))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", F.col("j").alias("code"))
+    )
+
+    qv = subspaces(emb.filter(F.col("vec_id") < N_QUERIES), "query_id")
+    qtab = (
+        qv.join(F.broadcast(cw), "m")
+        .select(
+            F.col("query_id"),
+            "m",
+            "j",
+            F.expr(_PQ_DOT_SPARK.format(a="sub", b="cw_sub")).alias("qdot"),
+        )
+    )
+
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("approx_dot"), "cand_id")
+    return (
+        codes.join(
+            F.broadcast(qtab),
+            (codes["m"] == qtab["m"]) & (codes["code"] == qtab["j"]),
+        )
+        .groupBy("query_id", F.col("vec_id").alias("cand_id"))
+        .agg(
+            *[
+                F.max(F.when(codes["m"] == m, F.col("qdot"))).alias(f"d{m}")
+                for m in range(PQ_M)
+            ]
+        )
+        .select(
+            "query_id",
+            "cand_id",
+            (
+                ((F.col("d0") + F.col("d1")) + F.col("d2")) + F.col("d3")
+            ).alias("approx_dot"),
+        )
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", "approx_dot", "rank")
+    )
