@@ -45,6 +45,7 @@ _load_all()
 _VERIFY_FIRST = [
     # (a) new or shape-changed in round 6
     "ann_pq_adc_topk",  # new: product-quantization ADC index
+    "ann_pq_rerank_topk",  # new: two-stage ADC shortlist + exact re-rank
     "text_bigram_familiarity",  # new: corpus-relative LM familiarity filter
     "catalog_analyze_stats",  # new: ANALYZE column stats + ndv bounds
     "fn_zorder_values",  # new: Morton code kernel of the zorder layout op
@@ -96,7 +97,6 @@ _VERIFY_FIRST = [
     # (c) backfill: latest row is r4 (a cross-module spread — the
     # remaining r4 queries rotate in next round)
     "agg_global",
-    "agg_pivot",
 ]
 
 registry.set_order(_VERIFY_FIRST)

@@ -882,6 +882,12 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings (and trained codebooks — the k-means upgrade reuses
     `operators/ivf.py:train` per subspace) the same index
     concentrates mass exactly as IVF does."""
+    return _pq_adc_scored(spark, sf_dir, TOP_K)
+
+
+def _pq_adc_scored(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """PQ encode + ADC score + per-query rank cut at ``k`` (shared by
+    the raw ADC query and the two-stage re-rank)."""
     emb = t(spark, sf_dir, "embeddings")
 
     def subspaces(df: DataFrame, id_alias: str) -> DataFrame:
@@ -945,6 +951,72 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("approx_dot"),
         )
         .withColumn("rank", F.row_number().over(w_rank))
-        .filter(F.col("rank") <= TOP_K)
+        .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "approx_dot", "rank")
+    )
+
+
+PQ_SHORTLIST = 20  # ADC candidates re-ranked exactly per query
+
+
+def _pq_rerank_oracle() -> str:
+    # shortlist = ADC top-PQ_SHORTLIST (the _pq_oracle pipeline with a
+    # wider rank cut), then exact cosine re-rank of just those rows.
+    inner = _pq_oracle().replace(
+        f"WHERE rank <= {TOP_K}", f"WHERE rank <= {PQ_SHORTLIST}"
+    )
+    cos = COS_DUCK.format(a="qe.embedding", b="ce.embedding")
+    return f"""
+    WITH shortlist AS ({inner})
+    SELECT query_id, cand_id, cos, rank FROM (
+        SELECT s.query_id, s.cand_id, {cos} AS cos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s.query_id ORDER BY {cos} DESC, s.cand_id
+               ) AS rank
+        FROM shortlist s
+        JOIN embeddings qe ON qe.vec_id = s.query_id
+        JOIN embeddings ce ON ce.vec_id = s.cand_id
+    ) WHERE rank <= {TOP_K}
+    """
+
+
+@query(
+    "ann_pq_rerank_topk",
+    oracle=_pq_rerank_oracle(),
+    tags=("ext", "similarity", "pq", "rerank", "bounded-nlj"),
+)
+def ann_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval — the shape every production vector search
+    actually ships: a cheap compressed index (PQ/ADC) produces a
+    PQ_SHORTLIST-deep candidate list, then ONLY those rows are scored
+    with the exact cosine and re-ranked to the final top-k. Quality
+    comes from the exact stage, cost from the compressed one: at
+    100 TB the full-precision vectors are touched for |Q|·shortlist
+    rows instead of the corpus (a keyed join against the vector
+    store), which is why recall@k of this query dominates raw ADC —
+    ADC only has to get the true neighbors into the top-20, not the
+    top-3.
+
+    Plan: the ADC stage is `ann_pq_adc_topk`'s (broadcast codebook +
+    (m, code) lookup join); the re-rank stage joins the shortlist
+    back to embeddings on vec_id (the posting-list fetch) and windows
+    per query. Bit-replicated by the oracle end-to-end."""
+    shortlist = _pq_adc_scored(spark, sf_dir, PQ_SHORTLIST).select(
+        "query_id", "cand_id"
+    )
+    emb = t(spark, sf_dir, "embeddings")
+    qe = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    ce = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("e_emb"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "cand_id")
+    return (
+        shortlist.join(qe, "query_id")
+        .join(ce, "cand_id")
+        .select(
+            "query_id",
+            "cand_id",
+            F.expr(COS_SPARK.format(a="q_emb", b="e_emb")).alias("cos"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", "cos", "rank")
     )

@@ -94,3 +94,22 @@ def test_pq_code_range(spark):
     ).first()
     assert stats["lo"] >= 0 and stats["hi"] < PQ_K
     assert stats["nm"] == PQ_M
+
+
+def test_rerank_recall_dominates_raw_adc(spark):
+    """The point of the two-stage shape: exact re-rank of a deep ADC
+    shortlist recalls at least as many of the exact top-3 as the raw
+    ADC top-3 (it can only improve — the shortlist is a superset)."""
+    from nineinfra_spark.plans.ext_similarity import ann_pq_rerank_topk
+
+    exact = {
+        (r["query_id"], r["cand_id"]) for r in ann_cosine_topk(spark, SF).collect()
+    }
+    adc = {
+        (r["query_id"], r["cand_id"]) for r in ann_pq_adc_topk(spark, SF).collect()
+    }
+    rr = {
+        (r["query_id"], r["cand_id"]) for r in ann_pq_rerank_topk(spark, SF).collect()
+    }
+    assert len(rr & exact) >= len(adc & exact)
+    assert len(rr & exact) >= 1
