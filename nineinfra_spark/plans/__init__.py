@@ -14,6 +14,7 @@ def _load_all() -> None:
         aggregates,
         dq,
         ext_dedup,
+        ext_hybrid,
         ext_multimodal,
         ext_similarity,
         ext_text,
@@ -46,6 +47,7 @@ _VERIFY_FIRST = [
     # (a) new or shape-changed in round 6
     "ann_pq_adc_topk",  # new: product-quantization ADC index
     "ann_pq_rerank_topk",  # new: two-stage ADC shortlist + exact re-rank
+    "hybrid_search_rrf",  # new: lexical+vector reciprocal-rank fusion
     "text_bigram_familiarity",  # new: corpus-relative LM familiarity filter
     "catalog_analyze_stats",  # new: ANALYZE column stats + ndv bounds
     "fn_zorder_values",  # new: Morton code kernel of the zorder layout op
@@ -96,7 +98,6 @@ _VERIFY_FIRST = [
     "udf_apply_in_pandas",
     # (c) backfill: latest row is r4 (a cross-module spread — the
     # remaining r4 queries rotate in next round)
-    "agg_global",
 ]
 
 registry.set_order(_VERIFY_FIRST)
