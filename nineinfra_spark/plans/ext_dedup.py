@@ -693,3 +693,275 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_boiler_shingles"))
     )
+
+
+# -- segment-level (paragraph) dedup --------------------------------------
+
+SEG_SIZE = 8  # tokens per segment (the "paragraph" unit for this corpus)
+
+
+@query(
+    "dedup_paragraph_exact",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {TOKS_DUCK} AS toks FROM documents),
+         w AS (
+             SELECT doc_id, toks,
+                    unnest(generate_series(0, len(toks) - 1, {SEG_SIZE})) AS start
+             FROM d WHERE len(toks) > 0
+         ),
+         seg AS (
+             SELECT doc_id,
+                    CAST(start // {SEG_SIZE} AS BIGINT) AS seg_idx,
+                    array_to_string(toks[start + 1 : start + {SEG_SIZE}], ' ') AS seg_text
+             FROM w
+         ),
+         ranked AS (
+             SELECT *,
+                    ROW_NUMBER() OVER (
+                        PARTITION BY md5(seg_text) ORDER BY doc_id, seg_idx
+                    ) AS rn
+             FROM seg
+         )
+    SELECT doc_id,
+           COUNT(*) AS n_segments,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           md5(COALESCE(
+               string_agg(seg_text, ' ' ORDER BY seg_idx) FILTER (WHERE rn = 1),
+               '')) AS kept_hash
+    FROM ranked
+    GROUP BY doc_id
+    """,
+    tags=("ext", "dedup", "paragraph"),
+)
+def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level (CCNet-style paragraph) exact dedup: documents are
+    cut into non-overlapping SEG_SIZE-token segments; a segment whose
+    exact content already occurred earlier in the corpus (first
+    occurrence = smallest (doc_id, seg_idx)) is dropped, and each
+    document is reassembled from its surviving segments. The output
+    carries the md5 of the reassembled text, so the differential gate
+    pins the exact surviving byte stream, not just counts. The
+    reference reserves data processing to its provisioned engine
+    (``internal/controller/kyuubi.go:189-203``); this is native.
+
+    Scale posture: two shuffles, both on uniform keys — one window
+    keyed on the segment md5 (the inverted-index shuffle; hot
+    boilerplate segments are AQE skew-split territory), one groupBy on
+    doc_id for reassembly. No all-pairs, no driver state; at 100 TB
+    this is the standard line-dedup pass CCNet runs over Common
+    Crawl."""
+    docs = t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    seg = (
+        docs.select("doc_id", F.expr(TOKS_SPARK).alias("toks"))
+        .filter(F.size("toks") > 0)
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.expr(f"sequence(0, size(toks) - 1, {SEG_SIZE})")
+            ).alias("start"),
+        )
+        .select(
+            "doc_id",
+            (F.col("start") / SEG_SIZE).cast("bigint").alias("seg_idx"),
+            F.expr(f"array_join(slice(toks, start + 1, {SEG_SIZE}), ' ')").alias(
+                "seg_text"
+            ),
+        )
+    )
+    w = Window.partitionBy(F.md5("seg_text")).orderBy("doc_id", "seg_idx")
+    ranked = seg.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+        F.md5(
+            F.expr(
+                "array_join(transform(filter("
+                "sort_array(collect_list(struct(seg_idx, rn, seg_text))),"
+                " s -> s.rn = 1), s -> s.seg_text), ' ')"
+            )
+        ).alias("kept_hash"),
+    )
+
+
+# -- incremental (delta-vs-index) near-dup dedup ---------------------------
+
+
+def _incremental_oracle() -> str:
+    mins = ",\n           ".join(
+        f"MIN(h1 + {k} * h2) AS m{k}" for k in range(N_PERM)
+    )
+    band_cols = ",\n           ".join(
+        "md5(concat_ws(':', "
+        + ", ".join(f"m{b * ROWS_PER_BAND + j}" for j in range(ROWS_PER_BAND))
+        + f")) AS b{b}"
+        for b in range(N_BANDS)
+    )
+    band_union = "\n        UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, b{b} AS band_key FROM bands"
+        for b in range(N_BANDS)
+    )
+    return f"""
+    WITH d AS (SELECT doc_id, {TOKS_DUCK} AS toks FROM documents),
+    sh AS (SELECT doc_id, {SH_DUCK} AS shingles FROM d),
+    sz AS (SELECT doc_id, shingles, len(shingles) AS n FROM sh WHERE len(shingles) > 0),
+    hs AS (
+        SELECT doc_id,
+               {_h_duck("'a:' || s")} AS h1,
+               {_h_duck("'b:' || s")} % {_H2_MOD} AS h2
+        FROM (SELECT doc_id, unnest(shingles) AS s FROM sz)
+    ),
+    sig AS (
+        SELECT doc_id,
+           {mins}
+        FROM hs GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id,
+           {band_cols}
+        FROM sig
+    ),
+    bb AS (
+        {band_union}
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS delta_id, y.doc_id AS index_id
+        FROM bb x JOIN bb y
+          ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+        WHERE x.doc_id % 2 = 1 AND y.doc_id % 2 = 0
+    ),
+    ver AS (
+        SELECT delta_id,
+               CASE WHEN 3 * len(list_intersect(a.shingles, b.shingles))
+                         >= a.n + b.n
+                    THEN 1 ELSE 0 END AS is_dup
+        FROM cand
+        JOIN sz a ON cand.delta_id = a.doc_id
+        JOIN sz b ON cand.index_id = b.doc_id
+    ),
+    agg AS (
+        SELECT delta_id,
+               CAST(COUNT(*) AS BIGINT) AS n_candidates,
+               CAST(SUM(is_dup) AS BIGINT) AS n_dups
+        FROM ver GROUP BY delta_id
+    )
+    SELECT dl.doc_id,
+           COALESCE(n_candidates, 0) AS n_candidates,
+           COALESCE(n_dups, 0) AS n_dups,
+           CAST(CASE WHEN COALESCE(n_dups, 0) = 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS survives
+    FROM (SELECT doc_id FROM sz WHERE doc_id % 2 = 1) dl
+    LEFT JOIN agg ON agg.delta_id = dl.doc_id
+    """
+
+
+@query(
+    "dedup_incremental_batch",
+    oracle=_incremental_oracle(),
+    tags=("ext", "dedup", "lsh", "incremental"),
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup dedup of an arriving batch against the
+    already-ingested corpus: the delta (odd doc_ids here) is LSH-
+    banded and probed against the index side's (band_idx, band_key)
+    signature table (even doc_ids); collisions are verified with
+    exact shingle Jaccard ≥ 0.5 against the colliding index docs.
+    Each delta doc gets a verdict row — candidate count, verified-dup
+    count, and a survives flag.
+
+    Scale posture: THE pattern that keeps dedup affordable on a
+    continuously-ingesting 100 TB corpus — the index is touched only
+    through its narrow precomputed band-signature table (4 rows ×
+    2 columns per indexed doc, maintained incrementally as batches
+    commit), never re-shingled; the per-batch cost is proportional to
+    the delta, not the corpus. The probe is an equi-join on
+    (band_idx, band_key) — with a small delta, AQE broadcasts the
+    delta's bands against the index signature scan; verification
+    fetches only the colliding index docs' shingle arrays.
+    """
+    sz = _shingled(spark, sf_dir).select(
+        "doc_id", "shingles", F.size("shingles").alias("n")
+    )
+    sz = sz.localCheckpoint(eager=False)
+    ex = sz.select("doc_id", F.explode("shingles").alias("s")).select(
+        "doc_id",
+        F.expr(_h_spark("concat('a:', s)")).alias("h1"),
+        (F.expr(_h_spark("concat('b:', s)")) % _H2_MOD).alias("h2"),
+    )
+    sig = ex.groupBy("doc_id").agg(
+        *[F.min(F.col("h1") + k * F.col("h2")).alias(f"m{k}") for k in range(N_PERM)]
+    )
+    bands = sig.select(
+        "doc_id",
+        *[
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    *[F.col(f"m{b * ROWS_PER_BAND + j}") for j in range(ROWS_PER_BAND)],
+                )
+            ).alias(f"b{b}")
+            for b in range(N_BANDS)
+        ],
+    )
+    bb = bands.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"b{b}") for b in range(N_BANDS)])).alias(
+            "band_idx", "band_key"
+        ),
+    )
+    cand = (
+        bb.filter(F.col("doc_id") % 2 == 1)
+        .alias("x")
+        .join(
+            bb.filter(F.col("doc_id") % 2 == 0).alias("y"),
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_key") == F.col("y.band_key")),
+        )
+        .select(
+            F.col("x.doc_id").alias("delta_id"), F.col("y.doc_id").alias("index_id")
+        )
+        .distinct()
+    )
+    a = sz.select(
+        F.col("doc_id").alias("delta_id"),
+        F.col("shingles").alias("sh_a"),
+        F.col("n").alias("na"),
+    )
+    b = sz.select(
+        F.col("doc_id").alias("index_id"),
+        F.col("shingles").alias("sh_b"),
+        F.col("n").alias("nb"),
+    )
+    agg = (
+        cand.join(a, "delta_id")
+        .join(b, "index_id")
+        .select(
+            "delta_id",
+            F.when(
+                3 * F.size(F.array_intersect("sh_a", "sh_b"))
+                >= F.col("na") + F.col("nb"),
+                1,
+            )
+            .otherwise(0)
+            .alias("is_dup"),
+        )
+        .groupBy("delta_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum("is_dup").alias("n_dups"),
+        )
+    )
+    delta = sz.filter(F.col("doc_id") % 2 == 1).select("doc_id")
+    return delta.join(
+        agg, delta.doc_id == agg.delta_id, "left"
+    ).select(
+        "doc_id",
+        F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+        F.coalesce("n_dups", F.lit(0)).alias("n_dups"),
+        F.when(F.coalesce("n_dups", F.lit(0)) == 0, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("survives"),
+    )

@@ -144,3 +144,75 @@ class TestAsofAtomicity:
                 payload=["v"], suffix="_r",
             ).collect()
             assert out[0]["v_r"] == 7, f"tie-break changed with {n_parts} partitions"
+
+
+class TestIncrementalDedup:
+    def test_incremental_consistent_with_pair_ground_truth(self, spark):
+        """A delta doc is dropped iff it has a verified (j ≥ 0.5)
+        LSH-discoverable near-dup on the index side — i.e. the verdicts
+        must agree with the cross-parity slice of the full-corpus
+        minhash pair relation."""
+        from nineinfra_spark.plans.ext_dedup import (
+            dedup_incremental_batch,
+            dedup_minhash_pairs,
+        )
+
+        pairs = _pairs(dedup_minhash_pairs(spark, SF))
+        cross_dup_delta = {a for a, b in pairs if a % 2 == 1 and b % 2 == 0} | {
+            b for a, b in pairs if b % 2 == 1 and a % 2 == 0
+        }
+        verdicts = {
+            r["doc_id"]: r["survives"]
+            for r in dedup_incremental_batch(spark, SF).collect()
+        }
+        assert cross_dup_delta, "no cross-parity near-dups — testdata changed?"
+        for doc_id, survives in verdicts.items():
+            assert (survives == 0) == (doc_id in cross_dup_delta), doc_id
+
+    def test_incremental_drops_something(self, spark):
+        from nineinfra_spark.plans.ext_dedup import dedup_incremental_batch
+
+        df = dedup_incremental_batch(spark, SF)
+        dropped = df.filter(F.col("survives") == 0).count()
+        assert dropped > 0
+
+
+class TestParagraphDedup:
+    def test_first_occurrence_invariant(self, spark):
+        """Corpus-wide: exactly one copy of every distinct segment
+        survives — Σ n_kept == |distinct segment hashes|."""
+        from nineinfra_spark.plans.ext_dedup import SEG_SIZE, dedup_paragraph_exact
+        from nineinfra_spark.plans._util import t
+        from nineinfra_spark.plans.ext_text import TOKS_SPARK
+
+        res = dedup_paragraph_exact(spark, SF)
+        total_kept = res.agg(F.sum("n_kept")).collect()[0][0]
+        distinct_segs = (
+            t(spark, SF, "documents")
+            .select(F.expr(TOKS_SPARK).alias("toks"))
+            .filter(F.size("toks") > 0)
+            .select(
+                F.explode(F.expr(f"sequence(0, size(toks) - 1, {SEG_SIZE})")).alias(
+                    "start"
+                ),
+                "toks",
+            )
+            .select(
+                F.md5(
+                    F.expr(f"array_join(slice(toks, start + 1, {SEG_SIZE}), ' ')")
+                ).alias("h")
+            )
+            .distinct()
+            .count()
+        )
+        assert total_kept == distinct_segs
+
+    def test_doc_with_no_dups_unchanged(self, spark):
+        """A document whose segments are all first occurrences keeps
+        every segment (n_kept == n_segments), and some doc in the
+        corpus must actually lose a segment."""
+        from nineinfra_spark.plans.ext_dedup import dedup_paragraph_exact
+
+        rows = dedup_paragraph_exact(spark, SF).collect()
+        assert any(r["n_kept"] < r["n_segments"] for r in rows)
+        assert any(r["n_kept"] == r["n_segments"] for r in rows)
