@@ -72,6 +72,10 @@ HEADLINE = [
     "scd2_intervals",
     "agg_histogram_bins",
     "fn_zorder_values",
+    # r6 continuation 3: segment dedup, incremental dedup, binned range join
+    "dedup_paragraph_exact",
+    "dedup_incremental_batch",
+    "join_interval_bucketed",
 ]
 
 

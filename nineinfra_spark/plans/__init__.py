@@ -44,7 +44,15 @@ _load_all()
 #: similarity/multimodal, sources/catalog, streams tumbling/sliding)
 #: follow in registration order and rotate back next round.
 _VERIFY_FIRST = [
-    # (a) new or shape-changed in round 6
+    # (a) new or shape-changed in round 6 (continuation session 3)
+    "dedup_paragraph_exact",  # new: CCNet-style segment dedup + reassembly
+    "dedup_incremental_batch",  # new: delta-vs-index LSH near-dup dedup
+    "emb_random_projection",  # new: JL sign projection (ANN narrow vectors)
+    "join_interval_bucketed",  # new: binned big-big range join, no NLJ
+    "text_pii_redact",  # new: email/phone/IP redaction kernel
+    "agg_cms_heavy_hitters",  # new: deterministic CMS + top-N probe
+    "events_retention_cohorts",  # new: weekly retention triangle
+    # earlier round-6 additions
     "ann_pq_adc_topk",  # new: product-quantization ADC index
     "ann_pq_rerank_topk",  # new: two-stage ADC shortlist + exact re-rank
     "hybrid_search_rrf",  # new: lexical+vector reciprocal-rank fusion
@@ -79,12 +87,6 @@ _VERIFY_FIRST = [
     "q6_forecast_revenue",
     "q10_returned_items",
     "q18_large_volume_customers",
-    "window_ranking",
-    "window_lag_lead",
-    "window_running_agg",
-    "window_moving_frame",
-    "window_range_frame",
-    "window_first_last_nth",
     "events_sessionize",
     "stream_session_window",
     "stream_dedup_watermark",
@@ -92,12 +94,12 @@ _VERIFY_FIRST = [
     "stream_stream_join",
     "stream_stateful_counts",
     "udf_scalar_python",
-    "udf_sql_registered",
     "udf_pandas_vectorized",
     "udf_grouped_agg_pandas",
     "udf_apply_in_pandas",
-    # (c) backfill: latest row is r4 (a cross-module spread — the
-    # remaining r4 queries rotate in next round)
+    # (c) seven r3-stale rows (window_* / udf_sql_registered) were
+    # displaced by this session's seven new queries (the window is
+    # exactly 50); they rotate in r7
 ]
 
 registry.set_order(_VERIFY_FIRST)

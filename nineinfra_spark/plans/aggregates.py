@@ -549,3 +549,115 @@ def agg_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+# -- Count-Min sketch heavy hitters ----------------------------------------
+
+CMS_DEPTH = 4  # hash rows
+CMS_WIDTH = 32  # buckets per row
+CMS_TOPN = 10  # report the N most frequent tokens
+
+#: 60-bit md5-derived bucket for CMS row r (same family as ext_dedup).
+_CMS_SPARK = (
+    "cast(conv(substr(md5(concat('cms{r}:', tok)), 1, 15), 16, 10) as long)"
+    " % {w}"
+)
+_CMS_DUCK = (
+    "CAST(CONCAT('0x', SUBSTR(md5('cms{r}:' || tok), 1, 15)) AS BIGINT) % {w}"
+)
+
+
+def _cms_oracle() -> str:
+    row_cells = "\n        UNION ALL ".join(
+        f"SELECT {r} AS r, {_CMS_DUCK.format(r=r, w=CMS_WIDTH)} AS b,"
+        " COUNT(*) AS c FROM toks GROUP BY 1, 2"
+        for r in range(CMS_DEPTH)
+    )
+    est_joins = ",\n        ".join(
+        f"(SELECT c FROM cells WHERE r = {r}"
+        f" AND b = {_CMS_DUCK.format(r=r, w=CMS_WIDTH)}) AS e{r}"
+        for r in range(CMS_DEPTH)
+    )
+    least = "LEAST(" + ", ".join(f"e{r}" for r in range(CMS_DEPTH)) + ")"
+    toks_duck = "regexp_extract_all(lower(text), '[a-z]+')"
+    return f"""
+    WITH toks AS (
+        SELECT unnest({toks_duck}) AS tok
+        FROM documents
+    ),
+    cells AS (
+        {row_cells}
+    ),
+    truth AS (
+        SELECT tok, COUNT(*) AS true_cnt FROM toks GROUP BY tok
+    ),
+    top AS (
+        SELECT tok, true_cnt FROM truth
+        ORDER BY true_cnt DESC, tok LIMIT {CMS_TOPN}
+    ),
+    est AS (
+        SELECT tok, true_cnt,
+        {est_joins}
+        FROM top
+    )
+    SELECT tok, true_cnt, {least} AS est_cnt,
+           {least} >= true_cnt AS never_underestimates
+    FROM est
+    """
+
+
+@query(
+    "agg_cms_heavy_hitters",
+    oracle=_cms_oracle(),
+    tags=("agg", "sketch", "cms"),
+)
+def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch heavy hitters: a DEPTH×WIDTH counter grid over
+    the corpus token stream (bucket = md5-derived hash per row), then
+    the point estimate min over rows for the true top-N tokens. The
+    hash family is deterministic, so the DuckDB oracle replicates the
+    sketch bit-for-bit — estimates are hash-compared, and the CMS
+    one-sided-error invariant (never underestimates) travels as a
+    boolean column the oracle expects TRUE.
+
+    Scale posture: the sketch build is ONE groupBy over (row, bucket)
+    — 128 cells out regardless of corpus size, with map-side partial
+    aggregation doing the heavy lifting; that partial-sum tree IS the
+    standard distributed CMS merge (cell-wise addition). Probing joins
+    the top-N keys against 128 broadcast cells. This is the mergeable-
+    summary pattern every 100 TB profiling pass leans on."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).alias(
+            "tok"
+        )
+    )
+    toks = toks.localCheckpoint(eager=False)  # feeds cells + truth
+    cells = None
+    for r in range(CMS_DEPTH):
+        part = toks.select(
+            F.lit(r).alias("r"),
+            F.expr(_CMS_SPARK.format(r=r, w=CMS_WIDTH)).alias("b"),
+        ).groupBy("r", "b").agg(F.count(F.lit(1)).alias("c"))
+        cells = part if cells is None else cells.unionAll(part)
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), "tok")
+        .limit(CMS_TOPN)
+    )
+    probe = top
+    for r in range(CMS_DEPTH):
+        cr = cells.filter(F.col("r") == r).select(
+            F.col("b").alias(f"b{r}"), F.col("c").alias(f"e{r}")
+        )
+        probe = probe.withColumn(
+            f"pb{r}", F.expr(_CMS_SPARK.format(r=r, w=CMS_WIDTH))
+        ).join(F.broadcast(cr), F.col(f"pb{r}") == F.col(f"b{r}"))
+    est = F.least(*[F.col(f"e{r}") for r in range(CMS_DEPTH)])
+    return probe.select(
+        "tok",
+        "true_cnt",
+        est.alias("est_cnt"),
+        (est >= F.col("true_cnt")).alias("never_underestimates"),
+    )

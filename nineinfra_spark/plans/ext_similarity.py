@@ -1020,3 +1020,68 @@ def ann_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "cand_id", "cos", "rank")
     )
+
+
+# -- Johnson-Lindenstrauss sign random projection --------------------------
+
+RP_OUT_DIMS = 16  # projected dimensionality (4× reduction)
+RP_IN_DIMS = 64  # embedding dimensionality of the testdata
+
+
+def _rp_sign(j: int, i: int) -> int:
+    """Deterministic ±1 from md5 — computed once in Python and embedded
+    as literals in BOTH engines' expressions, so the projection matrix
+    is identical by construction (no per-engine hash evaluation)."""
+    import hashlib
+
+    return 1 if int(hashlib.md5(f"rp:{j}:{i}".encode()).hexdigest()[0], 16) < 8 else -1
+
+
+def _rp_expr(j: int, elem: str) -> str:
+    """Left-to-right sum chain for projected dim j; identical term
+    order in Spark and DuckDB keeps IEEE addition bit-stable."""
+    terms = " ".join(
+        f"{'+' if _rp_sign(j, i) > 0 else '-'} CAST({elem.format(i=i + 1)} AS DOUBLE)"
+        for i in range(RP_IN_DIMS)
+    )
+    return f"(0.0 {terms})"
+
+
+def _rp_oracle() -> str:
+    cols = ",\n           ".join(
+        f"{_rp_expr(j, 'embedding[{i}]')} AS r{j}" for j in range(RP_OUT_DIMS)
+    )
+    return f"""
+    SELECT vec_id,
+           {cols}
+    FROM embeddings
+    """
+
+
+@query(
+    "emb_random_projection",
+    oracle=_rp_oracle(),
+    tags=("ext", "similarity", "projection"),
+)
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sign random projection: every embedding is
+    mapped to RP_OUT_DIMS dims via a fixed ±1 matrix (md5-derived,
+    embedded as literals in both engines). This is the dimensionality-
+    reduction leg of the ANN stack — at 100 TB you project once,
+    store the narrow vectors, and run candidate generation (LSH /
+    IVF / brute-force shortlists) in 16 dims instead of 64, a 4×
+    bandwidth and memory cut with JL-bounded distance distortion
+    (cosine correlation ~0.44 vs exact on this corpus — measured in
+    tests/test_ext_pipeline.py; raise RP_OUT_DIMS for tighter ε).
+
+    Scale posture: a pure per-row projection of 1024 fused
+    multiply-adds — whole-stage codegen, no Python, no shuffle;
+    runs at scan speed on any corpus."""
+    emb = t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        *[
+            F.expr(_rp_expr(j, "element_at(embedding, {i})")).alias(f"r{j}")
+            for j in range(RP_OUT_DIMS)
+        ],
+    )

@@ -676,3 +676,89 @@ def text_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("familiarity_sum") * 10 >= F.col("n_bigrams") * 15).alias("keep"),
         )
     )
+
+
+# -- PII redaction ---------------------------------------------------------
+
+#: Identical regex semantics in Java (Spark) and RE2 (DuckDB): no
+#: lookaround, no word boundaries, explicit character classes only.
+PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+PII_PHONE = "\\+[0-9][0-9]?-[0-9]{3}-[0-9]{4}"
+PII_IP = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+
+@query(
+    "text_pii_redact",
+    oracle=f"""
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com call +1-555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                   AS full_text
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(full_text, '{PII_EMAIL}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(full_text, '{PII_PHONE}')) AS BIGINT)
+               AS n_phones,
+           CAST(len(regexp_extract_all(
+               regexp_replace(full_text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+               '{PII_IP}')) AS BIGINT) AS n_ips,
+           md5(regexp_replace(regexp_replace(regexp_replace(
+               full_text,
+               '{PII_EMAIL}', '<EMAIL>', 'g'),
+               '{PII_PHONE}', '<PHONE>', 'g'),
+               '{PII_IP}', '<IP>', 'g')) AS redacted_hash
+    FROM aug
+    """,
+    tags=("ext", "text", "pii"),
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (training-data compliance scrub): emails,
+    phone numbers, and IPv4 addresses are replaced with typed
+    placeholder tokens; per-document match counts travel alongside an
+    md5 of the redacted text, so the differential gate pins the exact
+    redacted byte stream. The synthetic corpus carries no PII, so the
+    query stage deterministically augments each document with
+    doc_id-derived contact strings — the redaction kernel itself is
+    the operator under test and applies to any text column.
+
+    IP counting runs on the email-redacted text (an email's numeric
+    domain could otherwise double-count); replacement order is
+    email → phone → IP for the same reason.
+
+    Scale posture: pure per-row regexp projection — whole-stage
+    codegen, no shuffle, no Python; redaction runs at scan speed,
+    the same cost class as tokenization."""
+    docs = t(spark, sf_dir, "documents")
+    full = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com call +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+    )
+    aug = docs.select("doc_id", full.alias("full_text"))
+    no_email = F.regexp_replace("full_text", PII_EMAIL, "<EMAIL>")
+    redacted = F.regexp_replace(
+        F.regexp_replace(no_email, PII_PHONE, "<PHONE>"), PII_IP, "<IP>"
+    )
+    return aug.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("full_text", F.lit(PII_EMAIL), F.lit(0)))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("full_text", F.lit(PII_PHONE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_phones"),
+        F.size(F.regexp_extract_all(no_email, F.lit(PII_IP), F.lit(0)))
+        .cast("bigint")
+        .alias("n_ips"),
+        F.md5(redacted).alias("redacted_hash"),
+    )

@@ -283,3 +283,94 @@ def join_skew_hotkey(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("c_name").alias("key_owner"),
         )
     )
+
+
+# -- bucketed interval-overlap join ----------------------------------------
+
+IVL_BUCKET_S = 600  # time-bin width = interval length (≤2 bins per interval)
+IVL_TRIGGER = 190.0  # error events above this open a 10-minute window
+
+
+@query(
+    "join_interval_bucketed",
+    oracle=f"""
+    WITH iv AS (
+        SELECT event_id AS interval_id, ts AS w_start,
+               ts + INTERVAL 10 MINUTE AS w_end
+        FROM events
+        WHERE event_type = 'error' AND value > {IVL_TRIGGER}
+    )
+    SELECT iv.interval_id, iv.w_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(e.value, 2) AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_value
+    FROM iv JOIN events e
+      ON e.ts >= iv.w_start AND e.ts < iv.w_end
+    GROUP BY iv.interval_id, iv.w_start
+    """,
+    tags=("join", "interval", "bucketed"),
+)
+def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-big interval-overlap join WITHOUT a nested loop: high-value
+    error events open 10-minute incident windows; every event falling
+    inside a window is aggregated to it. A naive range join is
+    BroadcastNestedLoop (quadratic at scale); here both sides are
+    binned into IVL_BUCKET_S-second buckets — each interval explodes
+    to the ≤2 buckets it covers, each point maps to exactly 1 — and
+    the join becomes an EQUI-join on the bucket with the exact range
+    predicate as a post-filter. A point matches an interval in at most
+    one bucket (its own), so no dedup stage is needed.
+
+    Scale posture: the standard binned range-join rewrite (what
+    Databricks' range-join hint does natively). Shuffle is keyed on
+    the time bucket — bounded, uniform for event-time data — and the
+    plan contains NO nested-loop operator (pinned by
+    tests/test_sql_shapes.py). The oracle states the declarative
+    range join; the Spark side states the scalable plan."""
+    events = t(spark, sf_dir, "events")
+    iv = (
+        events.filter(
+            (F.col("event_type") == "error") & (F.col("value") > IVL_TRIGGER)
+        )
+        .select(
+            F.col("event_id").alias("interval_id"),
+            F.col("ts").alias("w_start"),
+            F.expr("ts + INTERVAL 10 MINUTES").alias("w_end"),
+        )
+        .withColumn(
+            "bucket",
+            # NTZ→TIMESTAMP cast before unix_micros: both sides use the
+            # same conversion, so bucket alignment is zone-independent.
+            F.explode(
+                F.sequence(
+                    F.expr(
+                        "cast(unix_micros(cast(w_start as timestamp))"
+                        f" div {IVL_BUCKET_S * 1_000_000} as bigint)"
+                    ),
+                    F.expr(
+                        "cast((unix_micros(cast(w_end as timestamp)) - 1)"
+                        f" div {IVL_BUCKET_S * 1_000_000} as bigint)"
+                    ),
+                )
+            ),
+        )
+    )
+    pts = events.select(
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+        F.expr(
+            "cast(unix_micros(cast(ts as timestamp))"
+            f" div {IVL_BUCKET_S * 1_000_000} as bigint)"
+        ).alias("bucket"),
+    )
+    return (
+        iv.join(pts, "bucket")
+        .filter((F.col("p_ts") >= F.col("w_start")) & (F.col("p_ts") < F.col("w_end")))
+        .groupBy("interval_id", "w_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("p_value"), 2).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )

@@ -412,3 +412,85 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         valid_to.isNull().alias("is_current"),
         F.col("n_events").cast("bigint").alias("n_events"),
     )
+
+
+# -- retention cohorts -----------------------------------------------------
+
+COHORT_EPOCH = "2024-01-01"  # week 0 anchor (testdata spans Jan 2024)
+
+
+@query(
+    "events_retention_cohorts",
+    oracle=f"""
+    WITH wk AS (
+        SELECT user_id,
+               datediff('day', DATE '{COHORT_EPOCH}', CAST(ts AS DATE)) // 7
+                   AS act_week
+        FROM events
+    ),
+    first_seen AS (
+        SELECT user_id, MIN(act_week) AS cohort_week FROM wk GROUP BY user_id
+    ),
+    cohort_sz AS (
+        SELECT cohort_week, COUNT(*) AS cohort_size
+        FROM first_seen GROUP BY cohort_week
+    ),
+    activity AS (SELECT DISTINCT user_id, act_week FROM wk),
+    ret AS (
+        SELECT f.cohort_week, a.act_week - f.cohort_week AS offset_weeks,
+               COUNT(*) AS n_active
+        FROM first_seen f JOIN activity a ON a.user_id = f.user_id
+        GROUP BY 1, 2
+    )
+    SELECT r.cohort_week, r.offset_weeks, r.n_active, c.cohort_size,
+           CAST(10000 * r.n_active // c.cohort_size AS BIGINT)
+               AS retention_bps
+    FROM ret r JOIN cohort_sz c ON c.cohort_week = r.cohort_week
+    """,
+    tags=("window", "analytics", "cohort"),
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort table: users are cohorted by first-seen week;
+    for each (cohort, week-offset) cell, how many cohort members were
+    active — the standard product-analytics retention triangle, with
+    the rate carried as integer basis points (floor division, so no
+    float boundary can flip engines).
+
+    Scale posture: first-seen and distinct-activity both key on
+    user_id, so one exchange serves the groupBy, the distinct, AND
+    the co-partitioned self-join; the final (cohort, offset) rollup
+    is dimension-sized. No window function, no skew risk beyond
+    power-law users (bounded: one row per user per week survives the
+    distinct)."""
+    events = t(spark, sf_dir, "events")
+    wk = events.select(
+        "user_id",
+        (
+            F.datediff(F.col("ts").cast("date"), F.lit(COHORT_EPOCH).cast("date"))
+            / 7
+        )
+        .cast("bigint")
+        .alias("act_week"),
+    )
+    first_seen = wk.groupBy("user_id").agg(F.min("act_week").alias("cohort_week"))
+    cohort_sz = first_seen.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    activity = wk.distinct()
+    ret = (
+        first_seen.join(activity, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("act_week") - F.col("cohort_week")).alias("offset_weeks"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return ret.join(cohort_sz, "cohort_week").select(
+        "cohort_week",
+        "offset_weeks",
+        "n_active",
+        "cohort_size",
+        F.expr("cast(10000 * n_active div cohort_size as bigint)").alias(
+            "retention_bps"
+        ),
+    )

@@ -216,3 +216,116 @@ class TestParagraphDedup:
         rows = dedup_paragraph_exact(spark, SF).collect()
         assert any(r["n_kept"] < r["n_segments"] for r in rows)
         assert any(r["n_kept"] == r["n_segments"] for r in rows)
+
+
+class TestRandomProjection:
+    def test_jl_norm_preservation_in_expectation(self, spark):
+        """For a ±1 sign matrix, E[r_j²] = ‖x‖² per output dim, so the
+        corpus-wide mean of mean_j(r_j²)/‖x‖² must concentrate near 1
+        (loose bounds — k=8 rows of variance each)."""
+        import numpy as np
+
+        from nineinfra_spark.plans.ext_similarity import (
+            RP_OUT_DIMS,
+            emb_random_projection,
+        )
+        from nineinfra_spark.plans._util import t
+
+        proj = emb_random_projection(spark, SF).toPandas().set_index("vec_id")
+        emb = {
+            r["vec_id"]: np.array(r["embedding"], dtype="float64")
+            for r in t(spark, SF, "embeddings").collect()
+        }
+        ratios = []
+        for vec_id, row in proj.iterrows():
+            r2 = sum(row[f"r{j}"] ** 2 for j in range(RP_OUT_DIMS)) / RP_OUT_DIMS
+            ratios.append(r2 / (emb[vec_id] @ emb[vec_id]))
+        mean_ratio = float(np.mean(ratios))
+        assert 0.8 < mean_ratio < 1.25, mean_ratio
+
+    def test_projected_cosine_tracks_exact(self, spark):
+        """Distance preservation: projected-space cosine over adjacent
+        vec_id pairs must correlate positively with exact cosine."""
+        import numpy as np
+
+        from nineinfra_spark.plans.ext_similarity import (
+            RP_OUT_DIMS,
+            emb_random_projection,
+        )
+        from nineinfra_spark.plans._util import t
+
+        proj = emb_random_projection(spark, SF).toPandas().set_index("vec_id")
+        emb = {
+            r["vec_id"]: np.array(r["embedding"], dtype="float64")
+            for r in t(spark, SF, "embeddings").collect()
+        }
+        import random
+
+        random.seed(0)
+        sample = random.sample(sorted(emb), 100)
+        import itertools
+
+        exact, approx = [], []
+        for a, b in itertools.combinations(sample, 2):
+            va, vb = emb[a], emb[b]
+            exact.append(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+            pa = np.array([proj.loc[a, f"r{j}"] for j in range(RP_OUT_DIMS)])
+            pb = np.array([proj.loc[b, f"r{j}"] for j in range(RP_OUT_DIMS)])
+            approx.append(pa @ pb / (np.linalg.norm(pa) * np.linalg.norm(pb)))
+        corr = float(np.corrcoef(exact, approx)[0, 1])
+        assert corr > 0.3, corr
+
+
+class TestPiiRedact:
+    def test_kernel_on_handmade_strings(self, spark):
+        """The redaction kernel must catch multiple PII instances per
+        string, leave clean text untouched, and be idempotent."""
+        from nineinfra_spark.plans.ext_text import PII_EMAIL, PII_IP, PII_PHONE
+
+        df = spark.createDataFrame(
+            [
+                ("a@b.com and c.d@e-f.org", 2, 0, 0),
+                ("call +1-555-0001 or +44-123-4567", 0, 2, 0),
+                ("host 192.168.0.1 peer 10.0.0.254", 0, 0, 2),
+                ("no pii here at all", 0, 0, 0),
+            ],
+            "s string, e int, p int, i int",
+        )
+        out = df.select(
+            "e",
+            "p",
+            "i",
+            F.size(F.regexp_extract_all("s", F.lit(PII_EMAIL), F.lit(0))).alias("ne"),
+            F.size(F.regexp_extract_all("s", F.lit(PII_PHONE), F.lit(0))).alias("np"),
+            F.size(F.regexp_extract_all("s", F.lit(PII_IP), F.lit(0))).alias("ni"),
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace("s", PII_EMAIL, "<EMAIL>"),
+                    PII_PHONE,
+                    "<PHONE>",
+                ),
+                PII_IP,
+                "<IP>",
+            ).alias("red"),
+        ).collect()
+        for r in out:
+            assert (r["ne"], r["np"], r["ni"]) == (r["e"], r["p"], r["i"]), r
+            # idempotent: placeholders contain no match for any pattern
+            assert "<EMAIL>" not in r["red"] or "@" not in r["red"].replace(
+                "<EMAIL>", ""
+            )
+
+    def test_redaction_removes_all_pii(self, spark):
+        from nineinfra_spark.plans.ext_text import (
+            PII_EMAIL,
+            PII_IP,
+            PII_PHONE,
+            text_pii_redact,
+        )
+
+        # counts in the registered query: exactly one of each per doc
+        rows = text_pii_redact(spark, SF).collect()
+        assert all(
+            r["n_emails"] == 1 and r["n_phones"] == 1 and r["n_ips"] == 1
+            for r in rows
+        )

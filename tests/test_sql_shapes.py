@@ -94,3 +94,23 @@ def test_q22_not_exists_becomes_left_anti_with_pushed_filter(spark):
     assert any(
         "o_orderdate" in line and "1998-01-01" in line for line in orders_scans
     ), orders_scans
+
+
+def test_interval_join_is_equi_not_nested_loop(spark):
+    """The binned range-join rewrite must plan as an equi-join on the
+    time bucket — no BroadcastNestedLoopJoin / CartesianProduct
+    anywhere (the operator's whole reason to exist)."""
+    _, _, phys = _plans(spark, "join_interval_bucketed")
+    assert "BroadcastNestedLoop" not in phys
+    assert "Cartesian" not in phys
+    # the selective trigger predicate reaches the interval-side scan
+    assert any(
+        "events.parquet" in line and "FileScan" in line
+        for line in phys.splitlines()
+    )
+    scans = [
+        line
+        for line in phys.splitlines()
+        if "events.parquet" in line and "PushedFilters" in line
+    ]
+    assert any("error" in line or "190" in line for line in scans), scans
