@@ -1085,3 +1085,112 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(RP_OUT_DIMS)
         ],
     )
+
+RP_SHORTLIST = 50  # RP-space candidates fetched per query for re-rank
+# (measured recall@3 vs exact: 0.67 at sf0.001, 0.33 at sf0.01 — better
+# than the PQ/ADC leg on this weakly-clustered corpus at equal depth;
+# the knob trades shortlist fetch volume for recall, see NOTES.md)
+
+
+def _rp_cos_terms(qa: str, ca: str) -> str:
+    """Fixed-order dot / norms over the RP columns of aliases qa/ca —
+    a literal left-fold chain, bit-identical across engines."""
+    dot = " + ".join(f"{qa}.r{j} * {ca}.r{j}" for j in range(RP_OUT_DIMS))
+    nq = " + ".join(f"{qa}.r{j} * {qa}.r{j}" for j in range(RP_OUT_DIMS))
+    nc = " + ".join(f"{ca}.r{j} * {ca}.r{j}" for j in range(RP_OUT_DIMS))
+    return f"(({dot}) / (sqrt({nq}) * sqrt({nc})))"
+
+
+def _rp_rerank_oracle() -> str:
+    rp_cols = ",\n               ".join(
+        f"{_rp_expr(j, 'embedding[{i}]')} AS r{j}" for j in range(RP_OUT_DIMS)
+    )
+    return f"""
+    WITH rp AS (
+        SELECT vec_id,
+               {rp_cols}
+        FROM embeddings
+    ),
+    q AS (SELECT * FROM rp WHERE vec_id < {N_QUERIES}),
+    c AS (SELECT * FROM rp WHERE vec_id >= {N_QUERIES}),
+    shortlist AS (
+        SELECT query_id, cand_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_rp_cos_terms('q', 'c')} DESC, c.vec_id
+                   ) AS rp_rank
+            FROM q, c
+        ) WHERE rp_rank <= {RP_SHORTLIST}
+    )
+    SELECT query_id, cand_id, cos, rank FROM (
+        SELECT s.query_id, s.cand_id,
+               {COS_DUCK.format(a='qe.embedding', b='ce.embedding')} AS cos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s.query_id
+                   ORDER BY {COS_DUCK.format(a='qe.embedding', b='ce.embedding')} DESC,
+                            s.cand_id
+               ) AS rank
+        FROM shortlist s
+        JOIN embeddings qe ON qe.vec_id = s.query_id
+        JOIN embeddings ce ON ce.vec_id = s.cand_id
+    )
+    WHERE rank <= {TOP_K}
+    """
+
+
+@query(
+    "ann_rp_rerank_topk",
+    oracle=_rp_rerank_oracle(),
+    tags=("ext", "similarity", "projection", "rerank", "bounded-nlj"),
+)
+def ann_rp_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval over the JL projection: candidates are
+    scored in 16-dim RP space (4× cheaper per comparison, and the
+    narrow vectors are what you'd actually store hot at 100 TB), the
+    top-RP_SHORTLIST per query survive, and only those fetch their
+    full-precision embeddings for the exact-cosine re-rank — the
+    memory-bandwidth twin of `ann_pq_rerank_topk`'s compute-side ADC.
+    At scale the RP stage drops brute-force for an LSH/IVF bucketing
+    of the projected space; the re-rank join is unchanged.
+
+    Plan: RP columns are pure projections; the scoring pass broadcasts
+    the |Q| query rows; re-rank joins the |Q|·shortlist rows back to
+    the vector store on vec_id. Bit-replicated by the oracle."""
+    emb = t(spark, sf_dir, "embeddings")
+    rp = emb.select(
+        "vec_id",
+        *[
+            F.expr(_rp_expr(j, "element_at(embedding, {i})")).alias(f"r{j}")
+            for j in range(RP_OUT_DIMS)
+        ],
+    )
+    q = rp.filter(F.col("vec_id") < N_QUERIES).alias("q")
+    c = rp.filter(F.col("vec_id") >= N_QUERIES).alias("c")
+    w_rp = Window.partitionBy("query_id").orderBy(F.desc("rp_cos"), "cand_id")
+    shortlist = (
+        c.crossJoin(F.broadcast(q))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("cand_id"),
+            F.expr(_rp_cos_terms("q", "c")).alias("rp_cos"),
+        )
+        .withColumn("rp_rank", F.row_number().over(w_rp))
+        .filter(F.col("rp_rank") <= RP_SHORTLIST)
+        .select("query_id", "cand_id")
+    )
+    qe = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    ce = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("e_emb"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "cand_id")
+    return (
+        shortlist.join(qe, "query_id")
+        .join(ce, "cand_id")
+        .select(
+            "query_id",
+            "cand_id",
+            F.expr(COS_SPARK.format(a="q_emb", b="e_emb")).alias("cos"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", "cos", "rank")
+    )

@@ -329,3 +329,51 @@ class TestPiiRedact:
             r["n_emails"] == 1 and r["n_phones"] == 1 and r["n_ips"] == 1
             for r in rows
         )
+
+
+class TestRpRerank:
+    def test_rerank_dominates_raw_rp_ranking(self, spark):
+        """The exact re-rank stage must recall at least as many true
+        top-3 neighbors as trusting the RP-space ranking directly
+        (the whole point of stage 2), and clear an absolute floor."""
+        import numpy as np
+
+        from nineinfra_spark.plans._util import t
+        from nineinfra_spark.plans.ext_similarity import (
+            RP_OUT_DIMS,
+            _rp_sign,
+            ann_cosine_topk,
+            ann_rp_rerank_topk,
+        )
+
+        exact = {
+            (r["query_id"], r["cand_id"])
+            for r in ann_cosine_topk(spark, SF).collect()
+        }
+        rerank = {
+            (r["query_id"], r["cand_id"])
+            for r in ann_rp_rerank_topk(spark, SF).collect()
+        }
+        # raw RP ranking truncated at 3, computed with the same signs
+        emb = {
+            r["vec_id"]: np.array(r["embedding"], dtype="float64")
+            for r in t(spark, SF, "embeddings").collect()
+        }
+        R = np.array(
+            [[_rp_sign(j, i) for i in range(64)] for j in range(RP_OUT_DIMS)],
+            dtype="float64",
+        )
+        ids = sorted(emb)
+        X = np.stack([emb[i] for i in ids])
+        P = X @ R.T
+        Pn = P / np.linalg.norm(P, axis=1, keepdims=True)
+        raw = set()
+        for qi in range(5):
+            sims = Pn[qi] @ Pn[5:].T
+            order = np.argsort(-sims, kind="stable")
+            for c in order[:3]:
+                raw.add((ids[qi], ids[5 + int(c)]))
+        recall_rerank = len(rerank & exact) / len(exact)
+        recall_raw = len(raw & exact) / len(exact)
+        assert recall_rerank >= recall_raw, (recall_rerank, recall_raw)
+        assert recall_rerank >= 0.3, recall_rerank
