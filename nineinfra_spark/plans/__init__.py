@@ -53,6 +53,7 @@ _VERIFY_FIRST = [
     "agg_cms_heavy_hitters",  # new: deterministic CMS + top-N probe
     "events_retention_cohorts",  # new: weekly retention triangle
     "ann_rp_rerank_topk",  # new: RP shortlist + exact re-rank
+    "agg_bloom_membership",  # new: portable bloom build+probe
     # earlier round-6 additions
     "ann_pq_adc_topk",  # new: product-quantization ADC index
     "ann_pq_rerank_topk",  # new: two-stage ADC shortlist + exact re-rank
@@ -96,10 +97,9 @@ _VERIFY_FIRST = [
     "stream_stateful_counts",
     "udf_scalar_python",
     "udf_pandas_vectorized",
-    "udf_grouped_agg_pandas",
-    # (c) eight r3-stale rows (window_* / udf_sql_registered /
-    # udf_apply_in_pandas) were displaced by this session's eight new
-    # queries (the window is exactly 50); they rotate in r7
+    # (c) nine r3-stale rows (window_* / three udf_* rows) were
+    # displaced by this session's nine new queries (the window is
+    # exactly 50); they rotate in r7
 ]
 
 registry.set_order(_VERIFY_FIRST)

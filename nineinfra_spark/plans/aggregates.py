@@ -633,13 +633,21 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     toks = toks.localCheckpoint(eager=False)  # feeds cells + truth
-    cells = None
-    for r in range(CMS_DEPTH):
-        part = toks.select(
-            F.lit(r).alias("r"),
-            F.expr(_CMS_SPARK.format(r=r, w=CMS_WIDTH)).alias("b"),
-        ).groupBy("r", "b").agg(F.count(F.lit(1)).alias("c"))
-        cells = part if cells is None else cells.unionAll(part)
+    # One pass builds ALL sketch rows: each token emits its DEPTH
+    # (row, bucket) coordinates via posexplode, and a single groupBy
+    # folds them — one shuffle of ≤DEPTH×WIDTH map-side partials
+    # instead of DEPTH separate aggregation passes over the corpus.
+    bucket_arr = F.array(
+        *[F.expr(_CMS_SPARK.format(r=r, w=CMS_WIDTH)) for r in range(CMS_DEPTH)]
+    )
+    cells = (
+        toks.select(F.posexplode(bucket_arr).alias("r", "b"))
+        .groupBy("r", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # ≤DEPTH×WIDTH rows feeding DEPTH probe joins: materialize once so
+    # the probes don't re-run the sketch build per row.
+    cells = cells.localCheckpoint(eager=False)
     top = (
         toks.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("true_cnt"))
@@ -660,4 +668,142 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_cnt",
         est.alias("est_cnt"),
         (est >= F.col("true_cnt")).alias("never_underestimates"),
+    )
+
+
+# -- portable Bloom filter build + probe -----------------------------------
+
+BLOOM_WORDS = 16  # filter words
+BLOOM_BITS_PER_WORD = 63  # 63 usable bits/word (1<<63 overflows BIGINT)
+BLOOM_M = BLOOM_WORDS * BLOOM_BITS_PER_WORD  # 1008 positions
+BLOOM_K = 3  # hash functions
+BLOOM_PRICE_MIN = 495000  # build-side predicate: top-tier orders
+
+_BLOOM_POS_SPARK = (
+    "cast(conv(substr(md5(concat('bf{h}:', cast({key} as string))), 1, 15),"
+    f" 16, 10) as long) % {BLOOM_M}"
+)
+_BLOOM_POS_DUCK = (
+    "CAST(CONCAT('0x', SUBSTR(md5('bf{h}:' || CAST({key} AS VARCHAR)), 1, 15))"
+    f" AS BIGINT) % {BLOOM_M}"
+)
+
+
+def _bloom_oracle() -> str:
+    pos_rows = "\n            UNION ALL ".join(
+        f"SELECT {_BLOOM_POS_DUCK.format(h=h, key='o_custkey')} AS pos FROM big"
+        for h in range(BLOOM_K)
+    )
+    checks = " AND ".join(
+        f"""COALESCE((
+            SELECT bit_or(CAST(1 AS BIGINT) << CAST(pos % {BLOOM_BITS_PER_WORD} AS INTEGER))
+            FROM positions
+            WHERE pos // {BLOOM_BITS_PER_WORD} =
+                  {_BLOOM_POS_DUCK.format(h=h, key='c.c_custkey')} // {BLOOM_BITS_PER_WORD}
+        ) & (CAST(1 AS BIGINT) <<
+             CAST({_BLOOM_POS_DUCK.format(h=h, key='c.c_custkey')}
+                  % {BLOOM_BITS_PER_WORD} AS INTEGER)), 0) <> 0"""
+        for h in range(BLOOM_K)
+    )
+    return f"""
+    WITH big AS (
+        SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > {BLOOM_PRICE_MIN}
+    ),
+    positions AS (
+        {pos_rows}
+    )
+    SELECT c.c_custkey,
+           EXISTS (SELECT 1 FROM big b WHERE b.o_custkey = c.c_custkey)
+               AS actually_present,
+           ({checks}) AS bloom_maybe
+    FROM customer c
+    """
+
+
+@query(
+    "agg_bloom_membership",
+    oracle=_bloom_oracle(),
+    tags=("agg", "sketch", "bloom"),
+)
+def agg_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable Bloom filter as data: the custkeys of big-ticket orders
+    are folded into a 16-word × 63-bit filter — each key emits K md5
+    positions, ONE bit_or groupBy per word builds the filter (the
+    partial-agg tree IS the distributed Bloom merge) — then every
+    customer probes the broadcast 16-row filter. `actually_present`
+    (exact semi-join) travels next to `bloom_maybe`, so the oracle
+    hash-checks the no-false-negative contract AND the exact
+    false-positive set bit-for-bit (the hash family is deterministic).
+
+    Scale posture: this is the explicit, engine-portable twin of the
+    runtime bloom Catalyst injects (tests/test_runtime_filter.py):
+    build cost one groupBy collapsing to BLOOM_WORDS rows regardless
+    of build-side size; probe cost a broadcast map lookup at scan
+    speed. The pattern pre-filters a 100 TB fact scan against a
+    selective dim without shuffling the fact. m is a demo constant —
+    production sizes m ≈ 1.44·n·log2(1/fp) from the build-side count
+    (a fixed m saturates once n approaches m/k, as it would here at
+    sf0.1; correctness is unaffected, only FP rate)."""
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    big = (
+        orders.filter(F.col("o_totalprice") > BLOOM_PRICE_MIN)
+        .select("o_custkey")
+        .distinct()
+    )
+    pos = None
+    for h in range(BLOOM_K):
+        p = big.select(
+            F.expr(_BLOOM_POS_SPARK.format(h=h, key="o_custkey")).alias("pos")
+        )
+        pos = p if pos is None else pos.unionAll(p)
+    words = (
+        pos.groupBy(
+            (F.col("pos") / BLOOM_BITS_PER_WORD).cast("bigint").alias("word")
+        )
+        .agg(
+            F.bit_or(
+                F.expr(
+                    "shiftleft(cast(1 as bigint),"
+                    f" cast(pos % {BLOOM_BITS_PER_WORD} as int))"
+                )
+            ).alias("bits")
+        )
+    )
+    probe = cust.select("c_custkey")
+    for h in range(BLOOM_K):
+        p = F.expr(_BLOOM_POS_SPARK.format(h=h, key="c_custkey"))
+        w = words.select(
+            F.col("word").alias(f"w{h}"), F.col("bits").alias(f"bits{h}")
+        )
+        probe = probe.withColumn(f"pos{h}", p).join(
+            F.broadcast(w),
+            (F.col(f"pos{h}") / BLOOM_BITS_PER_WORD).cast("bigint")
+            == F.col(f"w{h}"),
+            "left",
+        )
+    maybe = None
+    for h in range(BLOOM_K):
+        hit = (
+            F.coalesce(F.col(f"bits{h}"), F.lit(0)).bitwiseAND(
+                F.expr(
+                    "shiftleft(cast(1 as bigint),"
+                    f" cast(pos{h} % {BLOOM_BITS_PER_WORD} as int))"
+                )
+            )
+            != 0
+        )
+        maybe = hit if maybe is None else (maybe & hit)
+    exact = big.select(F.col("o_custkey").alias("c_custkey")).withColumn(
+        "actually_present", F.lit(True)
+    )
+    return (
+        probe.join(exact, "c_custkey", "left")
+        .select(
+            "c_custkey",
+            F.coalesce("actually_present", F.lit(False)).alias(
+                "actually_present"
+            ),
+            maybe.alias("bloom_maybe"),
+        )
     )

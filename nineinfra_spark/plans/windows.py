@@ -456,12 +456,14 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rate carried as integer basis points (floor division, so no
     float boundary can flip engines).
 
-    Scale posture: first-seen and distinct-activity both key on
-    user_id, so one exchange serves the groupBy, the distinct, AND
-    the co-partitioned self-join; the final (cohort, offset) rollup
-    is dimension-sized. No window function, no skew risk beyond
-    power-law users (bounded: one row per user per week survives the
-    distinct)."""
+    Scale posture: ONE exchange on user_id builds a per-user row
+    (cohort week + distinct-active-week set — bounded by the calendar,
+    ≤5 elements here), materialized once and fanned out to both the
+    cohort-size and the retention rollups, which are dimension-sized
+    (cohorts × offsets). The naive first-seen ⋈ distinct-activity
+    formulation shuffles three times on wider keys; this one never
+    shuffles event rows again after the per-user fold. Power-law
+    users are bounded by the per-week dedup inside collect_set."""
     events = t(spark, sf_dir, "events")
     wk = events.select(
         "user_id",
@@ -472,13 +474,19 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("act_week"),
     )
-    first_seen = wk.groupBy("user_id").agg(F.min("act_week").alias("cohort_week"))
-    cohort_sz = first_seen.groupBy("cohort_week").agg(
+    per_user = wk.groupBy("user_id").agg(
+        F.min("act_week").alias("cohort_week"),
+        F.collect_set("act_week").alias("weeks"),
+    )
+    # two consumers (cohort size + retention cells): materialize once
+    per_user = per_user.localCheckpoint(eager=False)
+    cohort_sz = per_user.groupBy("cohort_week").agg(
         F.count(F.lit(1)).alias("cohort_size")
     )
-    activity = wk.distinct()
     ret = (
-        first_seen.join(activity, "user_id")
+        per_user.select(
+            "cohort_week", F.explode("weeks").alias("act_week")
+        )
         .groupBy(
             "cohort_week",
             (F.col("act_week") - F.col("cohort_week")).alias("offset_weeks"),

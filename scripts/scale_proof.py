@@ -56,10 +56,11 @@ def main() -> int:
     engine = Engine().open()
     spark = engine.spark
 
+    names = sys.argv[1:] or HEAVIEST
     print("| Query | sf0.1 s | sf1 s | ratio (10× data) |")
     print("|---|---|---|---|")
     worst = 0.0
-    for name in HEAVIEST:
+    for name in names:
         fn = registry.get(name).fn
         t01 = _median_wall(fn, spark, SF01)
         t1 = _median_wall(fn, spark, SF1)

@@ -377,3 +377,20 @@ class TestRpRerank:
         recall_raw = len(raw & exact) / len(exact)
         assert recall_rerank >= recall_raw, (recall_rerank, recall_raw)
         assert recall_rerank >= 0.3, recall_rerank
+
+
+class TestBloomMembership:
+    def test_no_false_negatives_and_bounded_fp(self, spark):
+        """Bloom contract: every present key must report maybe=True
+        (no false negatives — structural, not probabilistic), and the
+        false-positive rate must be positive but far below 1 (the
+        filter actually filters: m=1008, k=3, n≈|big customers|)."""
+        from nineinfra_spark.plans.aggregates import agg_bloom_membership
+
+        rows = agg_bloom_membership(spark, SF).collect()
+        assert rows
+        fn = sum(1 for r in rows if r["actually_present"] and not r["bloom_maybe"])
+        fp = sum(1 for r in rows if not r["actually_present"] and r["bloom_maybe"])
+        absent = sum(1 for r in rows if not r["actually_present"])
+        assert fn == 0
+        assert 0 < fp < 0.25 * absent, (fp, absent)
