@@ -54,6 +54,8 @@ _VERIFY_FIRST = [
     "events_retention_cohorts",  # new: weekly retention triangle
     "ann_rp_rerank_topk",  # new: RP shortlist + exact re-rank
     "agg_bloom_membership",  # new: portable bloom build+probe
+    "fn_url_normalize",  # new: URL canonicalization kernel
+    "agg_anomaly_mad",  # new: median/MAD robust outlier gate
     # earlier round-6 additions
     "ann_pq_adc_topk",  # new: product-quantization ADC index
     "ann_pq_rerank_topk",  # new: two-stage ADC shortlist + exact re-rank
@@ -95,10 +97,8 @@ _VERIFY_FIRST = [
     "stream_static_join",
     "stream_stream_join",
     "stream_stateful_counts",
-    "udf_scalar_python",
-    "udf_pandas_vectorized",
-    # (c) nine r3-stale rows (window_* / three udf_* rows) were
-    # displaced by this session's nine new queries (the window is
+    # (c) eleven r3-stale rows (six window_*, five udf_*) were
+    # displaced by this session's eleven new queries (the window is
     # exactly 50); they rotate in r7
 ]
 

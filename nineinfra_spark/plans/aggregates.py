@@ -807,3 +807,84 @@ def agg_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             maybe.alias("bloom_maybe"),
         )
     )
+
+
+# -- robust outlier detection (median / MAD) -------------------------------
+
+
+@query(
+    "agg_anomaly_mad",
+    oracle="""
+    WITH v AS (
+        SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    med AS (
+        SELECT event_type, median(cents) AS med_cents FROM v GROUP BY event_type
+    ),
+    dev AS (
+        SELECT v.event_type, v.cents, m.med_cents,
+               ABS(v.cents - m.med_cents) AS adev
+        FROM v JOIN med m ON v.event_type = m.event_type
+    ),
+    mad AS (
+        SELECT event_type, median(adev) AS mad_cents FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           COUNT(*) AS n_events,
+           MAX(d.med_cents) / 100 AS median_value,
+           MAX(m2.mad_cents) / 100 AS mad_value,
+           CAST(SUM(CASE WHEN d.adev > 3 * m2.mad_cents THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m2 ON d.event_type = m2.event_type
+    GROUP BY d.event_type
+    """,
+    tags=("agg", "robust", "anomaly"),
+)
+def agg_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection: median and MAD (median
+    absolute deviation) per event_type, then the count of events
+    beyond 3×MAD — the profiling gate that survives heavy tails where
+    mean/stddev fences drown. Values are folded to integer cents
+    before the medians, so interpolated midpoints are exact doubles
+    (k or k.5 — representable) on both engines, and the 3×MAD fence
+    compares integers against an exact double.
+
+    Scale posture: medians are exact within groups — the bounded-
+    cardinality regime (|event_type| groups) where exact percentile
+    per group is the right call (same stance as agg_percentile_exact);
+    the deviation pass re-joins the 1-row-per-group medians back via
+    broadcast, so event rows shuffle only for the per-group folds. At
+    unbounded group counts, swap the median for the KLL sketch of
+    agg_approx_sketches."""
+    events = t(spark, sf_dir, "events")
+    v = events.select(
+        "event_type",
+        F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+    )
+    v = v.localCheckpoint(eager=False)  # feeds median, deviation, mad
+    med = v.groupBy("event_type").agg(
+        F.expr("percentile(cents, 0.5)").alias("med_cents")
+    )
+    dev = v.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "cents",
+        "med_cents",
+        F.abs(F.col("cents") - F.col("med_cents")).alias("adev"),
+    )
+    dev = dev.localCheckpoint(eager=False)
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad_cents")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max(F.col("med_cents")) / 100).alias("median_value"),
+            (F.max(F.col("mad_cents")) / 100).alias("mad_value"),
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("mad_cents"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )

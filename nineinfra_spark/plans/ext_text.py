@@ -762,3 +762,103 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_ips"),
         F.md5(redacted).alias("redacted_hash"),
     )
+
+
+# -- URL canonicalization --------------------------------------------------
+
+
+@query(
+    "fn_url_normalize",
+    oracle="""
+    WITH aug AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'HTTP' ELSE 'https' END
+               || '://WWW.' || source || '-Mirror' || CAST(doc_id % 4 AS VARCHAR)
+               || '.Example.COM'
+               || CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END
+               || '/Docs/' || CAST(doc_id AS VARCHAR) || '/'
+               || '?utm_source=feed&id=' || CAST(doc_id % 100 AS VARCHAR)
+               || '&utm_campaign=x#section-' || CAST(doc_id % 7 AS VARCHAR)
+                   AS raw_url
+        FROM documents
+    ),
+    norm AS (
+        SELECT doc_id, raw_url,
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(regexp_replace(
+                   raw_url,
+                   '#.*$', ''),                       -- drop fragment
+                   '([?&])utm_[a-zA-Z_]+=[^&]*', '\\1', 'g'), -- drop utm params
+                   '[?&]+$', ''),                     -- dangling separators
+                   '&&+', '&', 'g'),                  -- collapse doubled &
+                   '\\?&', '?'),                      -- ?& -> ?
+                   ':443/', '/')                      -- default port
+                   AS u1
+        FROM aug
+    ),
+    lowered AS (
+        SELECT doc_id, raw_url,
+               regexp_replace(
+                   lower(regexp_extract(u1, '^[a-zA-Z]+://[^/]*'))
+                   || regexp_replace(u1, '^[a-zA-Z]+://[^/]*', ''),
+                   '/\\?', '?')
+                   AS url_norm
+        FROM norm
+    )
+    SELECT doc_id, raw_url, url_norm,
+           md5(url_norm) AS url_key
+    FROM lowered
+    """,
+    tags=("ext", "text", "url"),
+)
+def fn_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (web-corpus dedup prerequisite): lowercase
+    scheme+host, strip the default :443 port, drop fragments and
+    utm_* tracking params, clean dangling separators — so crawl
+    variants of one resource share a canonical key. The corpus has no
+    URL column, so the query augments each doc with a deterministic
+    messy URL (mixed case, tracking params, fragment, default port);
+    the normalization chain is the operator under test. Path and
+    query CASE is preserved (case-sensitive per RFC 3986); only
+    scheme/host fold.
+
+    Scale posture: pure per-row regexp projection — no shuffle, scan
+    speed; the url_key md5 is what a downstream exact-dedup groupBy
+    keys on."""
+    docs = t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.when(F.col("doc_id") % 3 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
+        F.lit("://WWW."),
+        F.col("source"),
+        F.lit("-Mirror"),
+        (F.col("doc_id") % 4).cast("string"),
+        F.lit(".Example.COM"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("/"),
+        F.lit("?utm_source=feed&id="),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit("&utm_campaign=x#section-"),
+        (F.col("doc_id") % 7).cast("string"),
+    )
+    aug = docs.select("doc_id", raw.alias("raw_url"))
+    u1 = F.col("raw_url")
+    for pat, repl in [
+        ("#.*$", ""),
+        ("([?&])utm_[a-zA-Z_]+=[^&]*", "$1"),
+        ("[?&]+$", ""),
+        ("&&+", "&"),
+        ("\\?&", "?"),
+        (":443/", "/"),
+    ]:
+        u1 = F.regexp_replace(u1, pat, repl)
+    host = F.lower(F.regexp_extract(u1, "^[a-zA-Z]+://[^/]*", 0))
+    rest = F.regexp_replace(u1, "^[a-zA-Z]+://[^/]*", "")
+    url_norm = F.regexp_replace(F.concat(host, rest), "/\\?", "?")
+    return aug.select(
+        "doc_id",
+        "raw_url",
+        url_norm.alias("url_norm"),
+        F.md5(url_norm).alias("url_key"),
+    )
