@@ -56,6 +56,7 @@ _VERIFY_FIRST = [
     "agg_bloom_membership",  # new: portable bloom build+probe
     "fn_url_normalize",  # new: URL canonicalization kernel
     "agg_anomaly_mad",  # new: median/MAD robust outlier gate
+    "stream_dedup_index",  # new: monotone streaming signature index
     # earlier round-6 additions
     "ann_pq_adc_topk",  # new: product-quantization ADC index
     "ann_pq_rerank_topk",  # new: two-stage ADC shortlist + exact re-rank
@@ -88,7 +89,6 @@ _VERIFY_FIRST = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    "q6_forecast_revenue",
     "q10_returned_items",
     "q18_large_volume_customers",
     "events_sessionize",
@@ -97,8 +97,8 @@ _VERIFY_FIRST = [
     "stream_static_join",
     "stream_stream_join",
     "stream_stateful_counts",
-    # (c) eleven r3-stale rows (six window_*, five udf_*) were
-    # displaced by this session's eleven new queries (the window is
+    # (c) twelve r3-stale rows (six window_*, five udf_*, q6) were
+    # displaced by this session's twelve new queries (the window is
     # exactly 50); they rotate in r7
 ]
 

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nineinfra_spark.plans._util import t
+from nineinfra_spark.plans.ext_text import TOKS_DUCK, TOKS_SPARK
 from nineinfra_spark.plans.registry import query
 from nineinfra_spark.streaming.ops import (
     read_events_stream,
@@ -388,3 +389,104 @@ def stream_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(snap).select(*cols)
+
+
+@query(
+    "stream_dedup_index",
+    oracle=f"""
+    SELECT md5(array_to_string({TOKS_DUCK}, ' ')) AS content_hash,
+           MIN(doc_id) AS canonical_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("streaming", "dedup", "foreachBatch"),
+)
+def stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming half of incremental dedup: a document stream
+    maintains the content-signature INDEX table via ``foreachBatch``
+    — per micro-batch, fold the batch to (content_hash, min doc_id,
+    count), then merge into the managed index with MONOTONE
+    resolution (least canonical id, additive copy count). min and +
+    are commutative/associative, so the final index is independent of
+    batch boundaries and file arrival order — which is what lets the
+    oracle state it as a plain batch GROUP BY over all documents, and
+    what `dedup_incremental_batch` probes as "the already-ingested
+    corpus's signature table".
+
+    Scale posture: per batch one map-side-combined agg over the DELTA
+    only, one hash-keyed join against the index (AQE broadcasts the
+    delta when small), stage-and-swap publication so readers never see
+    a half-merged index. The index row is ~50 bytes/distinct doc —
+    the narrow table that makes 100 TB ingest dedup affordable.
+    Batch-boundary independence is pytest-proven on an adversarial
+    3-file round-robin split (tests/test_stream_dedup_index.py)."""
+    import os as _os
+
+    from nineinfra_spark.plans.sources_sinks import WAREHOUSE
+    from nineinfra_spark.streaming.ops import read_table_stream
+
+    sfx = _os.path.basename(sf_dir).replace(".", "_")
+    db = f"nine_wh_{sfx}"
+    idx = f"{db}.dedup_index"
+    is_hive = (
+        spark.conf.get("spark.sql.catalogImplementation", "in-memory") == "hive"
+    )
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{WAREHOUSE}/{db}'")
+    for tbl in ("dedup_index", "dedup_index__merge_stage"):
+        owned = spark.catalog.tableExists(f"{db}.{tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {db}.{tbl}")
+        loc = f"{WAREHOUSE}/{db}/{tbl}"
+        if _os.path.exists(loc) and (not is_hive or not owned):
+            import shutil
+
+            shutil.rmtree(loc, ignore_errors=True)
+
+    empty = spark.createDataFrame(
+        [], "content_hash string, canonical_doc_id long, n_copies long"
+    )
+    empty.write.saveAsTable(idx)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        delta = (
+            batch_df.select(
+                "doc_id",
+                F.md5(F.expr(f"array_join({TOKS_SPARK}, ' ')")).alias(
+                    "content_hash"
+                ),
+            )
+            .groupBy("content_hash")
+            .agg(
+                F.min("doc_id").alias("new_id"),
+                F.count(F.lit(1)).alias("new_n"),
+            )
+        )
+        base = spark.table(idx).select(
+            "content_hash",
+            F.col("canonical_doc_id").alias("old_id"),
+            F.col("n_copies").alias("old_n"),
+        )
+        merged = base.join(delta, "content_hash", "full_outer").select(
+            "content_hash",
+            F.least(
+                F.coalesce("old_id", F.col("new_id")),
+                F.coalesce("new_id", F.col("old_id")),
+            ).alias("canonical_doc_id"),
+            (F.coalesce("old_n", F.lit(0)) + F.coalesce("new_n", F.lit(0))).alias(
+                "n_copies"
+            ),
+        )
+        stage = f"{idx}__merge_stage"
+        spark.sql(f"DROP TABLE IF EXISTS {stage}")
+        merged.write.saveAsTable(stage)
+        spark.sql(f"DROP TABLE {idx}")
+        spark.sql(f"ALTER TABLE {stage} RENAME TO {idx}")
+
+    docs = read_table_stream(spark, sf_dir, "documents", maxFilesPerTrigger="1")
+    q = (
+        docs.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(idx).select("content_hash", "canonical_doc_id", "n_copies")

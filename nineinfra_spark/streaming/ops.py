@@ -38,19 +38,19 @@ from nineinfra_spark.sources.readers import (
 STREAM_SRC_ROOT = "/tmp/nineinfra_stream_src"
 
 
-def _staged_events_dir(sf_dir: str) -> str:
+def _staged_table_dir(sf_dir: str, table: str) -> str:
     """The file source streams a DIRECTORY (new files appear → new
-    micro-batches). The read-only testdata ships ``events.parquet`` as
-    one file; generated datasets (e.g. the sf1 scale-proof tiling)
-    ship it as a directory of part files. Either way we stage a per-SF
+    micro-batches). The read-only testdata ships each table as one
+    parquet file; generated datasets (e.g. the sf1 scale-proof tiling)
+    ship directories of part files. Either way we stage a per-SF
     directory of symlinks to the leaf parquet files — zero copy, one
     potential micro-batch per file, which is exactly how new data
     arrives in production."""
     staged = os.path.join(
-        STREAM_SRC_ROOT, os.path.basename(sf_dir).replace(".", "_"), "events"
+        STREAM_SRC_ROOT, os.path.basename(sf_dir).replace(".", "_"), table
     )
     os.makedirs(staged, exist_ok=True)
-    src = os.path.join(sf_dir, "events.parquet")
+    src = os.path.join(sf_dir, f"{table}.parquet")
     leaves = (
         sorted(
             f for f in os.listdir(src)
@@ -60,10 +60,25 @@ def _staged_events_dir(sf_dir: str) -> str:
         else [None]
     )
     for i, leaf in enumerate(leaves):
-        link = os.path.join(staged, f"events-{i:03d}.parquet")
+        link = os.path.join(staged, f"{table}-{i:03d}.parquet")
         if not os.path.exists(link):
             os.symlink(src if leaf is None else os.path.join(src, leaf), link)
     return staged
+
+
+def _staged_events_dir(sf_dir: str) -> str:
+    return _staged_table_dir(sf_dir, "events")
+
+
+def read_table_stream(
+    spark: SparkSession, sf_dir: str, table: str, **options: str
+) -> DataFrame:
+    """File-source stream over any testdata table (schema fixed
+    up-front — file streams never infer). No timestamp rebuild; use
+    ``read_events_stream`` for the events table's nanos handling."""
+    staged = _staged_table_dir(sf_dir, table)
+    raw_schema = spark.read.parquet(staged).schema
+    return spark.readStream.schema(raw_schema).options(**options).parquet(staged)
 
 
 def read_events_stream(

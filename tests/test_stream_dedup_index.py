@@ -1,0 +1,82 @@
+"""stream_dedup_index: the monotone (min, +) signature-index merge
+must be independent of micro-batch boundaries and file arrival order.
+
+The registered query's differential oracle runs on the single-file
+testdata (one micro-batch); this test stages a 3-file copy of
+documents split ADVERSARIALLY — duplicate-content docs are forced
+into DIFFERENT files (round-robin on doc_id rank), so the canonical
+min-id and the copy count must be assembled ACROSS batches — and
+asserts the incrementally-built index equals the batch GROUP BY."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from nineinfra_spark.plans.ext_text import TOKS_SPARK
+from nineinfra_spark.plans.streaming_queries import stream_dedup_index
+from nineinfra_spark.sources.readers import read_table
+
+SF = "/root/testdata/sf0.01"
+STAGED_SF = "/tmp/nineinfra_dedupidx_multifile_sf"
+
+
+@pytest.fixture(scope="module")
+def multifile_sf(spark):
+    shutil.rmtree(STAGED_SF, ignore_errors=True)
+    os.makedirs(STAGED_SF)
+    docs = read_table(spark, SF, "documents")
+    from pyspark.sql import Window
+
+    w = Window.orderBy("doc_id")
+    slotted = docs.withColumn("_slot", F.row_number().over(w) % 3)
+    for s in range(3):
+        (
+            slotted.filter(F.col("_slot") == s)
+            .drop("_slot")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(os.path.join(STAGED_SF, "documents.parquet"))
+        )
+    yield STAGED_SF
+    shutil.rmtree(STAGED_SF, ignore_errors=True)
+    shutil.rmtree(
+        "/tmp/nineinfra_stream_src/nineinfra_dedupidx_multifile_sf",
+        ignore_errors=True,
+    )
+
+
+def test_index_matches_batch_groupby_across_batches(spark, multifile_sf):
+    idx = stream_dedup_index(spark, multifile_sf)
+    got = {
+        r["content_hash"]: (r["canonical_doc_id"], r["n_copies"])
+        for r in idx.collect()
+    }
+    want = {
+        r["content_hash"]: (r["canonical_doc_id"], r["n_copies"])
+        for r in (
+            read_table(spark, SF, "documents")
+            .select(
+                "doc_id",
+                F.md5(F.expr(f"array_join({TOKS_SPARK}, ' ')")).alias(
+                    "content_hash"
+                ),
+            )
+            .groupBy("content_hash")
+            .agg(
+                F.min("doc_id").alias("canonical_doc_id"),
+                F.count(F.lit(1)).alias("n_copies"),
+            )
+            .collect()
+        )
+    }
+    assert got == want
+    # ≥2 micro-batches actually ran: the staged table is 3 files and
+    # maxFilesPerTrigger=1 — if the stream collapsed to one batch the
+    # adversarial split proves nothing. (The index converging is the
+    # real assertion; this guards the harness.)
+    staged = "/tmp/nineinfra_stream_src/nineinfra_dedupidx_multifile_sf/documents"
+    assert len([f for f in os.listdir(staged) if f.endswith(".parquet")]) == 3
