@@ -12,6 +12,7 @@ def _load_all() -> None:
     # Import for side effect: each module registers its queries.
     from nineinfra_spark.plans import (  # noqa: F401
         aggregates,
+        curate,
         dq,
         ext_dedup,
         ext_hybrid,
@@ -57,6 +58,7 @@ _VERIFY_FIRST = [
     "fn_url_normalize",  # new: URL canonicalization kernel
     "agg_anomaly_mad",  # new: median/MAD robust outlier gate
     "stream_dedup_index",  # new: monotone streaming signature index
+    "pipeline_curate_corpus",  # new: gate->dedup->decontaminate DAG
     # earlier round-6 additions
     "ann_pq_adc_topk",  # new: product-quantization ADC index
     "ann_pq_rerank_topk",  # new: two-stage ADC shortlist + exact re-rank
@@ -89,7 +91,6 @@ _VERIFY_FIRST = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    "q10_returned_items",
     "q18_large_volume_customers",
     "events_sessionize",
     "stream_session_window",
@@ -97,9 +98,9 @@ _VERIFY_FIRST = [
     "stream_static_join",
     "stream_stream_join",
     "stream_stateful_counts",
-    # (c) twelve r3-stale rows (six window_*, five udf_*, q6) were
-    # displaced by this session's twelve new queries (the window is
-    # exactly 50); they rotate in r7
+    # (c) thirteen r3-stale rows (six window_*, five udf_*, q6, q10)
+    # were displaced by this session's thirteen new queries (the
+    # window is exactly 50); they rotate in r7
 ]
 
 registry.set_order(_VERIFY_FIRST)

@@ -1,0 +1,151 @@
+"""[EXT] End-to-end corpus curation pipeline as ONE declarative plan.
+
+The individual kernels (quality scoring, exact dedup, benchmark
+decontamination) each exist as registered queries; this module chains
+them the way a training-data pipeline actually runs them — one DAG,
+one execution — proving the stages compose without materialization
+barriers. The reference reserves data processing to the engine it
+provisions (``internal/controller/kyuubi.go:189-203``); native here.
+
+Stage order matters and is part of the contract: quality gate first
+(cheapest, scan-shaped), then exact dedup among quality survivors
+(canonical = min doc_id within the gated set), then decontamination
+(eval-set shingles are computed from the RAW eval docs — a benchmark
+leaks whether or not the leaked copy is high-quality).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nineinfra_spark.plans._util import t
+from nineinfra_spark.plans.ext_dedup import N_EVAL_DOCS, SH_DUCK, SH_SPARK
+from nineinfra_spark.plans.ext_text import TOKS_DUCK, TOKS_SPARK, _STOP
+from nineinfra_spark.plans.registry import query
+
+QUALITY_MIN_INT = 5500  # quality_score ≥ 0.55, compared as the integer
+
+#: scaled-integer composite quality numerator (identical to
+#: text_quality_stats — the threshold compares INTEGERS so the gate
+#: can't flip engines on a float boundary).
+_QINT_SPARK = (
+    "40 * least(n_tokens, 100) + 3000"
+    " - (6000 * n_stop + n_tokens) div (2 * n_tokens)"
+    " + least((6000 * sum_len + 8 * n_tokens) div (16 * n_tokens), 3000)"
+)
+_QINT_DUCK = (
+    "40 * LEAST(n_tokens, 100) + 3000"
+    " - (6000 * n_stop + n_tokens) // (2 * n_tokens)"
+    " + LEAST((6000 * sum_len + 8 * n_tokens) // (16 * n_tokens), 3000)"
+)
+
+
+@query(
+    "pipeline_curate_corpus",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang, source, {TOKS_DUCK} AS toks FROM documents
+    ),
+    feat AS (
+        SELECT doc_id, lang, source, toks,
+               len(toks) AS n_tokens,
+               list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+                   AS sum_len,
+               len(list_filter(toks, x -> list_contains([{_STOP}], x)))
+                   AS n_stop
+        FROM tok WHERE len(toks) > 0
+    ),
+    gated AS (
+        SELECT doc_id, lang, source, toks, n_tokens,
+               {_QINT_DUCK} AS q_int
+        FROM feat
+        WHERE doc_id >= {N_EVAL_DOCS} AND {_QINT_DUCK} >= {QUALITY_MIN_INT}
+    ),
+    deduped AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY md5(array_to_string(toks, ' '))
+                ORDER BY doc_id
+            ) AS rn
+            FROM gated
+        ) WHERE rn = 1
+    ),
+    eval_sh AS (
+        SELECT DISTINCT unnest({SH_DUCK}) AS s
+        FROM tok WHERE doc_id < {N_EVAL_DOCS}
+    ),
+    contaminated AS (
+        SELECT DISTINCT doc_id FROM (
+            SELECT doc_id, unnest({SH_DUCK}) AS s FROM deduped
+        ) c WHERE c.s IN (SELECT s FROM eval_sh)
+    )
+    SELECT d.doc_id, d.lang, d.source,
+           CAST(d.n_tokens AS BIGINT) AS n_tokens,
+           d.q_int / 10000.0 AS quality_score
+    FROM deduped d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """,
+    tags=("ext", "pipeline", "curation"),
+)
+def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline end-to-end in one plan: quality gate →
+    exact dedup → benchmark decontamination, emitting the curated
+    corpus with per-doc metadata. Each stage is the already-verified
+    kernel; this query proves they compose into a single DAG Catalyst
+    plans as one execution — no intermediate tables, no
+    materialization barriers.
+
+    Scale posture: stage 1 is scan-shaped (tokens/features projected
+    once, integer-compared); stage 2 is one window keyed on the
+    uniform content md5; stage 3 broadcasts the fixed-size eval
+    shingle set and semi-joins at scan speed, anti-joining only
+    doc_ids. Total: ONE corpus-sized shuffle (the dedup window) for
+    the whole pipeline — the same bound as dedup alone, so the
+    composition is free."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", "lang", "source", F.expr(TOKS_SPARK).alias("toks"))
+    feat = tok.filter(F.size("toks") > 0).select(
+        "doc_id",
+        "lang",
+        "source",
+        "toks",
+        F.size("toks").alias("n_tokens"),
+        F.expr("aggregate(toks, 0L, (acc, x) -> acc + length(x))").alias("sum_len"),
+        F.expr(f"size(filter(toks, x -> array_contains(array({_STOP}), x)))").alias(
+            "n_stop"
+        ),
+    )
+    gated = (
+        feat.withColumn("q_int", F.expr(_QINT_SPARK))
+        .filter(
+            (F.col("doc_id") >= N_EVAL_DOCS)
+            & (F.col("q_int") >= QUALITY_MIN_INT)
+        )
+        .select("doc_id", "lang", "source", "toks", "n_tokens", "q_int")
+    )
+    w = Window.partitionBy(F.expr("md5(array_join(toks, ' '))")).orderBy("doc_id")
+    deduped = gated.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    eval_sh = (
+        tok.filter(F.col("doc_id") < N_EVAL_DOCS)
+        .select(F.explode(F.expr(SH_SPARK)).alias("s"))
+        .distinct()
+    )
+    contaminated = (
+        deduped.select("doc_id", F.explode(F.expr(SH_SPARK)).alias("s"))
+        .join(F.broadcast(eval_sh), "s", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        deduped.join(contaminated, "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            (F.col("q_int") / 10000.0).alias("quality_score"),
+        )
+    )

@@ -394,3 +394,45 @@ class TestBloomMembership:
         absent = sum(1 for r in rows if not r["actually_present"])
         assert fn == 0
         assert 0 < fp < 0.25 * absent, (fp, absent)
+
+
+class TestCuratePipeline:
+    def test_stage_invariants_and_real_drops(self, spark):
+        """Every survivor must individually satisfy all three stage
+        predicates (recomputed via the standalone kernels), and each
+        stage must actually drop documents on this corpus."""
+        from nineinfra_spark.plans.curate import (
+            QUALITY_MIN_INT,
+            pipeline_curate_corpus,
+        )
+        from nineinfra_spark.plans.ext_dedup import N_EVAL_DOCS, text_decontaminate
+        from nineinfra_spark.plans.ext_text import text_quality_stats
+
+        out = pipeline_curate_corpus(spark, SF)
+        survivors = {r["doc_id"] for r in out.collect()}
+        assert survivors
+
+        quality = {
+            r["doc_id"]: r["quality_score"]
+            for r in text_quality_stats(spark, SF).collect()
+        }
+        # (a) quality gate holds for every survivor
+        for d in survivors:
+            assert quality[d] >= QUALITY_MIN_INT / 10000.0, d
+        # (b) decontamination holds: pipeline survivors that the
+        # full-corpus decontamination pass also keeps — any doc the
+        # standalone pass drops (shares an eval shingle) must not
+        # appear here either
+        clean_full = {r["doc_id"] for r in text_decontaminate(spark, SF).collect()}
+        contaminated_full = (
+            {d for d in quality if d >= N_EVAL_DOCS} - clean_full
+        )
+        assert not (survivors & contaminated_full)
+        # (c) each stage dropped someone: survivors < gated < corpus
+        n_gate_passed = sum(
+            1
+            for d, s in quality.items()
+            if d >= N_EVAL_DOCS and s >= QUALITY_MIN_INT / 10000.0
+        )
+        n_corpus = sum(1 for d in quality if d >= N_EVAL_DOCS)
+        assert len(survivors) < n_gate_passed < n_corpus
