@@ -76,6 +76,9 @@ HEADLINE = [
     "dedup_paragraph_exact",
     "dedup_incremental_batch",
     "join_interval_bucketed",
+    "agg_bloom_membership",
+    "stream_dedup_index",
+    "pipeline_curate_corpus",
 ]
 
 

@@ -98,3 +98,64 @@ def merge_into_table(
     merged.write.saveAsTable(stage)
     spark.sql(f"DROP TABLE {table}")
     spark.sql(f"ALTER TABLE {stage} RENAME TO {table}")
+
+
+def merge_into_table_versioned(
+    spark: SparkSession,
+    table: str,
+    updates: DataFrame,
+    keys: Sequence[str],
+    when_matched: str = "update",
+) -> int:
+    """MERGE with snapshot retention (time travel on plain tables):
+    instead of dropping the pre-merge snapshot, it is renamed to
+    ``{table}__v{n}`` (n = number of existing versions) before the
+    staged merge result takes the live name. Returns the version
+    number the OLD state was archived under. Read an old state with
+    :func:`read_version`; bound retention with :func:`vacuum_versions`.
+
+    This is copy-on-write time travel exactly as Delta/Iceberg expose
+    it, minus the manifest layer: every version is a full, valid table
+    (no delta chains to replay), so old-version reads cost one scan
+    and retention is a table drop. At 100 TB you bound the archive by
+    vacuuming — same operational contract as ``VACUUM`` there."""
+    base = spark.table(table)
+    merged = merge_upsert(base, updates, keys, when_matched=when_matched)
+    stage = f"{table}__merge_stage"
+    spark.sql(f"DROP TABLE IF EXISTS {stage}")
+    merged.write.saveAsTable(stage)
+    version = len(list_versions(spark, table))
+    spark.sql(f"ALTER TABLE {table} RENAME TO {table}__v{version}")
+    spark.sql(f"ALTER TABLE {stage} RENAME TO {table}")
+    return version
+
+
+def list_versions(spark: SparkSession, table: str) -> list[int]:
+    """Archived version numbers for ``table``, ascending (the live
+    table is not listed — it is 'current')."""
+    db, _, name = table.rpartition(".")
+    prefix = f"{name}__v"
+    rows = spark.sql(f"SHOW TABLES IN {db}" if db else "SHOW TABLES").collect()
+    out = []
+    for r in rows:
+        tn = r["tableName"]
+        if tn.startswith(prefix) and tn[len(prefix):].isdigit():
+            out.append(int(tn[len(prefix):]))
+    return sorted(out)
+
+
+def read_version(spark: SparkSession, table: str, version: int) -> DataFrame:
+    """Time-travel read: the archived snapshot ``version`` (as
+    returned by :func:`merge_into_table_versioned`)."""
+    return spark.table(f"{table}__v{version}")
+
+
+def vacuum_versions(spark: SparkSession, table: str, keep: int) -> list[int]:
+    """Drop all but the newest ``keep`` archived versions; returns the
+    dropped version numbers (retention enforcement — the VACUUM half
+    of the time-travel contract)."""
+    versions = list_versions(spark, table)
+    drop = versions[:-keep] if keep > 0 else versions
+    for v in drop:
+        spark.sql(f"DROP TABLE {table}__v{v}")
+    return drop

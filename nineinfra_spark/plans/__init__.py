@@ -59,6 +59,7 @@ _VERIFY_FIRST = [
     "agg_anomaly_mad",  # new: median/MAD robust outlier gate
     "stream_dedup_index",  # new: monotone streaming signature index
     "pipeline_curate_corpus",  # new: gate->dedup->decontaminate DAG
+    "catalog_merge_timetravel",  # new: versioned snapshots, 3 states read
     # earlier round-6 additions
     "ann_pq_adc_topk",  # new: product-quantization ADC index
     "ann_pq_rerank_topk",  # new: two-stage ADC shortlist + exact re-rank
@@ -90,7 +91,6 @@ _VERIFY_FIRST = [
     # (b) latest row is r3 — the oldest verification in the registry
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q5_local_supplier_volume",
     "q18_large_volume_customers",
     "events_sessionize",
     "stream_session_window",
@@ -98,8 +98,8 @@ _VERIFY_FIRST = [
     "stream_static_join",
     "stream_stream_join",
     "stream_stateful_counts",
-    # (c) thirteen r3-stale rows (six window_*, five udf_*, q6, q10)
-    # were displaced by this session's thirteen new queries (the
+    # (c) fourteen r3-stale rows (six window_*, five udf_*, q5/q6/q10)
+    # were displaced by this session's fourteen new queries (the
     # window is exactly 50); they rotate in r7
 ]
 

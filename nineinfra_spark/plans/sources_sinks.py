@@ -736,3 +736,109 @@ def catalog_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 from nineinfra_spark.plans import registry as _registry  # noqa: E402
 
 _registry.get("catalog_partsupp_bucketed").oracle = _partsupp_bucketed_oracle()
+
+
+@query(
+    "catalog_merge_timetravel",
+    oracle=f"""
+    WITH v0 AS (
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN {_MERGE_BASE_HEX}
+    ),
+    upd AS (
+        SELECT o_orderkey, o_totalprice * 2 AS o_totalprice FROM orders
+        WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN {_MERGE_UPD_HEX}
+    ),
+    v1 AS (
+        SELECT * FROM upd
+        UNION ALL
+        SELECT * FROM v0 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+    ),
+    v2 AS (
+        SELECT * FROM v1
+        WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) <> '1'
+    ),
+    states AS (
+        SELECT 0 AS version, * FROM v0
+        UNION ALL SELECT 1, * FROM v1
+        UNION ALL SELECT 2, * FROM v2
+    )
+    SELECT version,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
+    FROM states GROUP BY version
+    """,
+    tags=("catalog", "merge", "timetravel"),
+)
+def catalog_merge_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel on plain warehouse tables: two successive
+    MERGEs run through ``merge_into_table_versioned`` — each archives
+    the pre-merge snapshot as ``{{table}}__v{{n}}`` before the staged
+    result takes the live name — and the query then reads ALL THREE
+    states (v0 original, v1 after the upsert, current after the
+    delete-merge) in one result. The oracle derives the same three
+    states relationally, so every archived snapshot is verified, not
+    just the head. ``vacuum_versions`` (retention) is exercised in
+    tests/test_merge.py.
+
+    Scale posture: identical to `catalog_merge_upsert` per merge (one
+    key-keyed join, metastore rename swap); archiving is a RENAME —
+    zero data movement — and old-version reads are plain scans, no
+    delta-chain replay. Retention cost is a table drop."""
+    sfx = os.path.basename(sf_dir).replace(".", "_")
+    db = f"nine_wh_{sfx}"
+    is_hive = (
+        spark.conf.get("spark.sql.catalogImplementation", "in-memory") == "hive"
+    )
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{WAREHOUSE}/{db}'")
+    for tbl in (
+        "orders_tt",
+        "orders_tt__v0",
+        "orders_tt__v1",
+        "orders_tt__merge_stage",
+    ):
+        owned = spark.catalog.tableExists(f"{db}.{tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {db}.{tbl}")
+        loc = f"{WAREHOUSE}/{db}/{tbl}"
+        if os.path.exists(loc) and (not is_hive or not owned):
+            import shutil
+
+            shutil.rmtree(loc, ignore_errors=True)
+    orders = t(spark, sf_dir, "orders")
+    hx = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+    base = orders.filter(hx.isin(*"01234567")).select(
+        "o_orderkey", "o_totalprice"
+    )
+    writers.save_as_table(base, f"{db}.orders_tt", mode="overwrite")
+
+    from nineinfra_spark.operators.merge import (
+        merge_into_table_versioned,
+        read_version,
+    )
+
+    updates = orders.filter(hx.isin("0", "9")).select(
+        "o_orderkey", (F.col("o_totalprice") * 2).alias("o_totalprice")
+    )
+    merge_into_table_versioned(
+        spark, f"{db}.orders_tt", updates, keys=["o_orderkey"]
+    )
+    deletes = orders.filter(hx == "1").select("o_orderkey", "o_totalprice")
+    merge_into_table_versioned(
+        spark, f"{db}.orders_tt", deletes, keys=["o_orderkey"],
+        when_matched="delete",
+    )
+
+    def _state(df: DataFrame, version: int) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(F.col("o_totalprice"), 2).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        ).select(F.lit(version).alias("version"), "n_rows", "sum_price")
+
+    return (
+        _state(read_version(spark, f"{db}.orders_tt", 0), 0)
+        .unionAll(_state(read_version(spark, f"{db}.orders_tt", 1), 1))
+        .unionAll(_state(spark.table(f"{db}.orders_tt"), 2))
+    )

@@ -26,6 +26,9 @@ Endpoints:
 - ``POST /api/v1/sql``     → body ``{"sql": "...", "limit": 100}``;
   responds ``{"columns": [...], "rows": [[...]], "rowCount": N,
   "truncated": bool}``. Errors → HTTP 400 with ``{"error": ...}``.
+  With ``{"explain": true, "explainMode": "formatted"}`` the query is
+  only PLANNED — the response carries ``{"columns", "plan"}`` and no
+  data moves (modes: simple/extended/codegen/cost/formatted).
 
 Authentication: pass ``auth`` (any ``(username, password) -> bool``,
 typically :class:`nineinfra_spark.auth.UserStore` — the reference's
@@ -119,11 +122,35 @@ class _Handler(BaseHTTPRequestHandler):
             limit = int(req.get("limit", DEFAULT_FETCH_LIMIT))
             if limit < 0 or limit > MAX_FETCH_LIMIT:
                 raise ValueError(f"limit must be in [0, {MAX_FETCH_LIMIT}], got {limit}")
+            explain = bool(req.get("explain", False))
+            explain_mode = str(req.get("explainMode", "formatted"))
+            if explain_mode not in (
+                "simple", "extended", "codegen", "cost", "formatted",
+            ):
+                raise ValueError(f"unknown explainMode {explain_mode!r}")
         except (KeyError, TypeError, ValueError, json.JSONDecodeError) as exc:
             self._reply(400, {"error": f"bad request: {exc}"})
             return
         try:
             df = self.spark.sql(sql)
+            if explain:
+                # plan-only mode: nothing executes, nothing fetches —
+                # the gateway answers "what would this cost" questions
+                # without touching the data (Kyuubi operation
+                # EXECUTE_STATEMENT with EXPLAIN, minus the round trip)
+                qe = df._jdf.queryExecution()  # noqa: SLF001
+                self._reply(
+                    200,
+                    {
+                        "columns": df.columns,
+                        "plan": qe.explainString(
+                            self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(  # noqa: SLF001, E501
+                                explain_mode
+                            )
+                        ),
+                    },
+                )
+                return
             # fetch limit+1 to report truncation without a count() pass
             rows = df.limit(limit + 1).collect()
             truncated = len(rows) > limit

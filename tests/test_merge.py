@@ -80,3 +80,42 @@ def test_merge_into_table_swaps_without_residue(spark, frames):
     merge_into_table(spark, "merge_t", updates, ["id"])
     assert _by_id(spark.table("merge_t")) == got
     spark.sql("DROP TABLE merge_t")
+
+
+def test_versioned_merge_time_travel_and_vacuum(spark, frames):
+    from nineinfra_spark.operators.merge import (
+        list_versions,
+        merge_into_table_versioned,
+        read_version,
+        vacuum_versions,
+    )
+
+    base, updates = frames
+    for tbl in ("tt_t", "tt_t__v0", "tt_t__v1", "tt_t__merge_stage"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    base.write.mode("overwrite").saveAsTable("tt_t")
+
+    v = merge_into_table_versioned(spark, "tt_t", updates, ["id"])
+    assert v == 0
+    # archived v0 is the ORIGINAL base, current is the merged state
+    assert _by_id(read_version(spark, "tt_t", 0)) == _by_id(base)
+    assert _by_id(spark.table("tt_t")) == {
+        1: ("a", 10.0), 2: ("B", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)
+    }
+
+    v = merge_into_table_versioned(
+        spark, "tt_t", updates.limit(1), ["id"], when_matched="delete"
+    )
+    assert v == 1
+    assert list_versions(spark, "tt_t") == [0, 1]
+    # v1 equals the state after merge #1 — archives are immutable
+    assert _by_id(read_version(spark, "tt_t", 1)) == {
+        1: ("a", 10.0), 2: ("B", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)
+    }
+
+    # retention: keep the newest archive only
+    dropped = vacuum_versions(spark, "tt_t", keep=1)
+    assert dropped == [0]
+    assert list_versions(spark, "tt_t") == [1]
+    for tbl in ("tt_t", "tt_t__v1"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")

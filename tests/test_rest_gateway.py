@@ -289,3 +289,20 @@ def test_engine_config_wires_rest_port():
     finally:
         eng.rest_gateway.stop()
         eng.rest_gateway = None  # NOT eng.close(): shared session must live
+
+
+def test_explain_mode_returns_plan_without_executing(rest):
+    """explain:true must return the plan text (with the physical-plan
+    marker) and NO rows field; a bad explainMode is a 400."""
+    out = _post(rest, {"sql": "SELECT 1 AS one", "explain": True})
+    assert "plan" in out and "rows" not in out
+    assert out["columns"] == ["one"]
+    assert "Physical Plan" in out["plan"]
+
+    bad = _post_expect_400(
+        rest,
+        json.dumps(
+            {"sql": "SELECT 1", "explain": True, "explainMode": "bogus"}
+        ).encode(),
+    )
+    assert "explainMode" in bad["error"]
