@@ -20,7 +20,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nineinfra_spark.plans._util import t
-from nineinfra_spark.plans.ext_dedup import N_EVAL_DOCS, SH_DUCK, SH_SPARK
+from nineinfra_spark.plans.ext_dedup import (
+    N_EVAL_DOCS,
+    SH_DUCK,
+    SH_SPARK,
+    _cpu_spread,
+)
 from nineinfra_spark.plans.ext_text import TOKS_DUCK, TOKS_SPARK, _STOP
 from nineinfra_spark.plans.registry import query
 
@@ -104,7 +109,12 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole pipeline — the same bound as dedup alone, so the
     composition is free."""
     docs = t(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", "lang", "source", F.expr(TOKS_SPARK).alias("toks"))
+    # corpus side: spread the CPU-heavy tokenize (see ext_dedup
+    # _cpu_spread); eval side below reads the raw table so its
+    # doc_id < N_EVAL_DOCS filter still reaches the scan
+    tok = _cpu_spread(docs).select(
+        "doc_id", "lang", "source", F.expr(TOKS_SPARK).alias("toks")
+    )
     feat = tok.filter(F.size("toks") > 0).select(
         "doc_id",
         "lang",
@@ -128,8 +138,9 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = gated.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") == 1
     )
+    eval_tok = docs.select("doc_id", F.expr(TOKS_SPARK).alias("toks"))
     eval_sh = (
-        tok.filter(F.col("doc_id") < N_EVAL_DOCS)
+        eval_tok.filter(F.col("doc_id") < N_EVAL_DOCS)
         .select(F.explode(F.expr(SH_SPARK)).alias("s"))
         .distinct()
     )
