@@ -26,3 +26,20 @@ def dec(col: str | Column, precision: int = 18, scale: int = 2) -> Column:
 def ts(s: str) -> Column:
     """Literal timestamp from 'YYYY-MM-DD' (testdata dates are timestamps)."""
     return F.lit(s).cast("timestamp")
+
+
+def cpu_spread(df):
+    """Adaptive pre-compute repartition for CPU-bound per-row work
+    (regex tokenization, array folds): Spark sizes scan partitions by
+    BYTES, so a small-but-dense single-file table serializes heavy
+    row work on one core. If the scan has fewer files than cores,
+    shuffle the (tiny) raw rows once and localCheckpoint — the RDD
+    boundary doubles as a predicate-pushdown barrier, without which
+    InferFiltersFromGenerate + PushDownPredicates drag the expensive
+    expressions back below the repartition into the scan stage. On a
+    real corpus (files ≥ cores) this is a no-op branch."""
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if len(df.inputFiles()) < par:
+        return df.repartition(par).localCheckpoint(eager=False)
+    return df

@@ -39,7 +39,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nineinfra_spark.plans._util import t
+from nineinfra_spark.plans._util import cpu_spread, t
 from nineinfra_spark.plans.ext_text import TOKS_DUCK, TOKS_SPARK
 from nineinfra_spark.plans.registry import query
 
@@ -71,29 +71,9 @@ def _h_duck(expr: str) -> str:
 
 
 def _cpu_spread(docs: DataFrame) -> DataFrame:
-    """Adaptive pre-tokenize repartition: the regex/shingle pass is
-    CPU-bound per ROW, but Spark sizes scan partitions by BYTES — a
-    small-but-dense corpus file (sf0.1's 594 KB documents.parquet =
-    one split, and file-splitting can't help a single-row-group file)
-    serializes minutes of regex work on one core while 31 idle. If the
-    scan yields fewer partitions than cores, shuffle the (tiny) raw
-    text once so tokenization parallelizes; on a real corpus the scan
-    already has thousands of splits and this is a no-op branch — the
-    shuffle never happens at 100 TB."""
-    spark = docs.sparkSession
-    par = spark.sparkContext.defaultParallelism
-    # file count is a pure metadata probe (df.rdd would force AQE
-    # stage materialization); files ≥ cores → scan already parallel
-    if len(docs.inputFiles()) < par:
-        # The checkpoint is load-bearing, not just caching: explode()
-        # infers a `size(shingles) > 0` filter (InferFiltersFromGenerate)
-        # and predicate pushdown then drags the WHOLE tokenize+shingle
-        # expression below the repartition into the single-task scan
-        # stage — re-serializing exactly the work the shuffle was meant
-        # to spread. The RDD boundary is a pushdown barrier; what gets
-        # materialized is only the raw (tiny) text.
-        return docs.repartition(par).localCheckpoint(eager=False)
-    return docs
+    """See plans/_util.cpu_spread — kept under its historical name for
+    this module's callers (the shingle family is the main CPU hog)."""
+    return cpu_spread(docs)
 
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -33,7 +33,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nineinfra_spark.plans._util import t
+from nineinfra_spark.plans._util import cpu_spread, t
 from nineinfra_spark.plans.registry import query
 
 # -- shared expressions ----------------------------------------------------
@@ -719,7 +719,9 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cos_vc = F.expr(COS_SPARK.format(a="embedding", b="c_emb"))
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cos_vc"), "cell")
-    cand = emb.filter(F.col("vec_id") >= N_QUERIES)
+    # E-step is N×K cosine folds — CPU-bound per row; spread it (the
+    # cent side stays on the raw scan so its vec_id filter pushes down)
+    cand = cpu_spread(emb).filter(F.col("vec_id") >= N_QUERIES)
     assigned = (
         cand.crossJoin(F.broadcast(cent))
         .select("vec_id", "embedding", "cell", cos_vc.alias("cos_vc"))
