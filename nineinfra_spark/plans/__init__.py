@@ -60,6 +60,8 @@ _VERIFY_FIRST = [
     "stream_dedup_index",  # new: monotone streaming signature index
     "pipeline_curate_corpus",  # new: gate->dedup->decontaminate DAG
     "catalog_merge_timetravel",  # new: versioned snapshots, 3 states read
+    "join_asof_forward",  # new: next-event-at-or-after composite
+    "events_transition_matrix",  # new: Markov/path-analysis rollup
     # earlier round-6 additions
     "ann_pq_adc_topk",  # new: product-quantization ADC index
     "ann_pq_rerank_topk",  # new: two-stage ADC shortlist + exact re-rank
@@ -90,17 +92,15 @@ _VERIFY_FIRST = [
     "q7_volume_shipping",  # r6: fact sides pre-reduced before shuffle
     # (b) latest row is r3 — the oldest verification in the registry
     "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q18_large_volume_customers",
     "events_sessionize",
     "stream_session_window",
     "stream_dedup_watermark",
     "stream_static_join",
     "stream_stream_join",
     "stream_stateful_counts",
-    # (c) fourteen r3-stale rows (six window_*, five udf_*, q5/q6/q10)
-    # were displaced by this session's fourteen new queries (the
-    # window is exactly 50); they rotate in r7
+    # (c) sixteen r3-stale rows (six window_*, five udf_*, and five of
+    # the core TPC-H q1-q18 spine) were displaced by this session's
+    # sixteen new queries (the window is exactly 50); they rotate in r7
 ]
 
 registry.set_order(_VERIFY_FIRST)

@@ -374,3 +374,46 @@ def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_value"),
         )
     )
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+    SELECT l.event_id, l.user_id, l.ts,
+           r.ts AS next_error_ts, r.value AS next_error_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
+      ON l.user_id = r.user_id AND l.ts <= r.ts
+    """,
+    tags=("join", "asof", "custom"),
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: for each purchase, the EARLIEST error event
+    at-or-after it for the same user (the \"what happened next\"
+    direction — next failure, next churn, next fill). Same composite
+    operator as the backward query (`operators/asof.py`) with
+    direction=\"forward\"; DuckDB's native ASOF JOIN states the oracle
+    with the <= condition."""
+    events = t(spark, sf_dir, "events")
+    left = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = events.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        left,
+        right,
+        on="user_id",
+        ts="ts",
+        payload=["value"],
+        direction="forward",
+        suffix="_r",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_r").alias("next_error_ts"),
+        F.col("value_r").alias("next_error_value"),
+    )

@@ -502,3 +502,48 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retention_bps"
         ),
     )
+
+
+@query(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           COUNT(*) AS n_transitions
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    tags=("window", "analytics", "markov"),
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral transition matrix (the Markov/sankey table): for
+    each user's time-ordered event sequence, count every consecutive
+    (from_type → to_type) pair — the path-analysis primitive product
+    analytics builds funnels and journey maps from. (event_id breaks
+    ts ties deterministically.)
+
+    Scale posture: one window shuffle keyed on user_id (bounded by
+    the per-user event count), then a dimension-sized
+    (|types|² ≤ tiny) rollup — the same single-corpus-shuffle bound
+    as sessionization."""
+    events = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.select(
+            "user_id",
+            "event_type",
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
