@@ -62,6 +62,9 @@ _VERIFY_FIRST = [
     "catalog_merge_timetravel",  # new: versioned snapshots, 3 states read
     "join_asof_forward",  # new: next-event-at-or-after composite
     "events_transition_matrix",  # new: Markov/path-analysis rollup
+    "window_distribution_ranks",  # new: percent_rank/cume_dist/ntile
+    "agg_mode_deterministic",  # new: tie-broken per-group mode
+    "catalog_view_lifecycle",  # new: VIEW + TEMP VIEW DDL
     # earlier round-6 additions
     "ann_pq_adc_topk",  # new: product-quantization ADC index
     "ann_pq_rerank_topk",  # new: two-stage ADC shortlist + exact re-rank
@@ -92,15 +95,13 @@ _VERIFY_FIRST = [
     "q7_volume_shipping",  # r6: fact sides pre-reduced before shuffle
     # (b) latest row is r3 — the oldest verification in the registry
     "q1_pricing_summary",
-    "events_sessionize",
-    "stream_session_window",
-    "stream_dedup_watermark",
     "stream_static_join",
     "stream_stream_join",
     "stream_stateful_counts",
-    # (c) sixteen r3-stale rows (six window_*, five udf_*, and five of
-    # the core TPC-H q1-q18 spine) were displaced by this session's
-    # sixteen new queries (the window is exactly 50); they rotate in r7
+    # (c) nineteen r3-stale rows (window_*/udf_* families, five core
+    # TPC-H spine rows, events_sessionize, and three stream_* rows)
+    # were displaced by this session's nineteen new queries (the
+    # window is exactly 50); they rotate in r7
 ]
 
 registry.set_order(_VERIFY_FIRST)

@@ -888,3 +888,53 @@ def agg_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_outliers"),
         )
     )
+
+
+@query(
+    "agg_mode_deterministic",
+    oracle=f"""
+    WITH counts AS (
+        SELECT lang, tok, COUNT(*) AS cnt
+        FROM (SELECT lang, unnest({{toks}}) AS tok FROM documents)
+        GROUP BY lang, tok
+    )
+    SELECT lang, tok AS mode_token, cnt AS n_occurrences
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY lang ORDER BY cnt DESC, tok
+        ) AS rn
+        FROM counts
+    ) WHERE rn = 1
+    """.format(toks="regexp_extract_all(lower(text), '[a-z]+')"),
+    tags=("agg", "mode"),
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode (most frequent value) per group, with a DETERMINISTIC
+    tie-break: built-in ``mode()`` on both engines picks an arbitrary
+    winner among equal counts (partition-layout-dependent in Spark),
+    so the portable form is count + row_number ordered by
+    (cnt DESC, value) — the same result on any engine, any
+    parallelism. Here: the most frequent token per language.
+
+    Scale posture: inverted-index groupBy (map-side combined) + a
+    window over the per-group count table keyed on the group — the
+    count table is |vocab|-sized, not corpus-sized."""
+    docs = t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select(
+            "lang",
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("tok"),
+        )
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), "tok")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("lang", F.col("tok").alias("mode_token"), F.col("cnt").alias("n_occurrences"))
+    )

@@ -842,3 +842,70 @@ def catalog_merge_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(_state(read_version(spark, f"{db}.orders_tt", 1), 1))
         .unionAll(_state(spark.table(f"{db}.orders_tt"), 2))
     )
+
+
+@query(
+    "catalog_view_lifecycle",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_big,
+           CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
+    FROM orders
+    WHERE o_totalprice > 400000
+    GROUP BY o_orderpriority
+    """,
+    tags=("catalog", "ddl", "view"),
+)
+def catalog_view_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIEW DDL lifecycle: a catalog VIEW (persistent definition over
+    a warehouse table) and a TEMP VIEW (session-scoped) are created,
+    queried through — the final aggregate reads the temp view which
+    reads the catalog view which reads the table — and the catalog
+    view is verified replaceable (CREATE OR REPLACE changes the
+    predicate; the oracle states the final definition). Views are
+    definition-only: Catalyst inlines them, so the executed plan is
+    identical to querying the base table with the view's predicate
+    pushed to the scan.
+
+    Scale: a metadata feature — plans exactly as the inlined query."""
+    sfx = os.path.basename(sf_dir).replace(".", "_")
+    db = f"nine_wh_{sfx}"
+    is_hive = (
+        spark.conf.get("spark.sql.catalogImplementation", "in-memory") == "hive"
+    )
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{WAREHOUSE}/{db}'")
+    spark.sql(f"DROP VIEW IF EXISTS {db}.big_orders_v")
+    for tbl in ("orders_for_view",):
+        owned = spark.catalog.tableExists(f"{db}.{tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {db}.{tbl}")
+        loc = f"{WAREHOUSE}/{db}/{tbl}"
+        if os.path.exists(loc) and (not is_hive or not owned):
+            import shutil
+
+            shutil.rmtree(loc, ignore_errors=True)
+    orders = t(spark, sf_dir, "orders")
+    writers.save_as_table(orders, f"{db}.orders_for_view", mode="overwrite")
+    # first definition, then replaced — the REPLACE must win
+    spark.sql(
+        f"CREATE VIEW {db}.big_orders_v AS"
+        f" SELECT * FROM {db}.orders_for_view WHERE o_totalprice > 100000"
+    )
+    spark.sql(
+        f"CREATE OR REPLACE VIEW {db}.big_orders_v AS"
+        f" SELECT * FROM {db}.orders_for_view WHERE o_totalprice > 400000"
+    )
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW big_orders_tmp AS"
+        f" SELECT o_orderpriority, o_totalprice FROM {db}.big_orders_v"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_big,
+               CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_price
+        FROM big_orders_tmp
+        GROUP BY o_orderpriority
+        """
+    )

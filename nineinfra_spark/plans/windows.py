@@ -547,3 +547,35 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
+
+
+@query(
+    "window_distribution_ranks",
+    oracle="""
+    SELECT s_suppkey, s_nationkey,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           ntile(3) OVER w AS tercile
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+    """,
+    tags=("window", "ranking"),
+)
+def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-position window functions: percent_rank
+    ((rank-1)/(n-1)), cume_dist (rows ≤ current / n), ntile — the
+    relative-standing trio the ranking query doesn't cover. Both
+    ratios are integer÷integer in double (exact IEEE, identical on
+    both engines); the ORDER BY carries s_suppkey so equal balances
+    can't reorder ties.
+
+    Scale: one shuffle on the partition key, same as every window."""
+    supp = t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    return supp.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(3).over(w).alias("tercile"),
+    )
