@@ -65,6 +65,7 @@ _VERIFY_FIRST = [
     "window_distribution_ranks",  # new: percent_rank/cume_dist/ntile
     "agg_mode_deterministic",  # new: tie-broken per-group mode
     "catalog_view_lifecycle",  # new: VIEW + TEMP VIEW DDL
+    "catalog_rollup_routing",  # new: MV routing, fact never scanned
     # earlier round-6 additions
     "ann_pq_adc_topk",  # new: product-quantization ADC index
     "ann_pq_rerank_topk",  # new: two-stage ADC shortlist + exact re-rank
@@ -95,12 +96,11 @@ _VERIFY_FIRST = [
     "q7_volume_shipping",  # r6: fact sides pre-reduced before shuffle
     # (b) latest row is r3 — the oldest verification in the registry
     "q1_pricing_summary",
-    "stream_static_join",
     "stream_stream_join",
     "stream_stateful_counts",
-    # (c) nineteen r3-stale rows (window_*/udf_* families, five core
-    # TPC-H spine rows, events_sessionize, and three stream_* rows)
-    # were displaced by this session's nineteen new queries (the
+    # (c) twenty r3-stale rows (window_*/udf_* families, five core
+    # TPC-H spine rows, events_sessionize, and four stream_* rows)
+    # were displaced by this session's twenty new queries (the
     # window is exactly 50); they rotate in r7
 ]
 

@@ -909,3 +909,89 @@ def catalog_view_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+@query(
+    "catalog_rollup_routing",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price,
+           CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS avg_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("catalog", "rollup", "mv", "routing"),
+)
+def catalog_rollup_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view ROUTING (≙ Doris rollup selection,
+    ``internal/controller/doris.go:20-28``): a (month × status) rollup
+    with additive measures is materialized once; a status-only
+    aggregate is then answered FROM THE ROLLUP by
+    ``operators/mv.route_aggregate`` — re-summing over the absent
+    month dim and deriving AVG as Σsum/Σcount (never re-averaging, the
+    classic MV wrong-answer). The oracle aggregates the raw fact, so
+    the differential proves routed == fact-computed; the routed plan
+    never scanning the fact, and the router refusing non-containable
+    requests, are pinned in tests/test_mv_routing.py.
+
+    Scale posture: the routed read touches |months×statuses| rows —
+    the fact table's size is irrelevant to the query, which is the
+    entire point of a serving rollup."""
+    sfx = os.path.basename(sf_dir).replace(".", "_")
+    db = f"nine_wh_{sfx}"
+    is_hive = (
+        spark.conf.get("spark.sql.catalogImplementation", "in-memory") == "hive"
+    )
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{WAREHOUSE}/{db}'")
+    for tbl in ("sales_rollup_rt",):
+        owned = spark.catalog.tableExists(f"{db}.{tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {db}.{tbl}")
+        loc = f"{WAREHOUSE}/{db}/{tbl}"
+        if os.path.exists(loc) and (not is_hive or not owned):
+            import shutil
+
+            shutil.rmtree(loc, ignore_errors=True)
+
+    orders = t(spark, sf_dir, "orders")
+    rollup = (
+        orders.select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("m"),
+            "o_orderstatus",
+            F.round("o_totalprice", 2).cast("decimal(18,2)").alias("p"),
+        )
+        .groupBy("m", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("p").alias("sum_price"),
+        )
+    )
+    writers.save_as_table(rollup, f"{db}.sales_rollup_rt", mode="overwrite")
+
+    from nineinfra_spark.operators.mv import RollupSpec, route_aggregate
+
+    spec = RollupSpec(
+        table=f"{db}.sales_rollup_rt",
+        dims=("m", "o_orderstatus"),
+        sums=("sum_price",),
+        counts=("n_orders",),
+    )
+    routed = route_aggregate(
+        spark,
+        spec,
+        group_by=["o_orderstatus"],
+        measures={
+            "n_orders": ("count", "n_orders"),
+            "total_price": ("sum", "sum_price"),
+            "avg_price": ("avg", "sum_price", "n_orders"),
+        },
+    )
+    assert routed is not None  # containment holds by construction here
+    return routed.select(
+        "o_orderstatus",
+        "n_orders",
+        F.col("total_price").cast("double").alias("total_price"),
+        "avg_price",
+    )
