@@ -66,6 +66,8 @@ _VERIFY_FIRST = [
     "agg_mode_deterministic",  # new: tie-broken per-group mode
     "catalog_view_lifecycle",  # new: VIEW + TEMP VIEW DDL
     "catalog_rollup_routing",  # new: MV routing, fact never scanned
+    "dedup_minhash_df_capped",  # new: posting-list-bounded LSH
+    "stream_rollup_maintenance",  # new: additive streaming MV upkeep
     # earlier round-6 additions
     "ann_pq_adc_topk",  # new: product-quantization ADC index
     "ann_pq_rerank_topk",  # new: two-stage ADC shortlist + exact re-rank
@@ -96,12 +98,10 @@ _VERIFY_FIRST = [
     "q7_volume_shipping",  # r6: fact sides pre-reduced before shuffle
     # (b) latest row is r3 — the oldest verification in the registry
     "q1_pricing_summary",
-    "stream_stream_join",
-    "stream_stateful_counts",
-    # (c) twenty r3-stale rows (window_*/udf_* families, five core
-    # TPC-H spine rows, events_sessionize, and four stream_* rows)
-    # were displaced by this session's twenty new queries (the
-    # window is exactly 50); they rotate in r7
+    # (c) twenty-two r3-stale rows (window_*/udf_* families, five core
+    # TPC-H spine rows, events_sessionize, and the six batch-green
+    # stream_* rows) were displaced by this session's twenty-two new
+    # queries (the window is exactly 50); they rotate in r7
 ]
 
 registry.set_order(_VERIFY_FIRST)

@@ -971,3 +971,171 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("survives"),
     )
+
+
+# -- DF-capped MinHash (the adversarial-corpus hardening) ------------------
+
+DF_CAP = 20  # drop shingles occurring in more than this many docs
+
+
+def _minhash_capped_oracle() -> str:
+    mins = ",\n           ".join(
+        f"MIN(h1 + {k} * h2) AS m{k}" for k in range(N_PERM)
+    )
+    band_cols = ",\n           ".join(
+        "md5(concat_ws(':', "
+        + ", ".join(f"m{b * ROWS_PER_BAND + j}" for j in range(ROWS_PER_BAND))
+        + f")) AS b{b}"
+        for b in range(N_BANDS)
+    )
+    band_union = "\n        UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, b{b} AS band_key FROM bands"
+        for b in range(N_BANDS)
+    )
+    return f"""
+    WITH d AS (SELECT doc_id, {TOKS_DUCK} AS toks FROM documents),
+    sh AS (SELECT doc_id, {SH_DUCK} AS shingles FROM d),
+    sz AS (SELECT doc_id, shingles, len(shingles) AS n FROM sh WHERE len(shingles) > 0),
+    ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM sz),
+    df AS (SELECT s, COUNT(*) AS nd FROM ex0 GROUP BY s),
+    ex AS (
+        SELECT ex0.doc_id, ex0.s FROM ex0
+        JOIN df ON ex0.s = df.s WHERE df.nd <= {DF_CAP}
+    ),
+    hs AS (
+        SELECT doc_id,
+               {_h_duck("'a:' || s")} AS h1,
+               {_h_duck("'b:' || s")} % {_H2_MOD} AS h2
+        FROM ex
+    ),
+    sig AS (
+        SELECT doc_id,
+           {mins}
+        FROM hs GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id,
+           {band_cols}
+        FROM sig
+    ),
+    bb AS (
+        {band_union}
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bb x JOIN bb y
+          ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+         AND x.doc_id < y.doc_id
+    ),
+    ver AS (
+        SELECT doc_a, doc_b,
+               len(list_intersect(a.shingles, b.shingles)) AS common,
+               a.n + b.n - len(list_intersect(a.shingles, b.shingles)) AS union_sz,
+               a.n + b.n AS total
+        FROM cand
+        JOIN sz a ON cand.doc_a = a.doc_id
+        JOIN sz b ON cand.doc_b = b.doc_id
+    )
+    SELECT doc_a, doc_b, common, union_sz, {_JAC6_DUCK} AS jaccard
+    FROM ver WHERE 3 * common >= total
+    """
+
+
+@query(
+    "dedup_minhash_df_capped",
+    oracle=_minhash_capped_oracle(),
+    tags=("ext", "dedup", "lsh", "df-cap"),
+)
+def dedup_minhash_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The adversarial-corpus hardening this module's docstring
+    promises: MinHash-LSH with a DOCUMENT-FREQUENCY CUTOFF — shingles
+    occurring in more than DF_CAP documents (boilerplate, templates,
+    licence blocks) are dropped BEFORE signatures are computed, which
+    bounds every LSH posting list and therefore the worst-case bucket
+    self-join. Signatures are minhashed over the surviving shingles
+    only; verification still uses the FULL shingle sets, so any pair
+    the capped index surfaces carries its true Jaccard.
+
+    On an adversarial corpus (every doc sharing one template
+    paragraph) the uncapped self-join degenerates toward all-pairs;
+    with the cap it cannot — the posting-list bound is DF_CAP by
+    construction, pytest-pinned alongside a recall floor vs the
+    uncapped pair relation (tests/test_ext_pipeline.py)."""
+    sz = _shingled(spark, sf_dir).select(
+        "doc_id", "shingles", F.size("shingles").alias("n")
+    )
+    sz = sz.localCheckpoint(eager=False)
+    ex0 = sz.select("doc_id", F.explode("shingles").alias("s"))
+    keep = (
+        ex0.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") <= DF_CAP)
+        .select("s")
+    )
+    ex = ex0.join(keep, "s", "left_semi").select(
+        "doc_id",
+        F.expr(_h_spark("concat('a:', s)")).alias("h1"),
+        (F.expr(_h_spark("concat('b:', s)")) % _H2_MOD).alias("h2"),
+    )
+    sig = ex.groupBy("doc_id").agg(
+        *[F.min(F.col("h1") + k * F.col("h2")).alias(f"m{k}") for k in range(N_PERM)]
+    )
+    bands = sig.select(
+        "doc_id",
+        *[
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    *[F.col(f"m{b * ROWS_PER_BAND + j}") for j in range(ROWS_PER_BAND)],
+                )
+            ).alias(f"b{b}")
+            for b in range(N_BANDS)
+        ],
+    )
+    bb = bands.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"b{b}") for b in range(N_BANDS)])).alias(
+            "band_idx", "band_key"
+        ),
+    )
+    cand = (
+        bb.alias("x")
+        .join(
+            bb.alias("y"),
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    a = sz.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("n").alias("na"),
+    )
+    b = sz.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("n").alias("nb"),
+    )
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("common"),
+            (F.col("na") + F.col("nb")).alias("total"),
+        )
+        .filter(3 * F.col("common") >= F.col("total"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "common",
+            (F.col("total") - F.col("common")).alias("union_sz"),
+        )
+        .select(
+            "doc_a", "doc_b", "common", "union_sz", F.expr(_JAC6_SPARK).alias("jaccard")
+        )
+    )

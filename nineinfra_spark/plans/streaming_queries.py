@@ -490,3 +490,106 @@ def stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(idx).select("content_hash", "canonical_doc_id", "n_copies")
+
+
+@query(
+    "stream_rollup_maintenance",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS m, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "mv", "rollup", "foreachBatch"),
+)
+def stream_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous materialized-view maintenance: an orders stream keeps
+    the (month × status) serving rollup fresh via ``foreachBatch`` —
+    each micro-batch folds to its partial (count, decimal-sum) cells
+    and merges into the managed rollup by ADDITION. Counts and decimal
+    sums are commutative/associative, so the converged rollup is
+    independent of batch boundaries and arrival order — the same
+    algebraic argument as `stream_dedup_index`, here applied to the
+    OLAP serving tier (this is the streaming half of
+    `catalog_rollup_incremental`, which handles the batch/backfill
+    half; `catalog_rollup_routing` is the read side).
+
+    Scale posture: per batch, one map-side-combined agg over the
+    DELTA only (cells out ≤ |months×statuses|), a cell-keyed merge
+    join against the rollup (broadcast — the rollup is
+    dimension-sized), stage-and-swap publication. The fact's history
+    is never re-read."""
+    import os as _os
+
+    from nineinfra_spark.plans.sources_sinks import WAREHOUSE
+    from nineinfra_spark.streaming.ops import read_table_stream
+
+    sfx = _os.path.basename(sf_dir).replace(".", "_")
+    db = f"nine_wh_{sfx}"
+    tbl = f"{db}.stream_rollup"
+    is_hive = (
+        spark.conf.get("spark.sql.catalogImplementation", "in-memory") == "hive"
+    )
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{WAREHOUSE}/{db}'")
+    for name in ("stream_rollup", "stream_rollup__merge_stage"):
+        owned = spark.catalog.tableExists(f"{db}.{name}")
+        spark.sql(f"DROP TABLE IF EXISTS {db}.{name}")
+        loc = f"{WAREHOUSE}/{db}/{name}"
+        if _os.path.exists(loc) and (not is_hive or not owned):
+            import shutil
+
+            shutil.rmtree(loc, ignore_errors=True)
+
+    empty = spark.createDataFrame(
+        [], "m string, o_orderstatus string, n_orders long, total_price decimal(18,2)"
+    )
+    empty.write.saveAsTable(tbl)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        delta = (
+            batch_df.select(
+                F.date_format("o_orderdate", "yyyy-MM").alias("m"),
+                "o_orderstatus",
+                F.round("o_totalprice", 2).cast("decimal(18,2)").alias("p"),
+            )
+            .groupBy("m", "o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("d_n"),
+                F.sum("p").cast("decimal(18,2)").alias("d_sum"),
+            )
+        )
+        base = spark.table(tbl)
+        merged = base.join(delta, ["m", "o_orderstatus"], "full_outer").select(
+            "m",
+            "o_orderstatus",
+            (
+                F.coalesce("n_orders", F.lit(0)) + F.coalesce("d_n", F.lit(0))
+            ).alias("n_orders"),
+            (
+                F.coalesce(F.col("total_price"), F.lit(0).cast("decimal(18,2)"))
+                + F.coalesce(F.col("d_sum"), F.lit(0).cast("decimal(18,2)"))
+            )
+            .cast("decimal(18,2)")
+            .alias("total_price"),
+        )
+        stage = f"{tbl}__merge_stage"
+        spark.sql(f"DROP TABLE IF EXISTS {stage}")
+        merged.write.saveAsTable(stage)
+        spark.sql(f"DROP TABLE {tbl}")
+        spark.sql(f"ALTER TABLE {stage} RENAME TO {tbl}")
+
+    orders = read_table_stream(spark, sf_dir, "orders", maxFilesPerTrigger="1")
+    q = (
+        orders.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(tbl).select(
+        "m",
+        "o_orderstatus",
+        "n_orders",
+        F.col("total_price").cast("double").alias("total_price"),
+    )

@@ -436,3 +436,70 @@ class TestCuratePipeline:
         )
         n_corpus = sum(1 for d in quality if d >= N_EVAL_DOCS)
         assert len(survivors) < n_gate_passed < n_corpus
+
+
+class TestDfCappedMinhash:
+    def test_recall_preserved_on_real_corpus(self, spark):
+        """On the (non-adversarial) testdata corpus no shingle exceeds
+        the cap, so the capped index must find the same verified pairs
+        as the uncapped one."""
+        from nineinfra_spark.plans.ext_dedup import (
+            dedup_minhash_df_capped,
+            dedup_minhash_pairs,
+        )
+
+        capped = _pairs(dedup_minhash_df_capped(spark, SF))
+        uncapped = _pairs(dedup_minhash_pairs(spark, SF))
+        assert capped == uncapped
+
+    def test_posting_list_bounded_on_adversarial_corpus(self, spark, tmp_path):
+        """Adversarial corpus: 60 docs all sharing one template
+        paragraph + 2 true near-dups. The DF cutoff must (a) bound
+        every surviving posting list to ≤ DF_CAP and (b) still find
+        the true near-dup pair through its non-template shingles."""
+        import itertools
+
+        from pyspark.sql import functions as F
+
+        from nineinfra_spark.plans.ext_dedup import (
+            DF_CAP,
+            SH_SPARK,
+            dedup_minhash_df_capped,
+        )
+        from nineinfra_spark.plans.ext_text import TOKS_SPARK
+
+        template = "all rights reserved by the example corp footer text"
+        words = [f"w{i}" for i in range(40)]
+        rows = []
+        for d in range(60):
+            # unique-ish body + the shared template paragraph
+            body = " ".join(
+                words[(d * 7 + k) % 40] + str(d) for k in range(12)
+            )
+            rows.append((d, body + " " + template))
+        # true near-dups: 100 and 101 share a long unique body
+        shared = "zebra quolls vault under amber moonlit canyons tonight " * 3
+        rows.append((100, shared + "ending one here"))
+        rows.append((101, shared + "ending two there"))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+        out = dedup_minhash_df_capped(spark, str(tmp_path))
+        pairs = _pairs(out)
+        assert (100, 101) in pairs
+        # the 60 template-only docs share nothing but capped shingles:
+        # no pair among them may survive
+        assert not any(a < 100 and b < 100 for a, b in pairs)
+
+        # posting lists after the cap are bounded by DF_CAP
+        ex = (
+            docs.select("doc_id", F.expr(TOKS_SPARK).alias("toks"))
+            .select("doc_id", F.explode(F.expr(SH_SPARK)).alias("s"))
+        )
+        df_counts = ex.groupBy("s").count()
+        surviving = df_counts.filter(F.col("count") <= DF_CAP)
+        max_df = surviving.agg(F.max("count")).collect()[0][0]
+        assert max_df <= DF_CAP
+        # and the template shingles really were over the cap (the
+        # adversarial structure existed)
+        assert df_counts.filter(F.col("count") > DF_CAP).count() > 0
