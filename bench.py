@@ -79,6 +79,8 @@ HEADLINE = [
     "agg_bloom_membership",
     "stream_dedup_index",
     "pipeline_curate_corpus",
+    "dedup_minhash_df_capped",
+    "stream_rollup_maintenance",
 ]
 
 

@@ -68,6 +68,7 @@ _VERIFY_FIRST = [
     "catalog_rollup_routing",  # new: MV routing, fact never scanned
     "dedup_minhash_df_capped",  # new: posting-list-bounded LSH
     "stream_rollup_maintenance",  # new: additive streaming MV upkeep
+    "catalog_masked_view",  # new: column-masking secure view
     # earlier round-6 additions
     "ann_pq_adc_topk",  # new: product-quantization ADC index
     "ann_pq_rerank_topk",  # new: two-stage ADC shortlist + exact re-rank
@@ -97,11 +98,10 @@ _VERIFY_FIRST = [
     "text_boilerplate_ngrams",  # new: corpus-wide template-shingle detection
     "q7_volume_shipping",  # r6: fact sides pre-reduced before shuffle
     # (b) latest row is r3 — the oldest verification in the registry
-    "q1_pricing_summary",
-    # (c) twenty-two r3-stale rows (window_*/udf_* families, five core
-    # TPC-H spine rows, events_sessionize, and the six batch-green
-    # stream_* rows) were displaced by this session's twenty-two new
-    # queries (the window is exactly 50); they rotate in r7
+    # (c) twenty-three r3-stale rows (window_*/udf_* families, six core
+    # TPC-H spine rows incl. q1, events_sessionize, six stream_* rows)
+    # were displaced by this session's twenty-three new queries (the
+    # window is exactly 50); they rotate in r7
 ]
 
 registry.set_order(_VERIFY_FIRST)

@@ -995,3 +995,45 @@ def catalog_rollup_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_price").cast("double").alias("total_price"),
         "avg_price",
     )
+
+
+@query(
+    "catalog_masked_view",
+    oracle="""
+    SELECT c_custkey,
+           regexp_replace(c_name, '[0-9]', '*', 'g') AS c_name_masked,
+           CAST(FLOOR(c_acctbal / 1000) * 1000 AS DOUBLE) AS acctbal_band,
+           c_mktsegment
+    FROM customer
+    """,
+    tags=("catalog", "security", "masking"),
+)
+def catalog_masked_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column masking for non-privileged access (the Ranger-style
+    policy layer a shared SQL gateway needs; the reference's auth
+    model stops at connection auth — ``kyuubi.go:55-64`` — so the
+    masking itself is engine-side): a SECURE VIEW over customer that
+    redacts identifying digits from names and coarsens account
+    balances to 1000-unit bands. Analysts query the view name;
+    the base table stays ACL'd. The gateway tier (rest.py/auth.py)
+    decides WHO gets which view; this query pins WHAT the masked
+    surface computes.
+
+    Masking must be deterministic and engine-stable: digit redaction
+    is a charclass regexp_replace, banding is floor division on the
+    exact value — no hashing, no salt, so the oracle replicates the
+    masked relation bit-for-bit. Scale: a projection — masked views
+    inline into the scan like any view."""
+    cust = t(spark, sf_dir, "customer")
+    cust.createOrReplaceTempView("customer_base_tmp")
+    spark.sql(
+        f"""
+        CREATE OR REPLACE TEMPORARY VIEW customer_masked_tmp AS
+        SELECT c_custkey,
+               regexp_replace(c_name, '[0-9]', '*') AS c_name_masked,
+               CAST(FLOOR(c_acctbal / 1000) * 1000 AS DOUBLE) AS acctbal_band,
+               c_mktsegment
+        FROM customer_base_tmp
+        """
+    )
+    return spark.table("customer_masked_tmp")
