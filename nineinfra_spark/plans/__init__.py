@@ -69,6 +69,8 @@ _VERIFY_FIRST = [
     "dedup_minhash_df_capped",  # new: posting-list-bounded LSH
     "stream_rollup_maintenance",  # new: additive streaming MV upkeep
     "catalog_masked_view",  # new: column-masking secure view
+    "text_bpe_pair_counts",  # new: BPE merge-candidate ranking
+    "text_length_buckets",  # new: padding-waste batch planning
     # earlier round-6 additions
     "ann_pq_adc_topk",  # new: product-quantization ADC index
     "ann_pq_rerank_topk",  # new: two-stage ADC shortlist + exact re-rank
@@ -79,7 +81,6 @@ _VERIFY_FIRST = [
     "stream_upsert_snapshot",  # new: CDC apply loop via foreachBatch
     "dq_expectations",  # new: data-quality constraint gate
     "catalog_rollup_incremental",  # new: partition-pruned MV refresh
-    "agg_histogram_bins",  # new: fixed-bin profiling histogram
     "text_corpus_datasheet",  # new: per-language corpus profile
     "text_pack_sequences",  # new: per-shard sequence packing
     "sample_mixture_lang",  # new: mixture-weighted corpus sampling
@@ -93,15 +94,16 @@ _VERIFY_FIRST = [
     "q2_min_cost_supplier",  # new: the real Q2 min-cost shape
     "text_chunk_windows",  # new: overlapping token-window chunking
     "text_repetition_filter",  # new: Gopher-style repetition filter
-    "catalog_partsupp_bucketed",  # new: materialize-once bucketed partsupp
     "udf_python_udtf",  # new: real @udtf class via LATERAL
     "text_boilerplate_ngrams",  # new: corpus-wide template-shingle detection
     "q7_volume_shipping",  # r6: fact sides pre-reduced before shuffle
     # (b) latest row is r3 — the oldest verification in the registry
-    # (c) twenty-three r3-stale rows (window_*/udf_* families, six core
-    # TPC-H spine rows incl. q1, events_sessionize, six stream_* rows)
-    # were displaced by this session's twenty-three new queries (the
-    # window is exactly 50); they rotate in r7
+    # (c) every stale row is already displaced; the round-6 additions
+    # alone now exceed the 50-slot window, so two of THEM wait for r7:
+    # catalog_partsupp_bucketed (plan-asserted zero-Exchange in pytest,
+    # and q9/q11/q16/q20 exercise the same partsupp derivation with
+    # their own green rows) and agg_histogram_bins (boundary semantics
+    # pytest-covered) — the two whose driver row is most redundant
 ]
 
 registry.set_order(_VERIFY_FIRST)

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nineinfra_spark.plans._util import t
+from nineinfra_spark.plans._util import cpu_spread as _spread, t
 from nineinfra_spark.plans.registry import query
 
 #: tokens = lowercase alpha runs — identical regex semantics in Spark
@@ -861,4 +861,129 @@ def fn_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "raw_url",
         url_norm.alias("url_norm"),
         F.md5(url_norm).alias("url_key"),
+    )
+
+
+# -- BPE vocab-induction step ----------------------------------------------
+
+BPE_TOP_PAIRS = 10  # report the N most frequent adjacent symbol pairs
+
+
+@query(
+    "text_bpe_pair_counts",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest({TOKS_DUCK}) AS tok FROM documents
+    ),
+    pairs AS (
+        SELECT unnest(list_transform(generate_series(1, length(tok) - 1),
+                                     i -> substr(tok, CAST(i AS INT), 2)))
+               AS pair
+        FROM toks
+    )
+    SELECT pair, COUNT(*) AS n_occurrences,
+           ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, pair) AS merge_rank
+    FROM pairs GROUP BY pair
+    ORDER BY merge_rank LIMIT {BPE_TOP_PAIRS}
+    """,
+    tags=("ext", "text", "bpe"),
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE tokenizer-training inner loop, distributed: count every
+    ADJACENT SYMBOL PAIR across the corpus token stream and rank the
+    merge candidates — rank 1 is the pair the next BPE merge would
+    fuse. (Full training iterates: merge rank-1, recount; each
+    iteration is exactly this job over the re-segmented corpus, so
+    the per-iteration cost — not expressible-at-all — is what decides
+    BPE feasibility at 100 TB.)
+
+    Implementation: adjacent pairs are emitted INSIDE each row
+    (substr(tok, i, 2) over a higher-order transform) — no positional
+    self-join anywhere — then one explode + one groupBy. Deterministic
+    tie-break (count DESC, pair) keeps the merge choice engine-stable.
+
+    Scale posture: pure per-row pair emission + one map-side-combined
+    groupBy on the pair (|alphabet|² keys at most) — the canonical
+    word-count shape; the top-N is dimension-sized."""
+    from pyspark.sql import Window
+
+    docs = _spread(t(spark, sf_dir, "documents"))
+    pairs = (
+        docs.select(F.explode(F.expr(TOKS_SPARK)).alias("tok"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(tok) - 1),"
+                    " i -> substr(tok, i, 2))"
+                )
+            ).alias("pair")
+        )
+    )
+    counted = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    w = Window.orderBy(F.desc("n_occurrences"), "pair")
+    return (
+        counted.withColumn("merge_rank", F.row_number().over(w))
+        .filter(F.col("merge_rank") <= BPE_TOP_PAIRS)
+        .select("pair", "n_occurrences", "merge_rank")
+    )
+
+
+# -- length-bucketed batch planning ----------------------------------------
+
+LEN_BUCKET_MULT = 8  # sequences pad to the next multiple of 8 tokens
+
+
+@query(
+    "text_length_buckets",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, len({TOKS_DUCK}) AS n_tokens FROM documents
+    ),
+    b AS (
+        SELECT doc_id, n_tokens,
+               CAST(((n_tokens + {LEN_BUCKET_MULT} - 1) // {LEN_BUCKET_MULT})
+                    * {LEN_BUCKET_MULT} AS BIGINT) AS bucket_len
+        FROM d WHERE n_tokens > 0
+    )
+    SELECT bucket_len,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(COUNT(*) * bucket_len AS BIGINT) AS padded_tokens,
+           CAST(10000 * (COUNT(*) * bucket_len - SUM(n_tokens))
+                // (COUNT(*) * bucket_len) AS BIGINT) AS waste_bps
+    FROM b GROUP BY bucket_len
+    """,
+    tags=("ext", "text", "batching"),
+)
+def text_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch planning (padding-waste minimization):
+    documents are grouped into pad-to-multiple-of-8 length buckets —
+    the batching strategy that replaces pad-everything-to-global-max —
+    and each bucket reports its exact padding waste in integer basis
+    points. tests/test_ext_pipeline.py proves the bucketed plan
+    strictly dominates global padding on this corpus (the whole point
+    of the operator).
+
+    Scale posture: one scan-shaped token count + one groupBy on the
+    bucket id (≤ max_len/8 groups — dimension-sized); the bucket
+    assignment is what a batch-building `repartitionByRange` or
+    writer partitionBy keys on downstream."""
+    docs = _spread(t(spark, sf_dir, "documents"))
+    b = docs.select(
+        F.size(F.expr(TOKS_SPARK)).alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0).select(
+        "n_tokens",
+        F.expr(
+            f"cast(((n_tokens + {LEN_BUCKET_MULT} - 1) div {LEN_BUCKET_MULT})"
+            f" * {LEN_BUCKET_MULT} as bigint)"
+        ).alias("bucket_len"),
+    )
+    return b.groupBy("bucket_len").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.count(F.lit(1)) * F.col("bucket_len")).alias("padded_tokens"),
+        F.expr(
+            "cast(10000 * (count(1) * bucket_len - sum(n_tokens))"
+            " div (count(1) * bucket_len) as bigint)"
+        ).alias("waste_bps"),
     )

@@ -503,3 +503,28 @@ class TestDfCappedMinhash:
         # and the template shingles really were over the cap (the
         # adversarial structure existed)
         assert df_counts.filter(F.col("count") > DF_CAP).count() > 0
+
+
+class TestLengthBuckets:
+    def test_bucketed_padding_dominates_global(self, spark):
+        """Σ padded_tokens over buckets must be strictly less than
+        padding every doc to the global max (the operator's purpose),
+        and every bucket's waste must be under one bucket-multiple's
+        worth per doc."""
+        from nineinfra_spark.plans.ext_text import (
+            LEN_BUCKET_MULT,
+            text_length_buckets,
+        )
+
+        rows = text_length_buckets(spark, SF).collect()
+        assert rows
+        total_docs = sum(r["n_docs"] for r in rows)
+        bucketed_padded = sum(r["padded_tokens"] for r in rows)
+        global_max = max(r["bucket_len"] for r in rows)
+        naive_padded = total_docs * global_max
+        assert bucketed_padded < naive_padded
+        for r in rows:
+            # per-doc overhead within a bucket < LEN_BUCKET_MULT tokens
+            assert r["padded_tokens"] - r["total_tokens"] < (
+                LEN_BUCKET_MULT * r["n_docs"]
+            )
