@@ -71,6 +71,7 @@ _VERIFY_FIRST = [
     "catalog_masked_view",  # new: column-masking secure view
     "text_bpe_pair_counts",  # new: BPE merge-candidate ranking
     "text_length_buckets",  # new: padding-waste batch planning
+    "events_rolling_active_users",  # new: sliding distinct + gap-fill
     # earlier round-6 additions
     "ann_pq_adc_topk",  # new: product-quantization ADC index
     "ann_pq_rerank_topk",  # new: two-stage ADC shortlist + exact re-rank
@@ -92,7 +93,6 @@ _VERIFY_FIRST = [
     "q16_supplier_cnt",  # new: NOT IN blacklist + count-distinct
     "q20_potential_promotion",  # new: decorrelated half-qty threshold
     "q2_min_cost_supplier",  # new: the real Q2 min-cost shape
-    "text_chunk_windows",  # new: overlapping token-window chunking
     "text_repetition_filter",  # new: Gopher-style repetition filter
     "udf_python_udtf",  # new: real @udtf class via LATERAL
     "text_boilerplate_ngrams",  # new: corpus-wide template-shingle detection
@@ -102,8 +102,10 @@ _VERIFY_FIRST = [
     # alone now exceed the 50-slot window, so two of THEM wait for r7:
     # catalog_partsupp_bucketed (plan-asserted zero-Exchange in pytest,
     # and q9/q11/q16/q20 exercise the same partsupp derivation with
-    # their own green rows) and agg_histogram_bins (boundary semantics
-    # pytest-covered) — the two whose driver row is most redundant
+    # their own green rows), agg_histogram_bins (boundary semantics
+    # pytest-covered), and text_chunk_windows (content md5-pinned;
+    # the same chunking drives dedup_paragraph_exact's green row) —
+    # the three whose driver row is most redundant
 ]
 
 registry.set_order(_VERIFY_FIRST)

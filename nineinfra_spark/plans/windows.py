@@ -579,3 +579,73 @@ def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cume"),
         F.ntile(3).over(w).alias("tercile"),
     )
+
+
+@query(
+    "events_rolling_active_users",
+    oracle="""
+    WITH days AS (
+        SELECT CAST(unnest(generate_series(DATE '2024-01-01',
+                                           DATE '2024-01-30',
+                                           INTERVAL 1 DAY)) AS DATE) AS d
+    ),
+    ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    contrib AS (
+        SELECT DISTINCT user_id,
+               CAST(unnest(generate_series(day,
+                                           day + INTERVAL 6 DAY,
+                                           INTERVAL 1 DAY)) AS DATE) AS w_day
+        FROM ud
+    )
+    SELECT strftime(days.d, '%Y-%m-%d') AS day,
+           CAST(COALESCE(COUNT(contrib.user_id), 0) AS BIGINT)
+               AS rolling_7d_users
+    FROM days LEFT JOIN contrib ON contrib.w_day = days.d
+    GROUP BY days.d
+    """,
+    tags=("window", "analytics", "rolling-distinct"),
+)
+def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling DISTINCT active users per calendar day, with
+    calendar gap-fill — the retention dashboard's headline metric.
+    Sliding COUNT(DISTINCT) is NOT expressible as a Spark window
+    function (distinct aggregates are barred from frames), so the
+    scalable rewrite is contribution-explode: each (user, active-day)
+    pair contributes to the 7 window-days it falls inside, dedup
+    (user, window_day), count per day. The calendar spine
+    (sequence of days) left-joins so inactive days report 0 instead
+    of vanishing.
+
+    Scale posture: the corpus folds to |users×days| once (DISTINCT on
+    a uniform pair key), the explode multiplies that dimension-sized
+    frame by 7, and the final count groups on day — every shuffle is
+    keyed on (user, day)-class keys, none on raw events after the
+    first dedup. The day spine is a 30-row broadcast."""
+    events = t(spark, sf_dir, "events")
+    ud = events.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    contrib = (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.expr("sequence(day, date_add(day, 6), interval 1 day)")
+            ).alias("w_day"),
+        )
+        .distinct()
+    )
+    days = spark.sql(
+        "SELECT explode(sequence(date'2024-01-01', date'2024-01-30',"
+        " interval 1 day)) AS d"
+    )
+    return (
+        days.join(contrib, contrib.w_day == days.d, "left")
+        .groupBy(F.date_format("d", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.coalesce(F.count("user_id"), F.lit(0))
+            .cast("bigint")
+            .alias("rolling_7d_users")
+        )
+    )

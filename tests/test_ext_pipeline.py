@@ -528,3 +528,30 @@ class TestLengthBuckets:
             assert r["padded_tokens"] - r["total_tokens"] < (
                 LEN_BUCKET_MULT * r["n_docs"]
             )
+
+
+class TestRollingActiveUsers:
+    def test_rolling_bounds_daily_distinct(self, spark):
+        """rolling_7d(day) must be ≥ the single-day distinct count and
+        ≤ min(total users, sum of the 7 daily counts)."""
+        from nineinfra_spark.plans.windows import events_rolling_active_users
+        from nineinfra_spark.plans._util import t
+
+        rolling = {
+            str(r["day"]): r["rolling_7d_users"]
+            for r in events_rolling_active_users(spark, SF).collect()
+        }
+        ev = t(spark, SF, "events").select(
+            "user_id", F.col("ts").cast("date").alias("day")
+        )
+        daily = {
+            str(r["day"]): r["n"]
+            for r in ev.groupBy("day")
+            .agg(F.countDistinct("user_id").alias("n"))
+            .collect()
+        }
+        total_users = ev.select("user_id").distinct().count()
+        assert rolling
+        for day, n in rolling.items():
+            assert n >= daily.get(day, 0), day
+            assert n <= total_users, day
