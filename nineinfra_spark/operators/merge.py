@@ -26,12 +26,20 @@ merges (updates touching few partitions) compose by pre-filtering
 
 from __future__ import annotations
 
+import time
+import uuid
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.errors import AnalysisException
 
 
 _WHEN_MATCHED = ("update", "ignore", "delete")
+
+
+class MergeConflictError(RuntimeError):
+    """Raised when a versioned merge loses the head-version
+    compare-and-swap more times than ``max_retries`` allows."""
 
 
 def merge_upsert(
@@ -93,11 +101,7 @@ def merge_into_table(
     """
     base = spark.table(table)
     merged = merge_upsert(base, updates, keys, when_matched=when_matched)
-    stage = f"{table}__merge_stage"
-    spark.sql(f"DROP TABLE IF EXISTS {stage}")
-    merged.write.saveAsTable(stage)
-    spark.sql(f"DROP TABLE {table}")
-    spark.sql(f"ALTER TABLE {stage} RENAME TO {table}")
+    publish_snapshot(spark, table, merged)
 
 
 def merge_into_table_versioned(
@@ -106,28 +110,90 @@ def merge_into_table_versioned(
     updates: DataFrame,
     keys: Sequence[str],
     when_matched: str = "update",
+    max_retries: int = 5,
 ) -> int:
     """MERGE with snapshot retention (time travel on plain tables):
     instead of dropping the pre-merge snapshot, it is renamed to
-    ``{table}__v{n}`` (n = number of existing versions) before the
-    staged merge result takes the live name. Returns the version
-    number the OLD state was archived under. Read an old state with
-    :func:`read_version`; bound retention with :func:`vacuum_versions`.
+    ``{table}__v{n}`` before the staged merge result takes the live
+    name. Returns the version number the OLD state was archived under.
+    Read an old state with :func:`read_version`; bound retention with
+    :func:`vacuum_versions`.
+
+    Version numbers are ``max(existing) + 1`` — NOT a count — so they
+    are never reused after :func:`vacuum_versions` deletes low ones
+    (a count-based number would collide with a surviving archive and
+    abort the swap mid-merge).
+
+    Concurrent-writer safety (optimistic CAS): the archive rename
+    ``{table} RENAME TO {table}__v{n}`` is the atomic compare-and-swap
+    on the metastore head — it succeeds for exactly one writer per
+    version (the destination-exists / source-missing check is atomic
+    in HMS). A writer that loses re-reads the NEW head (including the
+    winner's merge), recomputes, and retries, so no update is lost;
+    after ``max_retries`` losses it raises :class:`MergeConflictError`.
+    Each writer stages under a unique name so concurrent stages never
+    clobber each other.
 
     This is copy-on-write time travel exactly as Delta/Iceberg expose
     it, minus the manifest layer: every version is a full, valid table
     (no delta chains to replay), so old-version reads cost one scan
     and retention is a table drop. At 100 TB you bound the archive by
     vacuuming — same operational contract as ``VACUUM`` there."""
-    base = spark.table(table)
-    merged = merge_upsert(base, updates, keys, when_matched=when_matched)
+    stage = f"{table}__stage_{uuid.uuid4().hex[:12]}"
+    last_err: Exception | None = None
+    for _attempt in range(max_retries + 1):
+        # Read the version TOKEN before the base: if a concurrent
+        # writer commits between these reads, our token is stale and
+        # the CAS below fails (a safe spurious retry). Reading base
+        # first would allow the reverse interleaving — stale base,
+        # fresh token — which the CAS could NOT detect (lost update).
+        versions = list_versions(spark, table)
+        version = (max(versions) + 1) if versions else 0
+        try:
+            base = spark.table(table)
+            merged = merge_upsert(base, updates, keys, when_matched=when_matched)
+            merged.write.mode("overwrite").saveAsTable(stage)
+        except AnalysisException as exc:
+            # live name momentarily absent: another writer is between
+            # its two renames — back off and re-read
+            last_err = exc
+            time.sleep(0.05)
+            continue
+        try:
+            spark.sql(f"ALTER TABLE {table} RENAME TO {table}__v{version}")
+        except AnalysisException as exc:
+            # CAS lost: __v{version} taken or live renamed away by a
+            # concurrent winner; recompute against the new head
+            last_err = exc
+            time.sleep(0.05)
+            continue
+        spark.sql(f"ALTER TABLE {stage} RENAME TO {table}")
+        return version
+    spark.sql(f"DROP TABLE IF EXISTS {stage}")
+    raise MergeConflictError(
+        f"merge into {table}: lost the version CAS {max_retries + 1} "
+        f"times; last error: {last_err}"
+    )
+
+
+def publish_snapshot(spark: SparkSession, table: str, snapshot: DataFrame) -> None:
+    """Atomically (for readers) replace ``table`` with ``snapshot``
+    via the rename-first swap: write to a stage table, rename
+    live → ``__old``, stage → live, drop ``__old``. Unlike
+    drop-then-rename there is no window where the live NAME resolves
+    to nothing, and a failure at any step leaves a complete table
+    recoverable under a known name (``__old`` or the stage).
+
+    This is the publish primitive the streaming snapshot/index
+    maintainers share with :func:`merge_into_table`."""
     stage = f"{table}__merge_stage"
     spark.sql(f"DROP TABLE IF EXISTS {stage}")
-    merged.write.saveAsTable(stage)
-    version = len(list_versions(spark, table))
-    spark.sql(f"ALTER TABLE {table} RENAME TO {table}__v{version}")
+    snapshot.write.saveAsTable(stage)
+    old = f"{table}__merge_old"
+    spark.sql(f"DROP TABLE IF EXISTS {old}")
+    spark.sql(f"ALTER TABLE {table} RENAME TO {old}")
     spark.sql(f"ALTER TABLE {stage} RENAME TO {table}")
-    return version
+    spark.sql(f"DROP TABLE {old}")
 
 
 def list_versions(spark: SparkSession, table: str) -> list[int]:

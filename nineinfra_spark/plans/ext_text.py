@@ -787,12 +787,12 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
                regexp_replace(regexp_replace(regexp_replace(regexp_replace(
                regexp_replace(regexp_replace(
                    raw_url,
-                   '#.*$', ''),                       -- drop fragment
+                   '#.*$', '', 'g'),                  -- drop fragment
                    '([?&])utm_[a-zA-Z_]+=[^&]*', '\\1', 'g'), -- drop utm params
-                   '[?&]+$', ''),                     -- dangling separators
+                   '[?&]+$', '', 'g'),                -- dangling separators
                    '&&+', '&', 'g'),                  -- collapse doubled &
-                   '\\?&', '?'),                      -- ?& -> ?
-                   ':443/', '/')                      -- default port
+                   '\\?&', '?', 'g'),                 -- ?& -> ?
+                   ':443/', '/', 'g')                 -- default port
                    AS u1
         FROM aug
     ),
@@ -801,7 +801,7 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
                regexp_replace(
                    lower(regexp_extract(u1, '^[a-zA-Z]+://[^/]*'))
                    || regexp_replace(u1, '^[a-zA-Z]+://[^/]*', ''),
-                   '/\\?', '?')
+                   '/\\?', '?', 'g')
                    AS url_norm
         FROM norm
     )
@@ -879,7 +879,7 @@ BPE_TOP_PAIRS = 10  # report the N most frequent adjacent symbol pairs
         SELECT unnest(list_transform(generate_series(1, length(tok) - 1),
                                      i -> substr(tok, CAST(i AS INT), 2)))
                AS pair
-        FROM toks
+        FROM toks WHERE length(tok) >= 2
     )
     SELECT pair, COUNT(*) AS n_occurrences,
            ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, pair) AS merge_rank
@@ -908,8 +908,14 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = _spread(t(spark, sf_dir, "documents"))
+    # length(tok) >= 2 guard: Spark's sequence(1, 0) auto-DESCENDS
+    # ([1, 0]), so an unguarded transform would emit a 1-char token's
+    # character twice as a phantom "pair" (DuckDB's generate_series(1,0)
+    # is empty — the engines would diverge on any corpus where 1-char
+    # tokens are frequent).
     pairs = (
         docs.select(F.explode(F.expr(TOKS_SPARK)).alias("tok"))
+        .filter(F.length("tok") >= 2)
         .select(
             F.explode(
                 F.expr(

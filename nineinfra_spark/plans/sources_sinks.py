@@ -805,6 +805,11 @@ def catalog_merge_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
             import shutil
 
             shutil.rmtree(loc, ignore_errors=True)
+    # sweep any uniquely-named stage tables a crashed versioned merge
+    # left behind (catalog-sized listing; normally empty)
+    for r in spark.sql(f"SHOW TABLES IN {db}").collect():
+        if r["tableName"].startswith(("orders_tt__stage_", "orders_tt__merge_old")):
+            spark.sql(f"DROP TABLE IF EXISTS {db}.{r['tableName']}")
     orders = t(spark, sf_dir, "orders")
     hx = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
     base = orders.filter(hx.isin(*"01234567")).select(

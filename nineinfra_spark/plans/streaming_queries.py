@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from nineinfra_spark.operators.merge import publish_snapshot
 from nineinfra_spark.plans._util import t
 from nineinfra_spark.plans.ext_text import TOKS_DUCK, TOKS_SPARK
 from nineinfra_spark.plans.registry import query
@@ -375,11 +376,7 @@ def stream_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select("user_id", "v.ts", "v.event_id", "v.event_type", "v.value")
         )
-        stage = f"{snap}__merge_stage"
-        spark.sql(f"DROP TABLE IF EXISTS {stage}")
-        merged.write.saveAsTable(stage)
-        spark.sql(f"DROP TABLE {snap}")
-        spark.sql(f"ALTER TABLE {stage} RENAME TO {snap}")
+        publish_snapshot(spark, snap, merged)
 
     ev = read_events_stream(spark, sf_dir, maxFilesPerTrigger="1").select(*cols)
     q = (
@@ -476,11 +473,7 @@ def stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_copies"
             ),
         )
-        stage = f"{idx}__merge_stage"
-        spark.sql(f"DROP TABLE IF EXISTS {stage}")
-        merged.write.saveAsTable(stage)
-        spark.sql(f"DROP TABLE {idx}")
-        spark.sql(f"ALTER TABLE {stage} RENAME TO {idx}")
+        publish_snapshot(spark, idx, merged)
 
     docs = read_table_stream(spark, sf_dir, "documents", maxFilesPerTrigger="1")
     q = (
@@ -574,11 +567,7 @@ def stream_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("decimal(18,2)")
             .alias("total_price"),
         )
-        stage = f"{tbl}__merge_stage"
-        spark.sql(f"DROP TABLE IF EXISTS {stage}")
-        merged.write.saveAsTable(stage)
-        spark.sql(f"DROP TABLE {tbl}")
-        spark.sql(f"ALTER TABLE {stage} RENAME TO {tbl}")
+        publish_snapshot(spark, tbl, merged)
 
     orders = read_table_stream(spark, sf_dir, "orders", maxFilesPerTrigger="1")
     q = (

@@ -465,9 +465,12 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles event rows again after the per-user fold. Power-law
     users are bounded by the per-week dedup inside collect_set."""
     events = t(spark, sf_dir, "events")
+    # F.floor (not /7 then cast) so timestamps BEFORE the epoch floor
+    # to week -1 exactly like the oracle's // — bigint-cast truncation
+    # would round toward zero and land them in week 0.
     wk = events.select(
         "user_id",
-        (
+        F.floor(
             F.datediff(F.col("ts").cast("date"), F.lit(COHORT_EPOCH).cast("date"))
             / 7
         )

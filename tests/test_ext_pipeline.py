@@ -555,3 +555,42 @@ class TestRollingActiveUsers:
         for day, n in rolling.items():
             assert n >= daily.get(day, 0), day
             assert n <= total_users, day
+
+
+class TestBpePairCounts:
+    def test_single_char_tokens_emit_no_pairs(self, spark, tmp_path):
+        """REGRESSION (advice r6): Spark's sequence(1, 0) auto-descends
+        to [1, 0], so an unguarded pair transform double-counts every
+        1-char token as a phantom pair ('a' -> 'aa') while DuckDB's
+        generate_series(1, 0) is empty. On a corpus where 'a'/'i' are
+        common that flips the merge ranking between engines. The
+        guarded kernel must agree with the oracle on a 1-char-heavy
+        corpus, and emit no pair for any 1-char token."""
+        import duckdb
+
+        from nineinfra_spark.plans import registry
+        from nineinfra_spark.plans.ext_text import text_bpe_pair_counts
+
+        rows = [
+            # 'a' and 'i' dominate as single-char tokens; 'ab' is the
+            # only real pair source, appearing fewer times than 'a'
+            (d, "a i a i a i ab xy") for d in range(30)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+        got = text_bpe_pair_counts(spark, str(tmp_path)).toPandas()
+        # no phantom 'aa'/'ii' pairs from 1-char tokens
+        assert "aa" not in set(got["pair"])
+        assert "ii" not in set(got["pair"])
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+        )
+        want = con.execute(registry.oracles()["text_bpe_pair_counts"]).df()
+        got_s = got.sort_values("merge_rank").reset_index(drop=True)
+        want_s = want.sort_values("merge_rank").reset_index(drop=True)
+        assert list(got_s["pair"]) == list(want_s["pair"])
+        assert list(got_s["n_occurrences"]) == list(want_s["n_occurrences"])

@@ -117,5 +117,72 @@ def test_versioned_merge_time_travel_and_vacuum(spark, frames):
     dropped = vacuum_versions(spark, "tt_t", keep=1)
     assert dropped == [0]
     assert list_versions(spark, "tt_t") == [1]
-    for tbl in ("tt_t", "tt_t__v1"):
+
+    # REGRESSION (advice r6): after a vacuum the next version number
+    # must be max+1, not the archive COUNT — count-based numbering
+    # would compute 1 and collide with the surviving __v1 archive,
+    # aborting the merge mid-swap.
+    v = merge_into_table_versioned(spark, "tt_t", updates.limit(1), ["id"])
+    assert v == 2
+    assert list_versions(spark, "tt_t") == [1, 2]
+    for tbl in ("tt_t", "tt_t__v1", "tt_t__v2"):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def _cleanup_prefix(spark, prefix):
+    for r in spark.sql("SHOW TABLES").collect():
+        if r["tableName"].startswith(prefix):
+            spark.sql(f"DROP TABLE IF EXISTS {r['tableName']}")
+
+
+def test_versioned_merge_two_concurrent_writers(spark):
+    """Two simultaneous versioned MERGEs on one table must both land:
+    the archive rename is the compare-and-swap on the metastore head,
+    the loser recomputes against the winner's result and retries, and
+    neither update is lost (the ACID role the reference delegates to
+    its metastore tier, internal/controller/metastore.go:105-114)."""
+    import threading
+
+    from nineinfra_spark.operators.merge import merge_into_table_versioned
+
+    _cleanup_prefix(spark, "race_t")
+    base = spark.createDataFrame(
+        [(i, 0) for i in range(1, 11)], "id long, v long"
+    )
+    base.write.mode("overwrite").saveAsTable("race_t")
+    upd_a = spark.createDataFrame([(1, 100), (11, 100)], "id long, v long")
+    upd_b = spark.createDataFrame([(2, 200), (12, 200)], "id long, v long")
+
+    errs: list[Exception] = []
+
+    def writer(upd):
+        try:
+            merge_into_table_versioned(
+                spark, "race_t", upd, ["id"], max_retries=10
+            )
+        except Exception as exc:  # surfaced below
+            errs.append(exc)
+
+    ts = [threading.Thread(target=writer, args=(u,)) for u in (upd_a, upd_b)]
+    for th in ts:
+        th.start()
+    for th in ts:
+        th.join()
+    assert errs == [], errs
+
+    got = {r["id"]: r["v"] for r in spark.table("race_t").collect()}
+    # BOTH merges landed: no lost update in either interleaving
+    assert got[1] == 100 and got[11] == 100, got
+    assert got[2] == 200 and got[12] == 200, got
+    assert len(got) == 12
+    # two commits -> two archived versions, no stage residue
+    from nineinfra_spark.operators.merge import list_versions
+
+    assert len(list_versions(spark, "race_t")) == 2
+    stages = [
+        r["tableName"]
+        for r in spark.sql("SHOW TABLES").collect()
+        if r["tableName"].startswith("race_t__stage_")
+    ]
+    assert stages == []
+    _cleanup_prefix(spark, "race_t")
