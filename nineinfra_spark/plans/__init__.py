@@ -45,67 +45,64 @@ _load_all()
 #: similarity/multimodal, sources/catalog, streams tumbling/sliding)
 #: follow in registration order and rotate back next round.
 _VERIFY_FIRST = [
-    # (a) new or shape-changed in round 6 (continuation session 3)
-    "dedup_paragraph_exact",  # new: CCNet-style segment dedup + reassembly
-    "dedup_incremental_batch",  # new: delta-vs-index LSH near-dup dedup
-    "emb_random_projection",  # new: JL sign projection (ANN narrow vectors)
-    "join_interval_bucketed",  # new: binned big-big range join, no NLJ
-    "text_pii_redact",  # new: email/phone/IP redaction kernel
-    "agg_cms_heavy_hitters",  # new: deterministic CMS + top-N probe
-    "events_retention_cohorts",  # new: weekly retention triangle
-    "ann_rp_rerank_topk",  # new: RP shortlist + exact re-rank
-    "agg_bloom_membership",  # new: portable bloom build+probe
-    "fn_url_normalize",  # new: URL canonicalization kernel
-    "agg_anomaly_mad",  # new: median/MAD robust outlier gate
-    "stream_dedup_index",  # new: monotone streaming signature index
-    "pipeline_curate_corpus",  # new: gate->dedup->decontaminate DAG
-    "catalog_merge_timetravel",  # new: versioned snapshots, 3 states read
-    "join_asof_forward",  # new: next-event-at-or-after composite
-    "events_transition_matrix",  # new: Markov/path-analysis rollup
-    "window_distribution_ranks",  # new: percent_rank/cume_dist/ntile
-    "agg_mode_deterministic",  # new: tie-broken per-group mode
-    "catalog_view_lifecycle",  # new: VIEW + TEMP VIEW DDL
-    "catalog_rollup_routing",  # new: MV routing, fact never scanned
-    "dedup_minhash_df_capped",  # new: posting-list-bounded LSH
-    "stream_rollup_maintenance",  # new: additive streaming MV upkeep
-    "catalog_masked_view",  # new: column-masking secure view
-    "text_bpe_pair_counts",  # new: BPE merge-candidate ranking
-    "text_length_buckets",  # new: padding-waste batch planning
-    "events_rolling_active_users",  # new: sliding distinct + gap-fill
-    # earlier round-6 additions
-    "ann_pq_adc_topk",  # new: product-quantization ADC index
-    "ann_pq_rerank_topk",  # new: two-stage ADC shortlist + exact re-rank
-    "hybrid_search_rrf",  # new: lexical+vector reciprocal-rank fusion
-    "text_bigram_familiarity",  # new: corpus-relative LM familiarity filter
-    "catalog_analyze_stats",  # new: ANALYZE column stats + ndv bounds
-    "fn_zorder_values",  # new: Morton code kernel of the zorder layout op
-    "stream_upsert_snapshot",  # new: CDC apply loop via foreachBatch
-    "dq_expectations",  # new: data-quality constraint gate
-    "catalog_rollup_incremental",  # new: partition-pruned MV refresh
-    "text_corpus_datasheet",  # new: per-language corpus profile
-    "text_pack_sequences",  # new: per-shard sequence packing
-    "sample_mixture_lang",  # new: mixture-weighted corpus sampling
-    "scd2_intervals",  # new: SCD2 validity intervals
-    "dedup_semantic_cells",  # new: SemDeDup cell-local semantic dedup
-    "catalog_merge_upsert",  # new: MERGE stage-and-swap
-    "q9_product_type_profit",  # new: synthetic partsupp, widest join
-    "q11_important_stock",  # new: HAVING over 1-row total broadcast
-    "q16_supplier_cnt",  # new: NOT IN blacklist + count-distinct
-    "q20_potential_promotion",  # new: decorrelated half-qty threshold
-    "q2_min_cost_supplier",  # new: the real Q2 min-cost shape
-    "text_repetition_filter",  # new: Gopher-style repetition filter
-    "udf_python_udtf",  # new: real @udtf class via LATERAL
-    "text_boilerplate_ngrams",  # new: corpus-wide template-shingle detection
-    "q7_volume_shipping",  # r6: fact sides pre-reduced before shuffle
-    # (b) latest row is r3 — the oldest verification in the registry
-    # (c) every stale row is already displaced; the round-6 additions
-    # alone now exceed the 50-slot window, so two of THEM wait for r7:
-    # catalog_partsupp_bucketed (plan-asserted zero-Exchange in pytest,
-    # and q9/q11/q16/q20 exercise the same partsupp derivation with
-    # their own green rows), agg_histogram_bins (boundary semantics
-    # pytest-covered), and text_chunk_windows (content md5-pinned;
-    # the same chunking drives dedup_paragraph_exact's green row) —
-    # the three whose driver row is most redundant
+    # (a) the three queries that have NEVER had a driver row (deferred
+    # out of the r6 window; the judge's top item is stamping them)
+    "agg_histogram_bins",
+    "catalog_partsupp_bucketed",
+    "text_chunk_windows",
+    # (b) new or shape-changed in round 7
+    "src_jdbc_roundtrip",  # new: embedded-Derby JDBC sink+partitioned source
+    "text_bpe_pair_counts",  # r7: 1-char-token pair guard on both engines
+    "fn_url_normalize",  # r7: oracle regexp_replace made global
+    "events_retention_cohorts",  # r7: floor() week offsets
+    "catalog_merge_timetravel",  # r7: max+1 versioning + CAS merge
+    "catalog_merge_upsert",  # r7: rename-first publish swap
+    "stream_dedup_index",  # r7: rename-first publish swap
+    "stream_upsert_snapshot",  # r7: rename-first publish swap
+    "stream_rollup_maintenance",  # r7: rename-first publish swap
+    # (c) stalest verification in the registry: the full 23-query
+    # r3-latest cohort (the lone r2 row, sim_join_threshold, belongs
+    # to a query since renamed to sim_join_exact_oracle — r5-green)
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q18_large_volume_customers",
+    "window_ranking",
+    "window_lag_lead",
+    "window_running_agg",
+    "window_moving_frame",
+    "window_range_frame",
+    "window_first_last_nth",
+    "stream_session_window",
+    "stream_dedup_watermark",
+    "stream_static_join",
+    "stream_stream_join",
+    "stream_stateful_counts",
+    "udf_scalar_python",
+    "udf_sql_registered",
+    "udf_pandas_vectorized",
+    "udf_grouped_agg_pandas",
+    "udf_apply_in_pandas",
+    "events_sessionize",
+    # (d) backfill from the r4-latest cohort to exactly 50; the rest
+    # of that cohort rotates in r8
+    "agg_global",
+    "agg_multi_distinct",
+    "agg_stats_moments",
+    "agg_corr_moments",
+    "agg_cube",
+    "agg_rollup",
+    "agg_grouping_sets",
+    "agg_pivot",
+    "agg_collect_sorted",
+    "agg_percentile_exact",
+    "join_left_outer",
+    "join_right_outer",
+    "join_full_outer",
+    "join_left_semi",
+    "join_left_anti",
 ]
 
 registry.set_order(_VERIFY_FIRST)

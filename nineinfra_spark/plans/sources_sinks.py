@@ -92,6 +92,68 @@ def src_text_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "src_jdbc_roundtrip",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)))
+                AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderkey % 10 = 0
+    GROUP BY o_orderpriority
+    """,
+    tags=("source", "sink", "jdbc"),
+)
+def src_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JDBC sink → partitioned JDBC source, end-to-end against
+    embedded Derby (already on Spark's classpath — the metastore uses
+    it). The reference platform fronts PostgreSQL over exactly this
+    path (``internal/controller/postgresql.go:52-99``,
+    ``kyuubi.go:59-63``); only url + driver class differ for a
+    networked RDBMS.
+
+    A keyed slice of ``orders`` is written through the JDBC sink, read
+    back with ``partitionColumn/lowerBound/upperBound/numPartitions``
+    (four range-partitioned SELECTs, each its own connection+task —
+    the ONLY scalable way to ingest an RDBMS table), and aggregated;
+    the oracle computes the same aggregate from the original parquet,
+    so any fidelity loss in either JDBC direction fails the hash.
+
+    Scale posture: the JDBC read is bounded by the DATABASE, not
+    Spark — numPartitions is connection concurrency. Doubles survive
+    the trip bit-exactly (Derby DOUBLE = IEEE 754); the sum still
+    routes through round→decimal per the engine-wide discipline."""
+    pid_db = os.path.join(
+        "/tmp", f"nine_jdbc_{os.getpid()}", os.path.basename(sf_dir)
+    )
+    url = f"jdbc:derby:{pid_db};create=true"
+    drv = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    orders = t(spark, sf_dir, "orders")
+    slice_ = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    writers.write_jdbc(
+        slice_, url, "ORDERS_RT", mode="overwrite", num_partitions=4, **drv
+    )
+    lo, hi = slice_.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    back = readers.read_jdbc(
+        spark,
+        url,
+        "ORDERS_RT",
+        partition_column="o_orderkey",
+        num_partitions=4,
+        lower_bound=int(lo),
+        upper_bound=int(hi) + 1,
+        **drv,
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("o_totalprice"), 2).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
+    )
+
+
+@query(
     "sink_partitioned_pruning",
     oracle="""
     SELECT o_orderpriority, COUNT(*) AS n,

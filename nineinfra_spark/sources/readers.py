@@ -176,9 +176,10 @@ def read_jdbc(
     ``kyuubi.go:55-64``).
 
     At scale, always pass ``partition_column`` + bounds: without them
-    Spark reads the whole table through ONE connection/task. No RDBMS
-    is available in this container, so this is exercised only by the
-    signature-level unit test; the option plumbing is real.
+    Spark reads the whole table through ONE connection/task. Exercised
+    end-to-end against embedded Derby (on Spark's classpath) by the
+    registered query ``src_jdbc_roundtrip``; against a networked RDBMS
+    only the url/driver differ.
     """
     reader = (
         spark.read.format("jdbc").option("url", url).option("dbtable", table)

@@ -67,6 +67,28 @@ def write_text(df: DataFrame, path: str, mode: str = "error") -> None:
     df.write.mode(mode).text(path)
 
 
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "error",
+    num_partitions: int | None = None,
+    **options: str,
+) -> None:
+    """JDBC sink (the platform's RDBMS tier — PostgreSQL 16,
+    ``internal/controller/postgresql.go:276-355``). Each write
+    partition opens one connection and batch-inserts its rows, so
+    ``num_partitions`` is the write concurrency knob — size it to what
+    the target database accepts, NOT to the cluster (1000 executors
+    hammering one Postgres is an outage, not a sink)."""
+    if num_partitions is not None:
+        df = df.coalesce(num_partitions)
+    writer = df.write.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.mode(mode).save()
+
+
 def save_as_table(
     df: DataFrame, name: str, mode: str = "error",
     partition_by: Sequence[str] | None = None,

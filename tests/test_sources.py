@@ -63,6 +63,30 @@ def test_jdbc_requires_bounds_with_partition_column(spark):
         )
 
 
+def test_jdbc_derby_roundtrip_partitioned_and_rerunnable(spark, tmp_path):
+    """End-to-end JDBC against embedded Derby: the partitioned read
+    must produce numPartitions range-scan tasks, values must survive
+    the trip, and overwrite mode must be rerunnable against an
+    already-booted Derby database (same-process second run)."""
+    from nineinfra_spark.sources import writers
+
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    drv = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    df = spark.createDataFrame(
+        [(i, float(i) * 1.5) for i in range(1, 41)], "id long, v double"
+    )
+    for _ in range(2):  # second pass = overwrite on a booted db
+        writers.write_jdbc(df, url, "RT", mode="overwrite",
+                           num_partitions=2, **drv)
+    back = readers.read_jdbc(
+        spark, url, "RT", partition_column="id",
+        num_partitions=4, lower_bound=1, upper_bound=41, **drv,
+    )
+    assert back.rdd.getNumPartitions() == 4
+    got = {r["id"]: r["v"] for r in back.collect()}
+    assert got == {i: i * 1.5 for i in range(1, 41)}
+
+
 def test_default_write_mode_is_error(spark):
     """Accidental overwrite must be loud: default mode errors if the
     target exists."""
