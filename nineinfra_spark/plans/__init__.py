@@ -60,6 +60,8 @@ _VERIFY_FIRST = [
     "stream_dedup_index",  # r7: rename-first publish swap
     "stream_upsert_snapshot",  # r7: rename-first publish swap
     "stream_rollup_maintenance",  # r7: rename-first publish swap
+    "dedup_connected_clusters",  # r7: large-star/small-star contraction
+    "dedup_embedding_clusters",  # r7: large-star/small-star contraction
     # (c) stalest verification in the registry: the full 23-query
     # r3-latest cohort (the lone r2 row, sim_join_threshold, belongs
     # to a query since renamed to sim_join_exact_oracle — r5-green)
@@ -101,8 +103,6 @@ _VERIFY_FIRST = [
     "join_left_outer",
     "join_right_outer",
     "join_full_outer",
-    "join_left_semi",
-    "join_left_anti",
 ]
 
 registry.set_order(_VERIFY_FIRST)

@@ -487,7 +487,10 @@ def min_label_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     ``localCheckpoint`` cuts lineage each round so plans don't
     snowball. The driver loop only checks a convergence flag; all data
     stays distributed. Raises on non-convergence — an unconverged
-    fixpoint would return WRONG cluster ids (no silent caps)."""
+    fixpoint would return WRONG cluster ids (no silent caps). For
+    graphs whose diameter is NOT known to be small, use
+    ``operators.components.star_components`` (same contract, O(log n)
+    rounds on any shape) — the registered cluster queries run on it."""
     a, b = pairs.columns
     pairs = pairs.select(F.col(a).alias("doc_a"), F.col(b).alias("doc_b"))
     edges = pairs.union(
@@ -538,12 +541,17 @@ def min_label_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
 def dedup_connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs → CLUSTERS: the last step of production dedup. Near-dup
     PAIRS don't dedupe a corpus — transitive groups do (A~B, B~C ⇒
-    {A,B,C} keep one). Min-label propagation over the shingle-Jaccard
-    pair graph; see :func:`min_label_components` for the algorithm and
-    the 100 TB posture. The DuckDB oracle computes the same fixpoint
+    {A,B,C} keep one). Clustering runs the alternating large-star/
+    small-star contraction (``operators/components.py``): O(log n)
+    shuffle rounds on ANY graph shape — a pathological near-dup CHAIN
+    converges logarithmically where per-diameter min-label propagation
+    (:func:`min_label_components`, kept for shallow graphs) would need
+    one round per link. The DuckDB oracle computes the same fixpoint
     as a recursive CTE."""
+    from nineinfra_spark.operators.components import star_components
+
     pairs = dedup_shingle_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    return min_label_components(pairs)
+    return star_components(pairs)
 
 
 # The embedding-modality twin of dedup_connected_clusters lives in

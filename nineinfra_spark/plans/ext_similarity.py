@@ -263,18 +263,19 @@ def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     paraphrases never share shingles but sit close in embedding
     space). Candidate pairs come from the banded sign-LSH join
     (`ann_lsh_buckets` — bucket-keyed equi-join, never all-pairs),
-    exact-cosine verified at threshold, then clustered by the same
-    min-label propagation (`ext_dedup.min_label_components`).
+    exact-cosine verified at threshold, then clustered by alternating
+    large-star/small-star contraction (`operators.components` —
+    O(log n) shuffle rounds on any graph shape, diameter included).
     cluster_id = min vec_id of the component (the canonical
     representative a dedup pass keeps).
 
     At 100 TB both stages are shuffle-bounded: LSH candidates by
-    bucket occupancy, propagation by graph degree — no driver-side
+    bucket occupancy, contraction by O(log n) rounds — no driver-side
     state beyond the convergence flag."""
-    from nineinfra_spark.plans.ext_dedup import min_label_components
+    from nineinfra_spark.operators.components import star_components
 
     pairs = ann_lsh_buckets(spark, sf_dir).select("id_a", "id_b")
-    return min_label_components(pairs).select(
+    return star_components(pairs).select(
         F.col("doc_id").alias("vec_id"), "cluster_id", "n_members"
     )
 
