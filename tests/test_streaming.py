@@ -135,3 +135,71 @@ def test_foreach_batch_sink(spark):
         .withColumnRenamed("count", "n")
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_watermark_drops_late_rows_provably(spark):
+    """Adversarial late data: a row arriving in a LATER micro-batch
+    with event time older than (max event time seen - watermark delay)
+    must be dropped from the windowed aggregate — asserted both on the
+    emitted counts (late row absent) and on the state operator's
+    numRowsDroppedByWatermark metric (exactly the one row)."""
+    import json
+
+    src = os.path.join(OUT, "late_src")
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src)
+
+    # batch 0: three rows in the 10:00 window + a clock-advancer at
+    # 11:00 (watermark after the batch = 11:00 - 10min = 10:50).
+    # batch 1: another clock tick — needed because the late-row filter
+    # takes effect one batch AFTER the progress log first shows the
+    # advanced watermark (verified empirically on this Spark: a late
+    # row in the very next batch is still merged, not dropped).
+    # batch 2: one late row back in the long-closed 10:00 window.
+    batches = [
+        [
+            {"event_id": 1, "ts": "2024-03-01 10:00:30"},
+            {"event_id": 2, "ts": "2024-03-01 10:01:30"},
+            {"event_id": 3, "ts": "2024-03-01 10:02:30"},
+            {"event_id": 4, "ts": "2024-03-01 11:00:00"},
+        ],
+        [{"event_id": 5, "ts": "2024-03-01 11:00:01"}],
+        [{"event_id": 6, "ts": "2024-03-01 10:03:00"}],
+    ]
+    now = time.time()
+    for i, rows in enumerate(batches):
+        p = os.path.join(src, f"f{i}.json")
+        with open(p, "w") as f:
+            f.write("\n".join(json.dumps(r) for r in rows))
+        os.utime(p, (now - 300 + i * 100, now - 300 + i * 100))
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").cast("string").alias("w_start"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("mem_late_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p["stateOperators"]
+    )
+    assert dropped == 1, dropped
+
+    got = {r["w_start"]: r["n"] for r in spark.table("mem_late_test").collect()}
+    # the 10:00 window closed with ONLY the three on-time rows: the
+    # late 10:03 row did not reopen or increment it
+    assert got.get("2024-03-01 10:00:00") == 3, got
