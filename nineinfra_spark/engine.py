@@ -61,6 +61,15 @@ class EngineConfig:
     # JDBC/thrift client can then run SQL against the engine session
     # (shared temp views / UDFs via thriftServer.singleSession).
     thrift_port: int | None = None
+    # Thrift transport mode: "binary" (default; the Kyuubi
+    # THRIFT_BINARY frontend on 10009) or "http" (the THRIFT_HTTP
+    # frontend on 10010, ``ninecluster_metadata.go:22-27`` — thrift
+    # RPC wrapped in HTTP POSTs to /cliservice, the mode proxies and
+    # load balancers can route). One in-JVM HiveThriftServer2 serves
+    # ONE mode; the reference runs both by fronting two Kyuubi
+    # frontends on the same engine, which maps here to two Engine
+    # processes or binary+REST in one.
+    thrift_transport: str = "binary"
     # REST SQL frontend (≙ the Kyuubi REST frontend on 10099,
     # ``ninecluster_metadata.go:22-27``): when set, ``open()`` serves
     # ``POST /api/v1/sql`` on this port (0 = OS-assigned; read back
@@ -146,9 +155,24 @@ class Engine:
         for k, v in cfg.s3a.items():
             builder = builder.config(f"spark.hadoop.fs.s3a.{k}", v)
         if cfg.thrift_port is not None:
+            if cfg.thrift_transport == "http":
+                builder = (
+                    builder.config("hive.server2.transport.mode", "http")
+                    .config("hive.server2.thrift.http.port", str(cfg.thrift_port))
+                    .config("hive.server2.thrift.http.path", "cliservice")
+                )
+            elif cfg.thrift_transport == "binary":
+                builder = builder.config(
+                    "hive.server2.thrift.port", str(cfg.thrift_port)
+                )
+            else:
+                raise ValueError(
+                    f"thrift_transport must be 'binary' or 'http', "
+                    f"got {cfg.thrift_transport!r}"
+                )
             builder = builder.config(
-                "hive.server2.thrift.port", str(cfg.thrift_port)
-            ).config("spark.sql.hive.thriftServer.singleSession", "true")
+                "spark.sql.hive.thriftServer.singleSession", "true"
+            )
         for k, v in cfg.extra_conf.items():
             builder = builder.config(k, v)
         self._spark = builder.getOrCreate()

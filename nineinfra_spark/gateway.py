@@ -69,16 +69,24 @@ def _wait_for_port(port: int, timeout_s: float) -> None:
     raise TimeoutError(f"thrift gateway did not open port {port} in {timeout_s}s")
 
 
-def beeline_sql(port: int, sql: str, timeout_s: float = 120.0) -> str:
+def beeline_sql(
+    port: int, sql: str, timeout_s: float = 120.0, transport: str = "binary"
+) -> str:
     """Run one SQL statement through beeline — a REAL second client
     over the thrift wire (Hive JDBC driver), not an in-process
     shortcut. Returns beeline's rendered stdout; raises on nonzero
-    exit. CSV-ish output: ``--outputformat=csv2``."""
+    exit. CSV-ish output: ``--outputformat=csv2``. ``transport``:
+    "binary" (raw thrift socket) or "http" (thrift-over-HTTP POSTs to
+    /cliservice — pair with ``EngineConfig.thrift_transport='http'``).
+    """
+    url = f"jdbc:hive2://localhost:{port}"
+    if transport == "http":
+        url += "/;transportMode=http;httpPath=cliservice"
     proc = subprocess.run(
         [
             BEELINE,
             "-u",
-            f"jdbc:hive2://localhost:{port}",
+            url,
             "--silent=true",
             "--outputformat=csv2",
             "-e",

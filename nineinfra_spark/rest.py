@@ -30,6 +30,15 @@ Endpoints:
   only PLANNED — the response carries ``{"columns", "plan"}`` and no
   data moves (modes: simple/extended/codegen/cost/formatted).
 
+Session isolation: a request carrying an ``X-Session-Id`` header runs
+on a dedicated ``spark.newSession()`` keyed by that id — own temp
+views and SQL conf, SHARED SparkContext, catalog tables and cached
+data. That is Kyuubi's CONNECTION-share engine semantic; requests
+without the header keep the USER-share semantic (the one shared
+session, temp views visible to every headerless client and to the
+in-JVM thrift frontend). Catalog DDL from any session goes through
+the single metastore and is serialized there.
+
 Authentication: pass ``auth`` (any ``(username, password) -> bool``,
 typically :class:`nineinfra_spark.auth.UserStore` — the reference's
 salted-MD5 users-table scheme, ``internal/controller/kyuubi.go:55-64``)
@@ -66,9 +75,27 @@ def _json_default(v):
 class _Handler(BaseHTTPRequestHandler):
     spark: SparkSession  # injected by start_rest_gateway
     auth: Callable[[str, str], bool] | None  # None → open frontend
+    # per-gateway session registry: X-Session-Id → newSession() clone
+    # (class attrs are injected per-gateway by start_rest_gateway)
+    sessions: dict[str, SparkSession]
+    sessions_lock: threading.Lock
 
     def log_message(self, *args) -> None:  # silence per-request stderr noise
         pass
+
+    def _session(self) -> SparkSession:
+        """The SparkSession this request runs on: the shared session,
+        or (with ``X-Session-Id``) a per-id ``newSession()`` clone —
+        own temp views/conf, shared context+catalog."""
+        sid = self.headers.get("X-Session-Id")
+        if not sid:
+            return self.spark
+        with self.sessions_lock:
+            sess = self.sessions.get(sid)
+            if sess is None:
+                sess = self.spark.newSession()
+                self.sessions[sid] = sess
+        return sess
 
     def _reply(self, code: int, payload: dict) -> None:
         body = json.dumps(payload, default=_json_default).encode()
@@ -132,7 +159,7 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(400, {"error": f"bad request: {exc}"})
             return
         try:
-            df = self.spark.sql(sql)
+            df = self._session().sql(sql)
             if explain:
                 # plan-only mode: nothing executes, nothing fetches —
                 # the gateway answers "what would this cost" questions
@@ -196,7 +223,16 @@ def start_rest_gateway(
     accept loop runs on a daemon thread. ``auth``: optional
     ``(username, password) -> bool`` validator enforcing HTTP Basic on
     ``/api/v1/sql`` (see module docstring)."""
-    handler = type("BoundHandler", (_Handler,), {"spark": spark, "auth": auth})
+    handler = type(
+        "BoundHandler",
+        (_Handler,),
+        {
+            "spark": spark,
+            "auth": auth,
+            "sessions": {},
+            "sessions_lock": threading.Lock(),
+        },
+    )
     server = ThreadingHTTPServer(("127.0.0.1", port), handler)
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()

@@ -114,3 +114,145 @@ def test_all_platform_roles_compose():
             f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-3000:]}"
         )
         assert "FULL_PROFILE_OK" in proc.stdout
+
+
+_MULTI_TENANT = """
+import json, os, sys, threading, urllib.request
+from nineinfra_spark.engine import Engine, EngineConfig
+from nineinfra_spark.gateway import beeline_sql
+
+root = sys.argv[1]
+eng = Engine(EngineConfig(
+    app_name="multi_tenant", master="local[4]",
+    warehouse_dir=os.path.join(root, "warehouse"),
+    thrift_port={thrift_port}, rest_port=0,
+)).open()
+eng.register_dir("{sf}")
+rest_port = eng.rest_gateway.port
+NATION = "parquet.`{sf}/nation.parquet`"  # session-independent source
+
+def rest(sql, session=None):
+    headers = {{"Content-Type": "application/json"}}
+    if session:
+        headers["X-Session-Id"] = session
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{{rest_port}}/api/v1/sql",
+        data=json.dumps({{"sql": sql}}).encode(), headers=headers)
+    with urllib.request.urlopen(req) as r:
+        return json.loads(r.read())
+
+errs = []
+
+def rest_client(sid, val):
+    try:
+        for i in range(4):
+            rest(f"CREATE OR REPLACE TEMP VIEW tv_mt AS SELECT {{val}} AS x",
+                 session=sid)
+            got = rest("SELECT x FROM tv_mt", session=sid)
+            assert got["rows"] == [[val]], (sid, i, got)
+            got2 = rest(f"SELECT COUNT(*) AS n FROM {{NATION}}", session=sid)
+            assert got2["rows"] == [[25]], (sid, got2)
+    except Exception as exc:
+        errs.append(("rest", sid, exc))
+
+def thrift_client():
+    try:
+        # interleaved catalog DDL + SELECT over the thrift wire: the
+        # catalog write path is serialized by the shared metastore
+        beeline_sql({thrift_port}, "DROP TABLE IF EXISTS mt_cat")
+        beeline_sql({thrift_port},
+            "CREATE TABLE mt_cat AS SELECT n_regionkey, COUNT(*) AS n "
+            f"FROM {{NATION}} GROUP BY n_regionkey")
+        out = beeline_sql({thrift_port}, "SELECT COUNT(*) AS n FROM mt_cat")
+        assert "5" in out, out
+    except Exception as exc:
+        errs.append(("thrift", exc))
+
+ts = [threading.Thread(target=rest_client, args=("s1", 111)),
+      threading.Thread(target=rest_client, args=("s2", 222)),
+      threading.Thread(target=thrift_client)]
+for t in ts: t.start()
+for t in ts: t.join()
+assert not errs, errs
+
+# cross-frontend visibility: the thrift-created CATALOG table is
+# visible to both REST sessions (shared metastore)…
+for sid in ("s1", "s2"):
+    got = rest("SELECT COUNT(*) AS n FROM mt_cat", session=sid)
+    assert got["rows"] == [[5]], (sid, got)
+# …but s1's temp view stays invisible to the shared session the
+# thrift frontend plans on (session isolation held under concurrency)
+try:
+    eng.spark.sql("SELECT x FROM tv_mt")
+    raise SystemExit("temp view leaked to shared session")
+except Exception:
+    pass
+eng.spark.sql("DROP TABLE mt_cat")
+print("MULTI_TENANT_OK")
+eng.close()
+"""
+
+
+def test_multi_tenant_interleaved_frontends():
+    """Two REST sessions + one beeline thrift client interleaving
+    temp-view DDL, catalog DDL, and SELECTs against ONE engine: every
+    client sees its own temp state, catalog writes serialize through
+    the shared metastore, and nothing leaks across sessions (the
+    reference gateway's explicitly multi-tenant role,
+    ninecluster_metadata.go:21-28)."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as root:
+        proc = subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                _MULTI_TENANT.format(sf=SF, thrift_port=_free_port()),
+                root,
+            ],
+            capture_output=True,
+            text=True,
+            timeout=420,
+            cwd="/root/repo",
+        )
+    assert proc.returncode == 0, (
+        f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-3000:]}"
+    )
+    assert "MULTI_TENANT_OK" in proc.stdout
+
+
+_HTTP_TRANSPORT = """
+from nineinfra_spark.engine import Engine, EngineConfig
+from nineinfra_spark.gateway import beeline_sql
+
+eng = Engine(EngineConfig(
+    app_name="gateway_http", master="local[4]",
+    thrift_port={port}, thrift_transport="http",
+)).open()
+eng.register_dir("{sf}")
+
+out = beeline_sql({port}, "SELECT COUNT(*) AS n FROM nation",
+                  transport="http")
+assert "25" in out, f"unexpected beeline/http output: {{out!r}}"
+print("HTTP_TRANSPORT_OK")
+eng.close()
+"""
+
+
+def test_thrift_http_transport_second_client():
+    """THRIFT_HTTP frontend (the reference's port-10010 mode,
+    ninecluster_metadata.go:22-27): the gateway serves thrift-over-
+    HTTP on /cliservice and beeline connects with
+    transportMode=http — the mode HTTP proxies and load balancers
+    can route."""
+    proc = subprocess.run(
+        [sys.executable, "-c", _HTTP_TRANSPORT.format(sf=SF, port=_free_port())],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, (
+        f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-3000:]}"
+    )
+    assert "HTTP_TRANSPORT_OK" in proc.stdout

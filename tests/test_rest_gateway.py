@@ -34,11 +34,14 @@ def _get(gw, path):
         return json.loads(r.read())
 
 
-def _post(gw, payload):
+def _post(gw, payload, session=None):
+    headers = {"Content-Type": "application/json"}
+    if session is not None:
+        headers["X-Session-Id"] = session
     req = urllib.request.Request(
         f"http://127.0.0.1:{gw.port}/api/v1/sql",
         data=json.dumps(payload).encode(),
-        headers={"Content-Type": "application/json"},
+        headers=headers,
     )
     with urllib.request.urlopen(req) as r:
         return json.loads(r.read())
@@ -306,3 +309,68 @@ def test_explain_mode_returns_plan_without_executing(rest):
         ).encode(),
     )
     assert "explainMode" in bad["error"]
+
+
+class TestSessionIsolation:
+    """CONNECTION-share semantics: X-Session-Id requests run on a
+    per-id newSession() clone — temp views isolated per session,
+    catalog tables shared through the one metastore."""
+
+    def test_same_name_temp_views_do_not_collide(self, rest):
+        _post(rest, {"sql": "CREATE OR REPLACE TEMP VIEW tv_iso AS SELECT 1 AS x"},
+              session="alice")
+        _post(rest, {"sql": "CREATE OR REPLACE TEMP VIEW tv_iso AS SELECT 2 AS x"},
+              session="bob")
+        a = _post(rest, {"sql": "SELECT x FROM tv_iso"}, session="alice")
+        b = _post(rest, {"sql": "SELECT x FROM tv_iso"}, session="bob")
+        assert a["rows"] == [[1]]
+        assert b["rows"] == [[2]]
+
+    def test_other_sessions_cannot_see_the_view(self, rest):
+        _post(rest, {"sql": "CREATE OR REPLACE TEMP VIEW tv_priv AS SELECT 7 AS x"},
+              session="carol")
+        # a fresh session: the view must not resolve
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _post(rest, {"sql": "SELECT x FROM tv_priv"}, session="dave")
+        assert exc.value.code == 400
+        # …and neither must the shared (headerless) session
+        with pytest.raises(urllib.error.HTTPError) as exc2:
+            _post(rest, {"sql": "SELECT x FROM tv_priv"})
+        assert exc2.value.code == 400
+
+    def test_sessions_share_registered_views_and_catalog(self, rest):
+        # parquet views registered on the PARENT session are visible
+        # in clones? No — temp views are session-local by design; the
+        # shared CATALOG (database/tables) is the cross-session
+        # surface. Verify both directions.
+        got = _post(rest, {"sql": "SELECT COUNT(*) AS n FROM nation"})
+        assert got["rows"][0][0] == 25
+        # session-scoped client creates a GLOBAL TEMP view: visible to
+        # every session via the global_temp database (the documented
+        # cross-session handoff for non-catalog state)
+        _post(rest, {"sql":
+              "CREATE OR REPLACE GLOBAL TEMP VIEW gv_share AS SELECT 9 AS x"},
+              session="alice")
+        shared = _post(rest, {"sql": "SELECT x FROM global_temp.gv_share"},
+                       session="bob")
+        assert shared["rows"] == [[9]]
+
+    def test_interleaved_ddl_and_select_across_sessions(self, rest):
+        """Two REST sessions interleave temp-view DDL + SELECTs
+        concurrently; every client reads ITS OWN value every time."""
+        import concurrent.futures
+
+        def client(sid, val):
+            for i in range(5):
+                _post(rest, {"sql":
+                      f"CREATE OR REPLACE TEMP VIEW tv_race AS SELECT {val} AS x"},
+                      session=sid)
+                got = _post(rest, {"sql": "SELECT x FROM tv_race"}, session=sid)
+                assert got["rows"] == [[val]], (sid, i, got)
+            return True
+
+        with concurrent.futures.ThreadPoolExecutor(max_workers=2) as ex:
+            futs = [ex.submit(client, "s1", 111), ex.submit(client, "s2", 222)]
+            assert all(f.result() for f in futs)
