@@ -81,6 +81,15 @@ HEADLINE = [
     "pipeline_curate_corpus",
     "dedup_minhash_df_capped",
     "stream_rollup_maintenance",
+    # r7: newest heavy surfaces — CDC apply, fused lexical+vector
+    # retrieval, two-stage PQ search, rolling distinct, cohort
+    # retention, BPE pair ranking
+    "stream_upsert_snapshot",
+    "hybrid_search_rrf",
+    "ann_pq_rerank_topk",
+    "events_rolling_active_users",
+    "events_retention_cohorts",
+    "text_bpe_pair_counts",
 ]
 
 

@@ -52,6 +52,10 @@ _VERIFY_FIRST = [
     "text_chunk_windows",
     # (b) new or shape-changed in round 7
     "src_jdbc_roundtrip",  # new: embedded-Derby JDBC sink+partitioned source
+    "sample_cap_per_group",  # new: per-source doc cap by hash order
+    "split_train_valid_test",  # new: hash-stable 80/10/10 split census
+    "emb_dim_stats",  # new: per-dimension embedding health profile
+    "text_idf_keywords",  # new: ordinal-IDF distinctive keywords
     "text_bpe_pair_counts",  # r7: 1-char-token pair guard on both engines
     "fn_url_normalize",  # r7: oracle regexp_replace made global
     "events_retention_cohorts",  # r7: floor() week offsets
@@ -62,6 +66,7 @@ _VERIFY_FIRST = [
     "stream_rollup_maintenance",  # r7: rename-first publish swap
     "dedup_connected_clusters",  # r7: large-star/small-star contraction
     "dedup_embedding_clusters",  # r7: large-star/small-star contraction
+    "q8_market_share",  # r7: explicit region-pruned customer semi-join
     # (c) stalest verification in the registry: the full 23-query
     # r3-latest cohort (the lone r2 row, sim_join_threshold, belongs
     # to a query since renamed to sim_join_exact_oracle — r5-green)
@@ -98,11 +103,6 @@ _VERIFY_FIRST = [
     "agg_rollup",
     "agg_grouping_sets",
     "agg_pivot",
-    "agg_collect_sorted",
-    "agg_percentile_exact",
-    "join_left_outer",
-    "join_right_outer",
-    "join_full_outer",
 ]
 
 registry.set_order(_VERIFY_FIRST)

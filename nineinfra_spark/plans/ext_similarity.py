@@ -1197,3 +1197,67 @@ def ann_rp_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "cand_id", "cos", "rank")
     )
+
+
+# -- embedding-matrix health profile ---------------------------------------
+
+
+@query(
+    "emb_dim_stats",
+    oracle="""
+    WITH comp AS (
+        SELECT unnest(generate_series(1, len(embedding))) - 1 AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM embeddings
+    )
+    SELECT dim,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(val * 1000000000) AS BIGINT)) AS DOUBLE)
+               / (COUNT(*) * CAST(1000000000 AS DOUBLE)) AS mean_val,
+           MIN(val) AS min_val,
+           MAX(val) AS max_val,
+           CAST(SUM(CASE WHEN val = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero
+    FROM comp GROUP BY dim
+    """,
+    tags=("ext", "similarity", "profile"),
+)
+def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION embedding-matrix health profile: mean, range, and
+    dead-component count for every coordinate — the monitoring table
+    that catches a drifting or collapsed embedding model (a dimension
+    whose variance dies, or a normalization bug shifting the means)
+    before a retrieval index is built on bad vectors.
+
+    Exactness: components quantize to EXACT nano-unit integers
+    (round(val·1e9) — the multiply is the same IEEE op on both
+    engines, integer rounding of doubles agrees, and a float32's
+    ±0.x values never sit on a decimal midpoint), the sum is exact
+    integer arithmetic, and the mean is one IEEE division of
+    identical operands — bit-stable. (A double→DECIMAL(38,18) cast
+    is NOT portable at the last ulp: the two engines take different
+    conversion paths, measured on this corpus.) min/max/zero-count
+    are exact comparisons.
+
+    Scale posture: posexplode → ONE map-side-combined groupBy keyed by
+    dimension (64..4096 keys — tiny result regardless of corpus
+    size); the explode is width×rows but pipelined at scan, never
+    materialized. This is the canonical 'profile a 100 TB matrix into
+    a dashboard table' shape."""
+    emb = cpu_spread(t(spark, sf_dir, "embeddings"))
+    comp = emb.select(
+        F.posexplode("embedding").alias("dim", "val_f")
+    ).select("dim", F.col("val_f").cast("double").alias("val"))
+    return comp.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.round(F.col("val") * 1000000000).cast("bigint"))
+            .cast("double")
+            / (F.count(F.lit(1)) * F.lit(1000000000).cast("double"))
+        ).alias("mean_val"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+        F.sum(F.when(F.col("val") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero"),
+    )

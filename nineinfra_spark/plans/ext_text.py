@@ -993,3 +993,61 @@ def text_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (count(1) * bucket_len) as bigint)"
         ).alias("waste_bps"),
     )
+
+
+# -- distinctive-keyword extraction ----------------------------------------
+
+KW_PER_DOC = 3  # keep the N most corpus-distinctive terms per doc
+
+
+@query(
+    "text_idf_keywords",
+    oracle=f"""
+    WITH dt AS (
+        SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id, unnest({TOKS_DUCK}) AS tok FROM documents
+        )
+    ),
+    dfreq AS (SELECT tok, COUNT(*) AS df FROM dt GROUP BY tok),
+    ranked AS (
+        SELECT dt.doc_id, dt.tok, dfreq.df,
+               ROW_NUMBER() OVER (
+                   PARTITION BY dt.doc_id ORDER BY dfreq.df, dt.tok
+               ) AS kw_rank
+        FROM dt JOIN dfreq USING (tok)
+    )
+    SELECT doc_id, tok, df, kw_rank FROM ranked WHERE kw_rank <= {KW_PER_DOC}
+    """,
+    tags=("ext", "text", "keywords"),
+)
+def text_idf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document distinctive-keyword extraction (the IDF half of
+    TF-IDF): each doc's top-N rarest terms by corpus document
+    frequency — the keywords that route documents to topics, power
+    near-dup triage ("same keywords, different text?"), and label
+    clusters. Ranking is purely ORDINAL — (df ASC, term ASC) — so no
+    log()/division enters the comparison and no float boundary can
+    flip a keyword between engines (idf = log(N/df) is monotone in df,
+    so the ordinal rank IS the IDF rank).
+
+    Scale posture: three key-partitioned exchanges, each on a
+    different natural key — distinct on (doc, term), document
+    frequency as a map-side-combined groupBy on term, and the per-doc
+    top-N window on doc_id (bounded by per-doc vocabulary). The df
+    table is vocabulary-sized; at 100 TB broadcast its hot head and
+    the join stays shuffle-light under AQE."""
+    docs = _spread(t(spark, sf_dir, "documents"))
+    dt = (
+        docs.select("doc_id", F.explode(F.expr(TOKS_SPARK)).alias("tok"))
+        .distinct()
+    )
+    dfreq = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    return (
+        dt.join(dfreq, "tok")
+        .withColumn("kw_rank", F.row_number().over(w))
+        .filter(F.col("kw_rank") <= KW_PER_DOC)
+        .select("doc_id", "tok", "df", "kw_rank")
+    )

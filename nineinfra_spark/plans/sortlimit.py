@@ -3,7 +3,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nineinfra_spark.plans._util import t
@@ -324,4 +324,107 @@ def sample_mixture_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.join(F.broadcast(thr), "lang")
         .filter(hx < F.col("threshold"))
         .select("doc_id", "lang")
+    )
+
+
+# -- per-group document caps ------------------------------------------------
+
+GROUP_CAP = 8  # keep at most this many docs per source
+
+
+@query(
+    "sample_cap_per_group",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM documents
+    )
+    SELECT doc_id, source, rk FROM ranked WHERE rk <= {GROUP_CAP}
+    """,
+    tags=("sample", "deterministic", "cap"),
+)
+def sample_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group document cap (anti-domination curation): keep at most
+    K documents per source/domain so no single crawl host dominates
+    the training mixture — the standard web-corpus balancing move.
+    Which K survive is decided by md5-hash order (a deterministic
+    uniform shuffle within the group), NOT arrival order, so the kept
+    set is reproducible across engines, runs, and partitionings and
+    carries an exact row-level oracle.
+
+    Scale posture: ONE hash-partitioned window per group — row_number
+    needs no global sort, and the per-group sort is bounded by group
+    size. For pathological mega-groups (one domain = 10% of a 100 TB
+    crawl) compose with the two-phase trick: pre-filter by a hash
+    THRESHOLD that overshoots K slightly (scan-speed, no shuffle),
+    then window only the survivors — the same shape
+    ``sample_mixture_lang`` uses for its thresholds."""
+    docs = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= GROUP_CAP)
+    )
+
+
+# -- deterministic train/valid/test split -----------------------------------
+
+#: hash-bucket boundaries over the first TWO md5 hex digits (0..255):
+#: [0,204) train ≈ 80%, [204,230) valid ≈ 10%, [230,256) test ≈ 10%
+SPLIT_TRAIN_HI = 204
+SPLIT_VALID_HI = 230
+
+
+@query(
+    "split_train_valid_test",
+    oracle=f"""
+    WITH b AS (
+        SELECT lang,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                    AS BIGINT) AS h
+        FROM documents
+    )
+    SELECT lang,
+           CASE WHEN h < {SPLIT_TRAIN_HI} THEN 'train'
+                WHEN h < {SPLIT_VALID_HI} THEN 'valid'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs
+    FROM b GROUP BY lang, split
+    """,
+    tags=("sample", "deterministic", "split"),
+)
+def split_train_valid_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/valid/test split by key hash —
+    the split every training pipeline needs, done the only way that
+    survives data refreshes: a document's split is a pure function of
+    its id (first two md5 hex digits bucketed 0..255), so re-running
+    on a grown corpus never migrates an old doc across splits (no
+    eval contamination from re-shuffling), and any engine reproduces
+    the same assignment. Returns the per-(lang, split) census the
+    pipeline records as its datasheet.
+
+    Scale posture: pure scan-side projection + one map-side-combined
+    groupBy on a (langs × 3)-key space — scan speed at any size; the
+    split ASSIGNMENT itself is a filter, usable as three pushed-down
+    scans without materializing anything."""
+    docs = t(spark, sf_dir, "documents")
+    h = F.expr(
+        "cast(conv(substr(md5(cast(doc_id as string)), 1, 2), 16, 10) as bigint)"
+    )
+    split = (
+        F.when(h < SPLIT_TRAIN_HI, F.lit("train"))
+        .when(h < SPLIT_VALID_HI, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
     )

@@ -608,31 +608,42 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     to double — identical operands, identical IEEE division on both
     engines, so even the ratio is bit-stable. Scale posture: part is
     filtered before its join (PROMO slice), nation/region broadcast,
-    and the market restriction (region) prunes customers before the
-    orders join."""
+    and the market restriction is STATED as a region-pruned customer
+    set (semi-join customer → ASIA nations, then keep only c_custkey)
+    BEFORE the orders join — at 100× scale the fact join sees 1/5 of
+    customers by construction, independent of whether the optimizer
+    chooses to reorder the dim joins."""
     part = t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
     li = t(spark, sf_dir, "lineitem")
     orders = t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= ts("1995-01-01")) & (F.col("o_orderdate") < ts("1997-01-01"))
     )
-    cust = t(spark, sf_dir, "customer")
-    supp = t(spark, sf_dir, "supplier")
-    n1 = t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
-    )
     n2 = t(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
     )
     reg = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_nations = (
+        t(spark, sf_dir, "nation")
+        .join(F.broadcast(reg), F.col("n_regionkey") == reg.r_regionkey)
+        .select("n_nationkey")
+    )
+    cust_asia = (
+        t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(asia_nations),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .select("c_custkey")
+    )
+    supp = t(spark, sf_dir, "supplier")
     vol = F.when(F.col("nation") == "NATION_1", F.col("volume")).otherwise(
         F.lit(0).cast("decimal(22,6)")
     )
     return (
         li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(n1), cust.c_nationkey == F.col("n1_key"))
-        .join(F.broadcast(reg), F.col("n1_region") == reg.r_regionkey)
+        .join(cust_asia, orders.o_custkey == cust_asia.c_custkey)
         .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n2), supp.s_nationkey == F.col("n2_key"))
         .select(
