@@ -56,6 +56,8 @@ _VERIFY_FIRST = [
     "split_train_valid_test",  # new: hash-stable 80/10/10 split census
     "emb_dim_stats",  # new: per-dimension embedding health profile
     "text_idf_keywords",  # new: ordinal-IDF distinctive keywords
+    "text_blocklist_filter",  # new: thresholded wordlist safety gate
+    "pair_contrastive_negatives",  # new: hash-drawn training negatives
     "text_bpe_pair_counts",  # r7: 1-char-token pair guard on both engines
     "fn_url_normalize",  # r7: oracle regexp_replace made global
     "events_retention_cohorts",  # r7: floor() week offsets
@@ -101,8 +103,6 @@ _VERIFY_FIRST = [
     "agg_corr_moments",
     "agg_cube",
     "agg_rollup",
-    "agg_grouping_sets",
-    "agg_pivot",
 ]
 
 registry.set_order(_VERIFY_FIRST)

@@ -1261,3 +1261,83 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_zero"),
     )
+
+
+# -- deterministic contrastive-negative sampling ----------------------------
+
+N_NEGATIVES = 4  # negatives drawn per query vector
+
+
+@query(
+    "pair_contrastive_negatives",
+    oracle=f"""
+    WITH n_tot AS (SELECT COUNT(*) AS n FROM embeddings),
+    q AS (
+        SELECT vec_id AS query_id, embedding AS q_emb
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    gen AS (
+        SELECT query_id, q_emb, k,
+               CAST('0x' || substr(
+                   md5(CAST(query_id AS VARCHAR) || ':' || CAST(k AS VARCHAR)),
+                   1, 15) AS BIGINT) % n AS raw_neg, n
+        FROM q, (SELECT unnest(generate_series(1, {N_NEGATIVES})) AS k), n_tot
+    ),
+    pick AS (
+        SELECT query_id, q_emb, k,
+               CASE WHEN raw_neg = query_id THEN (raw_neg + 1) % n
+                    ELSE raw_neg END AS neg_id
+        FROM gen
+    )
+    SELECT p.query_id, p.k, p.neg_id,
+           {COS_DUCK.format(a='p.q_emb', b='e.embedding')} AS cos
+    FROM pick p JOIN embeddings e ON p.neg_id = e.vec_id
+    """,
+    tags=("ext", "similarity", "training-pairs", "bounded-nlj"),
+)
+def pair_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    query vector draws K uniform negatives by keyed hash —
+    ``md5(qid:k) mod N`` — with a +1 bump on self-collision. Hash
+    draws (not RNG) make the training pairs REPRODUCIBLE across
+    engines, runs, epochs-as-jobs, and repartitioning, and give every
+    pair an exact oracle; the emitted cosine is the curriculum signal
+    (filter near-zero for easy negatives, take the top band for
+    hard-negative mining).
+
+    Scale posture: the (query × K) pair list is |Q|·K rows — tiny —
+    and fetching negative vectors is ONE equi-join on vec_id against
+    the corpus (hash-partitioned, AQE-broadcast when the pair list is
+    small). No window, no corpus shuffle; the corpus-size scalar is a
+    1-row broadcast cross-join, not a collect."""
+    emb = t(spark, sf_dir, "embeddings")
+    n_tot = emb.agg(F.count(F.lit(1)).alias("n"))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    ks = spark.range(1, N_NEGATIVES + 1).select(F.col("id").alias("k"))
+    raw = F.expr(
+        "cast(conv(substr(md5(concat(cast(query_id as string), ':',"
+        " cast(k as string))), 1, 15), 16, 10) as bigint) % n"
+    )
+    pick = (
+        q.crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "query_id",
+            "q_emb",
+            "k",
+            F.when(raw == F.col("query_id"), (raw + 1) % F.col("n"))
+            .otherwise(raw)
+            .alias("neg_id"),
+        )
+    )
+    neg = emb.select(
+        F.col("vec_id").alias("neg_id"), F.col("embedding").alias("n_emb")
+    )
+    return pick.join(neg, "neg_id").select(
+        "query_id",
+        "k",
+        "neg_id",
+        F.expr(COS_SPARK.format(a="q_emb", b="n_emb")).alias("cos"),
+    )

@@ -1051,3 +1051,52 @@ def text_idf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("kw_rank") <= KW_PER_DOC)
         .select("doc_id", "tok", "df", "kw_rank")
     )
+
+
+# -- wordlist safety filter -------------------------------------------------
+
+BLOCK_TERMS = "'slow','crash','leak'"  # demo wordlist over this corpus
+BLOCK_MIN_HITS = 3  # threshold: incidental single hits pass
+
+
+@query(
+    "text_blocklist_filter",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id,
+               len(list_filter({TOKS_DUCK},
+                               x -> list_contains([{BLOCK_TERMS}], x)))
+                   AS n_hits
+        FROM documents
+    )
+    SELECT doc_id, n_hits,
+           CASE WHEN n_hits >= {BLOCK_MIN_HITS} THEN 'drop' ELSE 'keep' END
+               AS action
+    FROM h
+    """,
+    tags=("ext", "text", "safety"),
+)
+def text_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wordlist safety filter (the toxicity/spam gate every corpus
+    pipeline runs): count blocklist-term hits per document and decide
+    keep/drop by a THRESHOLD — single incidental mentions pass, term-
+    dense documents drop (binary single-hit blocking would censor
+    quotation and discussion; production wordlist scorers threshold
+    for exactly this reason). The verdict row carries the hit count so
+    the borderline band can be routed to a model-based classifier.
+
+    Scale posture: pure per-row projection over a LITERAL (broadcast-
+    free) wordlist — scan speed; for a 10⁵-term production wordlist
+    the same shape switches to an Aho-Corasick pandas UDF or a
+    broadcast token semi-join, keeping the one-pass property."""
+    docs = t(spark, sf_dir, "documents")
+    n_hits = F.expr(
+        f"size(filter({TOKS_SPARK}, x -> array_contains(array({BLOCK_TERMS}), x)))"
+    )
+    return docs.select(
+        "doc_id",
+        n_hits.alias("n_hits"),
+        F.when(F.col("n_hits") >= BLOCK_MIN_HITS, "drop")
+        .otherwise("keep")
+        .alias("action"),
+    )
