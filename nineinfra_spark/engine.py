@@ -70,6 +70,13 @@ class EngineConfig:
     # frontends on the same engine, which maps here to two Engine
     # processes or binary+REST in one.
     thrift_transport: str = "binary"
+    # Thrift-frontend auth (≙ kyuubi.authentication=JDBC with the
+    # salted-MD5 users lookup, ``kyuubi.go:55-64``): plaintext
+    # ``{username: password}`` — stored salted-MD5, enforced on the
+    # wire via hive.server2.authentication=CUSTOM with an in-env
+    # compiled PasswdAuthenticationProvider (``thrift_auth.py``).
+    # None = unauthenticated frontend (the reference's non-JDBC mode).
+    thrift_auth_users: dict[str, str] | None = None
     # REST SQL frontend (≙ the Kyuubi REST frontend on 10099,
     # ``ninecluster_metadata.go:22-27``): when set, ``open()`` serves
     # ``POST /api/v1/sql`` on this port (0 = OS-assigned; read back
@@ -173,6 +180,14 @@ class Engine:
             builder = builder.config(
                 "spark.sql.hive.thriftServer.singleSession", "true"
             )
+            if cfg.thrift_auth_users is not None:
+                from nineinfra_spark.thrift_auth import prepare_thrift_auth
+
+                workdir = f"/tmp/nineinfra_thrift_auth_{os.getpid()}"
+                for k, v in prepare_thrift_auth(
+                    workdir, cfg.thrift_auth_users
+                ).items():
+                    builder = builder.config(k, v)
         for k, v in cfg.extra_conf.items():
             builder = builder.config(k, v)
         self._spark = builder.getOrCreate()

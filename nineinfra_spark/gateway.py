@@ -20,14 +20,15 @@ brings the gateway up.
 
 Authentication: the reference fronts this protocol with Kyuubi's JDBC
 auth (salted-MD5 users-table lookup, ``kyuubi.go:55-64,138-164``) and
-runs engines as the authenticated user (``doAs`` impersonation). The
-in-JVM HiveThriftServer2 exposes the same knobs as server-launch conf
-(``hive.server2.authentication``, ``hive.server2.enable.doAs``) — they
-require a Hadoop auth provider in the classpath, which this container
-doesn't ship, so thrift auth is an ENV-BLOCKED integration point; the
-engine-native scheme itself is implemented and enforced on the REST
-frontend (``nineinfra_spark/auth.py`` + ``rest.py``), backed by the
-same users table a thrift deployment would query.
+runs engines as the authenticated user (``doAs`` impersonation).
+AUTHENTICATION is enforced on this wire: ``EngineConfig.
+thrift_auth_users`` compiles a ``PasswdAuthenticationProvider``
+against Spark's own thriftserver jar and serves
+``hive.server2.authentication=CUSTOM`` — beeline with bad credentials
+is rejected at the SASL layer (``thrift_auth.py``; the same salted-MD5
+scheme ``auth.py`` enforces on REST). What stays env-blocked is the
+``doAs`` IMPERSONATION half (running engine jobs AS the authed user),
+which needs Hadoop proxy-user infrastructure this container lacks.
 """
 
 from __future__ import annotations
@@ -70,7 +71,12 @@ def _wait_for_port(port: int, timeout_s: float) -> None:
 
 
 def beeline_sql(
-    port: int, sql: str, timeout_s: float = 120.0, transport: str = "binary"
+    port: int,
+    sql: str,
+    timeout_s: float = 120.0,
+    transport: str = "binary",
+    user: str | None = None,
+    password: str | None = None,
 ) -> str:
     """Run one SQL statement through beeline — a REAL second client
     over the thrift wire (Hive JDBC driver), not an in-process
@@ -78,15 +84,23 @@ def beeline_sql(
     exit. CSV-ish output: ``--outputformat=csv2``. ``transport``:
     "binary" (raw thrift socket) or "http" (thrift-over-HTTP POSTs to
     /cliservice — pair with ``EngineConfig.thrift_transport='http'``).
-    """
+    ``user``/``password``: SASL-PLAIN credentials — required when the
+    gateway runs the CUSTOM auth profile
+    (``EngineConfig.thrift_auth_users``)."""
     url = f"jdbc:hive2://localhost:{port}"
     if transport == "http":
         url += "/;transportMode=http;httpPath=cliservice"
+    creds = []
+    if user is not None:
+        creds += ["-n", user]
+    if password is not None:
+        creds += ["-p", password]
     proc = subprocess.run(
         [
             BEELINE,
             "-u",
             url,
+            *creds,
             "--silent=true",
             "--outputformat=csv2",
             "-e",

@@ -1,0 +1,141 @@
+"""Thrift-frontend authentication (the reference's Kyuubi JDBC-auth
+role, enforced ON THE WIRE).
+
+The platform validates thrift/JDBC clients with the salted-MD5 users
+lookup (``internal/controller/kyuubi.go:55-64,138-164``; salt constant
+``constants.go:8``). HiveServer2's hook for that is
+``hive.server2.authentication=CUSTOM`` + a
+``PasswdAuthenticationProvider`` implementation — the interface ships
+inside ``spark-hive-thriftserver``, so the provider compiles in-env
+against Spark's own jars (``java/NineAuthProvider.java``: reads a
+``user:md5(salt||password)`` lines file named by the
+``nineinfra.auth.file`` system property and rejects with a SASL
+``AuthenticationException`` otherwise — byte-identical stored form to
+:mod:`nineinfra_spark.auth`, which enforces the same scheme on REST).
+
+Two wiring quirks, discovered empirically and load-bearing:
+
+- ``CustomAuthenticationProviderImpl`` constructs a FRESH
+  ``new HiveConf()`` (verified in the bundled bytecode), so the
+  provider CLASS NAME must come from a ``hive-site.xml`` on the
+  driver classpath — session confs never reach it. We generate that
+  file and prepend its directory to ``spark.driver.extraClassPath``.
+- ``spark.driver.extraClassPath`` / ``extraJavaOptions`` only apply
+  at JVM launch, so the auth profile must be configured BEFORE
+  ``getOrCreate`` (``Engine.open`` does this; a process whose JVM is
+  already up cannot adopt it — run the auth profile in its own
+  process, as the gateway tests do).
+
+What stays env-blocked: ``doAs`` IMPERSONATION (running engine jobs
+AS the authenticated user) needs Hadoop proxy-user infrastructure
+this container doesn't ship. Authentication itself — the 401-vs-200
+half of the reference's contract — is fully enforced here.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import subprocess
+from collections.abc import Mapping
+from glob import glob
+
+from nineinfra_spark.auth import hash_password
+
+_JAVA_SRC = os.path.join(os.path.dirname(__file__), "java", "NineAuthProvider.java")
+PROVIDER_CLASS = "nineinfra.NineAuthProvider"
+
+
+def _java_home() -> str:
+    jh = os.environ.get("JAVA_HOME")
+    if not jh:
+        raise RuntimeError("JAVA_HOME not set; cannot compile the auth provider")
+    return jh
+
+
+def _thriftserver_jar() -> str:
+    jars = glob("/opt/spark/jars/spark-hive-thriftserver_*.jar")
+    if not jars:
+        raise RuntimeError(
+            "spark-hive-thriftserver jar not found under /opt/spark/jars"
+        )
+    return jars[0]
+
+
+def build_auth_jar(workdir: str) -> str:
+    """Compile ``NineAuthProvider.java`` against Spark's thriftserver
+    jar into ``<workdir>/nineauth.jar`` (content-cached: recompiles
+    only when the source hash changes). Returns the jar path."""
+    os.makedirs(workdir, exist_ok=True)
+    with open(_JAVA_SRC, "rb") as f:
+        src_hash = hashlib.md5(f.read()).hexdigest()[:12]
+    jar = os.path.join(workdir, f"nineauth-{src_hash}.jar")
+    if os.path.exists(jar):
+        return jar
+    classes = os.path.join(workdir, f"classes-{src_hash}")
+    jh = _java_home()
+    subprocess.run(
+        [
+            os.path.join(jh, "bin", "javac"),
+            "-cp",
+            _thriftserver_jar(),
+            "-d",
+            classes,
+            _JAVA_SRC,
+        ],
+        check=True,
+        capture_output=True,
+    )
+    subprocess.run(
+        [os.path.join(jh, "bin", "jar"), "cf", jar, "-C", classes, "."],
+        check=True,
+        capture_output=True,
+    )
+    return jar
+
+
+def write_users_file(path: str, users: Mapping[str, str]) -> str:
+    """Write the provider's credential file from plaintext passwords:
+    one ``username:md5(salt||password)`` line per user (the
+    reference's stored form; plaintext never touches disk). 0600
+    permissions — it is a credential store."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        for user, pw in users.items():
+            if ":" in user:
+                raise ValueError(f"username may not contain ':': {user!r}")
+            f.write(f"{user}:{hash_password(pw)}\n")
+    os.chmod(path, 0o600)
+    return path
+
+
+def write_conf_dir(workdir: str) -> str:
+    """Generate the ``hive-site.xml`` naming the provider class (the
+    only channel the factory's fresh HiveConf reads) and return the
+    directory to prepend to the driver classpath."""
+    conf_dir = os.path.join(workdir, "conf")
+    os.makedirs(conf_dir, exist_ok=True)
+    with open(os.path.join(conf_dir, "hive-site.xml"), "w") as f:
+        f.write(
+            "<?xml version=\"1.0\"?>\n<configuration>\n"
+            "  <property>\n"
+            "    <name>hive.server2.custom.authentication.class</name>\n"
+            f"    <value>{PROVIDER_CLASS}</value>\n"
+            "  </property>\n"
+            "</configuration>\n"
+        )
+    return conf_dir
+
+
+def prepare_thrift_auth(workdir: str, users: Mapping[str, str]) -> dict[str, str]:
+    """One-call setup: compile the provider, write the credential file
+    and hive-site.xml, and return the Spark confs to apply to the
+    session BUILDER (before ``getOrCreate``)."""
+    jar = build_auth_jar(workdir)
+    users_file = write_users_file(os.path.join(workdir, "users.txt"), users)
+    conf_dir = write_conf_dir(workdir)
+    return {
+        "spark.driver.extraClassPath": f"{jar}:{conf_dir}",
+        "spark.driver.extraJavaOptions": f"-Dnineinfra.auth.file={users_file}",
+        "spark.hadoop.hive.server2.authentication": "CUSTOM",
+    }

@@ -256,3 +256,55 @@ def test_thrift_http_transport_second_client():
         f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-3000:]}"
     )
     assert "HTTP_TRANSPORT_OK" in proc.stdout
+
+
+_THRIFT_AUTH = """
+from nineinfra_spark.engine import Engine, EngineConfig
+from nineinfra_spark.gateway import beeline_sql
+
+eng = Engine(EngineConfig(
+    app_name="gateway_auth", master="local[4]",
+    thrift_port={port},
+    thrift_auth_users={{"admin": "s3cret", "bi_user": "pw2"}},
+)).open()
+eng.register_dir("{sf}")
+
+# good credentials: SASL PLAIN -> CUSTOM provider -> query runs
+out = beeline_sql({port}, "SELECT COUNT(*) AS n FROM nation",
+                  user="admin", password="s3cret")
+assert "25" in out, out
+out2 = beeline_sql({port}, "SELECT 1 AS x", user="bi_user", password="pw2")
+assert "1" in out2, out2
+
+# wrong password / unknown user: SASL rejects before any SQL runs
+for u, p in (("admin", "wrong"), ("ghost", "s3cret"), ("admin", "")):
+    try:
+        beeline_sql({port}, "SELECT 1 AS x", user=u, password=p)
+        raise SystemExit(f"credentials {{u}}:{{p}} were wrongly accepted")
+    except RuntimeError:
+        pass
+print("THRIFT_AUTH_OK")
+eng.close()
+"""
+
+
+def test_thrift_custom_auth_enforced_on_wire():
+    """The reference's JDBC-auth contract on the THRIFT frontend
+    itself (kyuubi.go:55-64: salted-MD5 users lookup): an in-env
+    compiled PasswdAuthenticationProvider behind
+    hive.server2.authentication=CUSTOM accepts valid users and
+    rejects bad passwords / unknown users at the SASL layer. Closes
+    the formerly env-blocked auth half; doAs IMPERSONATION (engine
+    jobs running as the authed user) still needs Hadoop proxy-user
+    infra absent here."""
+    proc = subprocess.run(
+        [sys.executable, "-c", _THRIFT_AUTH.format(sf=SF, port=_free_port())],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, (
+        f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-3000:]}"
+    )
+    assert "THRIFT_AUTH_OK" in proc.stdout
