@@ -6,11 +6,15 @@ bytes live in parquet binary columns (or object-store references),
 metadata in plain columns, and decode/feature-extraction runs as
 Arrow-batched Python over ``mapInPandas``.
 
-No media libraries exist in this container, so the DECODE step is a
-deterministic fake (byte-level features); ``decode_image`` documents
-the real integration point and raises ``NotImplementedError``. The
-Spark-side plumbing — binary schema, Arrow batch shape, partition
-behavior, UDF signatures — is real and tested.
+Decode: PPM (binary P6) decodes FOR REAL — ``decode_ppm`` is a full
+parser on numpy alone, driven end-to-end through ``mapInPandas`` by
+``mm_ppm_decode_stats`` with the channel sums oracle-verified.
+Entropy-coded formats (png/jpeg/wav) need codec libraries this
+container doesn't ship; for those ``decode_image`` raises and the
+byte-level feature extractors stand in. The Spark-side plumbing —
+binary schema, Arrow batch shape, partition behavior, UDF
+signatures — is identical either way, so swapping in a JPEG codec
+changes one function, not a plan.
 
 The testdata has no binary table, so payloads are derived
 deterministically from ``documents.text`` (utf-8 bytes). That keeps
@@ -53,14 +57,20 @@ def payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def decode_image(payload: bytes, fmt: str) -> object:
-    """Real decode integration point (PIL/libav/etc.).
+    """Decode dispatch for the binary media column.
 
-    STUB: media libraries are not available in this environment; the
-    pipelines below use deterministic byte-level fakes instead.
+    ``ppm`` decodes FOR REAL (:func:`decode_ppm` — a full P6 parser on
+    numpy alone, exercised end-to-end by ``mm_ppm_decode_stats``).
+    Entropy-coded formats (png/jpeg/wav) need external codecs this
+    container doesn't ship and raise — the one remaining env-blocked
+    integration point, now scoped to the codec, not the pipeline.
     """
+    if fmt == "ppm":
+        return decode_ppm(payload)
     raise NotImplementedError(
-        "media decode requires an image/audio library not present in this "
-        "environment; use the byte-level feature extractors instead"
+        f"decoding {fmt!r} requires a codec library not present in this "
+        "environment; ppm decodes natively (decode_ppm), and the "
+        "byte-level feature extractors cover the rest"
     )
 
 
@@ -198,3 +208,132 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"h{k} long" for k in range(N_HIST_BUCKETS)
     )
     return src.mapInPandas(_byte_histogram_batches, schema).orderBy("doc_id")
+
+
+# -- REAL decode: PPM (pure numpy, no media libraries) ----------------------
+
+PPM_W, PPM_H = 10, 10  # synthetic payload raster
+_PPM_BYTES = PPM_W * PPM_H * 3
+
+
+def decode_ppm(payload: bytes) -> "object":
+    """REAL image decode for binary P6 PPM — a full parser for an
+    actual on-disk image format, implemented on numpy alone (PPM is
+    magic + ASCII header + raw RGB24, so no media library is needed):
+    magic check, comment lines, arbitrary header whitespace, maxval
+    validation, truncation check, reshape to (height, width, 3).
+
+    This replaces the former blanket decode stub for the one format
+    the environment can genuinely decode; png/jpeg/wav still raise in
+    :func:`decode_image` (entropy-coded formats need external codecs).
+    """
+    import numpy as np
+
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    # header = magic + 3 ASCII ints (width, height, maxval), with
+    # whitespace separators and optional '#' comment lines
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval, then raw samples
+    width, height, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"only maxval 255 supported, got {maxval}")
+    n_samples = width * height * 3
+    if len(payload) - pos < n_samples:
+        raise ValueError("truncated PPM payload")
+    data = np.frombuffer(payload, dtype=np.uint8, count=n_samples, offset=pos)
+    return data.reshape(height, width, 3)
+
+
+def ppm_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → REAL binary P6 PPM images: a valid header plus a
+    10×10 RGB raster whose samples are the doc's text bytes tiled to
+    length (ASCII corpus, so DuckDB's ascii(substr(...)) sees the
+    identical sample values)."""
+    docs = t(spark, sf_dir, "documents").filter(F.length("text") >= 38)
+    header = F.lit(f"P6\n{PPM_W} {PPM_H}\n255\n")
+    body = F.substring(F.repeat(F.col("text"), 8), 1, _PPM_BYTES)
+    return docs.select(
+        "doc_id",
+        F.encode(F.concat(header, body), "UTF-8").alias("payload"),
+    )
+
+
+def _ppm_stats_batches(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            img = decode_ppm(bytes(payload))
+            h, w, _ = img.shape
+            sums = img.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+            rows.append(
+                (
+                    int(doc_id),
+                    int(w),
+                    int(h),
+                    int(sums[0]),
+                    int(sums[1]),
+                    int(sums[2]),
+                )
+            )
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "width", "height", "r_sum", "g_sum", "b_sum"]
+        )
+
+
+@query(
+    "mm_ppm_decode_stats",
+    oracle=f"""
+    WITH rep AS (
+        SELECT doc_id, substr(repeat(text, 8), 1, {_PPM_BYTES}) AS body
+        FROM documents WHERE length(text) >= 38
+    )
+    SELECT doc_id,
+           {PPM_W} AS width, {PPM_H} AS height,
+           CAST(list_aggregate(list_transform(
+               generate_series(1, {_PPM_BYTES}, 3),
+               i -> ascii(substr(body, CAST(i AS INT), 1))), 'sum') AS BIGINT)
+               AS r_sum,
+           CAST(list_aggregate(list_transform(
+               generate_series(2, {_PPM_BYTES}, 3),
+               i -> ascii(substr(body, CAST(i AS INT), 1))), 'sum') AS BIGINT)
+               AS g_sum,
+           CAST(list_aggregate(list_transform(
+               generate_series(3, {_PPM_BYTES}, 3),
+               i -> ascii(substr(body, CAST(i AS INT), 1))), 'sum') AS BIGINT)
+               AS b_sum
+    FROM rep
+    """,
+    tags=("ext", "multimodal", "mapInPandas", "real-decode"),
+)
+def mm_ppm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END REAL image decode in the Arrow pipeline: valid P6
+    PPM payloads are built per document, then ``mapInPandas`` runs the
+    actual parser (``decode_ppm`` — header grammar, raster reshape)
+    and emits per-channel integer sums of the decoded pixels. The
+    DuckDB oracle recomputes the channel sums from the same tiled
+    bytes arithmetically, so a parser that misreads the header, drops
+    a row of the raster, or swaps channels fails the hash.
+
+    Scale posture: identical to `mm_decode_features` — embarrassingly
+    parallel mapInPandas over the binary column, Arrow transfer,
+    fixed output schema, integer-exact stats. Swapping in a JPEG
+    decoder changes ONE function (`decode_image`), not the plan."""
+    src = ppm_payloads(spark, sf_dir)
+    schema = (
+        "doc_id long, width int, height int, r_sum long, g_sum long, b_sum long"
+    )
+    return src.mapInPandas(_ppm_stats_batches, schema)

@@ -105,11 +105,38 @@ class TestMultimodal:
             assert sum(hist) == r["n_bytes"]  # every byte lands in one bucket
             assert r["n_bytes"] > 0
 
-    def test_decode_image_is_explicit_stub(self):
+    def test_decode_image_codec_formats_still_raise(self):
+        """Entropy-coded formats need external codecs (env-blocked);
+        the error must be explicit, not a silent fake."""
         from nineinfra_spark.plans.ext_multimodal import decode_image
 
         with pytest.raises(NotImplementedError):
             decode_image(b"\x89PNG", "png")
+
+    def test_decode_ppm_parses_real_images(self):
+        """decode_ppm is a REAL P6 parser: header grammar (comments,
+        multi-whitespace), raster shape, channel order."""
+        import numpy as np
+
+        from nineinfra_spark.plans.ext_multimodal import decode_image, decode_ppm
+
+        raster = bytes(range(2 * 3 * 3))  # 3x2 RGB, samples 0..17
+        img = decode_ppm(b"P6\n# a comment\n 3  2 \n255\n" + raster)
+        assert img.shape == (2, 3, 3)
+        assert img[0, 0, 0] == 0 and img[0, 0, 2] == 2  # channel order
+        assert img[1, 2, 2] == 17  # last sample lands bottom-right blue
+        # dispatch through the public entry point
+        assert np.array_equal(decode_image(b"P6\n3 2\n255\n" + raster, "ppm"), img)
+
+    def test_decode_ppm_rejects_malformed(self):
+        from nineinfra_spark.plans.ext_multimodal import decode_ppm
+
+        with pytest.raises(ValueError, match="not a binary PPM"):
+            decode_ppm(b"P3\n1 1\n255\n000")  # ASCII PPM, not P6
+        with pytest.raises(ValueError, match="truncated"):
+            decode_ppm(b"P6\n4 4\n255\n\x00\x01")  # raster too short
+        with pytest.raises(ValueError, match="maxval"):
+            decode_ppm(b"P6\n1 1\n65535\n\x00\x00\x00\x00\x00\x00")
 
 
 class TestAsofAtomicity:
