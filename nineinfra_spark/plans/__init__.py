@@ -59,6 +59,7 @@ _VERIFY_FIRST = [
     "text_blocklist_filter",  # new: thresholded wordlist safety gate
     "pair_contrastive_negatives",  # new: hash-drawn training negatives
     "mm_ppm_decode_stats",  # new: REAL P6 decode through mapInPandas
+    "src_binaryfile_scan",  # new: binaryFile media-ingestion source
     "text_bpe_pair_counts",  # r7: 1-char-token pair guard on both engines
     "fn_url_normalize",  # r7: oracle regexp_replace made global
     "events_retention_cohorts",  # r7: floor() week offsets
@@ -102,7 +103,6 @@ _VERIFY_FIRST = [
     "agg_multi_distinct",
     "agg_stats_moments",
     "agg_corr_moments",
-    "agg_cube",
 ]
 
 registry.set_order(_VERIFY_FIRST)

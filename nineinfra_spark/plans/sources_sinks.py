@@ -1104,3 +1104,73 @@ def catalog_masked_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return spark.table("customer_masked_tmp")
+
+
+# -- binary-file source (multimodal ingestion) ------------------------------
+
+BINFILE_MOD = 25  # stage every 25th doc as a standalone payload file
+
+
+def _stage_binary_files(sf_dir: str) -> str:
+    """Driver-side fixture stager (the same pattern as the streaming
+    file stager): materialize a bounded subset of document payloads as
+    standalone ``<doc_id>.bin`` files so the binaryFile SOURCE — the
+    operator under test — has a real media-style directory to ingest.
+    Idempotent per (sf, content); bounded at |docs|/25 files."""
+    import pyarrow.parquet as pq
+
+    out = _out("binfiles", os.path.basename(sf_dir))
+    done = os.path.join(out, "_STAGED")
+    if os.path.exists(done):
+        return out
+    os.makedirs(out, exist_ok=True)
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    for doc_id, text in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+        if doc_id % BINFILE_MOD == 0:
+            with open(os.path.join(out, f"{doc_id}.bin"), "wb") as f:
+                f.write(text.encode("utf-8"))
+    with open(done, "w") as f:
+        f.write("ok")
+    return out
+
+
+@query(
+    "src_binaryfile_scan",
+    oracle="""
+    SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents WHERE doc_id % 25 = 0
+    """,
+    tags=("source", "binary", "multimodal"),
+)
+def src_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-file SOURCE (`spark.read.format("binaryFile")`) — the
+    ingestion path for real media lakes, where images/audio live as
+    objects and Spark lists + reads them into (path, modificationTime,
+    length, content) rows. A bounded subset of document payloads is
+    staged as ``<doc_id>.bin`` files (driver-side fixture, same
+    pattern as the streaming stager); the query ingests the DIRECTORY
+    with a ``pathGlobFilter`` and emits per-file size + content md5,
+    which the oracle recomputes from the source-of-truth rows — any
+    byte lost or reordered in the listing→read path fails the hash.
+
+    Scale posture: binaryFile is a standard FileScan — parallel by
+    file, partition-prunable by path, driver holds only the listing.
+    At 100 TB the same plan reads an object-store prefix; the
+    per-file `content` column stays columnar-batched and is pruned
+    away when a query touches only path/length metadata."""
+    src_dir = _stage_binary_files(sf_dir)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(src_dir)
+    )
+    return files.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )
