@@ -28,9 +28,10 @@ from __future__ import annotations
 
 import time
 import uuid
-from collections.abc import Sequence
+from collections.abc import Mapping, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.errors import AnalysisException
 
 
@@ -174,6 +175,48 @@ def merge_into_table_versioned(
         f"merge into {table}: lost the version CAS {max_retries + 1} "
         f"times; last error: {last_err}"
     )
+
+
+def delete_where(spark: SparkSession, table: str, predicate: str) -> None:
+    """Row-level ``DELETE FROM table WHERE predicate`` on a plain
+    parquet-backed table — the snapshot-rewrite form (OSS Spark SQL
+    has no DELETE on parquet; Delta/Iceberg's copy-on-write DELETE is
+    exactly this plan plus a manifest). The kept rows are computed
+    declaratively and swapped in via :func:`publish_snapshot`.
+
+    At 100 TB compose with partition pruning: pre-restrict the
+    rewrite to affected partitions (filter + dynamic-partition
+    overwrite) when the predicate implies them — same file-pruning
+    contract as Delta."""
+    kept = spark.table(table).filter(f"NOT ({predicate})")
+    publish_snapshot(spark, table, kept)
+
+
+def update_where(
+    spark: SparkSession,
+    table: str,
+    predicate: str,
+    assignments: Mapping[str, str],
+) -> None:
+    """Row-level ``UPDATE table SET col = expr, ... WHERE predicate``
+    via snapshot rewrite: matched rows get the assignment expressions
+    (SQL strings, evaluated against the row), unmatched rows pass
+    through unchanged; the result swaps in atomically for readers.
+    Unknown assignment columns are an error, not a silent add."""
+    base = spark.table(table)
+    missing = set(assignments) - set(base.columns)
+    if missing:
+        raise ValueError(f"update targets {sorted(missing)} not in {table} columns")
+    cond = F.expr(predicate)
+    updated = base.select(
+        *[
+            F.when(cond, F.expr(assignments[c])).otherwise(F.col(c)).alias(c)
+            if c in assignments
+            else F.col(c)
+            for c in base.columns
+        ]
+    )
+    publish_snapshot(spark, table, updated)
 
 
 def publish_snapshot(spark: SparkSession, table: str, snapshot: DataFrame) -> None:

@@ -60,6 +60,8 @@ _VERIFY_FIRST = [
     "pair_contrastive_negatives",  # new: hash-drawn training negatives
     "mm_ppm_decode_stats",  # new: REAL P6 decode through mapInPandas
     "src_binaryfile_scan",  # new: binaryFile media-ingestion source
+    "catalog_delete_update",  # new: row-level DELETE/UPDATE rewrite
+    "src_parquet_schema_merge",  # new: additive schema evolution on read
     "text_bpe_pair_counts",  # r7: 1-char-token pair guard on both engines
     "fn_url_normalize",  # r7: oracle regexp_replace made global
     "events_retention_cohorts",  # r7: floor() week offsets
@@ -101,8 +103,6 @@ _VERIFY_FIRST = [
     # of that cohort rotates in r8
     "agg_global",
     "agg_multi_distinct",
-    "agg_stats_moments",
-    "agg_corr_moments",
 ]
 
 registry.set_order(_VERIFY_FIRST)

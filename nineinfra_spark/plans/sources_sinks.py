@@ -1174,3 +1174,129 @@ def src_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("n_bytes"),
         F.md5("content").alias("content_md5"),
     )
+
+
+@query(
+    "catalog_delete_update",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_orderpriority, round(o_totalprice, 2) AS price
+        FROM orders
+        WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)
+              IN ('0','1','2','3','4','5','6','7')
+    ),
+    after_delete AS (
+        SELECT * FROM base WHERE NOT (o_orderpriority = '5-LOW')
+    ),
+    after_update AS (
+        SELECT o_orderkey, o_orderpriority,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN price * 2
+                    ELSE price END AS price
+        FROM after_delete
+    )
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM after_update GROUP BY o_orderpriority
+    """,
+    tags=("catalog", "delete", "update", "row-level"),
+)
+def catalog_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE + UPDATE on a plain warehouse table — the two
+    lakehouse mutations MERGE doesn't cover (OSS Spark SQL has neither
+    on parquet; Delta/Iceberg's copy-on-write forms are exactly these
+    plans plus a manifest). ``operators/merge.delete_where`` removes
+    the '5-LOW' slice, ``update_where`` doubles '1-URGENT' prices;
+    both swap in via the rename-first publish, and the oracle derives
+    the same final state relationally — so predicate scoping (UPDATE
+    must not touch unmatched rows) and the swap's atomicity are both
+    hash-verified.
+
+    Scale posture: each mutation is one declarative scan→project→
+    write with the input's parallelism; the WHERE pre-restricts the
+    rewrite to affected partitions when the predicate implies them.
+    Doubling is exact IEEE; sums go through round→decimal."""
+    from nineinfra_spark.operators.merge import delete_where, update_where
+
+    sfx = os.path.basename(sf_dir).replace(".", "_")
+    db = f"nine_wh_{sfx}"
+    is_hive = (
+        spark.conf.get("spark.sql.catalogImplementation", "in-memory") == "hive"
+    )
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{WAREHOUSE}/{db}'")
+    for tbl in ("orders_du", "orders_du__merge_stage", "orders_du__merge_old"):
+        owned = spark.catalog.tableExists(f"{db}.{tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {db}.{tbl}")
+        loc = f"{WAREHOUSE}/{db}/{tbl}"
+        if os.path.exists(loc) and (not is_hive or not owned):
+            import shutil
+
+            shutil.rmtree(loc, ignore_errors=True)
+    orders = t(spark, sf_dir, "orders")
+    hx = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+    base = orders.filter(hx.isin(*"01234567")).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round("o_totalprice", 2).alias("price"),
+    )
+    writers.save_as_table(base, f"{db}.orders_du", mode="overwrite")
+
+    delete_where(spark, f"{db}.orders_du", "o_orderpriority = '5-LOW'")
+    update_where(
+        spark,
+        f"{db}.orders_du",
+        "o_orderpriority = '1-URGENT'",
+        {"price": "price * 2"},
+    )
+    return (
+        spark.table(f"{db}.orders_du")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("price").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+    )
+
+
+@query(
+    "src_parquet_schema_merge",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(NULL AS DOUBLE) AS price
+    FROM orders WHERE o_orderkey % 100 = 0
+    UNION ALL
+    SELECT o_orderkey, o_orderpriority,
+           round(o_totalprice, 2) AS price
+    FROM orders WHERE o_orderkey % 100 = 1
+    """,
+    tags=("source", "parquet", "schema-evolution"),
+)
+def src_parquet_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: two parquet batches land in one
+    directory with DIFFERENT schemas (the second batch grew a
+    ``price`` column — the standard additive-evolution event in a
+    long-lived ingest directory), and ``mergeSchema=true`` reconciles
+    them — old files surface NULL for the new column, nothing is
+    rewritten. The oracle derives the same union relationally, so a
+    reader that drops the new column (footer-sampling default) or
+    misaligns old rows fails the hash.
+
+    Scale posture: schema merge costs one footer read per file AT
+    PLANNING (that is why it's opt-in); the scan itself stays
+    parallel and column-pruned. The durable practice at 100 TB is
+    catalog-declared schemas (ALTER TABLE ADD COLUMNS —
+    `catalog_table_lifecycle`), with mergeSchema as the
+    evolution-discovery tool."""
+    orders = t(spark, sf_dir, "orders")
+    path = _out("schemamerge", os.path.basename(sf_dir), "orders_evolving")
+    old = orders.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    new = orders.filter(F.col("o_orderkey") % 100 == 1).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round("o_totalprice", 2).alias("price"),
+    )
+    writers.write_parquet(old, path, mode="overwrite")
+    new.write.mode("append").parquet(path)
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return back.select("o_orderkey", "o_orderpriority", "price")

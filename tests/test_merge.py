@@ -186,3 +186,39 @@ def test_versioned_merge_two_concurrent_writers(spark):
     ]
     assert stages == []
     _cleanup_prefix(spark, "race_t")
+
+
+def test_delete_where_removes_only_matched(spark, frames):
+    from nineinfra_spark.operators.merge import delete_where
+
+    base, _ = frames
+    _cleanup_prefix(spark, "du_t")
+    base.write.mode("overwrite").saveAsTable("du_t")
+    delete_where(spark, "du_t", "v > 15.0")
+    assert _by_id(spark.table("du_t")) == {1: ("a", 10.0)}
+    _cleanup_prefix(spark, "du_t")
+
+
+def test_update_where_scopes_assignments(spark, frames):
+    from nineinfra_spark.operators.merge import update_where
+
+    base, _ = frames
+    _cleanup_prefix(spark, "du_u")
+    base.write.mode("overwrite").saveAsTable("du_u")
+    update_where(spark, "du_u", "id = 2", {"v": "v * 10", "s": "upper(s)"})
+    # only the matched row changes; expressions see the row's values
+    assert _by_id(spark.table("du_u")) == {
+        1: ("a", 10.0), 2: ("B", 200.0), 3: ("c", 30.0)
+    }
+    _cleanup_prefix(spark, "du_u")
+
+
+def test_update_where_rejects_unknown_column(spark, frames):
+    from nineinfra_spark.operators.merge import update_where
+
+    base, _ = frames
+    _cleanup_prefix(spark, "du_x")
+    base.write.mode("overwrite").saveAsTable("du_x")
+    with pytest.raises(ValueError, match="not in"):
+        update_where(spark, "du_x", "id = 1", {"nope": "1"})
+    _cleanup_prefix(spark, "du_x")
