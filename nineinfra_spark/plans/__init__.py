@@ -37,13 +37,12 @@ _load_all()
 #: Verification-priority prefix: the driver's CORRECTNESS gate checks
 #: a bounded window (exactly 50) of queries in export order, so the
 #: queries that most need a fresh driver-green differential row are
-#: pinned first — (a) queries new or shape-changed this round (r6:
-#: the partsupp-backed TPC-H queries, plus q7 whose join tree was
-#: restructured for pushdown), (b) the 23 queries whose latest green
-#: row is r3 — the oldest in the registry, (c) backfill from the
-#: r4-latest cohort to exactly 50. Rows refreshed in r5 (ext text/
-#: similarity/multimodal, sources/catalog, streams tumbling/sliding)
-#: follow in registration order and rotate back next round.
+#: pinned first — r7 composition: (a) the three queries that had
+#: NEVER been driver-stamped, (b) every query new or shape-changed
+#: this round (12 new + 11 changed), (c) the full 23-query cohort
+#: whose latest green row was r3 — the stalest in the registry,
+#: (d) r4-cohort backfill to exactly 50. The ~45 remaining r4-latest
+#: rows (aggs, joins, setops, fn_* families) lead the r8 rotation.
 _VERIFY_FIRST = [
     # (a) the three queries that have NEVER had a driver row (deferred
     # out of the r6 window; the judge's top item is stamping them)
