@@ -1,9 +1,17 @@
 """Composite operators Spark lacks natively (SURVEY.md §2.3)."""
 
 from nineinfra_spark.operators.asof import asof_join
+from nineinfra_spark.operators.components import star_components, star_contract
 from nineinfra_spark.operators.ivf import IvfTrainResult, assign_cells, refine_centroids
 from nineinfra_spark.operators.ivf import train as ivf_train
-from nineinfra_spark.operators.merge import merge_into_table, merge_upsert
+from nineinfra_spark.operators.merge import (
+    delete_where,
+    merge_into_table,
+    merge_into_table_versioned,
+    merge_upsert,
+    publish_snapshot,
+    update_where,
+)
 from nineinfra_spark.operators.skew import salted_join
 from nineinfra_spark.operators.zorder import zorder_write, zvalue_column
 
@@ -13,8 +21,14 @@ __all__ = [
     "refine_centroids",
     "ivf_train",
     "IvfTrainResult",
+    "star_components",
+    "star_contract",
     "merge_upsert",
     "merge_into_table",
+    "merge_into_table_versioned",
+    "publish_snapshot",
+    "delete_where",
+    "update_where",
     "salted_join",
     "zorder_write",
     "zvalue_column",

@@ -99,6 +99,10 @@ def merge_into_table(
     base table is never overwritten while its files are being read
     (Spark rejects that cycle outright), and a failure mid-write
     leaves the original table untouched.
+
+    SINGLE-WRITER primitive (fixed stage name, no head check): for
+    concurrent writers use :func:`merge_into_table_versioned`, whose
+    version CAS serializes them.
     """
     base = spark.table(table)
     merged = merge_upsert(base, updates, keys, when_matched=when_matched)
