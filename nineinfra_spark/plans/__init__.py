@@ -61,6 +61,8 @@ _VERIFY_FIRST = [
     "src_binaryfile_scan",  # new: binaryFile media-ingestion source
     "catalog_delete_update",  # new: row-level DELETE/UPDATE rewrite
     "src_parquet_schema_merge",  # new: additive schema evolution on read
+    "fn_explode_outer",  # new: empty-array-preserving LATERAL VIEW OUTER
+    "src_csv_malformed_modes",  # new: PERMISSIVE/DROPMALFORMED/FAILFAST
     "text_bpe_pair_counts",  # r7: 1-char-token pair guard on both engines
     "fn_url_normalize",  # r7: oracle regexp_replace made global
     "events_retention_cohorts",  # r7: floor() week offsets
@@ -98,10 +100,8 @@ _VERIFY_FIRST = [
     "udf_grouped_agg_pandas",
     "udf_apply_in_pandas",
     "events_sessionize",
-    # (d) backfill from the r4-latest cohort to exactly 50; the rest
-    # of that cohort rotates in r8
-    "agg_global",
-    "agg_multi_distinct",
+    # the round-7 additions exactly fill the 50 slots; the entire
+    # r4-latest cohort (aggs, joins, setops, fn_* families) leads r8
 ]
 
 registry.set_order(_VERIFY_FIRST)

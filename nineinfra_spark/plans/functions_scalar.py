@@ -463,3 +463,40 @@ def fn_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", zvalue_column(ev, ["user_id", "event_id"]).alias("z")
     )
+
+
+LONG_TOK_MIN = 12  # rare-enough length that many docs have none
+
+
+@query(
+    "fn_explode_outer",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id,
+               list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+                           x -> length(x) >= {LONG_TOK_MIN}) AS toks
+        FROM documents
+    )
+    SELECT doc_id, unnest(toks) AS tok FROM d WHERE len(toks) > 0
+    UNION ALL
+    SELECT doc_id, NULL AS tok FROM d WHERE len(toks) = 0
+    """,
+    tags=("fn", "array", "explode-outer"),
+)
+def fn_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUTER explode semantics (LATERAL VIEW OUTER): a row whose array
+    is empty survives as one (doc_id, NULL) row instead of vanishing —
+    the difference between "docs and their long tokens" and "docs
+    THAT HAVE long tokens". Plain explode() silently drops empty-array
+    rows, which in a curation pipeline turns a per-doc feature join
+    into an accidental inner filter; this query pins the preserving
+    variant row-for-row (the oracle derives it as unnest ∪ NULL-rows).
+
+    Scale posture: generator in the scan stage, no shuffle; same cost
+    as inner explode plus the empty-row passthrough."""
+    docs = t(spark, sf_dir, "documents")
+    toks = F.expr(
+        "filter(regexp_extract_all(lower(text), '[a-z]+', 0),"
+        f" x -> length(x) >= {LONG_TOK_MIN})"
+    )
+    return docs.select("doc_id", F.explode_outer(toks).alias("tok"))

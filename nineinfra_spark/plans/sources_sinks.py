@@ -1300,3 +1300,126 @@ def src_parquet_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     new.write.mode("append").parquet(path)
     back = spark.read.option("mergeSchema", "true").parquet(path)
     return back.select("o_orderkey", "o_orderpriority", "price")
+
+
+# -- malformed-input handling (CSV parse modes) -----------------------------
+
+CSV_BAD_MOD = 7  # every 7th staged key becomes a malformed line
+
+
+def _stage_malformed_csv(sf_dir: str) -> str:
+    """Driver-side fixture: a CSV of (o_orderkey, o_orderpriority,
+    price) rows for keys ≡ 3 (mod 10), where every key ≡ 0 (mod 7)
+    line is WRITTEN BROKEN (a single unparseable token) — a fully
+    deterministic corpus of good and bad lines, so every mode's
+    row count has an exact relational oracle."""
+    import pyarrow.parquet as pq
+
+    out = _out("badcsv", os.path.basename(sf_dir))
+    path = os.path.join(out, "orders_dirty.csv")
+    if os.path.exists(path):
+        return path
+    os.makedirs(out, exist_ok=True)
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+    )
+    lines = []
+    for k, pri, price in zip(
+        tbl["o_orderkey"].to_pylist(),
+        tbl["o_orderpriority"].to_pylist(),
+        tbl["o_totalprice"].to_pylist(),
+    ):
+        if k % 10 != 3:
+            continue
+        if k % CSV_BAD_MOD == 0:
+            lines.append(f"BROKEN_{k}")
+        else:
+            lines.append(f"{k},{pri},{round(price, 2)}")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return path
+
+
+@query(
+    "src_csv_malformed_modes",
+    oracle=f"""
+    WITH staged AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 10 = 3)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN o_orderkey % {CSV_BAD_MOD} = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+           CAST(SUM(CASE WHEN o_orderkey % {CSV_BAD_MOD} = 0
+                         THEN 0 ELSE 1 END) AS BIGINT) AS n_dropmalformed,
+           TRUE AS failfast_raises
+    FROM staged
+    """,
+    tags=("source", "csv", "malformed", "bounded-nlj"),  # 1-row agg crosses
+)
+def src_csv_malformed_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bad-data handling on the CSV source — the operational surface
+    every real ingest hits. One deterministic dirty file (every 7th
+    key written as an unparseable token), read under all three parse
+    modes:
+
+    - PERMISSIVE + ``columnNameOfCorruptRecord``: every line becomes a
+      row; corrupt ones carry the raw line in the quarantine column
+      (nulls elsewhere) — counted here and verified against the
+      construction rule;
+    - DROPMALFORMED: bad lines silently vanish — the surviving count
+      must equal lines − corrupt;
+    - FAILFAST: the first bad line aborts the scan — asserted by
+      catching the raised error (the oracle pins literal TRUE).
+
+    Scale posture: parse modes are per-task streaming decisions — no
+    extra pass, no shuffle; PERMISSIVE quarantine is the 100 TB
+    pattern (load everything, route ``_corrupt`` rows to a dead-letter
+    table) because DROPMALFORMED destroys evidence and FAILFAST turns
+    one bad byte into a dead job."""
+    path = _stage_malformed_csv(sf_dir)
+    schema = "o_orderkey long, o_orderpriority string, price double, _corrupt string"
+    # .cache() is the documented workaround for Spark's refusal to run
+    # a query whose referenced columns are ONLY the corrupt-record
+    # column (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN);
+    # the fixture is bounded, so the cache is a few KB.
+    permissive = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+        .cache()
+    )
+    counts = permissive.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.when(F.col("_corrupt").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_corrupt"),
+    )
+    # count(1) over CSV is answered WITHOUT parsing rows (Spark skips
+    # conversion when no data column is referenced), which would make
+    # DROPMALFORMED drop nothing and FAILFAST never fail — aggregate a
+    # REAL column so every line goes through the parser.
+    dropped = (
+        spark.read.schema("o_orderkey long, o_orderpriority string, price double")
+        .option("mode", "DROPMALFORMED")
+        .csv(path)
+        .agg(F.count("o_orderkey").cast("bigint").alias("n_dropmalformed"))
+    )
+    try:
+        (
+            spark.read.schema(
+                "o_orderkey long, o_orderpriority string, price double"
+            )
+            .option("mode", "FAILFAST")
+            .csv(path)
+            .agg(F.sum("o_orderkey"))
+            .collect()
+        )
+        failfast_raises = False
+    except Exception:
+        failfast_raises = True
+    return counts.crossJoin(dropped).select(
+        "n_lines",
+        "n_corrupt",
+        "n_dropmalformed",
+        F.lit(failfast_raises).alias("failfast_raises"),
+    )
