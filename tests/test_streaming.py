@@ -203,3 +203,130 @@ def test_watermark_drops_late_rows_provably(spark):
     # the 10:00 window closed with ONLY the three on-time rows: the
     # late 10:03 row did not reopen or increment it
     assert got.get("2024-03-01 10:00:00") == 3, got
+
+
+def test_checkpoint_restart_is_exactly_once(spark):
+    """Kill-and-restart recovery: a checkpointed file-sink query is
+    stopped after its first micro-batch, then restarted with the SAME
+    checkpoint — the sink must end up with every input row exactly
+    once (no loss, no duplicates), because the commit log replays only
+    unfinished batches."""
+    import json
+
+    src = os.path.join(OUT, "restart_src")
+    sink = os.path.join(OUT, "restart_sink")
+    ckpt = os.path.join(OUT, "restart_ckpt")
+    for d in (src, sink, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(src)
+    now = time.time()
+    for i in range(4):  # 4 files à 25 rows, one per micro-batch
+        p = os.path.join(src, f"f{i}.json")
+        with open(p, "w") as f:
+            f.write(
+                "\n".join(
+                    json.dumps({"k": i * 25 + j, "b": i}) for j in range(25)
+                )
+            )
+        os.utime(p, (now - 400 + i * 100, now - 400 + i * 100))
+
+    def start():
+        return (
+            spark.readStream.schema("k long, b long")
+            .option("maxFilesPerTrigger", "1")
+            .json(src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    # phase 1: let exactly one batch commit, then stop mid-stream
+    q = start()
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if any(p["batchId"] >= 1 for p in q.recentProgress):
+            break
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+    partial = spark.read.parquet(sink).count()
+    assert 0 < partial < 100, partial  # genuinely interrupted mid-input
+
+    # phase 2: restart from the same checkpoint and drain
+    q2 = start()
+    q2.awaitTermination()
+    rows = [r["k"] for r in spark.read.parquet(sink).collect()]
+    assert len(rows) == 100, len(rows)          # nothing lost...
+    assert len(set(rows)) == 100                # ...nothing duplicated
+    assert set(rows) == set(range(100))
+
+
+def test_stream_stream_join_state_cleanup(spark):
+    """Watermarked stream-stream join state is EVICTED once the
+    watermark passes the join range — asserted on the state operator's
+    numRowsRemoved metric. Without eviction a 100 TB join's state
+    grows without bound; this pins that the range condition actually
+    bounds it."""
+    import json
+
+    src_a = os.path.join(OUT, "ssj_a")
+    src_b = os.path.join(OUT, "ssj_b")
+    for d in (src_a, src_b):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d)
+    now = time.time()
+
+    def stage(d, name, rows, age):
+        p = os.path.join(d, name)
+        with open(p, "w") as f:
+            f.write("\n".join(json.dumps(r) for r in rows))
+        os.utime(p, (now - age, now - age))
+
+    # batch 0: joinable rows at 10:00 on both sides
+    stage(src_a, "a0.json", [{"k": 1, "ts": "2024-03-01 10:00:00"}], 300)
+    stage(src_b, "b0.json", [{"k": 1, "ts": "2024-03-01 10:00:10"}], 300)
+    # batches 1-2: clock advances far past the join range on both sides
+    stage(src_a, "a1.json", [{"k": 2, "ts": "2024-03-01 12:00:00"}], 200)
+    stage(src_b, "b1.json", [{"k": 2, "ts": "2024-03-01 12:00:10"}], 200)
+    stage(src_a, "a2.json", [{"k": 3, "ts": "2024-03-01 14:00:00"}], 100)
+    stage(src_b, "b2.json", [{"k": 3, "ts": "2024-03-01 14:00:10"}], 100)
+
+    left = (
+        spark.readStream.schema("k long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .json(src_a)
+        .withWatermark("ts", "10 seconds")
+        .selectExpr("k", "ts AS ts_a")
+    )
+    right = (
+        spark.readStream.schema("k long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .json(src_b)
+        .withWatermark("ts", "10 seconds")
+        .selectExpr("k AS k_b", "ts AS ts_b")
+    )
+    joined = left.join(
+        right,
+        F.expr(
+            "k = k_b AND ts_b BETWEEN ts_a AND ts_a + INTERVAL 1 MINUTE"
+        ),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("mem_ssj_cleanup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    removed = sum(
+        op.get("numRowsRemoved", 0)
+        for p in q.recentProgress
+        for op in p["stateOperators"]
+    )
+    assert removed > 0, [p["stateOperators"] for p in q.recentProgress]
+    # the joins themselves all landed before eviction
+    ks = sorted(r["k"] for r in spark.table("mem_ssj_cleanup").collect())
+    assert ks == [1, 2, 3], ks
