@@ -63,6 +63,9 @@ _VERIFY_FIRST = [
     "src_parquet_schema_merge",  # new: additive schema evolution on read
     "fn_explode_outer",  # new: empty-array-preserving LATERAL VIEW OUTER
     "src_csv_malformed_modes",  # new: PERMISSIVE/DROPMALFORMED/FAILFAST
+    "src_python_datasource",  # new: custom connector via Python DataSource API
+    "fn_variant_json",  # new: VARIANT parse_json/variant_get paths
+    "sql_lateral_topn",  # new: correlated LATERAL ORDER BY LIMIT
     "text_bpe_pair_counts",  # r7: 1-char-token pair guard on both engines
     "fn_url_normalize",  # r7: oracle regexp_replace made global
     "events_retention_cohorts",  # r7: floor() week offsets
@@ -97,11 +100,10 @@ _VERIFY_FIRST = [
     "udf_scalar_python",
     "udf_sql_registered",
     "udf_pandas_vectorized",
-    "udf_grouped_agg_pandas",
-    "udf_apply_in_pandas",
-    "events_sessionize",
-    # the round-7 additions exactly fill the 50 slots; the entire
-    # r4-latest cohort (aggs, joins, setops, fn_* families) leads r8
+    # the round-7 additions fill the 50 slots; three r3-cohort rows
+    # (udf_grouped_agg_pandas, udf_apply_in_pandas, events_sessionize
+    # — all still green, just old) wait for r8 alongside the entire
+    # r4-latest cohort (aggs, joins, setops, fn_* families)
 ]
 
 registry.set_order(_VERIFY_FIRST)

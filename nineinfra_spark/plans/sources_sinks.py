@@ -1423,3 +1423,57 @@ def src_csv_malformed_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_dropmalformed",
         F.lit(failfast_raises).alias("failfast_raises"),
     )
+
+
+# -- custom connector via the Python DataSource API -------------------------
+
+SYNTH_N = 2000
+SYNTH_PARTS = 8
+
+
+@query(
+    "src_python_datasource",
+    oracle=f"""
+    WITH ks AS (
+        SELECT unnest(generate_series(0, {SYNTH_N - 1})) AS k
+    ),
+    h AS (
+        SELECT k,
+               CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15) AS BIGINT)
+                   AS hv
+        FROM ks
+    )
+    SELECT k AS event_id,
+           hv % 1000 AS user_id,
+           k AS ts_offset_s,
+           (hv // 1000 % 1000000) / 100.0 AS value
+    FROM h
+    """,
+    tags=("source", "connector", "python-datasource"),
+)
+def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM SOURCE CONNECTOR end-to-end through Spark's Python
+    DataSource API (SPARK-44076) — the native way to add a connector
+    the platform doesn't ship, with no JVM build: ``nine_synth``
+    (``sources/pyds.py``) registers via ``spark.dataSource.register``
+    and reads as ``format("nine_synth")``, its ``partitions()``
+    splitting the keyspace into contiguous ranges so each task
+    generates only its slice (executor-parallel, nothing through the
+    driver). Rows are md5-derived, so the DuckDB oracle reproduces the
+    EXACT relation from the parameters alone — connector fidelity is
+    hash-verified row-for-row.
+
+    Scale posture: a synthetic source is bounded by CPU, not I/O —
+    numPartitions is the parallelism knob; the same API shape (range
+    partitions + per-task iterators) is how a real REST/scan connector
+    would parallelize. Python-per-row is the API's contract for the
+    SOURCE; everything after the scan is ordinary codegen."""
+    from nineinfra_spark.sources import pyds
+
+    pyds.register(spark)
+    return (
+        spark.read.format("nine_synth")
+        .option("n", str(SYNTH_N))
+        .option("numPartitions", str(SYNTH_PARTS))
+        .load()
+    )

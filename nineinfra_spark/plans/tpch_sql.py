@@ -201,3 +201,35 @@ def q22_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     join, so at 100 TB the anti-join shuffle carries only the recent
     slice, and only its key column."""
     return _sql(spark, sf_dir, _Q22)
+
+
+_LATERAL_TOPN = """
+SELECT n.n_name, l.c_name, l.c_acctbal
+FROM nation n, LATERAL (
+    SELECT c_name, c_acctbal
+    FROM customer c
+    WHERE c.c_nationkey = n.n_nationkey
+    ORDER BY c_acctbal DESC, c_name
+    LIMIT 2
+) l
+"""
+
+
+@query(
+    "sql_lateral_topn",
+    oracle=_LATERAL_TOPN,
+    tags=("subquery", "lateral", "sql"),
+)
+def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY … LIMIT — the SQL
+    spelling of per-group top-N (each nation joins its own 2
+    highest-balance customers). DuckDB runs the IDENTICAL text as the
+    oracle, so this row pins that the SQL surface agrees across
+    engines, not just the DataFrame rewrite (`text_quality_topk_per
+    _lang` covers the window-function form).
+
+    Scale posture: Catalyst decorrelates the lateral into a
+    rank-within-partition plan over the child — one shuffle on the
+    correlation key, per-group sort bounded by group size; the
+    dimension side never fans out the fact."""
+    return _sql(spark, sf_dir, _LATERAL_TOPN)
