@@ -582,3 +582,76 @@ def stream_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         F.col("total_price").cast("double").alias("total_price"),
     )
+
+
+# -- custom STREAMING connector (Python DataSource API) ---------------------
+
+PYDS_N = 600
+PYDS_STEP = 250
+
+
+@query(
+    "stream_python_datasource",
+    oracle=f"""
+    WITH ks AS (
+        SELECT unnest(generate_series(0, {PYDS_N - 1})) AS k
+    ),
+    h AS (
+        SELECT k,
+               CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15) AS BIGINT)
+                   AS hv
+        FROM ks
+    )
+    SELECT k AS event_id,
+           hv % 1000 AS user_id,
+           k AS ts_offset_s,
+           (hv // 1000 % 1000000) / 100.0 AS value
+    FROM h
+    """,
+    tags=("stream", "connector", "python-datasource"),
+)
+def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STREAMING source through the Python DataSource API: the
+    ``nine_synth`` connector's stream leg serves micro-batches with an
+    exact offset (the next unread key), and ``readBetweenOffsets``
+    regenerates any committed range on recovery — the Kafka-reader
+    contract, implemented in pure Python. The run drains {PYDS_N}
+    rows in ≥3 offset-bounded micro-batches into a memory sink; the
+    oracle recomputes the exact relation, so a duplicated or skipped
+    offset range (the exactly-once failure modes) breaks the hash.
+
+    Scale posture: a simple stream reader executes on the driver by
+    design (Spark prefetch) and suits control-rate sources; the
+    partition-parallel batch leg is the bulk path, and a real broker
+    source would implement the partitioned stream-reader variant with
+    the same offset algebra."""
+    import time as _time
+    import uuid as _uuid
+
+    from nineinfra_spark.sources import pyds
+
+    pyds.register(spark)
+    name = f"mem_pyds_{_uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("nine_synth")
+        .option("n", str(PYDS_N))
+        .option("step", str(PYDS_STEP))
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="150 milliseconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 90
+        while _time.time() < deadline:
+            if spark.table(name).count() >= PYDS_N:
+                break
+            _time.sleep(0.3)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return spark.table(name).select(
+        "event_id", "user_id", "ts_offset_s", "value"
+    )

@@ -22,7 +22,12 @@ downstream of the scan is ordinary JVM/codegen.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 #: value scale: cents derived from a 60-bit md5 slice
 VALUE_MOD = 1_000_000
@@ -61,9 +66,33 @@ class _SynthReader(DataSourceReader):
             yield synth_row(k)
 
 
+class _SynthStreamReader(SimpleDataSourceStreamReader):
+    """Streaming leg of the connector: the OFFSET is simply the next
+    unread key, so progress is exact, replays (``readBetweenOffsets``,
+    invoked on recovery) regenerate the identical rows, and
+    exactly-once falls out of determinism + offset tracking — the
+    contract a Kafka-style reader implements with real offsets."""
+
+    def __init__(self, options):
+        self.n = int(options.get("n", 1000))
+        self.step = int(options.get("step", 100))
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def read(self, start):
+        pos = start["pos"]
+        end = min(pos + self.step, self.n)
+        return iter([synth_row(k) for k in range(pos, end)]), {"pos": end}
+
+    def readBetweenOffsets(self, start, end):
+        return iter([synth_row(k) for k in range(start["pos"], end["pos"])])
+
+
 class SynthEventsSource(DataSource):
-    """``format("nine_synth")`` — options: ``n`` (row count),
-    ``numPartitions`` (task parallelism)."""
+    """``format("nine_synth")`` — batch and streaming. Options:
+    ``n`` (row count), ``numPartitions`` (batch task parallelism),
+    ``step`` (streaming rows per micro-batch)."""
 
     @classmethod
     def name(cls) -> str:
@@ -74,6 +103,9 @@ class SynthEventsSource(DataSource):
 
     def reader(self, schema):
         return _SynthReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return _SynthStreamReader(self.options)
 
 
 def register(spark) -> None:
