@@ -230,7 +230,7 @@ def test_checkpoint_restart_is_exactly_once(spark):
             )
         os.utime(p, (now - 400 + i * 100, now - 400 + i * 100))
 
-    def start():
+    def start(trigger):
         return (
             spark.readStream.schema("k long, b long")
             .option("maxFilesPerTrigger", "1")
@@ -238,24 +238,26 @@ def test_checkpoint_restart_is_exactly_once(spark):
             .writeStream.format("parquet")
             .option("path", sink)
             .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
+            .trigger(**trigger)
             .start()
         )
 
-    # phase 1: let exactly one batch commit, then stop mid-stream
-    q = start()
+    # phase 1: slow trigger (one file per 2 s) so the stop() provably
+    # lands mid-stream — availableNow would race through all 4 batches
+    # before the poll loop could observe the first commit
+    q = start({"processingTime": "2 seconds"})
     deadline = time.time() + 60
     while time.time() < deadline:
         if any(p["batchId"] >= 1 for p in q.recentProgress):
             break
-        time.sleep(0.2)
+        time.sleep(0.1)
     q.stop()
     q.awaitTermination()
     partial = spark.read.parquet(sink).count()
     assert 0 < partial < 100, partial  # genuinely interrupted mid-input
 
     # phase 2: restart from the same checkpoint and drain
-    q2 = start()
+    q2 = start({"availableNow": True})
     q2.awaitTermination()
     rows = [r["k"] for r in spark.read.parquet(sink).collect()]
     assert len(rows) == 100, len(rows)          # nothing lost...
