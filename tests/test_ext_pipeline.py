@@ -621,3 +621,21 @@ class TestBpePairCounts:
         want_s = want.sort_values("merge_rank").reset_index(drop=True)
         assert list(got_s["pair"]) == list(want_s["pair"])
         assert list(got_s["n_occurrences"]) == list(want_s["n_occurrences"])
+
+
+class TestPpmRoundTrip:
+    def test_encode_decode_round_trip_property(self):
+        """Property: any (w, h) raster encodes to a valid P6 payload
+        that decode_ppm restores bit-exactly — including sample values
+        that collide with header bytes (newlines, '#', spaces)."""
+        import numpy as np
+
+        from nineinfra_spark.plans.ext_multimodal import decode_ppm
+
+        rng = np.random.default_rng(7)
+        for w, h in [(1, 1), (3, 2), (16, 16), (7, 13)]:
+            raster = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payload = f"P6\n{w} {h}\n255\n".encode() + raster.tobytes()
+            got = decode_ppm(payload)
+            assert got.shape == (h, w, 3)
+            assert np.array_equal(got, raster)
