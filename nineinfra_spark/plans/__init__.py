@@ -67,6 +67,7 @@ _VERIFY_FIRST = [
     "fn_variant_json",  # new: VARIANT parse_json/variant_get paths
     "sql_lateral_topn",  # new: correlated LATERAL ORDER BY LIMIT
     "stream_python_datasource",  # new: offset-exact streaming connector
+    "agg_hll_union_rollup",  # new: mergeable HLL sketches across rollup
     "text_bpe_pair_counts",  # r7: 1-char-token pair guard on both engines
     "fn_url_normalize",  # r7: oracle regexp_replace made global
     "events_retention_cohorts",  # r7: floor() week offsets
@@ -99,12 +100,11 @@ _VERIFY_FIRST = [
     "stream_stream_join",
     "stream_stateful_counts",
     "udf_scalar_python",
-    "udf_sql_registered",
-    # the round-7 additions fill the 50 slots; four r3-cohort rows
-    # (udf_pandas_vectorized, udf_grouped_agg_pandas,
-    # udf_apply_in_pandas, events_sessionize — all still green, just
-    # old) wait for r8 alongside the entire r4-latest cohort (aggs,
-    # joins, setops, fn_* families)
+    # the round-7 additions fill the 50 slots; five r3-cohort rows
+    # (udf_sql_registered, udf_pandas_vectorized,
+    # udf_grouped_agg_pandas, udf_apply_in_pandas, events_sessionize —
+    # all still green, just old) wait for r8 alongside the entire
+    # r4-latest cohort (aggs, joins, setops, fn_* families)
 ]
 
 registry.set_order(_VERIFY_FIRST)

@@ -938,3 +938,81 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("lang", F.col("tok").alias("mode_token"), F.col("cnt").alias("n_occurrences"))
     )
+
+
+@query(
+    "agg_hll_union_rollup",
+    oracle="""
+    WITH monthly AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS m,
+               CAST(strftime(o_orderdate, '%Y') AS VARCHAR) || '-Q'
+               || CAST((CAST(strftime(o_orderdate, '%m') AS INT) + 2) // 3
+                       AS VARCHAR) AS q
+        FROM orders
+    ),
+    quarters AS (SELECT DISTINCT q FROM monthly)
+    SELECT qq.q,
+           (SELECT COUNT(DISTINCT o_custkey) FROM orders o
+            WHERE CAST(strftime(o.o_orderdate, '%Y') AS VARCHAR) || '-Q'
+                  || CAST((CAST(strftime(o.o_orderdate, '%m') AS INT) + 2) // 3
+                          AS VARCHAR) = qq.q)
+               AS exact_custs,
+           TRUE AS union_within_rsd
+    FROM quarters qq
+    """,
+    tags=("agg", "approx", "sketch", "mergeable"),
+)
+def agg_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGEABILITY — the property that makes sketches the
+    100 TB answer: per-MONTH HLL sketches (Datasketches binary,
+    ``hll_sketch_agg``) are built once, then QUARTER distinct-customer
+    counts come from ``hll_union_agg`` over the stored monthly
+    sketches — no second scan of the fact, which is exactly how a
+    serving tier answers "distincts at any rollup level" from
+    pre-aggregated sketch columns (re-aggregating raw data per level
+    is the thing sketches exist to avoid; a plain COUNT DISTINCT
+    cannot roll up).
+
+    Approximate estimates can't hash-match, so the emitted result is
+    the exact quarterly distinct plus a Spark-computed boolean that
+    the UNIONED estimate lands within 5×rsd of exact; the oracle
+    recomputes exact and expects literal TRUE (the
+    `agg_approx_sketches` verification pattern)."""
+    orders = t(spark, sf_dir, "orders")
+    monthly = (
+        orders.select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("m"),
+            F.concat(
+                F.date_format("o_orderdate", "yyyy"),
+                F.lit("-Q"),
+                ((F.month("o_orderdate") + 2) / 3).cast("int").cast("string"),
+            ).alias("q"),
+            "o_custkey",
+        )
+        .groupBy("m", "q")
+        .agg(F.hll_sketch_agg("o_custkey", 14).alias("sk"))
+    )
+    quarterly = monthly.groupBy("q").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_union_est")
+    )
+    exact = (
+        orders.select(
+            F.concat(
+                F.date_format("o_orderdate", "yyyy"),
+                F.lit("-Q"),
+                ((F.month("o_orderdate") + 2) / 3).cast("int").cast("string"),
+            ).alias("q"),
+            "o_custkey",
+        )
+        .groupBy("q")
+        .agg(F.countDistinct("o_custkey").alias("exact_custs"))
+    )
+    # lgK=14 → rsd ≈ 1.04/sqrt(2^14) ≈ 0.81%; assert within 5×rsd
+    return quarterly.join(exact, "q").select(
+        "q",
+        "exact_custs",
+        (
+            F.abs(F.col("_union_est") - F.col("exact_custs"))
+            <= F.lit(5 * 0.0082) * F.col("exact_custs") + F.lit(1.0)
+        ).alias("union_within_rsd"),
+    )
