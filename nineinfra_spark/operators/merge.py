@@ -43,6 +43,23 @@ class MergeConflictError(RuntimeError):
     compare-and-swap more times than ``max_retries`` allows."""
 
 
+def _is_retryable_race(exc: AnalysisException, allow_exists: bool = False) -> bool:
+    """True iff ``exc`` is the signature of a concurrent writer's
+    rename window — a missing live table (or, for the archive-rename
+    CAS, a taken destination) — as opposed to a permanent analysis
+    error (unknown column, bad location, …) that retrying can never
+    fix."""
+    cls = getattr(exc, "getErrorClass", lambda: None)() or ""
+    msg = str(exc)
+    if "TABLE_OR_VIEW_NOT_FOUND" in cls or "TABLE_OR_VIEW_NOT_FOUND" in msg:
+        return True
+    if allow_exists and (
+        "ALREADY_EXISTS" in cls or "already exists" in msg.lower()
+    ):
+        return True
+    return False
+
+
 def merge_upsert(
     base: DataFrame,
     updates: DataFrame,
@@ -159,8 +176,14 @@ def merge_into_table_versioned(
             merged = merge_upsert(base, updates, keys, when_matched=when_matched)
             merged.write.mode("overwrite").saveAsTable(stage)
         except AnalysisException as exc:
-            # live name momentarily absent: another writer is between
-            # its two renames — back off and re-read
+            # Only a MISSING live name is a legitimate race (another
+            # writer between its two renames) — back off and re-read.
+            # Any other analysis error (bad column, bad location, …)
+            # is permanent: retrying would recompute the full staged
+            # merge max_retries more times and then misreport the
+            # cause as a CAS conflict.
+            if not _is_retryable_race(exc):
+                raise
             last_err = exc
             time.sleep(0.05)
             continue
@@ -168,7 +191,10 @@ def merge_into_table_versioned(
             spark.sql(f"ALTER TABLE {table} RENAME TO {table}__v{version}")
         except AnalysisException as exc:
             # CAS lost: __v{version} taken or live renamed away by a
-            # concurrent winner; recompute against the new head
+            # concurrent winner; recompute against the new head. Other
+            # analysis errors are permanent — surface them.
+            if not _is_retryable_race(exc, allow_exists=True):
+                raise
             last_err = exc
             time.sleep(0.05)
             continue
@@ -192,7 +218,11 @@ def delete_where(spark: SparkSession, table: str, predicate: str) -> None:
     rewrite to affected partitions (filter + dynamic-partition
     overwrite) when the predicate implies them — same file-pruning
     contract as Delta."""
-    kept = spark.table(table).filter(f"NOT ({predicate})")
+    # SQL DELETE removes rows where the predicate is TRUE — a NULL
+    # predicate KEEPS the row. A bare NOT(pred) filter would evaluate
+    # NULL → filtered out, silently deleting rows on any nullable
+    # column; coalesce pins the three-valued logic to SQL's.
+    kept = spark.table(table).filter(f"NOT coalesce(({predicate}), false)")
     publish_snapshot(spark, table, kept)
 
 

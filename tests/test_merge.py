@@ -199,6 +199,51 @@ def test_delete_where_removes_only_matched(spark, frames):
     _cleanup_prefix(spark, "du_t")
 
 
+def test_delete_where_null_predicate_keeps_row(spark):
+    """SQL DELETE removes rows where the predicate is TRUE; a NULL
+    predicate (e.g. a comparison against a NULL column value) keeps
+    the row. A naive NOT(pred) filter would drop it."""
+    from nineinfra_spark.operators.merge import delete_where
+
+    _cleanup_prefix(spark, "du_n")
+    spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0)], "id long, v double"
+    ).write.mode("overwrite").saveAsTable("du_n")
+    delete_where(spark, "du_n", "v > 15.0")
+    got = {r["id"] for r in spark.table("du_n").collect()}
+    # id=3 deleted (v>15 TRUE); id=2 kept (NULL predicate != TRUE)
+    assert got == {1, 2}
+    _cleanup_prefix(spark, "du_n")
+
+
+def test_retryable_race_classifier(spark):
+    """The CAS retry loop must retry ONLY the concurrent-rename race
+    signatures (missing live table; taken archive destination), never
+    permanent analysis errors — pinned here with genuine exceptions
+    captured from the live session, not hand-built strings."""
+    from pyspark.sql.utils import AnalysisException
+
+    from nineinfra_spark.operators.merge import _is_retryable_race
+
+    with pytest.raises(AnalysisException) as not_found:
+        spark.table("no_such_table_xyz_12345")
+    assert _is_retryable_race(not_found.value)
+
+    with pytest.raises(AnalysisException) as bad_col:
+        spark.sql("SELECT no_such_col FROM range(1)").collect()
+    assert not _is_retryable_race(bad_col.value)
+    assert not _is_retryable_race(bad_col.value, allow_exists=True)
+
+    _cleanup_prefix(spark, "clsf_t")
+    spark.range(1).write.saveAsTable("clsf_t")
+    with pytest.raises(AnalysisException) as exists:
+        spark.range(1).write.saveAsTable("clsf_t")  # no overwrite
+    # destination-taken is a race ONLY on the archive-rename CAS path
+    assert _is_retryable_race(exists.value, allow_exists=True)
+    assert not _is_retryable_race(exists.value)
+    _cleanup_prefix(spark, "clsf_t")
+
+
 def test_update_where_scopes_assignments(spark, frames):
     from nineinfra_spark.operators.merge import update_where
 
