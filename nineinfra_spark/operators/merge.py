@@ -162,6 +162,29 @@ def merge_into_table_versioned(
     and retention is a table drop. At 100 TB you bound the archive by
     vacuuming — same operational contract as ``VACUUM`` there."""
     stage = f"{table}__stage_{uuid.uuid4().hex[:12]}"
+    try:
+        return _versioned_merge_loop(
+            spark, table, updates, keys, when_matched, max_retries, stage
+        )
+    except BaseException:
+        # Any propagating failure (permanent analysis error, executor
+        # crash, exhausted CAS) must not leak the staged table —
+        # leaked stages are real storage at scale. After a successful
+        # commit the stage name no longer exists (it was renamed to
+        # the live name), so this drop is a no-op on success paths.
+        spark.sql(f"DROP TABLE IF EXISTS {stage}")
+        raise
+
+
+def _versioned_merge_loop(
+    spark: SparkSession,
+    table: str,
+    updates: DataFrame,
+    keys: Sequence[str],
+    when_matched: str,
+    max_retries: int,
+    stage: str,
+) -> int:
     last_err: Exception | None = None
     for _attempt in range(max_retries + 1):
         # Read the version TOKEN before the base: if a concurrent
@@ -200,7 +223,6 @@ def merge_into_table_versioned(
             continue
         spark.sql(f"ALTER TABLE {stage} RENAME TO {table}")
         return version
-    spark.sql(f"DROP TABLE IF EXISTS {stage}")
     raise MergeConflictError(
         f"merge into {table}: lost the version CAS {max_retries + 1} "
         f"times; last error: {last_err}"

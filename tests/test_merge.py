@@ -244,6 +244,35 @@ def test_retryable_race_classifier(spark):
     _cleanup_prefix(spark, "clsf_t")
 
 
+def test_versioned_merge_failure_leaves_no_stage(spark, monkeypatch):
+    """When the version CAS is exhausted (here: forced by pinning the
+    observed head version to one whose archive slot is already taken),
+    the fully-written stage table must be dropped, not leaked."""
+    from nineinfra_spark.operators import merge as merge_mod
+
+    _cleanup_prefix(spark, "leak_t")
+    spark.createDataFrame([(1, 10.0)], "id long, v double").write.mode(
+        "overwrite"
+    ).saveAsTable("leak_t")
+    # occupy the archive slot the (pinned) CAS will always target
+    spark.range(1).write.saveAsTable("leak_t__v5")
+    monkeypatch.setattr(merge_mod, "list_versions", lambda *_a, **_k: [4])
+    upd = spark.createDataFrame([(2, 20.0)], "id long, v double")
+    with pytest.raises(merge_mod.MergeConflictError):
+        merge_mod.merge_into_table_versioned(
+            spark, "leak_t", upd, ["id"], max_retries=1
+        )
+    stages = [
+        r["tableName"]
+        for r in spark.sql("SHOW TABLES").collect()
+        if r["tableName"].startswith("leak_t__stage_")
+    ]
+    assert stages == []
+    # the live table is untouched by the failed merge
+    assert {r["id"] for r in spark.table("leak_t").collect()} == {1}
+    _cleanup_prefix(spark, "leak_t")
+
+
 def test_update_where_scopes_assignments(spark, frames):
     from nineinfra_spark.operators.merge import update_where
 
