@@ -10,6 +10,7 @@ from nineinfra_spark.operators.merge import (
     merge_into_table_versioned,
     merge_upsert,
     publish_snapshot,
+    recover_published_table,
     update_where,
 )
 from nineinfra_spark.operators.skew import salted_join
@@ -27,6 +28,7 @@ __all__ = [
     "merge_into_table",
     "merge_into_table_versioned",
     "publish_snapshot",
+    "recover_published_table",
     "delete_where",
     "update_where",
     "salted_join",

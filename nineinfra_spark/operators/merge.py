@@ -295,6 +295,42 @@ def publish_snapshot(spark: SparkSession, table: str, snapshot: DataFrame) -> No
     spark.sql(f"DROP TABLE {old}")
 
 
+def recover_published_table(spark: SparkSession, table: str) -> str:
+    """Restore ``table`` after a writer crashed mid-:func:`publish_snapshot`
+    (the log-replay step a manifest-based lakehouse performs on open,
+    collapsed to the three states the rename protocol can leave).
+
+    The commit point is the ``stage → live`` rename, so recovery rolls
+    BACK to the pre-publish snapshot whenever the live name is gone —
+    the interrupted publish never committed, and the caller's retry
+    re-derives it. Returns one of:
+
+    - ``"clean"``        — live table present; stray stage/old dropped.
+    - ``"rolled-back"``  — live was missing (crash between the two
+      renames); ``__merge_old`` restored as live, stage dropped.
+    - ``"rolled-forward"`` — live and old both missing but a complete
+      stage exists (not reachable from the protocol itself; defensive):
+      the stage is promoted so SOME complete state is live.
+
+    Raises :class:`RuntimeError` when nothing recoverable exists."""
+    stage = f"{table}__merge_stage"
+    old = f"{table}__merge_old"
+    if spark.catalog.tableExists(table):
+        spark.sql(f"DROP TABLE IF EXISTS {stage}")
+        spark.sql(f"DROP TABLE IF EXISTS {old}")
+        return "clean"
+    if spark.catalog.tableExists(old):
+        spark.sql(f"ALTER TABLE {old} RENAME TO {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {stage}")
+        return "rolled-back"
+    if spark.catalog.tableExists(stage):
+        spark.sql(f"ALTER TABLE {stage} RENAME TO {table}")
+        return "rolled-forward"
+    raise RuntimeError(
+        f"recover {table}: no live, __merge_old, or __merge_stage table exists"
+    )
+
+
 def list_versions(spark: SparkSession, table: str) -> list[int]:
     """Archived version numbers for ``table``, ascending (the live
     table is not listed — it is 'current')."""

@@ -273,6 +273,82 @@ def test_versioned_merge_failure_leaves_no_stage(spark, monkeypatch):
     _cleanup_prefix(spark, "leak_t")
 
 
+class TestRecoverPublishedTable:
+    """Crash-point recovery for the publish_snapshot rename protocol:
+    every state the protocol can leave is restored to a complete
+    table under the live name."""
+
+    def _fresh(self, spark, name):
+        _cleanup_prefix(spark, name)
+        spark.createDataFrame([(1, "live")], "id long, tag string").write.mode(
+            "overwrite"
+        ).saveAsTable(name)
+
+    def _tags(self, spark, name):
+        return {r["tag"] for r in spark.table(name).collect()}
+
+    def test_clean_drops_strays(self, spark):
+        from nineinfra_spark.operators.merge import recover_published_table
+
+        self._fresh(spark, "rec_a")
+        # crash before the first rename: live intact, stage written
+        spark.createDataFrame([(2, "stage")], "id long, tag string").write.saveAsTable(
+            "rec_a__merge_stage"
+        )
+        assert recover_published_table(spark, "rec_a") == "clean"
+        assert self._tags(spark, "rec_a") == {"live"}
+        assert not spark.catalog.tableExists("rec_a__merge_stage")
+        _cleanup_prefix(spark, "rec_a")
+
+    def test_rolled_back_between_renames(self, spark):
+        from nineinfra_spark.operators.merge import recover_published_table
+
+        self._fresh(spark, "rec_b")
+        spark.createDataFrame([(2, "stage")], "id long, tag string").write.saveAsTable(
+            "rec_b__merge_stage"
+        )
+        # crash between rename live->old and rename stage->live
+        spark.sql("ALTER TABLE rec_b RENAME TO rec_b__merge_old")
+        assert recover_published_table(spark, "rec_b") == "rolled-back"
+        # the interrupted publish never committed: pre-publish state is live
+        assert self._tags(spark, "rec_b") == {"live"}
+        assert not spark.catalog.tableExists("rec_b__merge_stage")
+        assert not spark.catalog.tableExists("rec_b__merge_old")
+        _cleanup_prefix(spark, "rec_b")
+
+    def test_clean_after_commit_drops_old(self, spark):
+        from nineinfra_spark.operators.merge import recover_published_table
+
+        self._fresh(spark, "rec_c")
+        # crash after the commit rename but before DROP old
+        spark.sql("ALTER TABLE rec_c RENAME TO rec_c__merge_old")
+        spark.createDataFrame([(2, "new")], "id long, tag string").write.saveAsTable(
+            "rec_c"
+        )
+        assert recover_published_table(spark, "rec_c") == "clean"
+        assert self._tags(spark, "rec_c") == {"new"}
+        assert not spark.catalog.tableExists("rec_c__merge_old")
+        _cleanup_prefix(spark, "rec_c")
+
+    def test_rolled_forward_stage_only(self, spark):
+        from nineinfra_spark.operators.merge import recover_published_table
+
+        _cleanup_prefix(spark, "rec_d")
+        spark.createDataFrame([(2, "stage")], "id long, tag string").write.saveAsTable(
+            "rec_d__merge_stage"
+        )
+        assert recover_published_table(spark, "rec_d") == "rolled-forward"
+        assert self._tags(spark, "rec_d") == {"stage"}
+        _cleanup_prefix(spark, "rec_d")
+
+    def test_nothing_to_recover_raises(self, spark):
+        from nineinfra_spark.operators.merge import recover_published_table
+
+        _cleanup_prefix(spark, "rec_e")
+        with pytest.raises(RuntimeError, match="no live"):
+            recover_published_table(spark, "rec_e")
+
+
 def test_update_where_scopes_assignments(spark, frames):
     from nineinfra_spark.operators.merge import update_where
 
