@@ -355,6 +355,10 @@ def vacuum_versions(spark: SparkSession, table: str, keep: int) -> list[int]:
     """Drop all but the newest ``keep`` archived versions; returns the
     dropped version numbers (retention enforcement — the VACUUM half
     of the time-travel contract)."""
+    if keep < 0:
+        # a negative keep would silently slice from the WRONG end
+        # (versions[:-keep] == versions[:abs(keep)] — oldest-first)
+        raise ValueError(f"vacuum {table}: keep must be >= 0, got {keep}")
     versions = list_versions(spark, table)
     drop = versions[:-keep] if keep > 0 else versions
     for v in drop:

@@ -125,6 +125,12 @@ def test_versioned_merge_time_travel_and_vacuum(spark, frames):
     v = merge_into_table_versioned(spark, "tt_t", updates.limit(1), ["id"])
     assert v == 2
     assert list_versions(spark, "tt_t") == [1, 2]
+
+    # a negative keep is a caller error, not "keep from the other end"
+    with pytest.raises(ValueError, match="keep must be >= 0"):
+        vacuum_versions(spark, "tt_t", keep=-1)
+    assert list_versions(spark, "tt_t") == [1, 2]  # nothing dropped
+
     for tbl in ("tt_t", "tt_t__v1", "tt_t__v2"):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
