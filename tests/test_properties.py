@@ -163,3 +163,52 @@ def test_shingle_count_property(spark, text, n):
     )
     assert r["nsh"] >= 0  # size() of NULL would be -1
     assert r["nsh"] <= max(r["ntok"] - n + 1, 0)
+
+
+MERGE_ROWS = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(min_value=-3, max_value=3)),
+        st.integers(min_value=0, max_value=9),
+    ),
+    min_size=0,
+    max_size=8,
+)
+
+
+@SETTINGS
+@given(base=MERGE_ROWS, upd=MERGE_ROWS, mode=st.sampled_from(["update", "ignore", "delete"]))
+def test_merge_upsert_matches_model(spark, base, upd, mode):
+    """merge_upsert against a Python bag model of ANSI MERGE for all
+    three when_matched modes, including NULL keys (SQL equality:
+    NULL never matches, so NULL-keyed base rows survive update/delete
+    and NULL-keyed update rows always insert)."""
+    from nineinfra_spark.operators.merge import merge_upsert
+
+    # duplicate update keys are the caller's bug per contract — dedupe
+    seen, upd_unique = set(), []
+    for k, v in upd:
+        if k not in seen or k is None:
+            seen.add(k)
+            upd_unique.append((k, v))
+    schema = "k int, v int"
+    bdf = spark.createDataFrame(base, schema) if base else spark.createDataFrame([], schema)
+    udf_ = (
+        spark.createDataFrame(upd_unique, schema)
+        if upd_unique
+        else spark.createDataFrame([], schema)
+    )
+
+    upd_keys = {k for k, _ in upd_unique if k is not None}
+    base_keys = {k for k, _ in base if k is not None}
+    if mode == "update":
+        want = [r for r in base if r[0] is None or r[0] not in upd_keys] + upd_unique
+    elif mode == "ignore":
+        want = base + [r for r in upd_unique if r[0] is None or r[0] not in base_keys]
+    else:  # delete
+        want = [r for r in base if r[0] is None or r[0] not in upd_keys]
+
+    got = sorted(
+        map(tuple, merge_upsert(bdf, udf_, ["k"], when_matched=mode).collect()),
+        key=lambda t: (t[0] is None, t[0], t[1]),
+    )
+    assert got == sorted(want, key=lambda t: (t[0] is None, t[0], t[1]))
