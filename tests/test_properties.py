@@ -260,3 +260,51 @@ def test_delete_where_matches_duckdb(spark, rows, pred):
     con.close()
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),
+            st.one_of(st.none(), st.integers(min_value=-3, max_value=3)),
+        ),
+        min_size=0,
+        max_size=8,
+    ),
+    pred=st.sampled_from(["v > 1", "v = 0", "v <> 1", "v IS NULL"]),
+)
+def test_update_where_matches_duckdb(spark, rows, pred):
+    """update_where differentially against DuckDB's real UPDATE: a
+    NULL predicate leaves the row unchanged, assignments see the
+    pre-update row, unmatched rows pass through bit-identical."""
+    import duckdb
+
+    from nineinfra_spark.operators.merge import update_where
+
+    tbl = "pp_upd_t"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}__merge_stage")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}__merge_old")
+    schema = "id int, v int"
+    df = spark.createDataFrame(rows, schema) if rows else spark.createDataFrame([], schema)
+    df.write.mode("overwrite").saveAsTable(tbl)
+    update_where(spark, tbl, pred, {"v": "v * 10 + 1"})
+    got = sorted(map(tuple, spark.table(tbl).collect()), key=lambda t: (t[0], t[1] is None, t[1]))
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id INTEGER, v INTEGER)")
+    if rows:
+        con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    con.execute(f"UPDATE t SET v = v * 10 + 1 WHERE {pred}")
+    want = sorted(
+        map(tuple, con.execute("SELECT id, v FROM t").fetchall()),
+        key=lambda t: (t[0], t[1] is None, t[1]),
+    )
+    con.close()
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    assert got == want
