@@ -183,7 +183,18 @@ class Engine:
             if cfg.thrift_auth_users is not None:
                 from nineinfra_spark.thrift_auth import prepare_thrift_auth
 
-                workdir = f"/tmp/nineinfra_thrift_auth_{os.getpid()}"
+                # The workdir feeds the driver classpath and holds the
+                # credential file: a predictable shared /tmp path could
+                # be pre-created by another local user (classpath
+                # injection). Engine-owned warehouse dir when we have
+                # one; otherwise an unpredictable mkdtemp (0700) —
+                # secure_workdir() re-verifies ownership either way.
+                if cfg.warehouse_dir:
+                    workdir = os.path.join(cfg.warehouse_dir, "_thrift_auth")
+                else:
+                    import tempfile
+
+                    workdir = tempfile.mkdtemp(prefix="nineinfra_thrift_auth_")
                 for k, v in prepare_thrift_auth(
                     workdir, cfg.thrift_auth_users
                 ).items():

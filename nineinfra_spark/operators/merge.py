@@ -162,17 +162,23 @@ def merge_into_table_versioned(
     and retention is a table drop. At 100 TB you bound the archive by
     vacuuming — same operational contract as ``VACUUM`` there."""
     stage = f"{table}__stage_{uuid.uuid4().hex[:12]}"
+    state = {"past_cas": False}
     try:
         return _versioned_merge_loop(
-            spark, table, updates, keys, when_matched, max_retries, stage
+            spark, table, updates, keys, when_matched, max_retries, stage, state
         )
     except BaseException:
-        # Any propagating failure (permanent analysis error, executor
-        # crash, exhausted CAS) must not leak the staged table —
-        # leaked stages are real storage at scale. After a successful
-        # commit the stage name no longer exists (it was renamed to
-        # the live name), so this drop is a no-op on success paths.
-        spark.sql(f"DROP TABLE IF EXISTS {stage}")
+        # Any propagating failure BEFORE the archive CAS (permanent
+        # analysis error, executor crash, exhausted CAS) must not leak
+        # the staged table — leaked stages are real storage at scale.
+        # AFTER the archive CAS the merge is committed-in-progress: the
+        # live name is already gone and the stage is the ONLY complete
+        # merged copy, so dropping it would destroy the table — the
+        # loop's own roll-forward/roll-back has then either restored a
+        # live table (clearing past_cas) or deliberately left the stage
+        # for :func:`recover_versioned_table`.
+        if not state["past_cas"]:
+            spark.sql(f"DROP TABLE IF EXISTS {stage}")
         raise
 
 
@@ -184,6 +190,7 @@ def _versioned_merge_loop(
     when_matched: str,
     max_retries: int,
     stage: str,
+    state: dict,
 ) -> int:
     last_err: Exception | None = None
     for _attempt in range(max_retries + 1):
@@ -221,12 +228,54 @@ def _versioned_merge_loop(
             last_err = exc
             time.sleep(0.05)
             continue
-        spark.sql(f"ALTER TABLE {stage} RENAME TO {table}")
+        # Archive CAS won: the live name is gone and this writer's
+        # stage is the only complete merged snapshot — from here the
+        # merge is committed-in-progress and must roll FORWARD, never
+        # lose the stage.
+        state["past_cas"] = True
+        try:
+            spark.sql(f"ALTER TABLE {stage} RENAME TO {table}")
+        except BaseException as publish_exc:
+            _finish_after_cas(spark, table, stage, version, state, publish_exc)
         return version
     raise MergeConflictError(
         f"merge into {table}: lost the version CAS {max_retries + 1} "
         f"times; last error: {last_err}"
     )
+
+
+def _finish_after_cas(
+    spark: SparkSession,
+    table: str,
+    stage: str,
+    version: int,
+    state: dict,
+    publish_exc: BaseException,
+) -> None:
+    """The stage → live rename failed AFTER the archive CAS renamed the
+    live table away. The merge is committed-in-progress: try once more
+    to roll FORWARD (publish the stage); failing that, roll BACK by
+    renaming the ``__v{version}`` archive back to the live name (the
+    merge never becomes visible and the caller's retry re-derives it).
+    Only when the rollback restores a live table is it safe for the
+    caller's cleanup to drop the stage (``past_cas`` cleared); if even
+    the rollback fails the stage is left in place as the one complete
+    merged copy for :func:`recover_versioned_table` to promote."""
+    try:
+        spark.sql(f"ALTER TABLE {stage} RENAME TO {table}")
+        return  # roll-forward retry succeeded — merge committed
+    except BaseException:
+        pass
+    try:
+        spark.sql(f"ALTER TABLE {table}__v{version} RENAME TO {table}")
+    except BaseException:
+        raise RuntimeError(
+            f"merge into {table}: publish failed after the archive CAS and "
+            f"rollback of {table}__v{version} also failed; the merged "
+            f"snapshot survives as {stage} — run recover_versioned_table"
+        ) from publish_exc
+    state["past_cas"] = False  # live restored; stage is now disposable
+    raise publish_exc
 
 
 def delete_where(spark: SparkSession, table: str, predicate: str) -> None:
@@ -276,12 +325,15 @@ def update_where(
 
 
 def publish_snapshot(spark: SparkSession, table: str, snapshot: DataFrame) -> None:
-    """Atomically (for readers) replace ``table`` with ``snapshot``
-    via the rename-first swap: write to a stage table, rename
-    live → ``__old``, stage → live, drop ``__old``. Unlike
-    drop-then-rename there is no window where the live NAME resolves
-    to nothing, and a failure at any step leaves a complete table
-    recoverable under a known name (``__old`` or the stage).
+    """Replace ``table`` with ``snapshot`` via the rename-first swap:
+    write to a stage table, rename live → ``__old``, stage → live,
+    drop ``__old``. A brief window remains where the live NAME does
+    not resolve (between the two renames — a concurrent reader there
+    sees TABLE_OR_VIEW_NOT_FOUND, same as drop-then-rename); the
+    guarantee rename-first adds is CRASH RECOVERABILITY, not reader
+    atomicity: a failure at any step leaves a complete table under a
+    name :func:`recover_published_table` knows (``__old`` or the
+    stage), so no crash can lose the data.
 
     This is the publish primitive the streaming snapshot/index
     maintainers share with :func:`merge_into_table`."""
@@ -328,6 +380,68 @@ def recover_published_table(spark: SparkSession, table: str) -> str:
         return "rolled-forward"
     raise RuntimeError(
         f"recover {table}: no live, __merge_old, or __merge_stage table exists"
+    )
+
+
+def _list_merge_stages(spark: SparkSession, table: str) -> list[str]:
+    """Orphan ``{table}__stage_{12-hex}`` tables left by crashed
+    versioned merges, fully qualified like ``table``."""
+    db, _, name = table.rpartition(".")
+    prefix = f"{name}__stage_"
+    rows = spark.sql(f"SHOW TABLES IN {db}" if db else "SHOW TABLES").collect()
+    out = []
+    for r in rows:
+        tn = r["tableName"]
+        suffix = tn[len(prefix):]
+        if tn.startswith(prefix) and len(suffix) == 12 and all(
+            c in "0123456789abcdef" for c in suffix
+        ):
+            out.append(f"{db}.{tn}" if db else tn)
+    return sorted(out)
+
+
+def recover_versioned_table(spark: SparkSession, table: str) -> str:
+    """Restore ``table`` after a writer crashed mid-
+    :func:`merge_into_table_versioned` — the states the versioned
+    protocol can leave that :func:`recover_published_table` cannot see
+    (uuid-suffixed ``__stage_*`` names and ``__v{n}`` archives instead
+    of the fixed ``__merge_stage``/``__merge_old`` pair).
+
+    The archive CAS (live → ``__v{n}``) is the commit point: once it
+    succeeds the writer's fully-written stage is the intended new
+    state, so recovery prefers rolling FORWARD. Returns one of:
+
+    - ``"clean"``          — live present; orphan ``__stage_*`` dropped
+      (they are uncommitted attempts — their writers never won the CAS
+      or already rolled back).
+    - ``"rolled-forward"`` — live missing and exactly ONE complete
+      orphan stage exists: it is the CAS winner's merged snapshot
+      (stages are fully written BEFORE the CAS is attempted), so it is
+      promoted to the live name.
+    - ``"rolled-back"``    — live missing and zero or several orphan
+      stages (the winner cannot be identified): the newest ``__v{n}``
+      archive is renamed back to the live name — the interrupted merge
+      never becomes visible and a retry re-derives it — and the orphan
+      stages are dropped.
+
+    Raises :class:`RuntimeError` when nothing recoverable exists."""
+    stages = _list_merge_stages(spark, table)
+    if spark.catalog.tableExists(table):
+        for s in stages:
+            spark.sql(f"DROP TABLE IF EXISTS {s}")
+        return "clean"
+    if len(stages) == 1:
+        spark.sql(f"ALTER TABLE {stages[0]} RENAME TO {table}")
+        return "rolled-forward"
+    versions = list_versions(spark, table)
+    if versions:
+        spark.sql(f"ALTER TABLE {table}__v{versions[-1]} RENAME TO {table}")
+        for s in stages:
+            spark.sql(f"DROP TABLE IF EXISTS {s}")
+        return "rolled-back"
+    raise RuntimeError(
+        f"recover {table}: no live table, no unambiguous stage, and no "
+        f"__v{{n}} archive to restore"
     )
 
 

@@ -54,6 +54,7 @@ import base64
 import binascii
 import json
 import threading
+from collections import OrderedDict
 from collections.abc import Callable
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -64,6 +65,14 @@ DEFAULT_FETCH_LIMIT = 1000
 #: exists to stop careless driver materialization, so the client must
 #: not be able to raise it past this.
 MAX_FETCH_LIMIT = 10_000
+
+#: Cap on live ``X-Session-Id`` sessions per gateway. The header is
+#: client-controlled, so an unbounded registry lets one client cycling
+#: random ids grow driver memory without limit; past the cap the
+#: least-recently-USED id is evicted (its temp views and conf are
+#: dropped — a returning client gets a fresh clone, the same contract
+#: as a gateway-side idle-session timeout).
+MAX_SESSIONS = 64
 
 
 def _json_default(v):
@@ -95,6 +104,10 @@ class _Handler(BaseHTTPRequestHandler):
             if sess is None:
                 sess = self.spark.newSession()
                 self.sessions[sid] = sess
+                while len(self.sessions) > MAX_SESSIONS:
+                    self.sessions.popitem(last=False)  # LRU eviction
+            else:
+                self.sessions.move_to_end(sid)
         return sess
 
     def _reply(self, code: int, payload: dict) -> None:
@@ -229,7 +242,7 @@ def start_rest_gateway(
         {
             "spark": spark,
             "auth": auth,
-            "sessions": {},
+            "sessions": OrderedDict(),
             "sessions_lock": threading.Lock(),
         },
     )

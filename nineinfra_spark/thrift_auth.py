@@ -62,11 +62,35 @@ def _thriftserver_jar() -> str:
     return jars[0]
 
 
+def secure_workdir(path: str) -> str:
+    """Create (or validate) the auth workdir as an EXCLUSIVELY-OWNED
+    0700 directory. The directory feeds ``spark.driver.extraClassPath``
+    and holds the credential file, so a pre-created world/group-writable
+    or foreign-owned directory is a classpath-injection / credential-
+    disclosure vector on a shared host — reject it loudly instead of
+    reusing whatever jar/hive-site/users file an attacker planted."""
+    os.makedirs(path, mode=0o700, exist_ok=True)
+    st = os.stat(path)
+    if st.st_uid != os.getuid():
+        raise RuntimeError(
+            f"thrift-auth workdir {path} is owned by uid {st.st_uid}, "
+            f"not us (uid {os.getuid()}); refusing to load jars from it"
+        )
+    if st.st_mode & 0o022:
+        raise RuntimeError(
+            f"thrift-auth workdir {path} is group/other-writable "
+            f"(mode {oct(st.st_mode & 0o777)}); refusing to load jars from it"
+        )
+    return path
+
+
 def build_auth_jar(workdir: str) -> str:
     """Compile ``NineAuthProvider.java`` against Spark's thriftserver
     jar into ``<workdir>/nineauth.jar`` (content-cached: recompiles
-    only when the source hash changes). Returns the jar path."""
-    os.makedirs(workdir, exist_ok=True)
+    only when the source hash changes). Returns the jar path. The
+    workdir must pass :func:`secure_workdir` — a cached jar is only
+    reused from a directory we exclusively own."""
+    secure_workdir(workdir)
     with open(_JAVA_SRC, "rb") as f:
         src_hash = hashlib.md5(f.read()).hexdigest()[:12]
     jar = os.path.join(workdir, f"nineauth-{src_hash}.jar")

@@ -308,3 +308,33 @@ def test_thrift_custom_auth_enforced_on_wire():
         f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-3000:]}"
     )
     assert "THRIFT_AUTH_OK" in proc.stdout
+
+
+def test_secure_workdir_rejects_unsafe_dirs(tmp_path):
+    """ADVICE r7: the thrift-auth workdir feeds the driver classpath —
+    a group/other-writable or foreign-owned directory must be refused,
+    never silently reused (classpath-injection vector on shared hosts)."""
+    import os
+
+    import pytest
+
+    from nineinfra_spark.thrift_auth import secure_workdir
+
+    # fresh dir: created 0700 and accepted
+    good = tmp_path / "auth_wd"
+    assert secure_workdir(str(good)) == str(good)
+    assert (os.stat(good).st_mode & 0o777) == 0o700
+
+    # pre-created world-writable dir (the attack): refused
+    bad = tmp_path / "planted"
+    bad.mkdir(mode=0o777)
+    os.chmod(bad, 0o777)  # mkdir honors umask; force the mode
+    with pytest.raises(RuntimeError, match="writable"):
+        secure_workdir(str(bad))
+
+    # group-writable is enough to refuse
+    gw = tmp_path / "groupw"
+    gw.mkdir()
+    os.chmod(gw, 0o720)
+    with pytest.raises(RuntimeError, match="writable"):
+        secure_workdir(str(gw))

@@ -378,3 +378,177 @@ def test_update_where_rejects_unknown_column(spark, frames):
     with pytest.raises(ValueError, match="not in"):
         update_where(spark, "du_x", "id = 1", {"nope": "1"})
     _cleanup_prefix(spark, "du_x")
+
+
+class _FailingRenames:
+    """SparkSession proxy that fails the first ``n_failures`` SQL
+    statements matching ``pattern`` (everything else passes through) —
+    simulates a crash/transient fault at an exact protocol step."""
+
+    def __init__(self, spark, pattern, n_failures):
+        self._spark = spark
+        self._pattern = pattern
+        self._left = n_failures
+        self.failed = 0
+
+    def sql(self, stmt, *a, **k):
+        if self._pattern in stmt and self._left > 0:
+            self._left -= 1
+            self.failed += 1
+            raise RuntimeError(f"injected fault at: {stmt}")
+        return self._spark.sql(stmt, *a, **k)
+
+    def __getattr__(self, name):
+        return getattr(self._spark, name)
+
+
+def test_versioned_merge_rolls_forward_on_transient_publish_fault(spark, frames):
+    """ADVICE r7 (medium): after the archive CAS the merge is
+    committed-in-progress — a transient failure of the stage→live
+    rename must be retried forward, committing the merge."""
+    from nineinfra_spark.operators import merge as merge_mod
+
+    base, upd = frames
+    _cleanup_prefix(spark, "cw_f")
+    base.write.mode("overwrite").saveAsTable("cw_f")
+    # target precisely the stage→live rename: stage names are
+    # cw_f__stage_<hex>, so match only statements that start with the
+    # stage table and end with the live name
+    class P(_FailingRenames):
+        def sql(self, stmt, *a, **k):
+            if (
+                stmt.startswith("ALTER TABLE cw_f__stage_")
+                and stmt.rstrip().endswith("RENAME TO cw_f")
+                and self._left > 0
+            ):
+                self._left -= 1
+                self.failed += 1
+                raise RuntimeError(f"injected fault at: {stmt}")
+            return self._spark.sql(stmt, *a, **k)
+
+    proxy = P(spark, "", 1)
+    v = merge_mod.merge_into_table_versioned(proxy, "cw_f", upd, ["id"])
+    assert proxy.failed == 1  # the fault really fired
+    assert v == 0
+    # merge committed: live carries the merged rows, archive holds v0
+    assert _by_id(spark.table("cw_f")) == {
+        1: ("a", 10.0), 2: ("B", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)
+    }
+    assert _by_id(spark.table("cw_f__v0")) == {
+        1: ("a", 10.0), 2: ("b", 20.0), 3: ("c", 30.0)
+    }
+    stages = [
+        r["tableName"]
+        for r in spark.sql("SHOW TABLES").collect()
+        if r["tableName"].startswith("cw_f__stage_")
+    ]
+    assert stages == []
+    _cleanup_prefix(spark, "cw_f")
+
+
+def test_versioned_merge_rolls_back_on_persistent_publish_fault(spark, frames):
+    """If even the roll-forward retry fails, the archive must be
+    renamed back to the live name (merge never visible, nothing lost)
+    and the stage must not leak."""
+    from nineinfra_spark.operators import merge as merge_mod
+
+    base, upd = frames
+    _cleanup_prefix(spark, "cw_b")
+    base.write.mode("overwrite").saveAsTable("cw_b")
+
+    class P(_FailingRenames):
+        def sql(self, stmt, *a, **k):
+            if (
+                stmt.startswith("ALTER TABLE cw_b__stage_")
+                and stmt.rstrip().endswith("RENAME TO cw_b")
+                and self._left > 0
+            ):
+                self._left -= 1
+                self.failed += 1
+                raise RuntimeError(f"injected fault at: {stmt}")
+            return self._spark.sql(stmt, *a, **k)
+
+    proxy = P(spark, "", 99)  # stage→live can never succeed
+    with pytest.raises(RuntimeError, match="injected fault"):
+        merge_mod.merge_into_table_versioned(proxy, "cw_b", upd, ["id"])
+    assert proxy.failed == 2  # initial publish + one roll-forward retry
+    # rollback restored the pre-merge state under the live name
+    assert _by_id(spark.table("cw_b")) == {
+        1: ("a", 10.0), 2: ("b", 20.0), 3: ("c", 30.0)
+    }
+    assert not spark.catalog.tableExists("cw_b__v0")
+    stages = [
+        r["tableName"]
+        for r in spark.sql("SHOW TABLES").collect()
+        if r["tableName"].startswith("cw_b__stage_")
+    ]
+    assert stages == []  # rollback succeeded → stage disposed
+    _cleanup_prefix(spark, "cw_b")
+
+
+class TestRecoverVersionedTable:
+    """Open-time recovery for the versioned-merge protocol — the
+    uuid-stage + __v{n} states recover_published_table cannot see
+    (ADVICE r7 medium)."""
+
+    def _fresh(self, spark, name):
+        _cleanup_prefix(spark, name)
+        spark.createDataFrame([(1, "live")], "id long, tag string").write.mode(
+            "overwrite"
+        ).saveAsTable(name)
+
+    def _tags(self, spark, name):
+        return {r["tag"] for r in spark.table(name).collect()}
+
+    def test_clean_drops_orphan_stages(self, spark):
+        from nineinfra_spark.operators.merge import recover_versioned_table
+
+        self._fresh(spark, "rv_a")
+        spark.createDataFrame([(2, "stage")], "id long, tag string").write.saveAsTable(
+            "rv_a__stage_" + "a" * 12
+        )
+        assert recover_versioned_table(spark, "rv_a") == "clean"
+        assert self._tags(spark, "rv_a") == {"live"}
+        assert not spark.catalog.tableExists("rv_a__stage_" + "a" * 12)
+        _cleanup_prefix(spark, "rv_a")
+
+    def test_rolled_forward_single_stage(self, spark):
+        """Crash between archive CAS and stage→live: live gone, one
+        complete stage — promote it (the merge WAS committed)."""
+        from nineinfra_spark.operators.merge import recover_versioned_table
+
+        self._fresh(spark, "rv_b")
+        spark.createDataFrame([(2, "merged")], "id long, tag string").write.saveAsTable(
+            "rv_b__stage_" + "b" * 12
+        )
+        spark.sql("ALTER TABLE rv_b RENAME TO rv_b__v0")  # the archive CAS
+        assert recover_versioned_table(spark, "rv_b") == "rolled-forward"
+        assert self._tags(spark, "rv_b") == {"merged"}
+        assert self._tags(spark, "rv_b__v0") == {"live"}  # archive kept
+        _cleanup_prefix(spark, "rv_b")
+
+    def test_rolled_back_ambiguous_stages(self, spark):
+        """Live gone but TWO orphan stages (concurrent crashed writers)
+        — the winner can't be identified, so the newest archive is
+        restored and both stages dropped."""
+        from nineinfra_spark.operators.merge import recover_versioned_table
+
+        self._fresh(spark, "rv_c")
+        for s in ("c" * 12, "d" * 12):
+            spark.createDataFrame(
+                [(2, "stage")], "id long, tag string"
+            ).write.saveAsTable(f"rv_c__stage_{s}")
+        spark.sql("ALTER TABLE rv_c RENAME TO rv_c__v3")
+        assert recover_versioned_table(spark, "rv_c") == "rolled-back"
+        assert self._tags(spark, "rv_c") == {"live"}
+        assert not spark.catalog.tableExists("rv_c__v3")
+        for s in ("c" * 12, "d" * 12):
+            assert not spark.catalog.tableExists(f"rv_c__stage_{s}")
+        _cleanup_prefix(spark, "rv_c")
+
+    def test_nothing_to_recover_raises(self, spark):
+        from nineinfra_spark.operators.merge import recover_versioned_table
+
+        _cleanup_prefix(spark, "rv_e")
+        with pytest.raises(RuntimeError, match="no live"):
+            recover_versioned_table(spark, "rv_e")

@@ -374,3 +374,41 @@ class TestSessionIsolation:
         with concurrent.futures.ThreadPoolExecutor(max_workers=2) as ex:
             futs = [ex.submit(client, "s1", 111), ex.submit(client, "s2", 222)]
             assert all(f.result() for f in futs)
+
+
+class TestSessionRegistryEviction:
+    """ADVICE r7: X-Session-Id is client-controlled, so the per-gateway
+    session registry must be bounded — LRU eviction past MAX_SESSIONS,
+    with recently-used ids surviving."""
+
+    def test_registry_bounded_under_id_cycling(self, rest):
+        from nineinfra_spark.rest import MAX_SESSIONS
+
+        handler = rest._server.RequestHandlerClass
+        start = len(handler.sessions)
+        for i in range(MAX_SESSIONS + 20):
+            _post(rest, {"sql": "SELECT 1 AS one"}, session=f"cycle-{i}")
+        assert len(handler.sessions) <= MAX_SESSIONS
+        # the most recent ids are the survivors
+        assert f"cycle-{MAX_SESSIONS + 19}" in handler.sessions
+        assert "cycle-0" not in handler.sessions
+        assert start <= MAX_SESSIONS  # sanity: never was unbounded
+
+    def test_recently_used_id_survives_cycling(self, rest):
+        from nineinfra_spark.rest import MAX_SESSIONS
+
+        handler = rest._server.RequestHandlerClass
+        _post(
+            rest,
+            {"sql": "CREATE OR REPLACE TEMP VIEW tv_lru AS SELECT 7 AS x"},
+            session="keepme",
+        )
+        # touch "keepme" between bursts so it stays most-recently-used
+        for i in range(MAX_SESSIONS - 2):
+            _post(rest, {"sql": "SELECT 1 AS one"}, session=f"burst-a-{i}")
+        _post(rest, {"sql": "SELECT x FROM tv_lru"}, session="keepme")
+        for i in range(MAX_SESSIONS - 2):
+            _post(rest, {"sql": "SELECT 1 AS one"}, session=f"burst-b-{i}")
+        assert "keepme" in handler.sessions
+        out = _post(rest, {"sql": "SELECT x FROM tv_lru"}, session="keepme")
+        assert out["rows"] == [[7]]
