@@ -60,6 +60,18 @@ def _is_retryable_race(exc: AnalysisException, allow_exists: bool = False) -> bo
     return False
 
 
+def _is_concurrent_scan_race(exc: BaseException) -> bool:
+    """True iff ``exc`` is the EXECUTOR-side signature of a concurrent
+    writer's rename: ``ALTER TABLE RENAME`` on a managed table MOVES
+    its directory, so a scan that resolved the old file list mid-read
+    dies with FileNotFoundException (Spark 4 error class
+    FAILED_READ_FILE.FILE_NOT_EXIST) rather than an AnalysisException.
+    Same race as a missing table name, one phase later — safe to
+    re-read and retry."""
+    s = str(exc)
+    return "FileNotFoundException" in s or "FILE_NOT_EXIST" in s
+
+
 def merge_upsert(
     base: DataFrame,
     updates: DataFrame,
@@ -213,6 +225,17 @@ def _versioned_merge_loop(
             # merge max_retries more times and then misreport the
             # cause as a CAS conflict.
             if not _is_retryable_race(exc):
+                raise
+            last_err = exc
+            time.sleep(0.05)
+            continue
+        except Exception as exc:
+            # A concurrent writer's rename can also strike DURING the
+            # staged write's scan of the base (managed-table rename
+            # moves the directory out from under resolved file paths)
+            # — an executor-side FileNotFoundException, not an
+            # AnalysisException. Same race, one phase later: re-read.
+            if not _is_concurrent_scan_race(exc):
                 raise
             last_err = exc
             time.sleep(0.05)
