@@ -93,6 +93,11 @@ class EngineConfig:
     # protocol on this port (0 = OS-assigned; read back via
     # ``Engine.mysql_gateway.port``).
     mysql_port: int | None = None
+    # MySQL-frontend auth: name of the salted-MD5 users table (same
+    # store as ``rest_auth_table``); enforced via AuthSwitch to
+    # mysql_clear_password. None = open frontend (the Doris default
+    # root/"" model, ``doris.go:26-27``).
+    mysql_auth_table: str | None = None
     # 64 MB: small-side tables up to this size replicate instead of shuffling.
     broadcast_threshold: str = "64m"
     # Cap bytes per input split so one task's scan fits executor memory
@@ -221,7 +226,14 @@ class Engine:
         if cfg.mysql_port is not None:
             from nineinfra_spark.mysql_wire import start_mysql_gateway
 
-            self.mysql_gateway = start_mysql_gateway(self._spark, cfg.mysql_port)
+            mysql_auth = None
+            if cfg.mysql_auth_table is not None:
+                from nineinfra_spark.auth import UserStore
+
+                mysql_auth = UserStore(self._spark, table=cfg.mysql_auth_table)
+            self.mysql_gateway = start_mysql_gateway(
+                self._spark, cfg.mysql_port, auth=mysql_auth
+            )
         return self
 
     def close(self) -> None:

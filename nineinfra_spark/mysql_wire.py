@@ -13,10 +13,18 @@ protocol — the subset every driver needs to connect and query):
 
 - HandshakeV10 greeting / HandshakeResponse41 parse (CLIENT_PROTOCOL_41
   required, as in every modern client);
-- authentication mirrors the Doris default: any username accepted,
-  like ``root`` with empty password (``doris.go:26-27``) — the
-  platform's real user model lives on the gateway tier
-  (``auth.py`` + REST HTTP Basic);
+- authentication: with ``auth=None`` it mirrors the Doris default —
+  any username accepted, like ``root`` with empty password
+  (``doris.go:26-27``). With an ``auth`` validator (typically
+  :class:`nineinfra_spark.auth.UserStore`, the reference's salted-MD5
+  users table, ``kyuubi.go:55-64``) the server issues an
+  AuthSwitchRequest to ``mysql_clear_password`` and verifies the
+  cleartext against the store — the standard MySQL plugin for servers
+  whose credential store is not SHA1-based (LDAP/PAM/RDS deployments
+  do exactly this); ``mysql_native_password``'s challenge-response
+  needs SHA1(password) material the salted-MD5 store deliberately
+  never keeps. Failure → ERR 1045 (SQLSTATE 28000), as real servers
+  emit;
 - ``COM_QUERY`` → ``spark.sql`` → text resultset (column-definition
   packets, classic EOF framing, length-encoded row values — every
   value rendered as text, NULL as 0xFB, the canonical lowest common
@@ -72,10 +80,17 @@ def _lenenc_str(s: bytes) -> bytes:
 class _Conn:
     """One client connection: packet framing + the command loop."""
 
-    def __init__(self, sock: socket.socket, spark: SparkSession, conn_id: int):
+    def __init__(
+        self,
+        sock: socket.socket,
+        spark: SparkSession,
+        conn_id: int,
+        auth=None,
+    ):
         self._sock = sock
         self._spark = spark
         self._conn_id = conn_id
+        self._auth = auth  # (username, password) -> bool, or None = open
         self._seq = 0
 
     # -- framing -----------------------------------------------------------
@@ -131,9 +146,11 @@ class _Conn:
             b"\xfe" + struct.pack("<H", 0) + struct.pack("<H", _STATUS_AUTOCOMMIT)
         )
 
-    def _send_err(self, message: str, code: int = 1064) -> None:
+    def _send_err(
+        self, message: str, code: int = 1064, sqlstate: bytes = b"42000"
+    ) -> None:
         self._send_packet(
-            b"\xff" + struct.pack("<H", code) + b"#42000"
+            b"\xff" + struct.pack("<H", code) + b"#" + sqlstate
             + message.encode("utf-8", "replace")[:1000]
         )
 
@@ -162,8 +179,27 @@ class _Conn:
         if not caps & CLIENT_PROTOCOL_41:
             self._send_err("CLIENT_PROTOCOL_41 required")
             return False
-        # username (NUL-terminated after the fixed 32-byte prefix) is
-        # accepted as-is — the Doris-default root/"" model (doris.go:26-27)
+        # username: NUL-terminated after the fixed 32-byte prefix
+        nul = resp.find(b"\x00", 32)
+        username = resp[32:nul if nul != -1 else len(resp)].decode(
+            "utf-8", "replace"
+        )
+        if self._auth is None:
+            # the Doris-default root/"" model (doris.go:26-27)
+            self._send_ok()
+            return True
+        # AuthSwitchRequest → mysql_clear_password: the salted-MD5
+        # store can verify cleartext, never a SHA1 challenge-response
+        self._send_packet(b"\xfe" + b"mysql_clear_password\x00" + b"\x00")
+        pw_raw = self._read_packet()
+        password = pw_raw.rstrip(b"\x00").decode("utf-8", "replace")
+        if not self._auth(username, password):
+            self._send_err(
+                f"Access denied for user '{username}'",
+                code=1045,
+                sqlstate=b"28000",
+            )
+            return False
         self._send_ok()
         return True
 
@@ -239,10 +275,16 @@ class MySqlGateway:
         self._thread.join(timeout=10)
 
 
-def start_mysql_gateway(spark: SparkSession, port: int = 0) -> MySqlGateway:
+def start_mysql_gateway(
+    spark: SparkSession, port: int = 0, auth=None
+) -> MySqlGateway:
     """Serve the MySQL-protocol frontend on ``port`` (0 = OS-assigned).
     Accept loop on a daemon thread; one daemon thread per connection,
-    all planning on the shared session (same model as rest.py)."""
+    all planning on the shared session (same model as rest.py).
+    ``auth``: optional ``(username, password) -> bool`` validator
+    (typically :class:`nineinfra_spark.auth.UserStore`) enforced via
+    AuthSwitch to ``mysql_clear_password``; ``None`` = the open
+    Doris-default frontend."""
     server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
     server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
     server.bind(("127.0.0.1", port))
@@ -260,7 +302,7 @@ def start_mysql_gateway(spark: SparkSession, port: int = 0) -> MySqlGateway:
                 cid = state["next_id"]
                 state["next_id"] += 1
             threading.Thread(
-                target=_Conn(sock, spark, cid).serve, daemon=True
+                target=_Conn(sock, spark, cid, auth=auth).serve, daemon=True
             ).start()
 
     thread = threading.Thread(target=_accept_loop, daemon=True)

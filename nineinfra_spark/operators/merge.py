@@ -347,6 +347,143 @@ def update_where(
     publish_snapshot(spark, table, updated)
 
 
+def _declared_partition_cols(spark: SparkSession, table: str) -> list[str]:
+    return [c.name for c in spark.catalog.listColumns(table) if c.isPartition]
+
+
+def _partition_membership(rows, part_cols: Sequence[str]):
+    """Predicate: row's partition tuple ∈ the given partition rows
+    (an IN-list over partition values — metadata-sized, so the filter
+    prunes the scan to exactly the affected partition directories)."""
+    import functools
+
+    conds = [
+        functools.reduce(
+            lambda a, b: a & b,
+            [F.col(c).eqNullSafe(F.lit(r[c])) for c in part_cols],
+        )
+        for r in rows
+    ]
+    return functools.reduce(lambda a, b: a | b, conds)
+
+
+def _partition_spec(row, part_cols: Sequence[str]) -> str:
+    parts = []
+    for c in part_cols:
+        v = str(row[c]).replace("'", "\\'")
+        parts.append(f"{c} = '{v}'")
+    return ", ".join(parts)
+
+
+def delete_where_partitioned(spark: SparkSession, table: str, predicate: str) -> int:
+    """Partition-scoped ``DELETE FROM table WHERE predicate`` — the
+    100 TB form of :func:`delete_where`: instead of rewriting the full
+    snapshot, only the partitions that actually CONTAIN matching rows
+    are rewritten, via dynamic-partition ``INSERT OVERWRITE``; every
+    other partition's files are left untouched (same file-pruning
+    contract as Delta/Iceberg's copy-on-write DELETE, with the
+    partition grain standing in for the file grain).
+
+    Mechanics: (1) one predicate-filtered scan projects the DISTINCT
+    affected partition tuples (partition-pruned automatically when the
+    predicate constrains partition columns; the result is
+    metadata-sized). (2) The kept rows of ONLY those partitions are
+    rewritten back with ``partitionOverwriteMode=dynamic`` — readers
+    see each partition swap whole at job commit. (3) Partitions whose
+    every row matched are DROPPED explicitly (dynamic overwrite never
+    touches a partition absent from the output, so an emptied
+    partition would otherwise survive intact — the silent-resurrection
+    bug this function refuses to have).
+
+    Returns the number of affected partitions (0 = no-op)."""
+    part_cols = _declared_partition_cols(spark, table)
+    if not part_cols:
+        raise ValueError(
+            f"{table} is not partitioned — use delete_where (full "
+            f"snapshot rewrite) instead"
+        )
+    df = spark.table(table)
+    pred = f"coalesce(({predicate}), false)"
+    affected = df.filter(pred).select(*part_cols).distinct().collect()
+    if not affected:
+        return 0
+    member = _partition_membership(affected, part_cols)
+    kept = df.filter(member).filter(f"NOT {pred}")
+    surviving = {
+        tuple(r[c] for c in part_cols)
+        for r in kept.select(*part_cols).distinct().collect()
+    }
+    emptied = [
+        r for r in affected if tuple(r[c] for c in part_cols) not in surviving
+    ]
+    saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        kept.write.mode("overwrite").insertInto(table)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+    for r in emptied:
+        spark.sql(
+            f"ALTER TABLE {table} DROP IF EXISTS "
+            f"PARTITION ({_partition_spec(r, part_cols)})"
+        )
+    return len(affected)
+
+
+def update_where_partitioned(
+    spark: SparkSession,
+    table: str,
+    predicate: str,
+    assignments: Mapping[str, str],
+) -> int:
+    """Partition-scoped ``UPDATE`` — :func:`update_where` restricted
+    to the partitions containing matched rows (see
+    :func:`delete_where_partitioned` for the mechanics). Assignments
+    to PARTITION columns are rejected: moving a row between partitions
+    under dynamic overwrite would replace the DESTINATION partition
+    with only the moved rows (data loss) — a cross-partition move is a
+    DELETE + INSERT, not an in-place update. Returns the number of
+    rewritten partitions."""
+    part_cols = _declared_partition_cols(spark, table)
+    if not part_cols:
+        raise ValueError(
+            f"{table} is not partitioned — use update_where (full "
+            f"snapshot rewrite) instead"
+        )
+    bad = set(assignments) & set(part_cols)
+    if bad:
+        raise ValueError(
+            f"update_where_partitioned: assignments touch partition "
+            f"columns {sorted(bad)} — cross-partition moves are not an "
+            f"in-place update"
+        )
+    base = spark.table(table)
+    missing = set(assignments) - set(base.columns)
+    if missing:
+        raise ValueError(f"update targets {sorted(missing)} not in {table} columns")
+    pred = f"coalesce(({predicate}), false)"
+    affected = base.filter(pred).select(*part_cols).distinct().collect()
+    if not affected:
+        return 0
+    member = _partition_membership(affected, part_cols)
+    cond = F.expr(predicate)
+    updated = base.filter(member).select(
+        *[
+            F.when(cond, F.expr(assignments[c])).otherwise(F.col(c)).alias(c)
+            if c in assignments
+            else F.col(c)
+            for c in base.columns
+        ]
+    )
+    saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        updated.write.mode("overwrite").insertInto(table)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+    return len(affected)
+
+
 def publish_snapshot(spark: SparkSession, table: str, snapshot: DataFrame) -> None:
     """Replace ``table`` with ``snapshot`` via the rename-first swap:
     write to a stage table, rename live → ``__old``, stage → live,

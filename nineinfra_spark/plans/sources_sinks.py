@@ -1258,6 +1258,110 @@ def catalog_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "catalog_delete_partition_scoped",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_orderpriority, round(o_totalprice, 2) AS price
+        FROM orders
+        WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)
+              IN ('0','1','2','3','4','5','6','7')
+    ),
+    after_partial_delete AS (
+        SELECT * FROM base
+        WHERE NOT (o_orderpriority = '5-LOW' AND o_orderkey % 3 = 0)
+    ),
+    after_full_delete AS (
+        SELECT * FROM after_partial_delete
+        WHERE NOT (o_orderpriority = '2-HIGH')
+    ),
+    after_update AS (
+        SELECT o_orderkey, o_orderpriority,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN price * 2
+                    ELSE price END AS price
+        FROM after_full_delete
+    )
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM after_update GROUP BY o_orderpriority
+    """,
+    tags=("catalog", "delete", "update", "partitioned", "row-level"),
+)
+def catalog_delete_partition_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-SCOPED row-level DELETE + UPDATE (`operators/merge.
+    delete_where_partitioned` / `update_where_partitioned`) — the
+    100 TB form of `catalog_delete_update`: instead of rewriting the
+    full snapshot per mutation, only the partitions containing matched
+    rows are rewritten via dynamic-partition INSERT OVERWRITE, and a
+    fully-emptied partition is DROPPED rather than silently
+    resurrected. Three mutations exercise the three shapes: a partial
+    delete inside one partition (only `5-LOW` rewrites), a whole-
+    partition delete (`2-HIGH` is dropped), and a scoped update
+    (only `1-URGENT` rewrites). The oracle derives the same final
+    state relationally; `tests/test_merge.py::
+    TestPartitionScopedMutation` additionally pins that untouched
+    partitions keep byte-identical files.
+
+    Scale: each mutation's rewrite cost is proportional to the
+    AFFECTED partitions, not the table — the same file-pruning
+    contract as Delta/Iceberg copy-on-write, with partition grain
+    standing in for file grain. Reference parity: the warehouse
+    tables the reference registers in its metastore
+    (``internal/controller/metastore.go:105-114``) are exactly such
+    partitioned parquet tables."""
+    from nineinfra_spark.operators.merge import (
+        delete_where_partitioned,
+        update_where_partitioned,
+    )
+
+    sfx = os.path.basename(sf_dir).replace(".", "_")
+    db = f"nine_wh_{sfx}"
+    is_hive = (
+        spark.conf.get("spark.sql.catalogImplementation", "in-memory") == "hive"
+    )
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{WAREHOUSE}/{db}'")
+    for tbl in ("orders_pp",):
+        owned = spark.catalog.tableExists(f"{db}.{tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {db}.{tbl}")
+        loc = f"{WAREHOUSE}/{db}/{tbl}"
+        if os.path.exists(loc) and (not is_hive or not owned):
+            import shutil
+
+            shutil.rmtree(loc, ignore_errors=True)
+    orders = t(spark, sf_dir, "orders")
+    hx = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+    base = orders.filter(hx.isin(*"01234567")).select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("price"),
+        "o_orderpriority",
+    )
+    writers.save_as_table(
+        base, f"{db}.orders_pp", mode="overwrite",
+        partition_by=["o_orderpriority"],
+    )
+
+    delete_where_partitioned(
+        spark, f"{db}.orders_pp",
+        "o_orderpriority = '5-LOW' AND o_orderkey % 3 = 0",
+    )
+    delete_where_partitioned(
+        spark, f"{db}.orders_pp", "o_orderpriority = '2-HIGH'"
+    )
+    update_where_partitioned(
+        spark, f"{db}.orders_pp",
+        "o_orderpriority = '1-URGENT'",
+        {"price": "price * 2"},
+    )
+    return (
+        spark.table(f"{db}.orders_pp")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("price").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+    )
+
+
+@query(
     "src_parquet_schema_merge",
     oracle="""
     SELECT o_orderkey, o_orderpriority,

@@ -338,3 +338,103 @@ def test_secure_workdir_rejects_unsafe_dirs(tmp_path):
     os.chmod(gw, 0o720)
     with pytest.raises(RuntimeError, match="writable"):
         secure_workdir(str(gw))
+
+
+_CONCURRENT_DDL = """
+import json, os, sys, threading, urllib.request
+from nineinfra_spark.engine import Engine, EngineConfig
+from nineinfra_spark.gateway import beeline_sql
+
+root = sys.argv[1]
+eng = Engine(EngineConfig(
+    app_name="concurrent_ddl", master="local[4]",
+    warehouse_dir=os.path.join(root, "warehouse"),
+    hive_metastore=True,
+    metastore_dir=os.path.join(root, "metastore_db"),
+    thrift_port={thrift_port}, rest_port=0,
+)).open()
+spark = eng.spark
+rest_port = eng.rest_gateway.port
+NATION = "parquet.`{sf}/nation.parquet`"
+
+spark.sql("CREATE DATABASE ddl_db")
+spark.sql(
+    "CREATE TABLE ddl_db.stable AS "
+    f"SELECT n_regionkey, COUNT(*) AS n FROM {{NATION}} GROUP BY n_regionkey")
+
+def rest(sql, session=None):
+    headers = {{"Content-Type": "application/json"}}
+    if session:
+        headers["X-Session-Id"] = session
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{{rest_port}}/api/v1/sql",
+        data=json.dumps({{"sql": sql}}).encode(), headers=headers)
+    with urllib.request.urlopen(req, timeout=180) as r:
+        return json.loads(r.read())
+
+errs = []
+
+def ddl_client(sid):
+    # CREATE/DROP churn on the SHARED database from a dedicated session
+    try:
+        for i in range(5):
+            tbl = f"ddl_db.churn_{{sid}}_{{i}}"
+            rest(f"CREATE TABLE {{tbl}} AS SELECT {{i}} AS x", session=sid)
+            got = rest(f"SELECT x FROM {{tbl}}", session=sid)
+            assert got["rows"] == [[i]], (sid, i, got)
+            rest(f"DROP TABLE {{tbl}}", session=sid)
+    except Exception as exc:
+        errs.append(("rest-ddl", sid, repr(exc)))
+
+def thrift_reader():
+    try:
+        for _ in range(3):
+            out = beeline_sql({thrift_port},
+                "SELECT COUNT(*) AS n FROM ddl_db.stable")
+            assert "5" in out, out
+    except Exception as exc:
+        errs.append(("thrift-read", repr(exc)))
+
+ts = [threading.Thread(target=ddl_client, args=("sA",)),
+      threading.Thread(target=ddl_client, args=("sB",)),
+      threading.Thread(target=thrift_reader)]
+for t in ts: t.start()
+for t in ts: t.join()
+assert not errs, errs
+
+# catalog end-state: only the stable table survives the churn
+tables = sorted(r["tableName"] for r in spark.sql("SHOW TABLES IN ddl_db").collect())
+assert tables == ["stable"], tables
+# no dangling managed-table directories under the database location
+db_dir = os.path.join(root, "warehouse", "ddl_db.db")
+leftovers = sorted(d for d in os.listdir(db_dir) if d != "stable")
+assert leftovers == [], leftovers
+print("CONCURRENT_DDL_OK")
+eng.close()
+"""
+
+
+def test_concurrent_ddl_two_rest_sessions_plus_thrift_reader():
+    """VERDICT r7 item #7: two REST sessions churning CREATE/DROP on
+    one database while a thrift client reads — catalog writes
+    serialize through the shared metastore, the reader never fails,
+    and no managed-table directory dangles after the drops."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as root:
+        proc = subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                _CONCURRENT_DDL.format(sf=SF, thrift_port=_free_port()),
+                root,
+            ],
+            capture_output=True,
+            text=True,
+            timeout=420,
+            cwd="/root/repo",
+        )
+    assert proc.returncode == 0, (
+        f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-3000:]}"
+    )
+    assert "CONCURRENT_DDL_OK" in proc.stdout

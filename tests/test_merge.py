@@ -552,3 +552,128 @@ class TestRecoverVersionedTable:
         _cleanup_prefix(spark, "rv_e")
         with pytest.raises(RuntimeError, match="no live"):
             recover_versioned_table(spark, "rv_e")
+
+
+class TestPartitionScopedMutation:
+    """delete_where_partitioned / update_where_partitioned: only the
+    partitions containing matched rows are rewritten — the 100 TB
+    delete/update form (VERDICT r7 item #6)."""
+
+    def _table_files(self, spark, name):
+        """{path: mtime} for every data file under the table root."""
+        import os
+
+        loc = (
+            spark.sql(f"DESCRIBE FORMATTED {name}")
+            .filter("col_name = 'Location'")
+            .first()["data_type"]
+        ).removeprefix("file:")
+        out = {}
+        for dirpath, _dirs, files in os.walk(loc):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dirpath, f)
+                    out[p] = os.path.getmtime(p)
+        return out
+
+    def _fresh(self, spark, name):
+        _cleanup_prefix(spark, name)
+        df = spark.createDataFrame(
+            [
+                (1, 10.0, "a"), (2, 20.0, "a"), (3, 30.0, "a"),
+                (4, 40.0, "b"), (5, 50.0, "b"),
+                (6, 60.0, "c"),
+            ],
+            "id long, v double, p string",
+        )
+        df.write.partitionBy("p").saveAsTable(name)
+
+    def test_delete_rewrites_only_affected_partition(self, spark):
+        from nineinfra_spark.operators.merge import delete_where_partitioned
+
+        self._fresh(spark, "pp_d")
+        before = self._table_files(spark, "pp_d")
+        n = delete_where_partitioned(spark, "pp_d", "p = 'a' AND id >= 2")
+        assert n == 1  # only partition 'a' contained matches
+        after = self._table_files(spark, "pp_d")
+        # rows: the two matched are gone, everything else intact
+        assert sorted(r["id"] for r in spark.table("pp_d").collect()) == [1, 4, 5, 6]
+        # files of partitions b and c are BYTE-UNTOUCHED (same path+mtime)
+        untouched_before = {p: m for p, m in before.items() if "/p=a/" not in p}
+        untouched_after = {p: m for p, m in after.items() if "/p=a/" not in p}
+        assert untouched_before == untouched_after
+        _cleanup_prefix(spark, "pp_d")
+
+    def test_delete_drops_fully_emptied_partition(self, spark):
+        from nineinfra_spark.operators.merge import delete_where_partitioned
+
+        self._fresh(spark, "pp_e")
+        n = delete_where_partitioned(spark, "pp_e", "p = 'b'")
+        assert n == 1
+        assert sorted(r["id"] for r in spark.table("pp_e").collect()) == [1, 2, 3, 6]
+        # the emptied partition is dropped from the catalog, not resurrected
+        parts = [r[0] for r in spark.sql("SHOW PARTITIONS pp_e").collect()]
+        assert "p=b" not in parts
+        _cleanup_prefix(spark, "pp_e")
+
+    def test_delete_null_predicate_keeps_row(self, spark):
+        from nineinfra_spark.operators.merge import delete_where_partitioned
+
+        _cleanup_prefix(spark, "pp_n")
+        spark.createDataFrame(
+            [(1, 5.0, "a"), (2, None, "a"), (3, 9.0, "b")],
+            "id long, v double, p string",
+        ).write.partitionBy("p").saveAsTable("pp_n")
+        # v > 4 is NULL for id=2 — SQL DELETE keeps NULL-predicate rows
+        delete_where_partitioned(spark, "pp_n", "v > 4.0")
+        assert sorted(r["id"] for r in spark.table("pp_n").collect()) == [2]
+        _cleanup_prefix(spark, "pp_n")
+
+    def test_no_match_is_noop(self, spark):
+        from nineinfra_spark.operators.merge import delete_where_partitioned
+
+        self._fresh(spark, "pp_z")
+        before = self._table_files(spark, "pp_z")
+        assert delete_where_partitioned(spark, "pp_z", "id > 999") == 0
+        assert self._table_files(spark, "pp_z") == before
+        _cleanup_prefix(spark, "pp_z")
+
+    def test_update_rewrites_only_affected_partition(self, spark):
+        from nineinfra_spark.operators.merge import update_where_partitioned
+
+        self._fresh(spark, "pp_u")
+        before = self._table_files(spark, "pp_u")
+        n = update_where_partitioned(
+            spark, "pp_u", "p = 'b' AND id = 4", {"v": "v * 10"}
+        )
+        assert n == 1
+        got = {r["id"]: r["v"] for r in spark.table("pp_u").collect()}
+        assert got == {1: 10.0, 2: 20.0, 3: 30.0, 4: 400.0, 5: 50.0, 6: 60.0}
+        untouched_before = {p: m for p, m in before.items() if "/p=b/" not in p}
+        after = self._table_files(spark, "pp_u")
+        untouched_after = {p: m for p, m in after.items() if "/p=b/" not in p}
+        assert untouched_before == untouched_after
+        _cleanup_prefix(spark, "pp_u")
+
+    def test_update_rejects_partition_column_assignment(self, spark):
+        from nineinfra_spark.operators.merge import update_where_partitioned
+
+        self._fresh(spark, "pp_x")
+        with pytest.raises(ValueError, match="partition columns"):
+            update_where_partitioned(spark, "pp_x", "id = 1", {"p": "'z'"})
+        _cleanup_prefix(spark, "pp_x")
+
+    def test_unpartitioned_table_rejected(self, spark):
+        from nineinfra_spark.operators.merge import (
+            delete_where_partitioned, update_where_partitioned,
+        )
+
+        _cleanup_prefix(spark, "pp_flat")
+        spark.createDataFrame([(1, 1.0)], "id long, v double").write.saveAsTable(
+            "pp_flat"
+        )
+        with pytest.raises(ValueError, match="not partitioned"):
+            delete_where_partitioned(spark, "pp_flat", "id = 1")
+        with pytest.raises(ValueError, match="not partitioned"):
+            update_where_partitioned(spark, "pp_flat", "id = 1", {"v": "2.0"})
+        _cleanup_prefix(spark, "pp_flat")

@@ -113,3 +113,125 @@ def test_stream_restart_replays_committed_offsets_exactly_once(spark):
     assert len(keys) == 200, len(keys)      # nothing lost
     assert len(set(keys)) == 200            # nothing duplicated
     assert set(keys) == set(range(200))
+
+
+_MIDBATCH_CHILD = """
+import sys, time
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+sink, ckpt = sys.argv[1], sys.argv[2]
+spark = (SparkSession.builder.master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .appName("pyds_midbatch_victim").getOrCreate())
+from nineinfra_spark.sources import pyds
+pyds.register(spark)
+
+# ~80 ms per row -> each 40-row batch executes for ~3 s: a wide window
+# between the offset-log write (before execution) and the commit-log
+# write (after), for the parent to SIGKILL into.
+slow = F.udf(lambda x: (time.sleep(0.08), x)[1], LongType())
+q = (spark.readStream.format("nine_synth")
+    .option("n", "120").option("step", "40").load()
+    .withColumn("event_id", slow(F.col("event_id")))
+    .writeStream.format("parquet")
+    .option("path", sink).option("checkpointLocation", ckpt)
+    .trigger(processingTime="100 milliseconds")
+    .start())
+print("STREAM_STARTED", flush=True)
+q.awaitTermination()
+"""
+
+
+def test_stream_midbatch_kill_replays_exactly_once(spark, tmp_path):
+    """VERDICT r7 item #9: SIGKILL the streaming connector AFTER the
+    offset log advanced for a batch but BEFORE that batch committed —
+    the hardest crash point. Recovery must replay exactly the
+    committed-offset range via readBetweenOffsets, and the file sink's
+    manifest must hide the killed batch's orphan files: every key
+    exactly once."""
+    import signal
+    import subprocess
+    import sys as _sys
+
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    err_f = open(tmp_path / "child_err.log", "w")
+    proc = subprocess.Popen(
+        [_sys.executable, "-c", _MIDBATCH_CHILD, sink, ckpt],
+        stdout=subprocess.PIPE,
+        stderr=err_f,
+        text=True,
+        cwd="/root/repo",
+    )
+    try:
+        # wait until some batch N has its offset logged but no commit —
+        # then give execution a beat so tasks are genuinely mid-flight
+        deadline = time.time() + 180
+        target = None
+        while time.time() < deadline:
+            offsets = {
+                int(f) for f in os.listdir(os.path.join(ckpt, "offsets"))
+                if f.isdigit()
+            } if os.path.isdir(os.path.join(ckpt, "offsets")) else set()
+            commits = {
+                int(f) for f in os.listdir(os.path.join(ckpt, "commits"))
+                if f.isdigit()
+            } if os.path.isdir(os.path.join(ckpt, "commits")) else set()
+            pending = offsets - commits
+            # require at least one COMMITTED batch so replay has a lower
+            # bound, and one pending batch to kill into
+            if commits and pending:
+                target = max(pending)
+                break
+            if proc.poll() is not None:
+                raise AssertionError("victim died early")
+            time.sleep(0.05)
+        assert target is not None, "never observed offset-advanced/uncommitted"
+        time.sleep(1.0)  # land the kill mid-execution
+        proc.send_signal(signal.SIGKILL)
+        proc.wait(timeout=30)
+
+        # the crash state is the real one: offset advanced, no commit
+        offsets = {int(f) for f in os.listdir(os.path.join(ckpt, "offsets")) if f.isdigit()}
+        commits = {int(f) for f in os.listdir(os.path.join(ckpt, "commits")) if f.isdigit()}
+        assert max(offsets) > (max(commits) if commits else -1)
+
+        # phase 2: restart WITHOUT the slow UDF on the shared session —
+        # recovery replays the pending range via readBetweenOffsets
+        from nineinfra_spark.sources import pyds as _p
+
+        _p.register(spark)
+        q2 = (
+            spark.readStream.format("nine_synth")
+            .option("n", "120")
+            .option("step", "40")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="100 milliseconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                try:
+                    if spark.read.parquet(sink).count() >= 120:
+                        break
+                except Exception:
+                    pass
+                time.sleep(0.3)
+        finally:
+            q2.stop()
+            q2.awaitTermination()
+        keys = [r["event_id"] for r in spark.read.parquet(sink).collect()]
+        assert len(keys) == 120, len(keys)  # nothing lost (at-least-once)
+        assert len(set(keys)) == 120        # nothing duplicated (exactly-once)
+        assert set(keys) == set(range(120))
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+        err_f.close()
