@@ -99,6 +99,11 @@ HEADLINE = [
     "fn_variant_json",
     "sql_lateral_topn",
     "src_python_datasource",
+    # r8 new surfaces: partition-scoped mutation, trigram LM gate,
+    # integer-exact PageRank
+    "catalog_delete_partition_scoped",
+    "text_trigram_lm_score",
+    "graph_pagerank_fixed",
 ]
 
 

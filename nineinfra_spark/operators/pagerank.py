@@ -1,0 +1,88 @@
+"""Fixed-iteration PageRank in exact integer arithmetic.
+
+The iterative-algorithm companion to ``operators/components.py``
+(large-star/small-star contraction): where components needs
+O(log n) DATA-DEPENDENT rounds, PageRank's power iteration is a
+FIXED number of identical rounds — each one equi-join (ranks ⋈ edges
+on src) + one groupBy(dst) sum, the canonical distributed PageRank
+step (Brin & Page 1998; the Pregel/GraphX formulation maps to exactly
+this join-aggregate pair).
+
+Exactness design: ranks are INTEGER mass. Start every node at
+``scale`` (default 10¹²); each round a node keeps the teleport share
+``scale·(1-d)`` and receives ``floor(d·rank(u)/outdeg(u))`` from each
+in-neighbor ``u`` — floor division on 64-bit integers, so every
+engine (and the DuckDB oracle's unrolled-CTE form) reproduces the
+ranks BIT-IDENTICALLY; no float summation order anywhere. The floor
+drops ≤ outdeg units of mass per node per round — a deliberate,
+deterministic rounding that leaves the ranking semantics intact
+(standard float PageRank tolerates far larger numerical drift).
+
+Scale posture: per round, one shuffle keyed by ``src`` (or a
+broadcast when ranks are dimension-sized) + one map-side-combined
+sum keyed by ``dst``. Rounds are fixed (default 3) so total shuffle
+volume is ``iters × |edges|`` — no convergence-dependent tail. At
+100 TB the ranks table is |V| rows against |E|-row edges, the same
+small-against-big join every iteration; localCheckpoint between
+rounds caps lineage depth exactly as in components.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000_000_000  # 10^12 integer mass units per node
+DAMP_NUM, DAMP_DEN = 85, 100  # d = 0.85 as an exact rational
+
+
+def pagerank_fixed(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """PageRank over a directed edge list ``edges(src, dst)`` (each
+    directed edge appearing once), ``iters`` exact power-iteration
+    rounds. Returns ``(node, rank)`` with integer ranks.
+
+    Nodes are taken from the ``src`` column — callers whose graphs
+    have sink nodes (appearing only as ``dst``) should add reverse
+    edges or self-loops first; a sink would otherwise leak its mass,
+    which this exact-arithmetic formulation makes visible instead of
+    silently renormalizing."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    # The edge list feeds the degree count plus every iteration's join
+    # — materialize it ONCE (upstream distincts/joins would otherwise
+    # recompute per round, turning iters× reuse into iters× rebuild).
+    edges = edges.localCheckpoint(eager=False)
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    teleport = SCALE * (DAMP_DEN - DAMP_NUM) // DAMP_DEN
+    ranks = nodes.select("node", F.lit(SCALE).cast("long").alias("rank"))
+    for _ in range(iters):
+        # ranks/deg are |V|-sized against the |E|-row edge fact —
+        # broadcast them so each round is a map-side join + one
+        # combined shuffle on dst (checkpointed inputs lose their size
+        # stats, so without the hint AQE falls back to sort-merge).
+        # For graphs whose rank table outgrows the broadcast budget,
+        # drop the hints and the same plan shuffles on src.
+        contrib = (
+            edges.join(F.broadcast(ranks), edges.src == ranks.node)
+            .join(F.broadcast(deg), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(
+                    f"({DAMP_NUM} * rank) div ({DAMP_DEN} * outdeg)"
+                ).alias("c"),
+            )
+        )
+        inflow = contrib.groupBy("node").agg(F.sum("c").alias("inflow"))
+        ranks = (
+            nodes.join(F.broadcast(inflow), "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport).cast("long")
+                    + F.coalesce(F.col("inflow"), F.lit(0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)  # cap lineage across rounds
+        )
+    return ranks

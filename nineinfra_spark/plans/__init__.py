@@ -20,6 +20,7 @@ def _load_all() -> None:
         ext_similarity,
         ext_text,
         functions_scalar,
+        graph,
         joins,
         setops,
         sortlimit,
@@ -37,74 +38,72 @@ _load_all()
 #: Verification-priority prefix: the driver's CORRECTNESS gate checks
 #: a bounded window (exactly 50) of queries in export order, so the
 #: queries that most need a fresh driver-green differential row are
-#: pinned first — r7 composition: (a) the three queries that had
-#: NEVER been driver-stamped, (b) every query new or shape-changed
-#: this round (12 new + 11 changed), (c) the full 23-query cohort
-#: whose latest green row was r3 — the stalest in the registry,
-#: (d) r4-cohort backfill to exactly 50. The ~45 remaining r4-latest
-#: rows (aggs, joins, setops, fn_* families) lead the r8 rotation.
+#: pinned first — r8 composition: (a) queries NEW this round, (b) the
+#: 5-query cohort whose latest green row was r3 (the stalest in the
+#: registry: the UDF family + events_sessionize), (c) 42 of the
+#: 48-query r4-latest cohort — the whole relational core (aggs,
+#: joins, TPC-H spine, fn_* families) that has ridden on local
+#: regression tests since round 4. The 6 deferred r4 rows (the
+#: set-operation family + fn_null_misc — the lightest, most
+#: regression-resistant plans) plus everything newly displaced lead
+#: the r9 rotation.
 _VERIFY_FIRST = [
-    # (a) the three queries that have NEVER had a driver row (deferred
-    # out of the r6 window; the judge's top item is stamping them)
-    "agg_histogram_bins",
-    "catalog_partsupp_bucketed",
-    "text_chunk_windows",
-    # (b) new or shape-changed in round 7
-    "src_jdbc_roundtrip",  # new: embedded-Derby JDBC sink+partitioned source
-    "sample_cap_per_group",  # new: per-source doc cap by hash order
-    "split_train_valid_test",  # new: hash-stable 80/10/10 split census
-    "emb_dim_stats",  # new: per-dimension embedding health profile
-    "text_idf_keywords",  # new: ordinal-IDF distinctive keywords
-    "text_blocklist_filter",  # new: thresholded wordlist safety gate
-    "pair_contrastive_negatives",  # new: hash-drawn training negatives
-    "mm_ppm_decode_stats",  # new: REAL P6 decode through mapInPandas
-    "src_binaryfile_scan",  # new: binaryFile media-ingestion source
-    "catalog_delete_update",  # new: row-level DELETE/UPDATE rewrite
-    "src_parquet_schema_merge",  # new: additive schema evolution on read
-    "fn_explode_outer",  # new: empty-array-preserving LATERAL VIEW OUTER
-    "src_csv_malformed_modes",  # new: PERMISSIVE/DROPMALFORMED/FAILFAST
-    "src_python_datasource",  # new: custom connector via Python DataSource API
-    "fn_variant_json",  # new: VARIANT parse_json/variant_get paths
-    "sql_lateral_topn",  # new: correlated LATERAL ORDER BY LIMIT
-    "stream_python_datasource",  # new: offset-exact streaming connector
-    "agg_hll_union_rollup",  # new: mergeable HLL sketches across rollup
-    "text_bpe_pair_counts",  # r7: 1-char-token pair guard on both engines
-    "fn_url_normalize",  # r7: oracle regexp_replace made global
-    "events_retention_cohorts",  # r7: floor() week offsets
-    "catalog_merge_timetravel",  # r7: max+1 versioning + CAS merge
-    "catalog_merge_upsert",  # r7: rename-first publish swap
-    "stream_dedup_index",  # r7: rename-first publish swap
-    "stream_upsert_snapshot",  # r7: rename-first publish swap
-    "stream_rollup_maintenance",  # r7: rename-first publish swap
-    "dedup_connected_clusters",  # r7: large-star/small-star contraction
-    "dedup_embedding_clusters",  # r7: large-star/small-star contraction
-    "q8_market_share",  # r7: explicit region-pruned customer semi-join
-    # (c) stalest verification in the registry: the full 23-query
-    # r3-latest cohort (the lone r2 row, sim_join_threshold, belongs
-    # to a query since renamed to sim_join_exact_oracle — r5-green)
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q18_large_volume_customers",
-    "window_ranking",
-    "window_lag_lead",
-    "window_running_agg",
-    "window_moving_frame",
-    "window_range_frame",
-    "window_first_last_nth",
-    "stream_session_window",
-    "stream_dedup_watermark",
-    "stream_static_join",
-    "stream_stream_join",
-    "stream_stateful_counts",
-    "udf_scalar_python",
-    # the round-7 additions fill the 50 slots; five r3-cohort rows
-    # (udf_sql_registered, udf_pandas_vectorized,
-    # udf_grouped_agg_pandas, udf_apply_in_pandas, events_sessionize —
-    # all still green, just old) wait for r8 alongside the entire
-    # r4-latest cohort (aggs, joins, setops, fn_* families)
+    # (a) new in round 8
+    "catalog_delete_partition_scoped",  # partition-scoped DELETE/UPDATE
+    "text_trigram_lm_score",  # corpus-trained char-trigram LM quality gate
+    "graph_pagerank_fixed",  # integer-exact power iteration (see plans/graph.py)
+    # (b) the r3-latest cohort — stalest driver stamps in the registry
+    "udf_sql_registered",
+    "udf_pandas_vectorized",
+    "udf_grouped_agg_pandas",
+    "udf_apply_in_pandas",
+    "events_sessionize",
+    # (c) the r4-latest relational core, 42 of 48
+    "agg_global",
+    "agg_stats_moments",
+    "agg_corr_moments",
+    "agg_skew_kurt",
+    "agg_boolean_family",
+    "agg_first_last_by",
+    "agg_collect_sorted",
+    "agg_collect_list_sorted",
+    "agg_multi_distinct",
+    "agg_percentile_exact",
+    "agg_cube",
+    "agg_rollup",
+    "agg_grouping_sets",
+    "agg_pivot",
+    "join_cross",
+    "join_left_outer",
+    "join_right_outer",
+    "join_full_outer",
+    "join_left_semi",
+    "join_left_anti",
+    "join_range_theta",
+    "join_asof_backward",
+    "join_skew_hotkey",
+    "fn_string",
+    "fn_datetime",
+    "fn_math",
+    "fn_array",
+    "fn_map",
+    "fn_json",
+    "fn_string_distance",
+    "dedup_exact_content",
+    "dedup_shingle_jaccard",
+    "dedup_minhash_pairs",
+    "events_funnel",
+    "text_token_classes",
+    "q2_above_partition_avg",
+    "q4_order_priority",
+    "q12_priority_lines",
+    "q14_promo_effect",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_revenue",
+    "q22_inactive_customers",
+    # deferred to r9 (latest stamp r4, lightest plans): setop_union_all,
+    # setop_union_distinct, setop_intersect, setop_intersect_all,
+    # setop_except, fn_null_misc
 ]
 
 registry.set_order(_VERIFY_FIRST)

@@ -1100,3 +1100,101 @@ def text_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("keep")
         .alias("action"),
     )
+
+
+@query(
+    "text_trigram_lm_score",
+    oracle="""
+    WITH tri AS (
+        SELECT doc_id, lang, substr(text, CAST(i AS INTEGER), 3) AS tri
+        FROM (
+            SELECT doc_id, lang, text,
+                   unnest(generate_series(1, len(text) - 2)) AS i
+            FROM documents WHERE len(text) >= 3
+        )
+    ),
+    counts AS (
+        SELECT lang, tri, COUNT(*) AS corpus_n FROM tri GROUP BY lang, tri
+    ),
+    scored AS (
+        SELECT t.doc_id, t.lang,
+               COUNT(*) AS n_tri,
+               CAST(SUM(c.corpus_n) AS BIGINT) AS sum_freq
+        FROM tri t JOIN counts c ON t.lang = c.lang AND t.tri = c.tri
+        GROUP BY t.doc_id, t.lang
+    )
+    SELECT lang, doc_id, n_tri, sum_freq,
+           CAST(sum_freq AS DOUBLE) / CAST(n_tri AS DOUBLE) AS score,
+           lm_rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY lang
+            ORDER BY CAST(sum_freq AS DOUBLE) / CAST(n_tri AS DOUBLE) ASC,
+                     doc_id
+        ) AS lm_rank
+        FROM scored
+    ) ranked
+    WHERE lm_rank <= 5
+    """,
+    tags=("text", "lm", "quality", "language-model"),
+)
+def text_trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language-model quality score — the CCNet/
+    KenLM-style perplexity-proxy filter every pretraining pipeline
+    runs: train trigram statistics ON THE CORPUS ITSELF (per
+    language), score each document by how typical its trigrams are,
+    and surface the 5 LEAST-typical documents per language (the
+    gibberish/boilerplate/encoding-damage candidates a quality gate
+    drops or routes to review).
+
+    Cross-engine exactness: the score is avg corpus frequency of the
+    doc's trigrams = SUM(corpus_count)/n_trigrams — both operands
+    exact integers, so the IEEE division (and therefore the ranking)
+    is bit-identical on both engines; no float logs anywhere. A real
+    log-prob LM orders documents identically under the monotone
+    avg-frequency proxy at fixed length.
+
+    Scale posture: one explode over characters (corpus-linear, spread
+    across cores via cpu_spread — the single-file documents table
+    would otherwise serialize), one (lang, trigram)-keyed count with
+    map-side partial aggregation (|alphabet|³-bounded keys), one
+    equi-join back on the same uniform key, one per-doc groupBy. The
+    per-language top-5 is dimension-sized. Guard: Spark's
+    sequence(1, n) DESCENDS for n <= 0, so length >= 3 is filtered
+    up front (DuckDB's generate_series is empty there — the engines
+    would otherwise diverge on short docs)."""
+    from pyspark.sql import Window
+
+    docs = _spread(t(spark, sf_dir, "documents"))
+    tri = (
+        docs.filter(F.length("text") >= 3)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(text) - 2),"
+                    " i -> substr(text, i, 3))"
+                )
+            ).alias("tri"),
+        )
+    )
+    counts = tri.groupBy("lang", "tri").agg(F.count(F.lit(1)).alias("corpus_n"))
+    scored = (
+        tri.join(counts, ["lang", "tri"])
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tri"),
+            F.sum("corpus_n").alias("sum_freq"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("score").asc(), F.col("doc_id"))
+    return (
+        scored.withColumn(
+            "score",
+            F.col("sum_freq").cast("double") / F.col("n_tri").cast("double"),
+        )
+        .withColumn("lm_rank", F.row_number().over(w))
+        .filter(F.col("lm_rank") <= 5)
+        .select("lang", "doc_id", "n_tri", "sum_freq", "score", "lm_rank")
+    )
