@@ -45,6 +45,7 @@ def asof_join(
     payload: list[str] | None = None,
     direction: str = "backward",
     suffix: str = "_right",
+    tolerance_s: float | None = None,
 ) -> DataFrame:
     """Backward as-of join: latest right row at-or-before each left row.
 
@@ -59,9 +60,17 @@ def asof_join(
         of partition-layout-dependent. Non-orderable payloads are
         rejected up front with a clear error.
     direction : "backward" (<=) or "forward" (>=)
+    tolerance_s : optional max |left.ts - right.ts| in seconds (the
+        pandas ``merge_asof(tolerance=...)`` semantic): a match farther
+        away than this is treated as NO match — payload columns come
+        back NULL, exactly as for a key with no prior right row. The
+        comparison happens AFTER the single-window fill, so the plan
+        shape (one shuffle, no range product) is unchanged.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if tolerance_s is not None and tolerance_s < 0:
+        raise ValueError(f"tolerance_s must be >= 0, got {tolerance_s}")
     if payload is None:
         payload = [c for c in right.columns if c not in (on, ts)]
     unorderable = [c for c in payload if _has_map_type(right.schema[c].dataType)]
@@ -117,11 +126,24 @@ def asof_join(
         *[c for c in combined.columns if c != "__r"],
         F.last("__r", ignorenulls=True).over(w).alias("__r"),
     )
+    matched = F.col("__r")
+    if tolerance_s is not None:
+        # gap in seconds regardless of ts type: TIMESTAMP_NTZ has no
+        # direct double cast — route it through TIMESTAMP (both sides
+        # convert identically, so the DIFFERENCE is tz-invariant);
+        # timestamp/numeric ts cast straight to epoch seconds.
+        def _secs(col):
+            if isinstance(left.schema[ts].dataType, T.TimestampNTZType):
+                return col.cast("timestamp").cast("double")
+            return col.cast("double")
+
+        gap = F.abs(_secs(F.col(ts)) - _secs(F.col("__r.__ts")))
+        matched = F.when(gap <= F.lit(float(tolerance_s)), F.col("__r"))
     return (
         filled.filter(F.col("__is_left") == 1)
         .select(
             *[c for c in filled.columns if c not in ("__is_left", "__r")],
-            *[F.col(f"__r.{c}").alias(f"{c}{suffix}") for c in payload],
-            F.col("__r.__ts").alias(f"{ts}{suffix}"),
+            *[matched.getField(c).alias(f"{c}{suffix}") for c in payload],
+            matched.getField("__ts").alias(f"{ts}{suffix}"),
         )
     )

@@ -38,12 +38,12 @@ _load_all()
 #: Verification-priority prefix: the driver's CORRECTNESS gate checks
 #: a bounded window (exactly 50) of queries in export order, so the
 #: queries that most need a fresh driver-green differential row are
-#: pinned first — r8 composition: (a) queries NEW this round, (b) the
-#: 5-query cohort whose latest green row was r3 (the stalest in the
-#: registry: the UDF family + events_sessionize), (c) 42 of the
-#: 48-query r4-latest cohort — the whole relational core (aggs,
+#: pinned first — r8 composition: (a) the 5 queries NEW this round,
+#: (b) the 5-query cohort whose latest green row was r3 (the stalest
+#: in the registry: the UDF family + events_sessionize), (c) 40 of
+#: the 48-query r4-latest cohort — the whole relational core (aggs,
 #: joins, TPC-H spine, fn_* families) that has ridden on local
-#: regression tests since round 4. The 6 deferred r4 rows (the
+#: regression tests since round 4. The 8 deferred r4 rows (the
 #: set-operation family + fn_null_misc — the lightest, most
 #: regression-resistant plans) plus everything newly displaced lead
 #: the r9 rotation.
@@ -52,6 +52,8 @@ _VERIFY_FIRST = [
     "catalog_delete_partition_scoped",  # partition-scoped DELETE/UPDATE
     "text_trigram_lm_score",  # corpus-trained char-trigram LM quality gate
     "graph_pagerank_fixed",  # integer-exact power iteration (see plans/graph.py)
+    "join_asof_tolerance",  # as-of with max-gap tolerance (merge_asof semantic)
+    "dedup_containment_pairs",  # overlap-coefficient doc-inside-doc lens
     # (b) the r3-latest cohort — stalest driver stamps in the registry
     "udf_sql_registered",
     "udf_pandas_vectorized",
@@ -63,10 +65,8 @@ _VERIFY_FIRST = [
     "agg_stats_moments",
     "agg_corr_moments",
     "agg_skew_kurt",
-    "agg_boolean_family",
     "agg_first_last_by",
     "agg_collect_sorted",
-    "agg_collect_list_sorted",
     "agg_multi_distinct",
     "agg_percentile_exact",
     "agg_cube",
@@ -101,9 +101,10 @@ _VERIFY_FIRST = [
     "q17_small_qty_revenue",
     "q19_disjunctive_revenue",
     "q22_inactive_customers",
-    # deferred to r9 (latest stamp r4, lightest plans): setop_union_all,
-    # setop_union_distinct, setop_intersect, setop_intersect_all,
-    # setop_except, fn_null_misc
+    # deferred to r9 (latest stamp r4, lightest / most redundant plans):
+    # setop_union_all, setop_union_distinct, setop_intersect,
+    # setop_intersect_all, setop_except, fn_null_misc,
+    # agg_boolean_family, agg_collect_list_sorted
 ]
 
 registry.set_order(_VERIFY_FIRST)

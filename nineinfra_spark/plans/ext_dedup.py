@@ -1147,3 +1147,91 @@ def dedup_minhash_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a", "doc_b", "common", "union_sz", F.expr(_JAC6_SPARK).alias("jaccard")
         )
     )
+
+
+@query(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {TOKS_DUCK} AS toks FROM documents),
+    sh AS (SELECT doc_id, {SH_DUCK} AS shingles FROM d),
+    sz AS (SELECT doc_id, shingles, len(shingles) AS n
+           FROM sh WHERE len(shingles) > 0),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sz),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
+    ),
+    ver AS (
+        SELECT doc_a, doc_b,
+               len(list_intersect(a.shingles, b.shingles)) AS common,
+               least(a.n, b.n) AS n_small
+        FROM cand
+        JOIN sz a ON cand.doc_a = a.doc_id
+        JOIN sz b ON cand.doc_b = b.doc_id
+    )
+    SELECT doc_a, doc_b, common, n_small,
+           CAST(common AS DOUBLE) / CAST(n_small AS DOUBLE) AS containment
+    FROM ver WHERE 5 * common >= 3 * n_small
+    """,
+    tags=("ext", "dedup", "containment"),
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup pairs: OVERLAP COEFFICIENT
+    |A∩B| / min(|A|,|B|) ≥ 0.6 over 5-gram shingles — the asymmetric
+    relation Jaccard structurally misses. A short document quoted
+    whole inside a long one has tiny Jaccard (the union is dominated
+    by the long doc) but containment ≈ 1; corpus curation needs this
+    second lens to catch excerpt/quotation/doc-inside-doc duplication
+    that symmetric similarity lets through (cf. the containment
+    variant of MinHash sketching, Broder 1997).
+
+    Plan shape is identical to `dedup_shingle_jaccard` (shared-shingle
+    inverted-index candidates → exact array_intersect verify; the
+    threshold gates by CROSS-MULTIPLIED integers `5·common ≥
+    3·min(na,nb)` so no float boundary exists), and the same
+    DF-cutoff hardening applies at 100 TB. The score column is a
+    division of exact integers — bit-stable on both engines."""
+    sz = _shingled(spark, sf_dir).select(
+        "doc_id", "shingles", F.size("shingles").alias("n")
+    )
+    sz = sz.localCheckpoint(eager=False)  # three consumers, one compute
+    ex = sz.select("doc_id", F.explode("shingles").alias("s"))
+    cand = (
+        ex.alias("x")
+        .join(
+            ex.alias("y"),
+            (F.col("x.s") == F.col("y.s")) & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    a = sz.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("n").alias("na"),
+    )
+    b = sz.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("n").alias("nb"),
+    )
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("common"),
+            F.least("na", "nb").alias("n_small"),
+        )
+        .filter(5 * F.col("common") >= 3 * F.col("n_small"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "common",
+            "n_small",
+            (F.col("common").cast("double") / F.col("n_small").cast("double")).alias(
+                "containment"
+            ),
+        )
+    )

@@ -236,6 +236,56 @@ def join_asof_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_asof_tolerance",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CASE WHEN r_ts IS NOT NULL
+                     AND (epoch_us(ts) - epoch_us(r_ts)) <= 3600000000
+                THEN r_ts END AS prior_ts,
+           CASE WHEN r_ts IS NOT NULL
+                     AND (epoch_us(ts) - epoch_us(r_ts)) <= 3600000000
+                THEN r_val END AS prior_value
+    FROM (
+        SELECT l.event_id, l.user_id, l.ts, r.ts AS r_ts, r.value AS r_val
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+    ) j
+    """,
+    tags=("join", "asof", "tolerance", "custom"),
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a MAX-GAP tolerance (pandas ``merge_asof
+    (tolerance=...)``): each purchase takes the user's most recent
+    page view, but only if it happened within the last hour —
+    attribution windows, sensor-reading staleness caps, and
+    quote-to-trade matching all need exactly this. A match farther
+    back than the tolerance is reported as NO match (NULL payload),
+    identical to a user with no prior view at all.
+
+    The tolerance check runs AFTER the one-shuffle union+window fill
+    (``operators/asof.py``) — the plan stays free of range products;
+    the oracle states the same semantics over DuckDB's native ASOF
+    join with an integer-microsecond gap test."""
+    events = t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        purchases, views, on="user_id", ts="ts", payload=["value"],
+        suffix="_r", tolerance_s=3600.0,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_r").alias("prior_ts"),
+        F.col("value_r").alias("prior_value"),
+    )
+
+
+@query(
     "join_skew_hotkey",
     oracle="""
     SELECT hot_key, COUNT(*) AS n_events,

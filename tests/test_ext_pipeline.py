@@ -173,6 +173,49 @@ class TestAsofAtomicity:
             assert out[0]["v_r"] == 7, f"tie-break changed with {n_parts} partitions"
 
 
+class TestAsofTolerance:
+    def test_match_outside_tolerance_nulled(self, spark):
+        """tolerance_s caps the max gap: a match farther back comes
+        out as NO match (NULL payload AND NULL matched-ts), identical
+        to a key with no prior right row at all."""
+        from nineinfra_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame(
+            [(1, 100), (1, 500), (2, 100)], "k int, ts int"
+        )
+        right = spark.createDataFrame(
+            [(1, 90, 7), (2, 10, 9)], "k int, ts int, v int"
+        )
+        out = {
+            (r["k"], r["ts"]): (r["v_r"], r["ts_r"])
+            for r in asof_join(
+                left, right, on="k", ts="ts", payload=["v"],
+                suffix="_r", tolerance_s=50,
+            ).collect()
+        }
+        assert out[(1, 100)] == (7, 90)        # gap 10 <= 50: kept
+        assert out[(1, 500)] == (None, None)   # gap 410 > 50: nulled
+        assert out[(2, 100)] == (None, None)   # gap 90 > 50: nulled
+
+    def test_boundary_gap_inclusive(self, spark):
+        from nineinfra_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame([(1, 60)], "k int, ts int")
+        right = spark.createDataFrame([(1, 10, 5)], "k int, ts int, v int")
+        out = asof_join(
+            left, right, on="k", ts="ts", payload=["v"],
+            suffix="_r", tolerance_s=50,
+        ).collect()
+        assert out[0]["v_r"] == 5  # gap == tolerance: inclusive
+
+    def test_negative_tolerance_rejected(self, spark):
+        from nineinfra_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame([(1, 1)], "k int, ts int")
+        with pytest.raises(ValueError, match="tolerance_s"):
+            asof_join(left, left, on="k", ts="ts", tolerance_s=-1)
+
+
 class TestIncrementalDedup:
     def test_incremental_consistent_with_pair_ground_truth(self, spark):
         """A delta doc is dropped iff it has a verified (j ≥ 0.5)
