@@ -104,6 +104,7 @@ HEADLINE = [
     "catalog_delete_partition_scoped",
     "text_trigram_lm_score",
     "graph_pagerank_fixed",
+    "mm_wav_decode_stats",
 ]
 
 

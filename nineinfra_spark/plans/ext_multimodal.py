@@ -59,18 +59,22 @@ def payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
 def decode_image(payload: bytes, fmt: str) -> object:
     """Decode dispatch for the binary media column.
 
-    ``ppm`` decodes FOR REAL (:func:`decode_ppm` — a full P6 parser on
-    numpy alone, exercised end-to-end by ``mm_ppm_decode_stats``).
-    Entropy-coded formats (png/jpeg/wav) need external codecs this
+    ``ppm`` and ``wav`` decode FOR REAL (:func:`decode_ppm` — a full
+    P6 parser, :func:`decode_wav` — a chunk-walking RIFF/WAVE PCM
+    parser; both on numpy/struct alone, exercised end-to-end by
+    ``mm_ppm_decode_stats`` / ``mm_wav_decode_stats``). Entropy-coded
+    formats (png/jpeg and compressed audio) need external codecs this
     container doesn't ship and raise — the one remaining env-blocked
-    integration point, now scoped to the codec, not the pipeline.
+    integration point, scoped to the codec, not the pipeline.
     """
     if fmt == "ppm":
         return decode_ppm(payload)
+    if fmt == "wav":
+        return decode_wav(payload)
     raise NotImplementedError(
         f"decoding {fmt!r} requires a codec library not present in this "
-        "environment; ppm decodes natively (decode_ppm), and the "
-        "byte-level feature extractors cover the rest"
+        "environment; ppm and wav decode natively (decode_ppm/"
+        "decode_wav), and the byte-level feature extractors cover the rest"
     )
 
 
@@ -337,3 +341,164 @@ def mm_ppm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, width int, height int, r_sum long, g_sum long, b_sum long"
     )
     return src.mapInPandas(_ppm_stats_batches, schema)
+
+
+# -- REAL audio decode: RIFF/WAVE PCM ------------------------------------
+
+WAV_FRAMES = 150  # frames per payload
+WAV_CHANNELS = 2  # interleaved stereo
+WAV_RATE = 8000
+_WAV_DATA_BYTES = WAV_FRAMES * WAV_CHANNELS  # 8-bit PCM: 1 byte/sample
+
+
+def _wav_header() -> bytes:
+    """Canonical RIFF/WAVE header for the synthetic payloads: fmt
+    chunk (PCM, 2ch, 8 kHz, 8-bit), a LIST chunk in the MIDDLE (so a
+    parser that assumes 'data follows fmt' fails), then data."""
+    import struct
+
+    fmt = struct.pack(
+        "<IHHIIHH", 16, 1, WAV_CHANNELS, WAV_RATE,
+        WAV_RATE * WAV_CHANNELS, WAV_CHANNELS, 8,
+    )
+    list_chunk = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    riff_size = 4 + (8 + 16) + len(list_chunk) + (8 + _WAV_DATA_BYTES)
+    return (
+        b"RIFF" + struct.pack("<I", riff_size) + b"WAVE"
+        + b"fmt " + fmt
+        + list_chunk
+        + b"data" + struct.pack("<I", _WAV_DATA_BYTES)
+    )
+
+
+def decode_wav(payload: bytes) -> "object":
+    """REAL audio decode for RIFF/WAVE PCM — a chunk-walking parser on
+    numpy/struct alone (WAV PCM is a container + raw samples, so no
+    media library is needed): RIFF/WAVE magic, fmt chunk validation
+    (PCM only, 8-bit only here), arbitrary chunk order with unknown
+    chunks skipped by their declared size (word-aligned), truncation
+    checks, interleaved samples reshaped to (n_frames, n_channels).
+
+    The audio-modality twin of :func:`decode_ppm`; compressed codecs
+    (mp3/aac/opus) remain env-blocked at the codec, not the pipeline.
+    """
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt_chunk, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (csize,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + csize]
+        if len(body) < csize:
+            raise ValueError(f"truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            fmt_chunk = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + csize + (csize % 2)  # chunks are word-aligned
+    if fmt_chunk is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    audio_format, n_channels, _rate, _brate, _align, bits = fmt_chunk
+    if audio_format != 1:
+        raise ValueError(f"only PCM (format 1) supported, got {audio_format}")
+    if bits != 8:
+        raise ValueError(f"only 8-bit PCM supported here, got {bits}")
+    if len(data) % n_channels:
+        raise ValueError("data chunk not a whole number of frames")
+    samples = np.frombuffer(data, dtype=np.uint8)
+    return samples.reshape(-1, n_channels)
+
+
+def wav_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → REAL RIFF/WAVE PCM payloads: the canonical header
+    plus 150 stereo frames whose interleaved samples are the doc's
+    text bytes tiled to length (ASCII corpus, so DuckDB's
+    ascii(substr(...)) sees identical sample values)."""
+    docs = t(spark, sf_dir, "documents").filter(F.length("text") >= 38)
+    body = F.substring(F.repeat(F.col("text"), 8), 1, _WAV_DATA_BYTES)
+    return docs.select(
+        "doc_id",
+        F.concat(F.lit(_wav_header()), F.encode(body, "UTF-8")).alias("payload"),
+    )
+
+
+def _wav_stats_batches(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            pcm = decode_wav(bytes(payload))
+            n_frames, n_ch = pcm.shape
+            sums = pcm.sum(axis=0, dtype=np.int64)
+            peaks = pcm.max(axis=0)
+            rows.append(
+                (
+                    int(doc_id), int(n_frames), int(n_ch), WAV_RATE,
+                    int(sums[0]), int(sums[1]),
+                    int(peaks[0]), int(peaks[1]),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "n_frames", "n_channels", "sample_rate",
+                "l_sum", "r_sum", "l_peak", "r_peak",
+            ],
+        )
+
+
+@query(
+    "mm_wav_decode_stats",
+    oracle=f"""
+    WITH rep AS (
+        SELECT doc_id, substr(repeat(text, 8), 1, {_WAV_DATA_BYTES}) AS body
+        FROM documents WHERE length(text) >= 38
+    )
+    SELECT doc_id,
+           {WAV_FRAMES} AS n_frames, {WAV_CHANNELS} AS n_channels,
+           {WAV_RATE} AS sample_rate,
+           CAST(list_aggregate(list_transform(
+               generate_series(1, {_WAV_DATA_BYTES}, 2),
+               i -> ascii(substr(body, CAST(i AS INT), 1))), 'sum') AS BIGINT)
+               AS l_sum,
+           CAST(list_aggregate(list_transform(
+               generate_series(2, {_WAV_DATA_BYTES}, 2),
+               i -> ascii(substr(body, CAST(i AS INT), 1))), 'sum') AS BIGINT)
+               AS r_sum,
+           CAST(list_aggregate(list_transform(
+               generate_series(1, {_WAV_DATA_BYTES}, 2),
+               i -> ascii(substr(body, CAST(i AS INT), 1))), 'max') AS INT)
+               AS l_peak,
+           CAST(list_aggregate(list_transform(
+               generate_series(2, {_WAV_DATA_BYTES}, 2),
+               i -> ascii(substr(body, CAST(i AS INT), 1))), 'max') AS INT)
+               AS r_peak
+    FROM rep
+    """,
+    tags=("ext", "multimodal", "mapInPandas", "real-decode", "audio"),
+)
+def mm_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END REAL audio decode in the Arrow pipeline — the audio
+    twin of `mm_ppm_decode_stats`: valid RIFF/WAVE PCM payloads (fmt
+    chunk + a LIST chunk deliberately in the middle + data chunk) are
+    built per document, ``mapInPandas`` runs the actual chunk-walking
+    parser (``decode_wav``) and emits per-channel integer sums and
+    peaks of the decoded samples. The DuckDB oracle recomputes them
+    arithmetically from the same tiled bytes, so a parser that
+    miswalks chunks, drops frames, or swaps channels fails the hash.
+
+    Scale posture: embarrassingly parallel mapInPandas over the
+    binary column, Arrow transfer, fixed schema, integer-exact stats;
+    a compressed-codec decoder would change ONE function, not the
+    plan."""
+    src = wav_payloads(spark, sf_dir)
+    schema = (
+        "doc_id long, n_frames int, n_channels int, sample_rate int, "
+        "l_sum long, r_sum long, l_peak int, r_peak int"
+    )
+    return src.mapInPandas(_wav_stats_batches, schema)

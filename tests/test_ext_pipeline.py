@@ -139,6 +139,55 @@ class TestMultimodal:
             decode_ppm(b"P6\n1 1\n65535\n\x00\x00\x00\x00\x00\x00")
 
 
+class TestDecodeWav:
+    def test_decode_roundtrip_interleave(self):
+        import struct
+
+        import numpy as np
+
+        from nineinfra_spark.plans.ext_multimodal import _wav_header, decode_wav
+
+        body = bytes((i * 7 + (i % 2) * 50) % 256 for i in range(300))
+        pcm = decode_wav(_wav_header() + body)
+        assert pcm.shape == (150, 2)
+        # interleaving: column 0 = even byte offsets, column 1 = odd
+        assert list(pcm[:3, 0]) == [body[0], body[2], body[4]]
+        assert list(pcm[:3, 1]) == [body[1], body[3], body[5]]
+        assert int(pcm.sum()) == sum(body)
+
+    def test_chunk_walker_skips_unknown_chunks(self):
+        """The LIST chunk sits BETWEEN fmt and data — a parser that
+        assumes data follows fmt immediately must fail; ours walks."""
+        from nineinfra_spark.plans.ext_multimodal import _wav_header
+
+        hdr = _wav_header()
+        assert b"LIST" in hdr
+        assert hdr.index(b"fmt ") < hdr.index(b"LIST") < hdr.index(b"data")
+
+    def test_rejects_malformed(self):
+        import struct
+
+        import pytest as _pytest
+
+        from nineinfra_spark.plans.ext_multimodal import _wav_header, decode_wav
+
+        with _pytest.raises(ValueError, match="RIFF"):
+            decode_wav(b"OggS" + b"\x00" * 40)
+        with _pytest.raises(ValueError, match="truncated"):
+            decode_wav(_wav_header() + b"\x01\x02")  # data shorter than declared
+        # non-PCM format code
+        bad = bytearray(_wav_header() + bytes(300))
+        fmt_off = bad.index(b"fmt ") + 8
+        struct.pack_into("<H", bad, fmt_off, 3)  # IEEE float, not PCM
+        with _pytest.raises(ValueError, match="PCM"):
+            decode_wav(bytes(bad))
+        # 16-bit samples unsupported in this 8-bit harness
+        bad = bytearray(_wav_header() + bytes(300))
+        struct.pack_into("<H", bad, bad.index(b"fmt ") + 8 + 14, 16)
+        with _pytest.raises(ValueError, match="8-bit"):
+            decode_wav(bytes(bad))
+
+
 class TestAsofAtomicity:
     def test_null_payload_not_mixed_across_rows(self, spark):
         """A matched right row whose payload is NULL must deliver

@@ -308,3 +308,69 @@ def test_update_where_matches_duckdb(spark, rows, pred):
     con.close()
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     assert got == want
+
+
+# -- asof_join vs pandas merge_asof (independent reference impl) ----------
+
+ASOF_LEFT = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 100)),  # (key, ts)
+    min_size=1, max_size=15,
+)
+ASOF_RIGHT = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 100), st.integers(-5, 5)),
+    min_size=0, max_size=15, unique_by=lambda r: (r[0], r[1]),
+)
+
+
+@SETTINGS
+@given(left=ASOF_LEFT, right=ASOF_RIGHT,
+       direction=st.sampled_from(["backward", "forward"]),
+       tol=st.sampled_from([None, 0, 7, 30]))
+def test_asof_join_matches_pandas_merge_asof(spark, left, right, direction, tol):
+    """operators/asof.py vs pandas.merge_asof — an INDEPENDENT
+    implementation of the same semantics (by-key as-of match in either
+    direction, optional max-gap tolerance). Right-side (key, ts) pairs
+    are unique, so the value-deterministic tie-break never has to
+    disagree with pandas' positional one."""
+    import pandas as pd
+
+    from nineinfra_spark.operators.asof import asof_join
+
+    ldf = spark.createDataFrame(left, "k int, ts int")
+    rdf = (
+        spark.createDataFrame(right, "k int, ts int, v int")
+        if right
+        else spark.createDataFrame([], "k int, ts int, v int")
+    )
+    got = {
+        (r["k"], r["ts"], i): (r["v_r"], r["ts_r"])
+        for i, r in enumerate(
+            asof_join(
+                ldf, rdf, on="k", ts="ts", payload=["v"], suffix="_r",
+                direction=direction, tolerance_s=tol,
+            )
+            .orderBy("k", "ts")
+            .collect()
+        )
+    }
+
+    lp = pd.DataFrame(left, columns=["k", "ts"], dtype="int64").sort_values(
+        ["ts", "k"], kind="mergesort"
+    )
+    rp = pd.DataFrame(
+        right, columns=["k", "ts", "v"], dtype="int64"
+    ).sort_values(["ts", "k"], kind="mergesort")
+    merged = pd.merge_asof(
+        lp, rp, on="ts", by="k", direction=direction,
+        suffixes=("", "_r"),
+        tolerance=tol if tol is None else int(tol),
+    ).sort_values(["k", "ts"], kind="mergesort")
+    exp = {}
+    for i, row in enumerate(merged.itertuples(index=False)):
+        v = None if pd.isna(row.v) else int(row.v)
+        exp[(row.k, row.ts, i)] = v
+
+    assert len(got) == len(exp)
+    got_bag = sorted((k, ts, v) for (k, ts, _), (v, _) in got.items())
+    exp_bag = sorted((k, ts, v) for (k, ts, _), v in exp.items())
+    assert got_bag == exp_bag
