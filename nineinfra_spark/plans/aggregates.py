@@ -1016,3 +1016,158 @@ def agg_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(5 * 0.0082) * F.col("exact_custs") + F.lit(1.0)
         ).alias("union_within_rsd"),
     )
+
+
+@query(
+    "agg_kll_merge_rollup",
+    oracle="""
+    WITH q AS (
+        SELECT CAST(strftime(o_orderdate, '%Y') AS VARCHAR) || '-Q'
+               || CAST((CAST(strftime(o_orderdate, '%m') AS INT) + 2) // 3
+                       AS VARCHAR) AS q,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT q, COUNT(*) AS n_orders,
+           TRUE AS p50_within_rank_eps,
+           TRUE AS p95_within_rank_eps
+    FROM q GROUP BY q
+    """,
+    tags=("agg", "approx", "sketch", "mergeable", "quantile"),
+)
+def agg_kll_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch MERGEABILITY — the KLL twin of
+    `agg_hll_union_rollup`: per-MONTH KLL sketches of the order value
+    (Datasketches ``kll_sketch_agg_bigint`` over exact integer cents)
+    are built once; QUARTER p50/p95 come from ``kll_merge_agg_bigint``
+    over the stored monthly sketches — no second scan of the fact.
+    This is how a serving tier answers "any percentile at any rollup
+    level" from pre-aggregated sketch columns; exact percentile
+    cannot roll up (it buffers raw values), which is the entire point
+    of the sketch.
+
+    Verification (the `agg_approx_sketches` pattern): KLL guarantees
+    RANK error ≤ ε, so each merged-estimate quantile must lie between
+    the EXACT quantiles at rank p±2ε (ε ≈ 1.65% at k=200; brackets
+    computed with Spark's exact `percentile` on the same cents). The
+    emitted booleans must be literal TRUE; the oracle recomputes the
+    group keys/counts and expects TRUE."""
+    orders = t(spark, sf_dir, "orders").select(
+        F.concat(
+            F.date_format("o_orderdate", "yyyy"),
+            F.lit("-Q"),
+            ((F.month("o_orderdate") + 2) / 3).cast("int").cast("string"),
+        ).alias("q"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("m"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    monthly = orders.groupBy("q", "m").agg(
+        F.kll_sketch_agg_bigint("cents").alias("sk")
+    )
+    merged = monthly.groupBy("q").agg(
+        F.kll_sketch_get_quantile_bigint(
+            F.kll_merge_agg_bigint("sk"), F.lit(0.5)
+        ).alias("_p50_est"),
+        F.kll_sketch_get_quantile_bigint(
+            F.kll_merge_agg_bigint("sk"), F.lit(0.95)
+        ).alias("_p95_est"),
+    )
+    eps = 0.0165 * 2  # 2× the k=200 single-sketch rank error
+    exact = orders.groupBy("q").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.expr(f"percentile(cents, {0.5 - eps})").alias("_p50_lo"),
+        F.expr(f"percentile(cents, {0.5 + eps})").alias("_p50_hi"),
+        F.expr(f"percentile(cents, {0.95 - eps})").alias("_p95_lo"),
+        F.expr(f"percentile(cents, {min(0.95 + eps, 1.0)})").alias("_p95_hi"),
+    )
+    return merged.join(exact, "q").select(
+        "q",
+        "n_orders",
+        (
+            (F.col("_p50_est") >= F.col("_p50_lo"))
+            & (F.col("_p50_est") <= F.col("_p50_hi"))
+        ).alias("p50_within_rank_eps"),
+        (
+            (F.col("_p95_est") >= F.col("_p95_lo"))
+            & (F.col("_p95_est") <= F.col("_p95_hi"))
+        ).alias("p95_within_rank_eps"),
+    )
+
+
+@query(
+    "agg_theta_set_ops",
+    oracle="""
+    WITH y96 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE strftime(o_orderdate, '%Y') = '1996'),
+    y97 AS (SELECT DISTINCT o_custkey FROM orders
+            WHERE strftime(o_orderdate, '%Y') = '1997'),
+    m AS (
+        SELECT (SELECT COUNT(*) FROM y96) AS n96,
+               (SELECT COUNT(*) FROM y97) AS n97,
+               (SELECT COUNT(*) FROM y96 JOIN y97 USING (o_custkey)) AS n_both
+    )
+    SELECT n96 AS exact_1996, n97 AS exact_1997, n_both AS exact_both,
+           TRUE AS union_within_rsd, TRUE AS intersect_within_err
+    FROM m
+    """,
+    tags=("agg", "approx", "sketch", "set-ops", "bounded-nlj"),
+)
+def agg_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch SET ALGEBRA — the capability HLL lacks: theta
+    sketches support INTERSECTION (and difference) estimates, so
+    "customers active in 1996 AND 1997" is answerable from two stored
+    per-year sketches without re-scanning either year — the retention
+    /overlap question every serving tier gets, at sketch cost.
+
+    Built per year with ``theta_sketch_agg``, combined with
+    ``theta_union`` / ``theta_intersection``. Union error follows the
+    HLL-style rsd; intersection error is looser (it scales with the
+    union size, not the intersection — the known theta caveat), so
+    its bound is |est − exact| ≤ 5·rsd·|union| + 1. Booleans must be
+    literal TRUE; the oracle recomputes the exact set sizes."""
+    orders = t(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyy").alias("y"), "o_custkey"
+    )
+    sk = (
+        orders.filter(F.col("y").isin("1996", "1997"))
+        .groupBy("y")
+        .agg(F.theta_sketch_agg("o_custkey").alias("sk"))
+    )
+    both = sk.groupBy().pivot("y", ["1996", "1997"]).agg(F.first("sk"))
+    est = both.select(
+        F.theta_sketch_estimate(F.col("`1996`")).alias("_e96"),
+        F.theta_sketch_estimate(F.col("`1997`")).alias("_e97"),
+        F.theta_sketch_estimate(
+            F.theta_union(F.col("`1996`"), F.col("`1997`"))
+        ).alias("_eu"),
+        F.theta_sketch_estimate(
+            F.theta_intersection(F.col("`1996`"), F.col("`1997`"))
+        ).alias("_ei"),
+    )
+    y96 = orders.filter(F.col("y") == "1996").select("o_custkey").distinct()
+    y97 = orders.filter(F.col("y") == "1997").select("o_custkey").distinct()
+    exact = (
+        y96.agg(F.count(F.lit(1)).alias("exact_1996"))
+        .crossJoin(y97.agg(F.count(F.lit(1)).alias("exact_1997")))
+        .crossJoin(
+            y96.join(y97, "o_custkey").agg(F.count(F.lit(1)).alias("exact_both"))
+        )
+        .crossJoin(
+            y96.unionByName(y97).distinct().agg(
+                F.count(F.lit(1)).alias("_exact_union")
+            )
+        )
+    )
+    return est.crossJoin(exact).select(
+        "exact_1996",
+        "exact_1997",
+        "exact_both",
+        (
+            F.abs(F.col("_eu") - F.col("_exact_union"))
+            <= F.lit(5 * 0.016) * F.col("_exact_union") + F.lit(1.0)
+        ).alias("union_within_rsd"),
+        (
+            F.abs(F.col("_ei") - F.col("exact_both"))
+            <= F.lit(5 * 0.016) * F.col("_exact_union") + F.lit(1.0)
+        ).alias("intersect_within_err"),
+    )
