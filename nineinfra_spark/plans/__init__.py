@@ -38,12 +38,12 @@ _load_all()
 #: Verification-priority prefix: the driver's CORRECTNESS gate checks
 #: a bounded window (exactly 50) of queries in export order, so the
 #: queries that most need a fresh driver-green differential row are
-#: pinned first — r8 composition: (a) the 8 queries NEW this round,
+#: pinned first — r8 composition: (a) the 11 queries NEW this round,
 #: (b) the 5-query cohort whose latest green row was r3 (the stalest
 #: in the registry: the UDF family + events_sessionize), (c) 40 of
-#: the 48-query r4-latest cohort (37 after later r8 additions) — the whole relational core (aggs,
+#: the 48-query r4-latest cohort (34 after later r8 additions) — the whole relational core (aggs,
 #: joins, TPC-H spine, fn_* families) that has ridden on local
-#: regression tests since round 4. The 11 deferred r4 rows (the
+#: regression tests since round 4. The 14 deferred r4 rows (the
 #: set-operation family + fn_null_misc — the lightest, most
 #: regression-resistant plans) plus everything newly displaced lead
 #: the r9 rotation.
@@ -57,6 +57,9 @@ _VERIFY_FIRST = [
     "mm_wav_decode_stats",  # REAL RIFF/WAVE PCM decode through mapInPandas
     "agg_kll_merge_rollup",  # KLL quantile-sketch mergeability rollup
     "agg_theta_set_ops",  # theta-sketch set algebra (intersection)
+    "sql_recursive_cte",  # ANSI WITH RECURSIVE gap-fill spine
+    "sql_pipe_syntax",  # |> dataflow dialect vs classical-SQL oracle
+    "sql_scripting_block",  # BEGIN/DECLARE/SET parameterized report
     # (b) the r3-latest cohort — stalest driver stamps in the registry
     "udf_sql_registered",
     "udf_pandas_vectorized",
@@ -66,7 +69,6 @@ _VERIFY_FIRST = [
     # (c) the r4-latest relational core, 42 of 48
     "agg_global",
     "agg_stats_moments",
-    "agg_first_last_by",
     "agg_collect_sorted",
     "agg_multi_distinct",
     "agg_percentile_exact",
@@ -75,7 +77,6 @@ _VERIFY_FIRST = [
     "agg_pivot",
     "join_cross",
     "join_left_outer",
-    "join_right_outer",
     "join_full_outer",
     "join_left_semi",
     "join_left_anti",
@@ -89,7 +90,6 @@ _VERIFY_FIRST = [
     "fn_map",
     "fn_json",
     "fn_string_distance",
-    "dedup_exact_content",
     "dedup_shingle_jaccard",
     "dedup_minhash_pairs",
     "events_funnel",
@@ -105,7 +105,8 @@ _VERIFY_FIRST = [
     # setop_union_all, setop_union_distinct, setop_intersect,
     # setop_intersect_all, setop_except, fn_null_misc,
     # agg_boolean_family, agg_collect_list_sorted, agg_skew_kurt,
-    # agg_corr_moments, agg_grouping_sets
+    # agg_corr_moments, agg_grouping_sets, join_right_outer,
+    # agg_first_last_by, dedup_exact_content
 ]
 
 registry.set_order(_VERIFY_FIRST)

@@ -233,3 +233,136 @@ def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlation key, per-group sort bounded by group size; the
     dimension side never fans out the fact."""
     return _sql(spark, sf_dir, _LATERAL_TOPN)
+
+
+# -- Spark 4 SQL-surface features (recursive CTE, pipe syntax, scripting) --
+
+#: Gap-filled monthly order series via WITH RECURSIVE: the calendar
+#: spine is GENERATED by the recursion (12 months of 1997), then
+#: left-joined to the monthly rollup so empty months surface as
+#: zero-count rows — the gap-fill idiom every reporting layer needs,
+#: stated identically on both engines (both speak ANSI recursion).
+_RECURSIVE_GAPFILL = """
+WITH RECURSIVE months(m) AS (
+    SELECT 1
+    UNION ALL
+    SELECT m + 1 FROM months WHERE m < 12
+),
+rollup_1997 AS (
+    SELECT CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS m,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1
+)
+SELECT months.m AS month_no,
+       COALESCE(n_orders, 0) AS n_orders,
+       COALESCE(revenue, CAST(0.0 AS DOUBLE)) AS revenue
+FROM months LEFT JOIN rollup_1997 ON months.m = rollup_1997.m
+"""
+
+
+@query(
+    "sql_recursive_cte",
+    oracle=_RECURSIVE_GAPFILL,
+    tags=("sql", "recursive", "cte"),
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI ``WITH RECURSIVE`` through the SQL surface (landed in
+    Spark 4): a recursively-generated calendar spine gap-fills the
+    monthly order rollup — absent months appear as zero rows instead
+    of silently missing, the reporting-layer idiom that otherwise
+    needs a driver-side loop or a sequence() explode. The SAME text
+    runs on DuckDB, so the recursion semantics (step limit, UNION ALL
+    accumulation) are differentially pinned.
+
+    Scale posture: the recursive branch generates 12 spine rows —
+    recursion depth is calendar-bounded, never data-bounded; the data
+    side stays one partial+final aggregate over the pruned 1997
+    scan."""
+    return _sql(spark, sf_dir, _RECURSIVE_GAPFILL)
+
+
+#: The q1-family pricing rollup restated in Spark 4's SQL PIPE syntax
+#: (|> operators, SPARK-49555): scan |> filter |> aggregate |> sort —
+#: the linear dataflow form gateway users increasingly write. The
+#: oracle states the identical relation as classic ANSI SQL, so the
+#: pipe parser/planner must agree with the classical path bit-for-bit.
+_PIPE_TEXT = """
+FROM lineitem
+|> WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+|> AGGREGATE COUNT(*) AS n_lines,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_price
+   GROUP BY l_returnflag, l_linestatus
+|> ORDER BY l_returnflag, l_linestatus
+"""
+
+_PIPE_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("sql_pipe_syntax", oracle=_PIPE_ORACLE, tags=("sql", "pipe-syntax"))
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIPE syntax (Spark 4's ``|>`` operators): the pricing
+    rollup written as a linear scan |> filter |> aggregate |> sort
+    dataflow. The oracle is the classical-SQL statement of the same
+    relation, so the pipe planner must produce value-identical results
+    to the traditional surface — parity between the two SQL dialect
+    forms a gateway now accepts."""
+    return _sql(spark, sf_dir, _PIPE_TEXT)
+
+
+#: SQL scripting (Spark 4 BEGIN…END): DECLARE a threshold, SET it
+#: from a scalar query over the data (90th percentile order value),
+#: branch on it, and return the orders above it — the parameterized-
+#: report pattern a stored procedure runs, executed entirely on the
+#: SQL surface with session-variable state.
+_SCRIPT_TEXT = """
+BEGIN
+  DECLARE thr DOUBLE DEFAULT 0.0;
+  SET thr = (SELECT percentile(o_totalprice, 0.9) FROM orders);
+  SELECT o_orderpriority,
+         COUNT(*) AS n_above,
+         CAST(SUM(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_above
+  FROM orders
+  WHERE o_totalprice > thr
+  GROUP BY o_orderpriority;
+END
+"""
+
+_SCRIPT_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_above,
+       CAST(SUM(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS DOUBLE)
+           AS sum_above
+FROM orders
+WHERE o_totalprice > (SELECT quantile_cont(o_totalprice, 0.9) FROM orders)
+GROUP BY o_orderpriority
+"""
+
+
+@query("sql_scripting_block", oracle=_SCRIPT_ORACLE, tags=("sql", "scripting"))
+def sql_scripting_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL SCRIPTING (Spark 4 ``BEGIN…END`` blocks): a session
+    variable is DECLAREd, SET from a scalar aggregate over the data
+    (the exact p90 order value), then used to parameterize the final
+    report query — the stored-procedure pattern the thrift/REST
+    gateway's BI users expect, with no driver-side Python in the
+    loop. The oracle derives the same relation with the threshold
+    inlined as a scalar subquery (DuckDB quantile_cont == Spark exact
+    percentile on doubles)."""
+    return _sql(spark, sf_dir, _SCRIPT_TEXT)
