@@ -1,0 +1,98 @@
+"""Warehouse orphan-directory vacuum.
+
+The reference stores its warehouse as plain directories on object
+storage (MinIO ``datahouse/``, ``internal/controller/minio.go:72-121``)
+with the metastore as the source of truth for what exists. A writer
+hard-killed between creating a table DIRECTORY and committing the
+metastore entry (or after a DROP that removed the entry but died
+before the rmdir) leaves an ORPHAN: storage no catalog name points
+to. The rename-protocol recovery paths (``merge.recover_published_table``
+/ ``recover_versioned_table``) clean up *registered* leftovers; this
+module is the storage-level complement — the role Delta's VACUUM and
+Iceberg's ``remove_orphan_files`` play.
+
+Safety design (the part that matters more than the rmtree):
+
+- Only TOP-LEVEL directories under the database location are
+  considered; a managed table's directory name equals its (lowercase)
+  table name in both the in-memory and hive catalogs.
+- A GRACE PERIOD (default 1 h, by directory mtime) protects in-flight
+  CREATEs — ``saveAsTable`` writes files before the metastore commit,
+  so a young unregistered directory is probably a table being born,
+  not an orphan.
+- Infrastructure names are never touched: nested ``*.db`` database
+  dirs, ``metastore_db``, and anything starting with ``.`` or ``_``
+  (Spark's ``_spark_metadata``, ``_temporary``, checkpoint dirs).
+- ``dry_run=True`` reports without deleting — run that first in any
+  unfamiliar warehouse.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+from pyspark.sql import SparkSession
+
+_PROTECTED = {"metastore_db", "derby.log", "spark-warehouse"}
+
+
+def database_location(spark: SparkSession, database: str = "default") -> str:
+    """Filesystem path of ``database``'s location (file: prefix
+    stripped)."""
+    rows = spark.sql(f"DESCRIBE DATABASE {database}").collect()
+    info = {r[0]: r[1] for r in rows}
+    loc = info.get("Location") or info.get("Location URI")
+    if not loc:
+        raise RuntimeError(
+            f"DESCRIBE DATABASE {database} returned no Location: {info}"
+        )
+    return loc.removeprefix("file:")
+
+
+def list_orphan_dirs(
+    spark: SparkSession, database: str = "default", grace_s: float = 3600.0
+) -> list[str]:
+    """Top-level directories under ``database``'s location that (a) no
+    catalog table of that database claims, (b) are not infrastructure
+    names, and (c) are older than ``grace_s`` seconds."""
+    loc = database_location(spark, database)
+    if not os.path.isdir(loc):
+        return []
+    registered = {
+        r["tableName"].lower()
+        for r in spark.sql(f"SHOW TABLES IN {database}").collect()
+    }
+    now = time.time()
+    orphans = []
+    for name in sorted(os.listdir(loc)):
+        path = os.path.join(loc, name)
+        if not os.path.isdir(path):
+            continue  # loose files (e.g. derby.log) are never touched
+        if name.startswith((".", "_")) or name.endswith(".db"):
+            continue
+        if name in _PROTECTED:
+            continue
+        if name.lower() in registered:
+            continue
+        if now - os.path.getmtime(path) < grace_s:
+            continue  # possibly a table mid-CREATE — leave it
+        orphans.append(path)
+    return orphans
+
+
+def vacuum_orphan_dirs(
+    spark: SparkSession,
+    database: str = "default",
+    grace_s: float = 3600.0,
+    dry_run: bool = False,
+) -> list[str]:
+    """Remove (or with ``dry_run`` just report) orphan table
+    directories under ``database``'s location. Returns the paths
+    identified. See module docstring for the safety rules."""
+    orphans = list_orphan_dirs(spark, database, grace_s=grace_s)
+    if not dry_run:
+        for path in orphans:
+            shutil.rmtree(path, ignore_errors=True)
+    return orphans

@@ -1,0 +1,100 @@
+"""vacuum_orphan_dirs (operators/vacuum.py): storage-level orphan
+cleanup under the database location — the complement of the
+rename-protocol recovery paths, which only see REGISTERED leftovers.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from nineinfra_spark.operators.vacuum import (
+    database_location,
+    list_orphan_dirs,
+    vacuum_orphan_dirs,
+)
+
+
+def _make_dir(loc, name, age_s=7200.0):
+    path = os.path.join(loc, name)
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "part-00000.parquet"), "wb") as f:
+        f.write(b"junk")
+    old = time.time() - age_s
+    os.utime(path, (old, old))
+    return path
+
+
+def test_orphan_identified_and_removed(spark):
+    loc = database_location(spark)
+    spark.sql("DROP TABLE IF EXISTS vac_keep")
+    spark.createDataFrame([(1,)], "id long").write.mode("overwrite").saveAsTable(
+        "vac_keep"
+    )
+    orphan = _make_dir(loc, "vac_orphan_x")
+    try:
+        found = list_orphan_dirs(spark, grace_s=3600)
+        assert orphan in found
+        # the registered table's directory is never a candidate
+        assert all("vac_keep" not in p for p in found)
+
+        removed = vacuum_orphan_dirs(spark, grace_s=3600)
+        assert orphan in removed
+        assert not os.path.exists(orphan)
+        # registered table survives, with its data
+        assert spark.table("vac_keep").count() == 1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS vac_keep")
+        import shutil
+
+        shutil.rmtree(orphan, ignore_errors=True)
+
+
+def test_grace_period_protects_young_dirs(spark):
+    """A directory younger than the grace period is a table mid-CREATE
+    (files land before the metastore commit) — never vacuumed."""
+    loc = database_location(spark)
+    young = _make_dir(loc, "vac_young_y", age_s=0)
+    try:
+        assert young not in list_orphan_dirs(spark, grace_s=3600)
+        # with grace 0 it becomes eligible — the knob works
+        assert young in list_orphan_dirs(spark, grace_s=0)
+    finally:
+        import shutil
+
+        shutil.rmtree(young, ignore_errors=True)
+
+
+def test_infrastructure_names_never_touched(spark):
+    loc = database_location(spark)
+    import shutil
+
+    protected = []
+    for name in ("other.db", "_spark_metadata_probe", ".hidden_probe", "metastore_db"):
+        path = os.path.join(loc, name)
+        existed = os.path.exists(path)
+        if not existed:
+            os.makedirs(path, exist_ok=True)
+            old = time.time() - 7200
+            os.utime(path, (old, old))
+            protected.append(path)
+    try:
+        found = vacuum_orphan_dirs(spark, grace_s=0, dry_run=True)
+        for name in ("other.db", "_spark_metadata_probe", ".hidden_probe", "metastore_db"):
+            assert all(os.path.basename(p) != name for p in found), name
+    finally:
+        for path in protected:
+            shutil.rmtree(path, ignore_errors=True)
+
+
+def test_dry_run_reports_without_deleting(spark):
+    loc = database_location(spark)
+    orphan = _make_dir(loc, "vac_dry_z")
+    try:
+        found = vacuum_orphan_dirs(spark, grace_s=0, dry_run=True)
+        assert orphan in found
+        assert os.path.exists(orphan)  # nothing deleted
+    finally:
+        import shutil
+
+        shutil.rmtree(orphan, ignore_errors=True)
