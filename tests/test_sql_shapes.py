@@ -114,3 +114,58 @@ def test_interval_join_is_equi_not_nested_loop(spark):
         if "events.parquet" in line and "PushedFilters" in line
     ]
     assert any("error" in line or "190" in line for line in scans), scans
+
+
+def test_recursive_cte_plans_as_bounded_union_loop(spark):
+    """sql_recursive_cte: WITH RECURSIVE plans as UnionLoop with the
+    step filter (m < 12) INSIDE the loop body — the recursion is
+    calendar-bounded at plan level, not just by data; and the data
+    side joins the tiny spine via broadcast."""
+    _, _, phys = _plans(spark, "sql_recursive_cte")
+    assert "UnionLoop" in phys
+    assert "UnionLoopRef" in phys
+    assert "< 12" in phys  # the termination predicate travels into the loop
+    assert "BroadcastHashJoin" in phys  # 12-row spine side broadcast
+
+
+def test_pipe_syntax_plans_identically_to_classical_sql(spark):
+    """sql_pipe_syntax: the |> dataflow dialect must produce the SAME
+    physical operator sequence as the classical-SQL statement of the
+    relation — the pipe parser is surface syntax, not a different
+    planner."""
+    import re
+
+    from nineinfra_spark.engine import register_testdata
+
+    register_testdata(spark, SF)
+    _, _, pipe_phys = _plans(spark, "sql_pipe_syntax")
+    classical = spark.sql(get("sql_pipe_syntax").oracle)
+    cls_phys = classical._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+
+    def ops(plan):
+        found = re.findall(r"(\w+)\s*(?:\[|\()", plan)
+        keep = {
+            "HashAggregate", "Exchange", "Sort", "Filter", "FileScan",
+            "BroadcastHashJoin", "SortMergeJoin",
+        }
+        return [f for f in found if f in keep]
+
+    # the pipe text ends with |> ORDER BY (result presentation); the
+    # oracle relation is unordered — compare the dataflow modulo Sort
+    assert [o for o in ops(pipe_phys) if o != "Sort"] == [
+        o for o in ops(cls_phys) if o != "Sort"
+    ], f"pipe ops {ops(pipe_phys)} != classical ops {ops(cls_phys)}"
+    # both push the ship-date filter to the scan
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual" in pipe_phys
+
+
+def test_scripting_block_executes_eagerly_to_local_result(spark):
+    """sql_scripting_block: BEGIN…END blocks EXECUTE when submitted —
+    the returned DataFrame is the script's final resultset as a
+    LocalTableScan (the stored-procedure semantic: the procedure ran;
+    you hold its output, not a deferred plan). Values are still
+    differentially verified against the oracle by the driver."""
+    _, _, phys = _plans(spark, "sql_scripting_block")
+    assert "LocalTableScan" in phys
+    # and the output schema is the report's, proving the block ran
+    assert "o_orderpriority" in phys and "sum_above" in phys
