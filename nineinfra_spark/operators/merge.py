@@ -26,6 +26,7 @@ merges (updates touching few partitions) compose by pre-filtering
 
 from __future__ import annotations
 
+import random
 import time
 import uuid
 from collections.abc import Mapping, Sequence
@@ -70,6 +71,17 @@ def _is_concurrent_scan_race(exc: BaseException) -> bool:
     re-read and retry."""
     s = str(exc)
     return "FileNotFoundException" in s or "FILE_NOT_EXIST" in s
+
+
+def _backoff(attempt: int) -> None:
+    """Jittered exponential backoff between optimistic-CAS retries.
+    Fixed short sleeps livelock under contention: two writers (or a
+    writer and a busy host) retrying in lockstep can each keep
+    invalidating the other's read until one exhausts its retries —
+    observed in the two-process race test under full-suite CPU load.
+    Exponential-with-jitter desynchronizes them (the standard OCC
+    remedy); capped at 1 s so a lost CAS never stalls long."""
+    time.sleep(min(1.0, 0.05 * (2 ** min(attempt, 4))) * (0.5 + random.random()))
 
 
 def merge_upsert(
@@ -227,7 +239,7 @@ def _versioned_merge_loop(
             if not _is_retryable_race(exc):
                 raise
             last_err = exc
-            time.sleep(0.05)
+            _backoff(_attempt)
             continue
         except Exception as exc:
             # A concurrent writer's rename can also strike DURING the
@@ -238,7 +250,18 @@ def _versioned_merge_loop(
             if not _is_concurrent_scan_race(exc):
                 raise
             last_err = exc
-            time.sleep(0.05)
+            # A plain re-read is NOT enough: the session caches the
+            # table's FILE LISTING by path, and a concurrent publish
+            # replaces the files UNDER THE SAME PATH (stage → live
+            # rename), so every retry would re-scan the dead listing
+            # and fail identically until retries exhaust (observed:
+            # 201 identical FAILED_READ_FILE losses). REFRESH TABLE
+            # drops the cached relation + listing before retrying.
+            try:
+                spark.sql(f"REFRESH TABLE {table}")
+            except AnalysisException:
+                pass  # name momentarily missing — the re-read handles it
+            _backoff(_attempt)
             continue
         try:
             spark.sql(f"ALTER TABLE {table} RENAME TO {table}__v{version}")
@@ -249,7 +272,7 @@ def _versioned_merge_loop(
             if not _is_retryable_race(exc, allow_exists=True):
                 raise
             last_err = exc
-            time.sleep(0.05)
+            _backoff(_attempt)
             continue
         # Archive CAS won: the live name is gone and this writer's
         # stage is the only complete merged snapshot — from here the

@@ -38,12 +38,12 @@ _load_all()
 #: Verification-priority prefix: the driver's CORRECTNESS gate checks
 #: a bounded window (exactly 50) of queries in export order, so the
 #: queries that most need a fresh driver-green differential row are
-#: pinned first — r8 composition: (a) the 11 queries NEW this round,
+#: pinned first — r8 composition: (a) the 12 queries NEW this round,
 #: (b) the 5-query cohort whose latest green row was r3 (the stalest
 #: in the registry: the UDF family + events_sessionize), (c) 40 of
-#: the 48-query r4-latest cohort (34 after later r8 additions) — the whole relational core (aggs,
+#: the 48-query r4-latest cohort (33 after later r8 additions) — the whole relational core (aggs,
 #: joins, TPC-H spine, fn_* families) that has ridden on local
-#: regression tests since round 4. The 14 deferred r4 rows (the
+#: regression tests since round 4. The 15 deferred r4 rows (the
 #: set-operation family + fn_null_misc — the lightest, most
 #: regression-resistant plans) plus everything newly displaced lead
 #: the r9 rotation.
@@ -60,6 +60,7 @@ _VERIFY_FIRST = [
     "sql_recursive_cte",  # ANSI WITH RECURSIVE gap-fill spine
     "sql_pipe_syntax",  # |> dataflow dialect vs classical-SQL oracle
     "sql_scripting_block",  # BEGIN/DECLARE/SET parameterized report
+    "sample_temperature_mixture",  # n^0.5 source re-balancing quotas
     # (b) the r3-latest cohort — stalest driver stamps in the registry
     "udf_sql_registered",
     "udf_pandas_vectorized",
@@ -70,7 +71,6 @@ _VERIFY_FIRST = [
     "agg_global",
     "agg_stats_moments",
     "agg_collect_sorted",
-    "agg_multi_distinct",
     "agg_percentile_exact",
     "agg_cube",
     "agg_rollup",
@@ -106,7 +106,7 @@ _VERIFY_FIRST = [
     # setop_intersect_all, setop_except, fn_null_misc,
     # agg_boolean_family, agg_collect_list_sorted, agg_skew_kurt,
     # agg_corr_moments, agg_grouping_sets, join_right_outer,
-    # agg_first_last_by, dedup_exact_content
+    # agg_first_last_by, dedup_exact_content, agg_multi_distinct
 ]
 
 registry.set_order(_VERIFY_FIRST)

@@ -428,3 +428,113 @@ def split_train_valid_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "split")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# -- temperature-scaled multi-source mixture --------------------------------
+
+#: total document budget for the temperature mixture (α = 0.5):
+#: small enough that the minority sources' shares visibly exceed
+#: their natural proportion at every test SF.
+TEMP_BUDGET = 300
+
+
+@query(
+    "sample_temperature_mixture",
+    oracle=f"""
+    WITH src AS (
+        SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ),
+    w AS (
+        SELECT source, n_docs,
+               CAST(floor(sqrt(n_docs)) AS BIGINT) AS w_sqrt
+        FROM src
+    ),
+    tot AS (SELECT SUM(w_sqrt) AS w_total FROM w),
+    quota AS (
+        SELECT source, n_docs, w_sqrt,
+               CAST(least(({TEMP_BUDGET} * w_sqrt) // w_total, n_docs)
+                    AS BIGINT) AS keep_n
+        FROM w, tot
+    ),
+    ranked AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM documents
+    )
+    SELECT q.source, q.n_docs, q.w_sqrt, q.keep_n,
+           COUNT(r.doc_id) AS kept,
+           CAST(SUM(CASE WHEN r.rk <= q.keep_n THEN 1 ELSE 0 END) AS BIGINT)
+               AS kept_check
+    FROM quota q
+    LEFT JOIN ranked r ON r.source = q.source AND r.rk <= q.keep_n
+    GROUP BY q.source, q.n_docs, q.w_sqrt, q.keep_n
+    """,
+    tags=("sample", "mixture", "temperature", "deterministic", "bounded-nlj"),
+)
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-scaled source mixture (α = 0.5): per-source sampling
+    quotas proportional to n^α instead of n — the T5/multilingual-
+    pretraining re-balancing that up-weights minority sources without
+    letting any single giant source dominate (α=1 is natural
+    proportion, α=0 is uniform; √n is the standard middle). Quota_s =
+    ⌊budget · √n_s / Σ√n_t⌋ capped at n_s; the surviving docs per
+    source are the md5-hash-order prefix (``sample_cap_per_group``'s
+    deterministic shuffle), so the sampled corpus is reproducible
+    across engines and runs.
+
+    Exactness: IEEE sqrt is CORRECTLY ROUNDED, so floor(sqrt(bigint))
+    is bit-identical on both engines; quotas are integer
+    floor-division; no float boundary anywhere. Output is the
+    per-source census (n_docs, weight, quota, kept) — kept ==
+    keep_n == quota proves the selection filled each quota exactly.
+
+    Scale posture: one dimension-sized per-source count, one
+    broadcastable quota table, one hash-partitioned per-source window
+    over the docs (same cost envelope as sample_cap_per_group); the
+    giant-source two-phase pre-filter composes identically."""
+    docs = t(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = src.select(
+        "source",
+        "n_docs",
+        F.floor(F.sqrt(F.col("n_docs"))).cast("bigint").alias("w_sqrt"),
+    )
+    tot = w.agg(F.sum("w_sqrt").alias("w_total"))
+    quota = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "w_sqrt",
+        F.least(
+            F.expr(f"({TEMP_BUDGET} * w_sqrt) div w_total"), F.col("n_docs")
+        ).alias("keep_n"),
+    )
+    win = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = docs.select("doc_id", "source").withColumn(
+        "rk", F.row_number().over(win)
+    )
+    kept = ranked.join(F.broadcast(quota), "source").filter(
+        F.col("rk") <= F.col("keep_n")
+    )
+    return (
+        quota.join(
+            kept.groupBy("source").agg(
+                F.count(F.lit(1)).alias("kept"),
+                F.sum(F.lit(1)).alias("kept_check"),
+            ),
+            "source",
+            "left",
+        )
+        .select(
+            "source",
+            "n_docs",
+            "w_sqrt",
+            "keep_n",
+            F.coalesce(F.col("kept"), F.lit(0)).alias("kept"),
+            F.coalesce(F.col("kept_check"), F.lit(0)).alias("kept_check"),
+        )
+    )

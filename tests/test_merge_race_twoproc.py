@@ -60,11 +60,20 @@ spark.createDataFrame([(0, "base")], "id long, tag string").write.saveAsTable(
 )
 print("HOST_READY", flush=True)
 
-for i in range(k_host):
-    upd = spark.createDataFrame(
-        [(1000 + i, f"host-{i}")], "id long, tag string"
-    )
-    merge_into_table_versioned(spark, "race_tbl", upd, ["id"], max_retries=200)
+import traceback
+try:
+    for i in range(k_host):
+        upd = spark.createDataFrame(
+            [(1000 + i, f"host-{i}")], "id long, tag string"
+        )
+        merge_into_table_versioned(spark, "race_tbl", upd, ["id"], max_retries=200)
+except BaseException as exc:
+    # surface the PYTHON-side classification failure on stdout, where
+    # the parent's assertion message can show it (stderr tail is all
+    # Java stack frames)
+    print("HOST_MERGE_FAIL|" + type(exc).__name__ + "|" + str(exc)[:800].replace(chr(10), " / "), flush=True)
+    traceback.print_exc()
+    raise
 print("HOST_MERGES_DONE", flush=True)
 
 sys.stdin.readline()  # wait until the client finished its merges
@@ -149,10 +158,20 @@ def _reconcile_after_unknown(port: int, new_id: int, tag: str, stage: str) -> bo
     raise AssertionError(f"reconcile for id={new_id}: state never settled")
 
 
+def _client_backoff(attempt: int) -> None:
+    """Jittered exponential backoff — fixed short sleeps livelock
+    against the host's own retry loop under CPU load (observed: 200
+    attempts burned in lockstep while the host held the head)."""
+    import random
+
+    time.sleep(min(1.0, 0.05 * (2 ** min(attempt, 4))) * (0.5 + random.random()))
+
+
 def _client_merge(port: int, new_id: int, tag: str) -> None:
     """One SQL-protocol versioned merge: CTAS merged relation, archive
     CAS, publish — optimistic retry on any step lost to the host, and
     state reconciliation when a step's outcome is unknown."""
+    last_err = None
     for _attempt in range(200):
         stage = f"race_tbl__stage_{secrets.token_hex(6)}"
         try:
@@ -165,18 +184,20 @@ def _client_merge(port: int, new_id: int, tag: str) -> None:
                 f"UNION ALL SELECT CAST({new_id} AS BIGINT) AS id, "
                 f"'{tag}' AS tag",
             )
-        except urllib.error.HTTPError:
+        except urllib.error.HTTPError as e:
             # live name briefly missing (host between its two renames)
-            time.sleep(0.05)
+            last_err = ("ctas", e.read()[:400])
+            _client_backoff(_attempt)
             continue
         except _TRANSIENT:
             time.sleep(1)
             continue  # reads/CTAS are safe to blind-retry (fresh stage)
         try:
             _rest_sql(port, f"ALTER TABLE race_tbl RENAME TO race_tbl__v{version}")
-        except urllib.error.HTTPError:
+        except urllib.error.HTTPError as e:
+            last_err = ("cas", e.read()[:400])
             _rest_sql(port, f"DROP TABLE IF EXISTS {stage}")
-            time.sleep(0.05)
+            _client_backoff(_attempt)
             continue
         except _TRANSIENT:
             if _reconcile_after_unknown(port, new_id, tag, stage):
@@ -190,7 +211,9 @@ def _client_merge(port: int, new_id: int, tag: str) -> None:
                 return
             continue
         return
-    raise AssertionError(f"client merge for id={new_id} never won the CAS")
+    raise AssertionError(
+        f"client merge for id={new_id} never won the CAS; last_err={last_err}"
+    )
 
 
 def test_two_process_merge_race(tmp_path):
