@@ -98,6 +98,14 @@ class EngineConfig:
     # mysql_clear_password. None = open frontend (the Doris default
     # root/"" model, ``doris.go:26-27``).
     mysql_auth_table: str | None = None
+    # Open-time crash recovery (≙ the log-replay a manifest lakehouse
+    # performs on open): table names whose rename-protocol state is
+    # replayed right after the catalog comes up —
+    # ``recover_published_table`` (fixed __merge_stage/__merge_old
+    # names) then ``recover_versioned_table`` (uuid stages + __v{n}
+    # archives). A clean table is a no-op; a crashed publish is rolled
+    # forward/back per the protocol's commit point. Empty = no replay.
+    recover_tables: tuple[str, ...] = ()
     # 64 MB: small-side tables up to this size replicate instead of shuffling.
     broadcast_threshold: str = "64m"
     # Cap bytes per input split so one task's scan fits executor memory
@@ -208,6 +216,25 @@ class Engine:
             builder = builder.config(k, v)
         self._spark = builder.getOrCreate()
         self._spark.sparkContext.setLogLevel("WARN")
+        if cfg.recover_tables:
+            # Open-time replay BEFORE any frontend serves queries: a
+            # crashed publish must not be observable through the
+            # gateways (see operators/merge.py recovery contracts).
+            from nineinfra_spark.operators.merge import (
+                recover_published_table,
+                recover_versioned_table,
+            )
+
+            for tbl in cfg.recover_tables:
+                for recover in (recover_published_table, recover_versioned_table):
+                    try:
+                        recover(self._spark, tbl)
+                    except RuntimeError:
+                        # "nothing recoverable" from one protocol's
+                        # viewpoint is normal: the other protocol may
+                        # own the state, or the table simply doesn't
+                        # exist yet (first boot of a fresh warehouse).
+                        pass
         if cfg.thrift_port is not None:
             from nineinfra_spark.gateway import start_thrift_gateway
 
