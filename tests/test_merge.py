@@ -677,3 +677,36 @@ class TestPartitionScopedMutation:
         with pytest.raises(ValueError, match="not partitioned"):
             update_where_partitioned(spark, "pp_flat", "id = 1", {"v": "2.0"})
         _cleanup_prefix(spark, "pp_flat")
+
+
+def test_partition_scoped_rewrite_scan_prunes_to_affected(spark):
+    """The 100 TB claim, plan-level: delete_where_partitioned's rewrite
+    scan must PRUNE to the affected partition directories — the
+    membership IN-list resolves statically, so the FileScan's file
+    index holds only the affected partition's path and the partition
+    predicate never survives as a row filter."""
+    from nineinfra_spark.operators.merge import _partition_membership
+
+    _cleanup_prefix(spark, "pp_plan")
+    spark.createDataFrame(
+        [(1, 1.0, "a"), (2, 2.0, "b"), (3, 3.0, "c")],
+        "id long, v double, p string",
+    ).write.partitionBy("p").saveAsTable("pp_plan")
+    try:
+        rows = (
+            spark.table("pp_plan").filter("p = 'a'").select("p").distinct().collect()
+        )
+        member = _partition_membership(rows, ["p"])
+        kept = (
+            spark.table("pp_plan")
+            .filter(member)
+            .filter("NOT coalesce((p = 'a' AND id >= 2), false)")
+        )
+        plan = kept._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        scan = next(l for l in plan.splitlines() if "FileScan" in l)
+        # static pruning: the file index carries ONE partition path
+        assert "InMemoryFileIndex(1 paths)" in scan, scan[:300]
+        # only the non-partition remainder survives as a data filter
+        assert "DataFilters: [NOT coalesce((id" in scan, scan[:300]
+    finally:
+        _cleanup_prefix(spark, "pp_plan")
