@@ -374,3 +374,96 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right, direction, tol)
     got_bag = sorted((k, ts, v) for (k, ts, _), (v, _) in got.items())
     exp_bag = sorted((k, ts, v) for (k, ts, _), v in exp.items())
     assert got_bag == exp_bag
+
+
+# -- partition-scoped mutations ≡ full-snapshot mutations ------------------
+
+
+def _none_safe_bag(df, cols):
+    key = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+    return sorted(map(tuple, df.select(*cols).collect()), key=key)
+
+
+def _drop_with_location(spark, table):
+    """DROP the table and any merge residue AND clear the warehouse
+    dir — a hypothesis shrink that aborts mid-example can leave the
+    location behind, and the next example's saveAsTable then fails
+    with LOCATION_ALREADY_EXISTS."""
+    import shutil
+
+    for t in (table, f"{table}__merge_stage", f"{table}__merge_old"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        loc = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        loc = loc.removeprefix("file:")
+        shutil.rmtree(f"{loc}/{t}", ignore_errors=True)
+
+
+PART_ROWS = st.lists(
+    st.tuples(
+        st.integers(0, 20),                      # id
+        st.one_of(st.none(), st.integers(-5, 5)),  # v (nullable!)
+        st.sampled_from(["a", "b", "c"]),        # partition
+    ),
+    min_size=1, max_size=12,
+)
+
+PRED = st.sampled_from([
+    "p = 'a'",                      # whole-partition
+    "p = 'a' AND id >= 5",          # partial within one partition
+    "v > 0",                        # cross-partition, NULL-bearing
+    "id % 2 = 0",                   # cross-partition
+    "id > 999",                     # no-op
+])
+
+
+@SETTINGS
+@given(rows=PART_ROWS, pred=PRED)
+def test_delete_where_partitioned_equiv_full_rewrite(spark, rows, pred):
+    """delete_where_partitioned must leave EXACTLY the rows the
+    full-snapshot delete_where leaves — partition scoping is a cost
+    optimization, never a semantics change (including SQL NULL
+    handling: a NULL predicate keeps the row)."""
+    from nineinfra_spark.operators.merge import (
+        delete_where,
+        delete_where_partitioned,
+    )
+
+    for t in ("prop_dp", "prop_df"):
+        _drop_with_location(spark, t)
+    df = spark.createDataFrame(rows, "id long, v long, p string")
+    df.write.partitionBy("p").saveAsTable("prop_dp")
+    df.write.saveAsTable("prop_df")
+
+    delete_where_partitioned(spark, "prop_dp", pred)
+    delete_where(spark, "prop_df", pred)
+
+    got = _none_safe_bag(spark.table("prop_dp"), ["id", "v", "p"])
+    exp = _none_safe_bag(spark.table("prop_df"), ["id", "v", "p"])
+    assert got == exp
+    for t in ("prop_dp", "prop_df"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+@SETTINGS
+@given(rows=PART_ROWS, pred=PRED)
+def test_update_where_partitioned_equiv_full_rewrite(spark, rows, pred):
+    from nineinfra_spark.operators.merge import (
+        update_where,
+        update_where_partitioned,
+    )
+
+    for t in ("prop_up", "prop_uf"):
+        _drop_with_location(spark, t)
+    df = spark.createDataFrame(rows, "id long, v long, p string")
+    df.write.partitionBy("p").saveAsTable("prop_up")
+    df.write.saveAsTable("prop_uf")
+
+    assignments = {"v": "coalesce(v, 0) * 10 + 1"}
+    update_where_partitioned(spark, "prop_up", pred, assignments)
+    update_where(spark, "prop_uf", pred, assignments)
+
+    got = _none_safe_bag(spark.table("prop_up"), ["id", "v", "p"])
+    exp = _none_safe_bag(spark.table("prop_uf"), ["id", "v", "p"])
+    assert got == exp
+    for t in ("prop_up", "prop_uf"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
