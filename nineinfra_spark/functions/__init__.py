@@ -19,7 +19,20 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from nineinfra_spark.operators.asof import asof_join
+# asof_join is re-exported LAZILY (PEP 562 __getattr__ below): an
+# eager import here closes a cycle — functions → operators.asof →
+# operators/__init__ → operators.ivf → functions — that made
+# `import nineinfra_spark.functions` fail whenever it was the FIRST
+# nineinfra import of a fresh process (found by the cosine property
+# test running before anything had touched operators).
+
+
+def __getattr__(name: str):
+    if name == "asof_join":
+        from nineinfra_spark.operators.asof import asof_join
+
+        return asof_join
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 __all__ = [
     "asof_join",
