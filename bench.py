@@ -2,10 +2,15 @@
 
 Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 ``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints
-exactly ONE JSON line to stdout:
+JSON to stdout: first the full per-query map
 
     {"metric": "headline_total_wall", "value": <sec>, "unit": "sec",
      "queries": {"q1_pricing_summary": <sec>, ...}, "sf": 0.1}
+
+then, as the FINAL line, a <200-char summary with the same
+metric/value fields (the driver records a bounded tail of stdout;
+the full map is also written to ``BENCH_FULL.json`` beside this
+script so no artifact truncation can lose the per-query numbers).
 
 Each query is forced end-to-end with a ``noop``-format write (full
 execution of every partition, no driver-side collect). After one
@@ -161,8 +166,31 @@ def main() -> int:
         "queries": timings,
         "sf": sf,
     }
-    # The ONE json line — everything else (Spark logs) goes to stderr.
+    # Full per-query map: one JSON line for humans + a file copy
+    # (the driver's artifact keeps only a bounded tail of stdout, and
+    # the full line outgrew it in r8 — BENCH_r08 parsed:null).
     print(json.dumps(result), flush=True)
+    try:
+        full_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+        )
+        with open(full_path, "w") as f:
+            json.dump(result, f, indent=1)
+    except OSError:
+        pass
+    # LAST line is a short (<200 char) summary guaranteed to fit in
+    # any tail window the driver keeps: same metric/value contract,
+    # full map referenced by file.
+    summary = {
+        "metric": "headline_total_wall",
+        "value": result["value"],
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "timing": result["timing"],
+        "full": "BENCH_FULL.json",
+    }
+    print(json.dumps(summary), flush=True)
     engine.close()
     return 0
 

@@ -926,10 +926,14 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     counted = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    # TakeOrdered(N) first — distributed per-partition top-k merge —
+    # then the ranking window runs over just N rows (same shape as
+    # plans/graph.py; a global row_number over every pair key would
+    # single-partition the |alphabet|² table).
+    top = counted.orderBy(F.desc("n_occurrences"), "pair").limit(BPE_TOP_PAIRS)
     w = Window.orderBy(F.desc("n_occurrences"), "pair")
     return (
-        counted.withColumn("merge_rank", F.row_number().over(w))
-        .filter(F.col("merge_rank") <= BPE_TOP_PAIRS)
+        top.withColumn("merge_rank", F.row_number().over(w))
         .select("pair", "n_occurrences", "merge_rank")
     )
 

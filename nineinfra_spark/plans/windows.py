@@ -180,6 +180,61 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_range_frame_bucketed",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(FLOOR(l_extendedprice / 500.0) AS BIGINT) AS price_bucket,
+           COUNT(*) OVER (
+               ORDER BY CAST(FLOOR(l_extendedprice / 500.0) AS BIGINT)
+               RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS n_within_band
+    FROM lineitem
+    WHERE l_extendedprice IS NOT NULL
+    """,
+    tags=("window", "frame", "range", "fact-scale"),
+)
+def window_range_frame_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-scale RANGE-frame: per-row count of rows within ±1 price
+    bucket (bucket = floor(price/500)) over LINEITEM — the plan the
+    `window_range_frame` docstring promises instead of documenting.
+
+    NO window executes on the fact table: the plan is
+      (1) hash-agg fact rows by bucket (map-side partial combine —
+          one fact shuffle bounded by |buckets| keys),
+      (2) bucket-level neighbor spread: each bucket's count is
+          exploded to itself ±1 and re-summed (dimension-sized —
+          ~price_range/500 rows),
+      (3) broadcast-join the per-bucket band counts back to the fact.
+    The oracle states the SAME semantics declaratively as a DuckDB
+    RANGE window over the bucket id (1 PRECEDING..1 FOLLOWING peers).
+    At 100 TB the fact never funnels into a single-partition
+    WindowExec (plan-asserted in tests/test_plan_lint.py); floor of
+    an IEEE divide of identical doubles is bit-stable cross-engine.
+    """
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice").isNotNull())
+    bucketed = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("cast(floor(l_extendedprice / 500.0) as bigint)").alias(
+            "price_bucket"
+        ),
+    )
+    counts = bucketed.groupBy("price_bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    b = F.col("price_bucket")
+    band = (
+        counts.select(
+            F.explode(F.array(b - 1, b, b + 1)).alias("price_bucket"), "n"
+        )
+        .groupBy("price_bucket")
+        .agg(F.sum("n").alias("n_within_band"))
+    )
+    return bucketed.join(F.broadcast(band), "price_bucket").select(
+        "l_orderkey", "l_linenumber", "price_bucket", "n_within_band"
+    )
+
+
+@query(
     "window_first_last_nth",
     oracle="""
     SELECT o_custkey, o_orderkey,

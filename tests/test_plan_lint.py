@@ -68,6 +68,22 @@ def test_plan_scale_rules(spark, name):
         )
 
 
+def test_range_frame_bucketed_has_no_window(spark):
+    """The fact-scale RANGE-frame variant must never plan a WindowExec
+    (the whole point vs. the dimension-only `window_range_frame`):
+    hash-agg + bucket-level spread + broadcast join-back only."""
+    plan = _plan(spark, "window_range_frame_bucketed")
+    assert "Window" not in plan, plan[:1500]
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+
+
+def test_bpe_pair_counts_takes_ordered_before_window(spark):
+    """text_bpe_pair_counts ranks AFTER a TakeOrdered(N) — the global
+    row_number window must only ever see N rows, not every pair key."""
+    plan = _plan(spark, "text_bpe_pair_counts")
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+
+
 def test_lint_covers_most_of_registry():
     """The skip set must stay the minority — if a refactor re-tags
     half the registry into the skip list, this fails."""
