@@ -96,7 +96,11 @@ class EngineConfig:
     # MySQL-frontend auth: name of the salted-MD5 users table (same
     # store as ``rest_auth_table``); enforced via AuthSwitch to
     # mysql_clear_password. None = open frontend (the Doris default
-    # root/"" model, ``doris.go:26-27``).
+    # root/"" model, ``doris.go:26-27``). The frontend is plaintext
+    # loopback-only (no TLS), so real drivers need their cleartext
+    # opt-in flag (--enable-cleartext-plugin / enabledCleartextPlugin
+    # / auth_plugin='mysql_clear_password') — see the
+    # nineinfra_spark.mysql_wire module docstring.
     mysql_auth_table: str | None = None
     # Open-time crash recovery (≙ the log-replay a manifest lakehouse
     # performs on open): table names whose rename-protocol state is

@@ -24,7 +24,16 @@ protocol — the subset every driver needs to connect and query):
   do exactly this); ``mysql_native_password``'s challenge-response
   needs SHA1(password) material the salted-MD5 store deliberately
   never keeps. Failure → ERR 1045 (SQLSTATE 28000), as real servers
-  emit;
+  emit. CLIENT NOTE (advice r8): the socket is plaintext TCP — no TLS
+  — so mainstream drivers refuse to send a cleartext password unless
+  explicitly told to: ``mysql --enable-cleartext-plugin``,
+  Connector/J ``enabledCleartextPlugin=true`` (older:
+  ``allowCleartextPasswords``), Connector/Python
+  ``auth_plugin='mysql_clear_password'``, libmysqlclient
+  ``MYSQL_ENABLE_CLEARTEXT_PLUGIN``. The server binds loopback-only
+  by default, which is the deployment posture that makes the
+  cleartext exchange acceptable — do not re-bind it to a routable
+  interface without putting TLS termination in front;
 - ``COM_QUERY`` → ``spark.sql`` → text resultset (column-definition
   packets, classic EOF framing, length-encoded row values — every
   value rendered as text, NULL as 0xFB, the canonical lowest common

@@ -374,10 +374,19 @@ def _declared_partition_cols(spark: SparkSession, table: str) -> list[str]:
     return [c.name for c in spark.catalog.listColumns(table) if c.isPartition]
 
 
+#: Above this many affected partitions the membership filter switches
+#: from a collected literal IN-list (statically prunes the file index)
+#: to a broadcast LEFT SEMI join (no driver-side literal tree — the
+#: analyzer/codegen would choke on an unbounded OR-of-ANDs, and the
+#: collect itself is unbounded; advice r8).
+_MEMBERSHIP_LITERAL_CAP = 256
+
+
 def _partition_membership(rows, part_cols: Sequence[str]):
     """Predicate: row's partition tuple ∈ the given partition rows
     (an IN-list over partition values — metadata-sized, so the filter
-    prunes the scan to exactly the affected partition directories)."""
+    prunes the scan to exactly the affected partition directories).
+    Only used below :data:`_MEMBERSHIP_LITERAL_CAP` tuples."""
     import functools
 
     conds = [
@@ -390,12 +399,99 @@ def _partition_membership(rows, part_cols: Sequence[str]):
     return functools.reduce(lambda a, b: a | b, conds)
 
 
+def _scope_to_affected(df, affected_df, affected_rows, part_cols: Sequence[str]):
+    """Restrict ``df`` to the affected partitions.
+
+    Two shapes: with ``affected_rows`` collected (≤ cap) the literal
+    IN-list resolves statically and the FileScan's file index holds
+    only the affected directories. Beyond the cap, a broadcast LEFT
+    SEMI join on null-safe partition equality — membership at scan
+    speed with no driver literal tree; partition-directory skipping
+    then rides on dynamic partition pruning."""
+    import functools
+
+    if affected_rows is not None:
+        return df.filter(_partition_membership(affected_rows, part_cols))
+    probe = affected_df.select(
+        *[F.col(c).alias(f"__p_{c}") for c in part_cols]
+    )
+    cond = functools.reduce(
+        lambda a, b: a & b,
+        [df[c].eqNullSafe(probe[f"__p_{c}"]) for c in part_cols],
+    )
+    return df.join(F.broadcast(probe), cond, "left_semi")
+
+
+def _emptied_partitions(affected_df, affected_rows, surviving_df, part_cols):
+    """Partition tuples present in ``affected`` but absent from
+    ``surviving`` — the ones whose every row matched the predicate and
+    which must be DROPPED explicitly. Only THESE rows are ever
+    collected in the join path (each needs a driver-side ALTER
+    statement anyway, so the collect is proportional to mandatory
+    driver work, not to the table)."""
+    import functools
+
+    if affected_rows is not None:
+        surviving = {
+            tuple(r[c] for c in part_cols) for r in surviving_df.collect()
+        }
+        return [
+            {c: r[c] for c in part_cols}
+            for r in affected_rows
+            if tuple(r[c] for c in part_cols) not in surviving
+        ]
+    probe = affected_df.select(
+        *[F.col(c).alias(f"__p_{c}") for c in part_cols]
+    )
+    cond = functools.reduce(
+        lambda a, b: a & b,
+        [probe[f"__p_{c}"].eqNullSafe(surviving_df[c]) for c in part_cols],
+    )
+    return [
+        {c: r[f"__p_{c}"] for c in part_cols}
+        for r in probe.join(surviving_df, cond, "left_anti").collect()
+    ]
+
+
+def _partition_literal(v) -> str:
+    """SQL literal for one partition value in an ``ALTER TABLE ...
+    PARTITION (...)`` spec, matching the catalog's stored form.
+
+    ``None`` maps to Hive's default-partition name (the on-disk/
+    catalog value for a NULL partition — ``str(None)`` would render
+    ``'None'`` and silently never match, resurrecting the emptied
+    partition; advice r8). Dates/timestamps are formatted in the
+    catalog's canonical literal form rather than trusting ``str()``."""
+    import datetime
+
+    if v is None:
+        return "'__HIVE_DEFAULT_PARTITION__'"
+    if isinstance(v, bool):
+        return f"'{str(v).lower()}'"
+    if isinstance(v, datetime.datetime):
+        s = v.strftime("%Y-%m-%d %H:%M:%S")
+        if v.microsecond:
+            s += f".{v.microsecond:06d}"
+        return f"'{s}'"
+    if isinstance(v, datetime.date):
+        return f"'{v.isoformat()}'"
+    return "'" + str(v).replace("'", "\\'") + "'"
+
+
 def _partition_spec(row, part_cols: Sequence[str]) -> str:
-    parts = []
-    for c in part_cols:
-        v = str(row[c]).replace("'", "\\'")
-        parts.append(f"{c} = '{v}'")
-    return ", ".join(parts)
+    return ", ".join(f"{c} = {_partition_literal(row[c])}" for c in part_cols)
+
+
+def _drop_partitions(spark: SparkSession, table: str, emptied, part_cols) -> None:
+    """DROP the emptied partitions, batched (one ALTER statement can
+    carry many PARTITION specs — 100 per statement keeps the SQL text
+    bounded instead of one round-trip per partition)."""
+    for i in range(0, len(emptied), 100):
+        specs = ", ".join(
+            f"PARTITION ({_partition_spec(r, part_cols)})"
+            for r in emptied[i : i + 100]
+        )
+        spark.sql(f"ALTER TABLE {table} DROP IF EXISTS {specs}")
 
 
 def delete_where_partitioned(spark: SparkSession, table: str, predicate: str) -> int:
@@ -427,30 +523,31 @@ def delete_where_partitioned(spark: SparkSession, table: str, predicate: str) ->
         )
     df = spark.table(table)
     pred = f"coalesce(({predicate}), false)"
-    affected = df.filter(pred).select(*part_cols).distinct().collect()
-    if not affected:
-        return 0
-    member = _partition_membership(affected, part_cols)
-    kept = df.filter(member).filter(f"NOT {pred}")
-    surviving = {
-        tuple(r[c] for c in part_cols)
-        for r in kept.select(*part_cols).distinct().collect()
-    }
-    emptied = [
-        r for r in affected if tuple(r[c] for c in part_cols) not in surviving
-    ]
-    saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    affected_df = df.filter(pred).select(*part_cols).distinct().persist()
     try:
-        kept.write.mode("overwrite").insertInto(table)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
-    for r in emptied:
-        spark.sql(
-            f"ALTER TABLE {table} DROP IF EXISTS "
-            f"PARTITION ({_partition_spec(r, part_cols)})"
+        head = affected_df.limit(_MEMBERSHIP_LITERAL_CAP + 1).collect()
+        if not head:
+            return 0
+        affected_rows = head if len(head) <= _MEMBERSHIP_LITERAL_CAP else None
+        n_affected = (
+            len(affected_rows) if affected_rows is not None else affected_df.count()
         )
-    return len(affected)
+        kept = _scope_to_affected(df, affected_df, affected_rows, part_cols).filter(
+            f"NOT {pred}"
+        )
+        emptied = _emptied_partitions(
+            affected_df, affected_rows, kept.select(*part_cols).distinct(), part_cols
+        )
+        saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            kept.write.mode("overwrite").insertInto(table)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+        _drop_partitions(spark, table, emptied, part_cols)
+        return n_affected
+    finally:
+        affected_df.unpersist()
 
 
 def update_where_partitioned(
@@ -485,26 +582,35 @@ def update_where_partitioned(
     if missing:
         raise ValueError(f"update targets {sorted(missing)} not in {table} columns")
     pred = f"coalesce(({predicate}), false)"
-    affected = base.filter(pred).select(*part_cols).distinct().collect()
-    if not affected:
-        return 0
-    member = _partition_membership(affected, part_cols)
-    cond = F.expr(predicate)
-    updated = base.filter(member).select(
-        *[
-            F.when(cond, F.expr(assignments[c])).otherwise(F.col(c)).alias(c)
-            if c in assignments
-            else F.col(c)
-            for c in base.columns
-        ]
-    )
-    saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    affected_df = base.filter(pred).select(*part_cols).distinct().persist()
     try:
-        updated.write.mode("overwrite").insertInto(table)
+        head = affected_df.limit(_MEMBERSHIP_LITERAL_CAP + 1).collect()
+        if not head:
+            return 0
+        affected_rows = head if len(head) <= _MEMBERSHIP_LITERAL_CAP else None
+        n_affected = (
+            len(affected_rows) if affected_rows is not None else affected_df.count()
+        )
+        cond = F.expr(predicate)
+        updated = _scope_to_affected(
+            base, affected_df, affected_rows, part_cols
+        ).select(
+            *[
+                F.when(cond, F.expr(assignments[c])).otherwise(F.col(c)).alias(c)
+                if c in assignments
+                else F.col(c)
+                for c in base.columns
+            ]
+        )
+        saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            updated.write.mode("overwrite").insertInto(table)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+        return n_affected
     finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
-    return len(affected)
+        affected_df.unpersist()
 
 
 def publish_snapshot(spark: SparkSession, table: str, snapshot: DataFrame) -> None:

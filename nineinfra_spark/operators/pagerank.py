@@ -18,6 +18,17 @@ drops ≤ outdeg units of mass per node per round — a deliberate,
 deterministic rounding that leaves the ranking semantics intact
 (standard float PageRank tolerates far larger numerical drift).
 
+Overflow bound: the per-edge contribution is evaluated by the split
+identity ``d_num·(rank div m) + (d_num·(rank mod m)) div m`` with
+``m = d_den·outdeg`` — integer-equal to ``(d_num·rank) div m`` but
+never forming the ``85·rank`` product, so every intermediate stays
+≤ max(rank, 85·m). Total mass only shrinks (floor leakage), hence
+rank ≤ |V|·SCALE always, and the arithmetic provably fits int64 for
+``|V|·SCALE < 2^63`` — about 9.2 million nodes at the default SCALE.
+For larger graphs pass a smaller ``scale`` (precision trades off at
+``scale/|E|`` mass units per edge). tests/test_graph.py exercises a
+hub graph whose naive form would wrap.
+
 Scale posture: per round, one shuffle keyed by ``src`` (or a
 broadcast when ranks are dimension-sized) + one map-side-combined
 sum keyed by ``dst``. Rounds are fixed (default 3) so total shuffle
@@ -68,8 +79,20 @@ def pagerank_fixed(edges: DataFrame, iters: int = 3) -> DataFrame:
             .join(F.broadcast(deg), "src")
             .select(
                 F.col("dst").alias("node"),
+                # (85·rank) div m computed as 85·(rank div m) +
+                # (85·(rank mod m)) div m with m = 100·outdeg — the
+                # SAME integer (q = rank div m, r = rank mod m ⇒
+                # 85·rank = 85·q·m + 85·r), but no 85× headroom
+                # blowup: the naive 85·rank wraps int64 once a hub's
+                # rank passes ~10^17 (|V| ≈ 10^5 at SCALE=10^12),
+                # silently in Spark vs checked in DuckDB (advice r8).
+                # Here every term stays ≤ max(rank, 85·m) — the
+                # provable bound is |V|·SCALE < 2^63, i.e. ~9·10^6
+                # nodes at the default SCALE.
                 F.expr(
-                    f"({DAMP_NUM} * rank) div ({DAMP_DEN} * outdeg)"
+                    f"{DAMP_NUM} * (rank div ({DAMP_DEN} * outdeg))"
+                    f" + ({DAMP_NUM} * (rank % ({DAMP_DEN} * outdeg)))"
+                    f" div ({DAMP_DEN} * outdeg)"
                 ).alias("c"),
             )
         )

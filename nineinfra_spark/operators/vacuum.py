@@ -23,8 +23,13 @@ Safety design (the part that matters more than the rmtree):
 - Infrastructure names are never touched: nested ``*.db`` database
   dirs, ``metastore_db``, and anything starting with ``.`` or ``_``
   (Spark's ``_spark_metadata``, ``_temporary``, checkpoint dirs).
-- ``dry_run=True`` reports without deleting — run that first in any
-  unfamiliar warehouse.
+- Registered table LOCATIONS across **all** databases are consulted,
+  not just same-database table names: an external table registered in
+  another database whose data directory happens to sit under this
+  database's location is never classified as an orphan (advice r8).
+- ``dry_run=True`` is the DEFAULT — the function reports candidates
+  without deleting; destruction requires an explicit
+  ``dry_run=False`` opt-in.
 """
 
 from __future__ import annotations
@@ -51,12 +56,37 @@ def database_location(spark: SparkSession, database: str = "default") -> str:
     return loc.removeprefix("file:")
 
 
+def _registered_locations(spark: SparkSession) -> set[str]:
+    """Real paths of every registered table's storage location across
+    ALL databases — the cross-database safety net: a directory that IS
+    some table's location is never an orphan, whatever database it
+    visually sits under (external tables can point anywhere, including
+    inside another database's directory)."""
+    locations: set[str] = set()
+    for db in spark.catalog.listDatabases():
+        for tbl in spark.catalog.listTables(db.name):
+            if tbl.isTemporary:
+                continue
+            try:
+                rows = spark.sql(
+                    f"DESCRIBE TABLE EXTENDED {db.name}.{tbl.name}"
+                ).collect()
+            except Exception:
+                continue  # concurrently dropped — then it can't claim a dir
+            for r in rows:
+                if r[0] == "Location" and r[1]:
+                    locations.add(os.path.realpath(r[1].removeprefix("file:")))
+    return locations
+
+
 def list_orphan_dirs(
     spark: SparkSession, database: str = "default", grace_s: float = 3600.0
 ) -> list[str]:
     """Top-level directories under ``database``'s location that (a) no
-    catalog table of that database claims, (b) are not infrastructure
-    names, and (c) are older than ``grace_s`` seconds."""
+    catalog table of that database claims by name, (b) are not the
+    registered LOCATION of any table in any database, (c) are not
+    infrastructure names, and (d) are older than ``grace_s``
+    seconds."""
     loc = database_location(spark, database)
     if not os.path.isdir(loc):
         return []
@@ -64,6 +94,7 @@ def list_orphan_dirs(
         r["tableName"].lower()
         for r in spark.sql(f"SHOW TABLES IN {database}").collect()
     }
+    claimed = _registered_locations(spark)
     now = time.time()
     orphans = []
     for name in sorted(os.listdir(loc)):
@@ -76,6 +107,8 @@ def list_orphan_dirs(
             continue
         if name.lower() in registered:
             continue
+        if os.path.realpath(path) in claimed:
+            continue  # some table somewhere owns this directory
         if now - os.path.getmtime(path) < grace_s:
             continue  # possibly a table mid-CREATE — leave it
         orphans.append(path)
@@ -86,11 +119,15 @@ def vacuum_orphan_dirs(
     spark: SparkSession,
     database: str = "default",
     grace_s: float = 3600.0,
-    dry_run: bool = False,
+    dry_run: bool = True,
 ) -> list[str]:
-    """Remove (or with ``dry_run`` just report) orphan table
-    directories under ``database``'s location. Returns the paths
-    identified. See module docstring for the safety rules."""
+    """Report (default) or remove orphan table directories under
+    ``database``'s location. Returns the paths identified.
+
+    ``dry_run`` defaults to **True**: deletion is an explicit
+    ``dry_run=False`` opt-in, so a bare call can never destroy data
+    (advice r8 — the docstring used to *recommend* a dry run; now the
+    API enforces it). See module docstring for the safety rules."""
     orphans = list_orphan_dirs(spark, database, grace_s=grace_s)
     if not dry_run:
         for path in orphans:

@@ -37,7 +37,8 @@ deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
 r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rank FROM nodes),
 r1 AS (
     SELECT n.node, CAST(150000000000 + COALESCE(SUM(
-               (85 * r.rank) // (100 * d.outdeg)), 0) AS BIGINT) AS rank
+               85 * (r.rank // (100 * d.outdeg))
+               + (85 * (r.rank % (100 * d.outdeg))) // (100 * d.outdeg)), 0) AS BIGINT) AS rank
     FROM nodes n
     LEFT JOIN edges e ON e.dst = n.node
     LEFT JOIN r0 r ON r.node = e.src
@@ -46,7 +47,8 @@ r1 AS (
 ),
 r2 AS (
     SELECT n.node, CAST(150000000000 + COALESCE(SUM(
-               (85 * r.rank) // (100 * d.outdeg)), 0) AS BIGINT) AS rank
+               85 * (r.rank // (100 * d.outdeg))
+               + (85 * (r.rank % (100 * d.outdeg))) // (100 * d.outdeg)), 0) AS BIGINT) AS rank
     FROM nodes n
     LEFT JOIN edges e ON e.dst = n.node
     LEFT JOIN r1 r ON r.node = e.src
@@ -55,7 +57,8 @@ r2 AS (
 ),
 r3 AS (
     SELECT n.node, CAST(150000000000 + COALESCE(SUM(
-               (85 * r.rank) // (100 * d.outdeg)), 0) AS BIGINT) AS rank
+               85 * (r.rank // (100 * d.outdeg))
+               + (85 * (r.rank % (100 * d.outdeg))) // (100 * d.outdeg)), 0) AS BIGINT) AS rank
     FROM nodes n
     LEFT JOIN edges e ON e.dst = n.node
     LEFT JOIN r2 r ON r.node = e.src

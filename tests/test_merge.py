@@ -638,6 +638,81 @@ class TestPartitionScopedMutation:
         assert self._table_files(spark, "pp_z") == before
         _cleanup_prefix(spark, "pp_z")
 
+    def test_emptied_null_partition_is_dropped(self, spark):
+        """A NULL partition value maps to __HIVE_DEFAULT_PARTITION__ on
+        disk; the DROP spec must use that name — str(None) renders
+        'None', never matches, and the emptied partition silently
+        resurrects (advice r8)."""
+        from nineinfra_spark.operators.merge import delete_where_partitioned
+
+        _cleanup_prefix(spark, "pp_nullp")
+        spark.createDataFrame(
+            [(1, 1.0, "a"), (2, 2.0, None), (3, 3.0, None)],
+            "id long, v double, p string",
+        ).write.partitionBy("p").saveAsTable("pp_nullp")
+        n = delete_where_partitioned(spark, "pp_nullp", "p IS NULL")
+        assert n == 1
+        assert sorted(r["id"] for r in spark.table("pp_nullp").collect()) == [1]
+        parts = [r[0] for r in spark.sql("SHOW PARTITIONS pp_nullp").collect()]
+        assert all("__HIVE_DEFAULT_PARTITION__" not in p for p in parts), parts
+        _cleanup_prefix(spark, "pp_nullp")
+
+    def test_emptied_date_partition_is_dropped(self, spark):
+        """DATE partition values must render in the catalog's literal
+        form (ISO), not whatever str() yields."""
+        import datetime
+
+        from nineinfra_spark.operators.merge import delete_where_partitioned
+
+        _cleanup_prefix(spark, "pp_datep")
+        spark.createDataFrame(
+            [
+                (1, datetime.date(2024, 1, 1)),
+                (2, datetime.date(2024, 1, 1)),
+                (3, datetime.date(2024, 2, 2)),
+            ],
+            "id long, d date",
+        ).write.partitionBy("d").saveAsTable("pp_datep")
+        n = delete_where_partitioned(spark, "pp_datep", "d = DATE'2024-01-01'")
+        assert n == 1
+        assert sorted(r["id"] for r in spark.table("pp_datep").collect()) == [3]
+        parts = [r[0] for r in spark.sql("SHOW PARTITIONS pp_datep").collect()]
+        assert parts == ["d=2024-02-02"], parts
+        _cleanup_prefix(spark, "pp_datep")
+
+    def test_many_partitions_uses_join_membership(self, spark, monkeypatch):
+        """Above _MEMBERSHIP_LITERAL_CAP affected partitions the
+        membership switches to a broadcast semi-join (no unbounded
+        literal tree / collect — advice r8): force the cap to 2 and
+        delete across 4 partitions; results and emptied-partition
+        drops must be identical to the literal path."""
+        from nineinfra_spark.operators import merge as M
+
+        _cleanup_prefix(spark, "pp_many")
+        spark.createDataFrame(
+            [(i, float(i), f"g{i % 4}") for i in range(1, 17)],
+            "id long, v double, p string",
+        ).write.partitionBy("p").saveAsTable("pp_many")
+        monkeypatch.setattr(M, "_MEMBERSHIP_LITERAL_CAP", 2)
+        # matches rows in all 4 partitions; empties g0 (ids 4,8,12,16)
+        n = M.delete_where_partitioned(
+            spark, "pp_many", "p = 'g0' OR id >= 13"
+        )
+        assert n == 4
+        kept = sorted(r["id"] for r in spark.table("pp_many").collect())
+        assert kept == [1, 2, 3, 5, 6, 7, 9, 10, 11]
+        parts = [r[0] for r in spark.sql("SHOW PARTITIONS pp_many").collect()]
+        assert "p=g0" not in parts
+        # update path through the join membership too
+        n2 = M.update_where_partitioned(
+            spark, "pp_many", "id <= 3", {"v": "v + 100"}
+        )
+        assert n2 == 3  # g1, g2, g3 contain ids 1..3
+        got = {r["id"]: r["v"] for r in spark.table("pp_many").collect()}
+        assert got[1] == 101.0 and got[2] == 102.0 and got[3] == 103.0
+        assert got[5] == 5.0
+        _cleanup_prefix(spark, "pp_many")
+
     def test_update_rewrites_only_affected_partition(self, spark):
         from nineinfra_spark.operators.merge import update_where_partitioned
 

@@ -71,6 +71,38 @@ def test_two_cycle_is_symmetric(spark):
     assert ranks["a"] <= SCALE
 
 
+def test_hub_rank_beyond_naive_int64_wrap(spark, monkeypatch):
+    """Advice r8: the naive `85·rank` product wraps int64 once a
+    hub's rank passes ~1.08·10^17 (silently in Spark, checked in
+    DuckDB). The split identity `85·(rank div m) + (85·(rank mod m))
+    div m` is integer-equal with every intermediate ≤ max(rank, 85·m).
+    Force SCALE to 2·10^17: after round 1 the hub holds ~1.7·10^18 —
+    round 2's contribution would wrap under the naive form — and the
+    Spark ranks must still equal the arbitrary-precision Python
+    recurrence exactly."""
+    from nineinfra_spark.operators import pagerank as P
+
+    big = 200_000_000_000_000_000  # 2e17
+    monkeypatch.setattr(P, "SCALE", big)
+    spokes = [f"s{i}" for i in range(10)]
+    edges = [(s, "hub") for s in spokes] + [("hub", s) for s in spokes]
+
+    # arbitrary-precision reference of the same recurrence
+    outdeg = {"hub": 10, **{s: 1 for s in spokes}}
+    teleport = big * (DAMP_DEN - DAMP_NUM) // DAMP_DEN
+    rank = {n: big for n in outdeg}
+    for _ in range(3):
+        inflow = {n: 0 for n in outdeg}
+        for s, d in edges:
+            inflow[d] += (DAMP_NUM * rank[s]) // (DAMP_DEN * outdeg[s])
+        rank = {n: teleport + inflow[n] for n in outdeg}
+
+    assert rank["hub"] > 2**60  # the round-2 input really is wrap-range
+    got = _spark_ranks(spark, edges, 3)
+    assert got == rank
+    assert all(v > 0 for v in got.values())  # no silent wrap to negatives
+
+
 def test_iters_validation(spark):
     df = spark.createDataFrame([("a", "b")], "src string, dst string")
     with pytest.raises(ValueError, match="iters"):

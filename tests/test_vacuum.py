@@ -38,7 +38,12 @@ def test_orphan_identified_and_removed(spark):
         # the registered table's directory is never a candidate
         assert all("vac_keep" not in p for p in found)
 
-        removed = vacuum_orphan_dirs(spark, grace_s=3600)
+        # default call is dry-run: reports but NEVER deletes
+        reported = vacuum_orphan_dirs(spark, grace_s=3600)
+        assert orphan in reported
+        assert os.path.exists(orphan)
+
+        removed = vacuum_orphan_dirs(spark, grace_s=3600, dry_run=False)
         assert orphan in removed
         assert not os.path.exists(orphan)
         # registered table survives, with its data
@@ -85,6 +90,38 @@ def test_infrastructure_names_never_touched(spark):
     finally:
         for path in protected:
             shutil.rmtree(path, ignore_errors=True)
+
+
+def test_cross_database_external_table_never_vacuumed(spark):
+    """An EXTERNAL table registered in a DIFFERENT database whose data
+    directory sits under default's location must never be classified
+    as an orphan — the location check spans all databases (advice
+    r8: name-only same-database matching would rmtree it)."""
+    loc = database_location(spark)
+    data_dir = _make_dir(loc, "vac_ext_data")
+    spark.createDataFrame([(7,)], "id long").write.mode("overwrite").parquet(
+        data_dir
+    )
+    old = time.time() - 7200
+    os.utime(data_dir, (old, old))
+    spark.sql("CREATE DATABASE IF NOT EXISTS vac_other_db")
+    spark.sql("DROP TABLE IF EXISTS vac_other_db.ext_t")
+    spark.sql(
+        f"CREATE TABLE vac_other_db.ext_t (id LONG) USING parquet "
+        f"LOCATION '{data_dir}'"
+    )
+    try:
+        found = list_orphan_dirs(spark, grace_s=0)
+        assert data_dir not in found
+        vacuum_orphan_dirs(spark, grace_s=0, dry_run=False)
+        assert os.path.exists(data_dir)
+        assert spark.table("vac_other_db.ext_t").count() == 1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS vac_other_db.ext_t")
+        spark.sql("DROP DATABASE IF EXISTS vac_other_db")
+        import shutil
+
+        shutil.rmtree(data_dir, ignore_errors=True)
 
 
 def test_dry_run_reports_without_deleting(spark):
