@@ -1,0 +1,100 @@
+"""Object-store (S3-API) directory-move semantics for the publish
+protocol.
+
+The reference platform's warehouse lives on MinIO via s3a
+(``internal/controller/kyuubi.go:100-106``, ``minio.go:286-319``).
+This repo's publish/merge protocol (``operators/merge.py``) commits by
+``ALTER TABLE RENAME`` — and the two halves of that operation have
+DIFFERENT portability to an object store:
+
+- The **metastore name swap** is a database update: ``RENAME TO`` an
+  existing name fails in the metastore whatever the storage is, so the
+  optimistic version CAS (``merge_into_table_versioned``) keeps its
+  atomicity on S3 unchanged. Nothing in the CAS depends on storage
+  rename.
+- The **data-directory move** of a managed table is ``rename()`` on
+  the table location. HDFS/local rename is one atomic metadata op; the
+  S3 API HAS NO RENAME — s3a emulates it as per-object COPY + DELETE,
+  so a crash mid-move leaves objects split across BOTH prefixes, a
+  state no local-FS test can produce.
+
+:func:`rename_prefix` is the move s3a performs, written as an
+idempotent ROLL-FORWARD: copy every object src→dst (re-copy of an
+already-copied object is a no-op overwrite with identical bytes),
+then delete the src prefix only after every copy landed. Re-running
+it after any crash completes the move — which is exactly the property
+``recover_versioned_table`` needs from the storage layer: every
+rename it replays can be finished by re-issuing it.
+
+Tested against a REAL S3 endpoint (moto server speaking the S3 API)
+in ``tests/test_s3_semantics.py``, including a mid-move crash that
+leaves the split state and the roll-forward that heals it. The
+Spark-side s3a leg stays environment-blocked: no ``hadoop-aws`` /
+AWS SDK bundle jar ships in this environment's pyspark (probe in
+NOTES.md r9), so ``spark.read("s3a://...")`` cannot run here; the
+``fs.s3a.*`` session wiring it would use is in ``engine.py:115-176``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+
+def list_prefix(s3, bucket: str, prefix: str) -> list[str]:
+    """All object keys under ``prefix`` (paginated — an S3 listing
+    page holds ≤1000 keys; a warehouse partition can hold far more)."""
+    keys: list[str] = []
+    token = None
+    while True:
+        kw = {"Bucket": bucket, "Prefix": prefix}
+        if token:
+            kw["ContinuationToken"] = token
+        page = s3.list_objects_v2(**kw)
+        keys.extend(o["Key"] for o in page.get("Contents", []))
+        if not page.get("IsTruncated"):
+            return keys
+        token = page["NextContinuationToken"]
+
+
+def rename_prefix(
+    s3,
+    bucket: str,
+    src_prefix: str,
+    dst_prefix: str,
+    on_each: Callable[[str], None] | None = None,
+) -> int:
+    """Move every object ``src_prefix``/K → ``dst_prefix``/K — the
+    operation s3a performs for a directory rename, as an idempotent
+    roll-forward (safe to re-run after a crash at ANY point):
+
+    1. copy phase: every src object is copied to its dst key. Copies
+       are idempotent (same source bytes → same object), so objects
+       copied by a previous interrupted run are harmlessly re-copied.
+    2. delete phase: only after the full copy phase, src objects are
+       deleted. A crash during deletion leaves some src objects;
+       re-running re-copies (no-op) and finishes the delete.
+
+    There is NO point at which an object exists under neither prefix,
+    but there IS a window where objects exist under both — readers
+    must resolve through the metastore pointer, never by listing
+    storage (the invariant the publish protocol already keeps, since
+    the table NAME is what flips).
+
+    ``on_each`` (test hook) runs after each copy — the crash-injection
+    seam for exercising the split state.
+
+    Returns the number of objects moved.
+    """
+    keys = list_prefix(s3, bucket, src_prefix)
+    for key in keys:
+        dst_key = dst_prefix + key.removeprefix(src_prefix)
+        s3.copy_object(
+            Bucket=bucket,
+            Key=dst_key,
+            CopySource={"Bucket": bucket, "Key": key},
+        )
+        if on_each is not None:
+            on_each(key)
+    for key in keys:
+        s3.delete_object(Bucket=bucket, Key=key)
+    return len(keys)

@@ -526,6 +526,8 @@ def fn_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM j
     """,
     tags=("fn", "variant", "semi-structured"),
+    min_spark="4.0",  # VARIANT type
+
 )
 def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The VARIANT type (Spark 4's native semi-structured path):

@@ -25,6 +25,29 @@ class RegisteredQuery:
     fn: QueryFn
     oracle: str | None  # DuckDB SQL; None → driver does rows-only check
     tags: tuple[str, ...] = ()
+    min_spark: str | None = None  # engine floor, e.g. "4.0" — see query()
+
+
+class SparkVersionUnsupported(RuntimeError):
+    """Raised when a query needs a newer Spark than the session runs.
+
+    The reference platform pins Spark 3.2.4
+    (``internal/controller/ninecluster_metadata.go:108-117``); this
+    repo targets Spark 4 and registers some Spark-4-only surface
+    (recursive CTE, ``|>`` pipes, SQL scripting, VARIANT, Python
+    DataSource, Python UDTF). Version-gated queries degrade into this
+    clear error on an older engine instead of an opaque parser/
+    analyzer failure mid-plan."""
+
+
+def _version_tuple(v: str) -> tuple[int, ...]:
+    parts = []
+    for p in v.split("."):
+        digits = "".join(ch for ch in p if ch.isdigit())
+        if not digits:
+            break
+        parts.append(int(digits))
+    return tuple(parts[:2])
 
 
 _REGISTRY: dict[str, RegisteredQuery] = {}
@@ -37,13 +60,43 @@ _REGISTRY: dict[str, RegisteredQuery] = {}
 _ORDER: list[str] = []
 
 
-def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
-    """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` as a query."""
+def query(
+    name: str,
+    oracle: str | None = None,
+    tags: tuple[str, ...] = (),
+    min_spark: str | None = None,
+):
+    """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` as a query.
+
+    ``min_spark`` declares the engine floor for features newer than
+    the reference's pinned Spark 3.2.4 — the wrapper checks
+    ``spark.version`` BEFORE building any plan and raises
+    :class:`SparkVersionUnsupported` with the requirement spelled out,
+    so the registry itself loads (and every other query runs) cleanly
+    under an older session."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        _REGISTRY[name] = RegisteredQuery(name=name, fn=fn, oracle=oracle, tags=tags)
+        wrapped = fn
+        if min_spark is not None:
+
+            def wrapped(spark, sf_dir, _fn=fn):  # noqa: F811
+                if _version_tuple(spark.version) < _version_tuple(min_spark):
+                    raise SparkVersionUnsupported(
+                        f"query '{name}' needs Spark >= {min_spark} "
+                        f"(session runs {spark.version}); the feature it "
+                        f"exercises does not exist on the reference's "
+                        f"pinned Spark 3.2.4 line"
+                    )
+                return _fn(spark, sf_dir)
+
+            wrapped.__name__ = fn.__name__
+            wrapped.__doc__ = fn.__doc__
+
+        _REGISTRY[name] = RegisteredQuery(
+            name=name, fn=wrapped, oracle=oracle, tags=tags, min_spark=min_spark
+        )
         return fn
 
     return deco

@@ -1554,6 +1554,8 @@ SYNTH_PARTS = 8
     FROM h
     """,
     tags=("source", "connector", "python-datasource"),
+    min_spark="4.0",  # Python DataSource API
+
 )
 def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSTOM SOURCE CONNECTOR end-to-end through Spark's Python

@@ -609,6 +609,8 @@ PYDS_STEP = 250
     FROM h
     """,
     tags=("stream", "connector", "python-datasource"),
+    min_spark="4.0",  # Python DataSource stream reader
+
 )
 def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom STREAMING source through the Python DataSource API: the

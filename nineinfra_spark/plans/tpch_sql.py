@@ -269,6 +269,7 @@ FROM months LEFT JOIN rollup_1997 ON months.m = rollup_1997.m
     "sql_recursive_cte",
     oracle=_RECURSIVE_GAPFILL,
     tags=("sql", "recursive", "cte"),
+    min_spark="4.1",  # WITH RECURSIVE
 )
 def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANSI ``WITH RECURSIVE`` through the SQL surface (landed in
@@ -314,7 +315,12 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
-@query("sql_pipe_syntax", oracle=_PIPE_ORACLE, tags=("sql", "pipe-syntax"))
+@query(
+    "sql_pipe_syntax",
+    oracle=_PIPE_ORACLE,
+    tags=("sql", "pipe-syntax"),
+    min_spark="4.0",  # |> operator pipelines
+)
 def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL PIPE syntax (Spark 4's ``|>`` operators): the pricing
     rollup written as a linear scan |> filter |> aggregate |> sort
@@ -355,7 +361,12 @@ GROUP BY o_orderpriority
 """
 
 
-@query("sql_scripting_block", oracle=_SCRIPT_ORACLE, tags=("sql", "scripting"))
+@query(
+    "sql_scripting_block",
+    oracle=_SCRIPT_ORACLE,
+    tags=("sql", "scripting"),
+    min_spark="4.0",  # BEGIN/DECLARE/SET SQL scripting
+)
 def sql_scripting_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL SCRIPTING (Spark 4 ``BEGIN…END`` blocks): a session
     variable is DECLAREd, SET from a scalar aggregate over the data

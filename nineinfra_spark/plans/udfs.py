@@ -201,6 +201,8 @@ def udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     """,
     tags=("udf", "udtf"),
+    min_spark="3.5",  # Python UDTF
+
 )
 def udf_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL Python UDTF (``@udtf`` class, Spark 3.5+): one input row →
