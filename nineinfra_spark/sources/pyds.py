@@ -108,6 +108,157 @@ class SynthEventsSource(DataSource):
         return _SynthStreamReader(self.options)
 
 
+def topic_row(topic: str, k: int) -> tuple[str, int, int, float]:
+    """Deterministic row ``k`` of ``topic`` (the multi-topic analog of
+    :func:`synth_row` — payload derives from md5(topic/k), so replays
+    and oracles regenerate identical rows from the coordinates)."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{topic}/{k}".encode()).hexdigest()[:15], 16)
+    return (topic, k, h % USER_MOD, (h // USER_MOD % VALUE_MOD) / 100.0)
+
+
+def _parse_topics(options) -> dict[str, int]:
+    """``topics`` option: comma list of ``name:rowcount``."""
+    spec = options.get("topics", "")
+    topics: dict[str, int] = {}
+    for part in spec.split(","):
+        name, _, cnt = part.partition(":")
+        if name.strip():
+            topics[name.strip()] = int(cnt)
+    if not topics:
+        raise ValueError("nine_topics: 'topics' option required (name:count,...)")
+    return topics
+
+
+def _subscribed(options, topics: dict[str, int]) -> list[str]:
+    """Kafka-shaped subscription: ``subscribePattern`` (anchored regex
+    over topic names, Kafka's pattern-subscribe) or ``subscribe``
+    (comma list). Exactly one, like ``kafka_options`` enforces."""
+    import re
+
+    pattern = options.get("subscribePattern")
+    explicit = options.get("subscribe")
+    if (pattern is None) == (explicit is None):
+        raise ValueError(
+            "nine_topics: exactly one of subscribe/subscribePattern required"
+        )
+    if pattern is not None:
+        names = [t for t in sorted(topics) if re.fullmatch(pattern, t)]
+    else:
+        names = [t.strip() for t in explicit.split(",") if t.strip()]
+        unknown = sorted(set(names) - set(topics))
+        if unknown:
+            raise ValueError(f"nine_topics: unknown topics {unknown}")
+    if not names:
+        raise ValueError("nine_topics: subscription matched no topics")
+    return sorted(names)
+
+
+class _TopicsBatchReader(DataSourceReader):
+    """Batch leg: one InputPartition per topic — the same task mapping
+    the Kafka batch source uses (one task per topic-partition)."""
+
+    def __init__(self, options):
+        self.topics = _parse_topics(options)
+        self.names = _subscribed(options, self.topics)
+
+    def partitions(self):
+        return [InputPartition((t, self.topics[t])) for t in self.names]
+
+    def read(self, partition):
+        topic, n = partition.value
+        for k in range(n):
+            yield topic_row(topic, k)
+
+
+class _TopicsStreamReader(SimpleDataSourceStreamReader):
+    """Kafka-shaped offset contract over named topics:
+
+    - OFFSET is ``{topic: next_unread_row}`` — the same shape as
+      Kafka's ``{topic: {partition: offset}}`` offset JSON, collapsed
+      to one partition per topic.
+    - ``subscribePattern`` selects topics by anchored regex at reader
+      construction (Kafka's pattern subscribe); only subscribed topics
+      appear in offsets.
+    - ``maxOffsetsPerTrigger`` caps TOTAL rows per micro-batch,
+      apportioned over topics PROPORTIONALLY to their remaining
+      backlog — Kafka's rate-limit distribution — with a
+      deterministic floor-then-remainder split so a crash/replay
+      (``readBetweenOffsets``) regenerates byte-identical batches.
+    """
+
+    def __init__(self, options):
+        self.topics = _parse_topics(options)
+        self.names = _subscribed(options, self.topics)
+        cap = options.get("maxOffsetsPerTrigger")
+        self.cap = int(cap) if cap is not None else None
+
+    def initialOffset(self):
+        return {t: 0 for t in self.names}
+
+    def _split(self, start):
+        """Per-topic row counts for the next batch under the cap."""
+        remaining = {t: self.topics[t] - start.get(t, 0) for t in self.names}
+        total = sum(remaining.values())
+        if total == 0:
+            return {t: 0 for t in self.names}
+        take = total if self.cap is None else min(total, self.cap)
+        shares = {t: take * remaining[t] // total for t in self.names}
+        leftover = take - sum(shares.values())
+        for t in self.names:  # deterministic remainder assignment
+            if leftover == 0:
+                break
+            room = remaining[t] - shares[t]
+            bump = min(room, leftover)
+            shares[t] += bump
+            leftover -= bump
+        return shares
+
+    def read(self, start):
+        shares = self._split(start)
+        rows = [
+            topic_row(t, k)
+            for t in self.names
+            for k in range(start.get(t, 0), start.get(t, 0) + shares[t])
+        ]
+        end = {t: start.get(t, 0) + shares[t] for t in self.names}
+        return iter(rows), end
+
+    def readBetweenOffsets(self, start, end):
+        return iter(
+            [
+                topic_row(t, k)
+                for t in self.names
+                for k in range(start.get(t, 0), end.get(t, 0))
+            ]
+        )
+
+
+class TopicsSource(DataSource):
+    """``format("nine_topics")`` — multi-topic batch + streaming with
+    Kafka-shaped subscription and rate-cap semantics (the contract
+    tests for the env-blocked Kafka e2e leg; ``sources/readers.py:
+    kafka_options`` builds the real options for a brokered cluster).
+    Options: ``topics`` (``name:count,...``), exactly one of
+    ``subscribe``/``subscribePattern``, optional
+    ``maxOffsetsPerTrigger``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "nine_topics"
+
+    def schema(self) -> str:
+        return "topic string, event_id bigint, user_id bigint, value double"
+
+    def reader(self, schema):
+        return _TopicsBatchReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return _TopicsStreamReader(self.options)
+
+
 def register(spark) -> None:
-    """Idempotently register the connector on ``spark``."""
+    """Idempotently register the connectors on ``spark``."""
     spark.dataSource.register(SynthEventsSource)
+    spark.dataSource.register(TopicsSource)
