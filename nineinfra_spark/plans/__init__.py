@@ -64,6 +64,7 @@ _VERIFY_FIRST = [
     # (b) new / plan-changed in round 9
     "window_range_frame_bucketed",  # fact-scale RANGE frame, no WindowExec
     "text_bpe_pair_counts",  # TakeOrdered-before-window rewrite (r9)
+    "src_avro_roundtrip",  # pure-stdlib Avro OCF sink+source (r9)
     # (c) the r5-latest cohort, 33 of 47
     "agg_approx_sketches",
     "ann_cosine_topk",
@@ -84,7 +85,6 @@ _VERIFY_FIRST = [
     "q15_top_supplier",
     "q21_waiting_suppliers",
     "sample_bernoulli",
-    "sample_hash_bucket",
     "setop_except_all",
     "setop_union_by_name",
     "sink_partitioned_pruning",
@@ -100,9 +100,9 @@ _VERIFY_FIRST = [
     "topk_global",
     # deferred to r10 (latest stamp r5; every one shadowed by a
     # sibling above): ann_cosine_topk_pandas, ann_ivf_refined_topk,
-    # sample_stratified_hash, sim_join_exact_oracle, mm_frame_sample,
-    # mm_metadata_extract, src_text_scan, src_json_roundtrip,
-    # sort_within_partitions, distinct_projection,
+    # sample_stratified_hash, sample_hash_bucket, sim_join_exact_oracle,
+    # mm_frame_sample, mm_metadata_extract, src_text_scan,
+    # src_json_roundtrip, sort_within_partitions, distinct_projection,
     # project_rename_drop, text_quality_topk_per_lang,
     # text_token_topk, fn_bitwise
 ]

@@ -48,6 +48,45 @@ def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "src_avro_roundtrip",
+    oracle="""
+    SELECT s_suppkey, s_name,
+           CASE WHEN s_suppkey % 7 <> 0 THEN CAST(s_acctbal AS DOUBLE) END
+               AS score
+    FROM supplier
+    """,
+    tags=("source", "sink", "avro", "connector"),
+    min_spark="4.0",  # the reader rides the Python DataSource API
+)
+def src_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro Object Container File sink → source, via the pure-stdlib
+    codec in ``sources/avro_lite.py`` (deflate blocks, nullable-union
+    column) — the env ships no spark-avro jar and no Python Avro lib
+    (r9 probe, NOTES.md), so the format row is closed with a
+    spec-faithful reimplementation: executor-parallel writer (one
+    container file per partition), file-per-task Python DataSource
+    reader. IEEE doubles cross the binary encoding bit-exactly, so the
+    oracle is plain relational."""
+    from nineinfra_spark.sources import avro_lite
+
+    supplier = (
+        t(spark, sf_dir, "supplier")
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.when(
+                F.col("s_suppkey") % 7 != 0, F.col("s_acctbal").cast("double")
+            ).alias("score"),
+        )
+        .repartition(4)
+    )
+    out = _out("avro", os.path.basename(sf_dir), "supplier")
+    avro_lite.write_avro_dataframe(supplier, out, codec="deflate")
+    avro_lite.register(spark)
+    return spark.read.format("avro_lite").option("path", out).load()
+
+
+@query(
     "src_json_roundtrip",
     oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
     tags=("source", "sink", "json"),
