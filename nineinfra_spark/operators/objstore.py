@@ -26,6 +26,14 @@ it after any crash completes the move — which is exactly the property
 ``recover_versioned_table`` needs from the storage layer: every
 rename it replays can be finished by re-issuing it.
 
+:func:`publish_pointer` is the step past rename emulation: the
+MANIFEST-POINTER commit (Delta/Iceberg's answer to object stores) —
+stage data under an immutable prefix, then one conditional PUT
+(``If-None-Match: *`` create / ``If-Match`` CAS) flips the live
+pointer. No rename at all, atomic server-side, losers get
+:class:`PointerConflict` and retry — the storage-level twin of the
+metastore rename CAS in ``merge_into_table_versioned``.
+
 Tested against a REAL S3 endpoint (moto server speaking the S3 API)
 in ``tests/test_s3_semantics.py``, including a mid-move crash that
 leaves the split state and the roll-forward that heals it. The
@@ -38,6 +46,13 @@ NOTES.md r9), so ``spark.read("s3a://...")`` cannot run here; the
 from __future__ import annotations
 
 from collections.abc import Callable
+
+
+class PointerConflict(RuntimeError):
+    """Lost the pointer CAS: another writer committed since this
+    writer read the pointer. Re-read, re-stage (or re-validate), and
+    retry — the optimistic-concurrency loop, same contract as
+    ``merge.merge_into_table_versioned``'s metastore rename CAS."""
 
 
 def list_prefix(s3, bucket: str, prefix: str) -> list[str]:
@@ -98,3 +113,59 @@ def rename_prefix(
     for key in keys:
         s3.delete_object(Bucket=bucket, Key=key)
     return len(keys)
+
+
+# ------------------------------------------------ pointer-commit protocol
+
+
+def read_pointer(s3, bucket: str, key: str) -> tuple[str | None, str | None]:
+    """Current ``(value, etag)`` of the pointer object, or
+    ``(None, None)`` if no commit exists yet."""
+    try:
+        resp = s3.get_object(Bucket=bucket, Key=key)
+    except s3.exceptions.NoSuchKey:
+        return None, None
+    return resp["Body"].read().decode(), resp["ETag"].strip('"')
+
+
+def publish_pointer(
+    s3, bucket: str, key: str, value: str, expected_etag: str | None
+) -> str:
+    """Atomically commit ``value`` as the new pointer — the
+    manifest-pointer commit that REPLACES rename on object stores
+    (what Delta's ``_last_checkpoint``/log entry and Iceberg's
+    catalog version swap do): data files are staged under an
+    immutable prefix first, then this single conditional PUT makes
+    them live.
+
+    - ``expected_etag=None`` asserts CREATION (``If-None-Match: *``) —
+      the first commit of a table.
+    - otherwise asserts the pointer is UNCHANGED since this writer
+      read it (``If-Match``) — the optimistic CAS.
+
+    Either precondition failing raises :class:`PointerConflict` (a
+    concurrent writer won; re-read and retry). S3 evaluates the
+    precondition atomically server-side — this is real
+    compare-and-swap, not read-then-write. Returns the new etag.
+
+    Crash safety falls out of immutability: a writer dying after
+    staging but before this PUT leaves the live pointer untouched
+    (readers unaffected) and an orphan staged prefix for storage-level
+    vacuum (``operators/vacuum.py`` is the local-warehouse analog).
+    """
+    kw = {"Bucket": bucket, "Key": key, "Body": value.encode()}
+    if expected_etag is None:
+        kw["IfNoneMatch"] = "*"
+    else:
+        kw["IfMatch"] = expected_etag
+    try:
+        resp = s3.put_object(**kw)
+    except Exception as exc:  # botocore ClientError, without the import
+        code = getattr(exc, "response", {}).get("Error", {}).get("Code")
+        if code in ("PreconditionFailed", "ConditionalRequestConflict"):
+            raise PointerConflict(
+                f"pointer {key}: precondition {code} — another writer "
+                f"committed since this one read the pointer"
+            ) from exc
+        raise
+    return resp["ETag"].strip('"')

@@ -121,6 +121,97 @@ def test_rollforward_completes_from_any_crash_point(s3):
         assert _read_all(s3, dst) == data
 
 
+def test_pointer_create_is_exclusive(s3):
+    from nineinfra_spark.operators.objstore import (
+        PointerConflict,
+        publish_pointer,
+        read_pointer,
+    )
+
+    assert read_pointer(s3, BUCKET, "p1/_POINTER") == (None, None)
+    etag = publish_pointer(s3, BUCKET, "p1/_POINTER", "v/000", None)
+    assert read_pointer(s3, BUCKET, "p1/_POINTER") == ("v/000", etag)
+    # a second CREATE of the same table loses
+    with pytest.raises(PointerConflict):
+        publish_pointer(s3, BUCKET, "p1/_POINTER", "v/other", None)
+
+
+def test_pointer_cas_race_has_exactly_one_winner(s3):
+    """Two writers read the same pointer state and both try to commit:
+    the S3 conditional PUT admits exactly one; the loser re-reads and
+    retries successfully — the full optimistic loop."""
+    from nineinfra_spark.operators.objstore import (
+        PointerConflict,
+        publish_pointer,
+        read_pointer,
+    )
+
+    etag0 = publish_pointer(s3, BUCKET, "p2/_POINTER", "v/000", None)
+    # both writers hold etag0
+    publish_pointer(s3, BUCKET, "p2/_POINTER", "v/aaa", etag0)  # writer A wins
+    with pytest.raises(PointerConflict):
+        publish_pointer(s3, BUCKET, "p2/_POINTER", "v/bbb", etag0)  # B loses
+    # B's retry: re-read, re-commit on the fresh etag
+    val, etag1 = read_pointer(s3, BUCKET, "p2/_POINTER")
+    assert val == "v/aaa"
+    publish_pointer(s3, BUCKET, "p2/_POINTER", "v/bbb", etag1)
+    assert read_pointer(s3, BUCKET, "p2/_POINTER")[0] == "v/bbb"
+
+
+def test_pointer_commits_linearize_under_contention(s3):
+    """8 threads × optimistic increments through the pointer: every
+    commit must be distinct and sequential — no lost updates."""
+    import threading
+
+    from nineinfra_spark.operators.objstore import (
+        PointerConflict,
+        publish_pointer,
+        read_pointer,
+    )
+
+    publish_pointer(s3, BUCKET, "p3/_POINTER", "0", None)
+    PER_THREAD = 5
+    committed = []
+    lock = threading.Lock()
+
+    def writer():
+        done = 0
+        while done < PER_THREAD:
+            val, etag = read_pointer(s3, BUCKET, "p3/_POINTER")
+            try:
+                publish_pointer(s3, BUCKET, "p3/_POINTER", str(int(val) + 1), etag)
+            except PointerConflict:
+                continue
+            with lock:
+                committed.append(int(val) + 1)
+            done += 1
+
+    threads = [threading.Thread(target=writer) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert read_pointer(s3, BUCKET, "p3/_POINTER")[0] == str(8 * PER_THREAD)
+    assert sorted(committed) == list(range(1, 8 * PER_THREAD + 1))
+
+
+def test_stage_then_crash_never_disturbs_readers(s3):
+    """A writer that stages a new snapshot prefix but dies before the
+    pointer PUT leaves the live pointer (and its data) untouched —
+    the crash-safety the pointer protocol buys over rename."""
+    from nineinfra_spark.operators.objstore import publish_pointer, read_pointer
+
+    _stage(s3, "p4/v000/", 3)
+    etag = publish_pointer(s3, BUCKET, "p4/_POINTER", "p4/v000/", None)
+    # writer 2 stages... and crashes here (no pointer PUT)
+    _stage(s3, "p4/v001-uuid/", 3)
+    val, etag_now = read_pointer(s3, BUCKET, "p4/_POINTER")
+    assert (val, etag_now) == ("p4/v000/", etag)
+    assert len(_read_all(s3, "p4/v000/")) == 3  # live data untouched
+    # the orphan staged prefix is identifiable for vacuum
+    assert len(_read_all(s3, "p4/v001-uuid/")) == 3
+
+
 def test_listing_paginates_beyond_one_page(s3):
     """list_prefix must walk continuation tokens — a real partition
     directory exceeds the 1000-key page size; moto enforces MaxKeys."""
