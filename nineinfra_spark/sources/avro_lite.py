@@ -44,7 +44,6 @@ import struct
 import zlib
 
 MAGIC = b"Obj\x01"
-SYNC = bytes(range(16))  # fixed marker: deterministic output files
 
 _PRIMITIVE_TO_SPARK = {
     "boolean": "boolean",
@@ -189,6 +188,10 @@ def write_avro(
         "avro.schema": json.dumps(schema).encode(),
         "avro.codec": codec.encode(),
     }
+    # per-file RANDOM sync marker (the spec's design): block-boundary
+    # scans after a byte-range seek rely on the 16 bytes never
+    # colliding with data — 2^-128 per offset with a random marker.
+    sync = os.urandom(16)
     buf = bytearray(MAGIC)
     # file metadata: a map<bytes> — one block of len(meta) pairs, then 0
     buf += _zigzag_encode(len(meta))
@@ -197,7 +200,7 @@ def write_avro(
         buf += _zigzag_encode(len(kb)) + kb
         buf += _zigzag_encode(len(v)) + v
     buf += _zigzag_encode(0)
-    buf += SYNC
+    buf += sync
 
     n_total = 0
     block: list = []
@@ -217,7 +220,7 @@ def write_avro(
         buf.extend(_zigzag_encode(len(block)))
         buf.extend(_zigzag_encode(len(data)))
         buf.extend(data)
-        buf.extend(SYNC)
+        buf.extend(sync)
         n_total += len(block)
         block.clear()
 
@@ -233,68 +236,109 @@ def write_avro(
     return n_total
 
 
-def read_schema(path: str) -> dict:
-    """Parse just the header — the driver-side planning read."""
-    with open(path, "rb") as f:
-        head = f.read(1 << 20)
-    buf = io.BytesIO(head)
-    if buf.read(4) != MAGIC:
-        raise ValueError(f"avro_lite: {path} is not an Avro container file")
+def _parse_header(f) -> dict:
+    """Parse the container header from an open binary file positioned
+    at 0; on return ``f.tell()`` is the first block's start offset."""
+    if f.read(4) != MAGIC:
+        raise ValueError("avro_lite: not an Avro container file")
     meta = {}
     while True:
-        n = _zigzag_decode(buf)
+        n = _zigzag_decode(f)
         if n == 0:
             break
         if n < 0:  # spec: negative count is followed by the block's byte size
             n = -n
-            _zigzag_decode(buf)
+            _zigzag_decode(f)
         for _ in range(n):
-            klen = _zigzag_decode(buf)
-            k = buf.read(klen).decode()
-            vlen = _zigzag_decode(buf)
-            meta[k] = buf.read(vlen)
+            klen = _zigzag_decode(f)
+            k = f.read(klen).decode()
+            vlen = _zigzag_decode(f)
+            meta[k] = f.read(vlen)
+    sync = f.read(16)
     return {
         "schema": json.loads(meta["avro.schema"]),
         "codec": meta.get("avro.codec", b"null").decode(),
+        "sync": sync,
+        "data_start": f.tell(),
     }
 
 
-def read_avro(path: str):
-    """Yield rows (tuples in field order) of one container file,
-    block-at-a-time (the block loop is the seam a sync-marker range
-    split would hook into)."""
-    header = read_schema(path)
+def read_schema(path: str) -> dict:
+    """Parse just the header — the driver-side planning read."""
+    with open(path, "rb") as f:
+        return _parse_header(f)
+
+
+def _iter_blocks(f, header, stop_at: int):
+    """Yield decoded rows of every block whose START offset is
+    < ``stop_at``, starting from the current position (which must be a
+    block boundary). The last admitted block is read to completion
+    even if its bytes extend past ``stop_at`` — the standard split
+    rule (a record belongs to the split its block starts in)."""
     fields = _check_schema(header["schema"])
     codec = header["codec"]
     if codec not in ("null", "deflate"):
         raise ValueError(f"avro_lite: unsupported codec {codec}")
-    with open(path, "rb") as f:
-        data = f.read()
-    buf = io.BytesIO(data)
-    buf.read(4)
-    while True:  # skip metadata map
-        n = _zigzag_decode(buf)
-        if n == 0:
-            break
-        if n < 0:
-            n = -n
-            _zigzag_decode(buf)
-        for _ in range(n):
-            buf.read(_zigzag_decode(buf))
-            buf.read(_zigzag_decode(buf))
-    sync = buf.read(16)
-    while buf.tell() < len(data):
-        n_rows = _zigzag_decode(buf)
-        n_bytes = _zigzag_decode(buf)
-        body = buf.read(n_bytes)
+    sync = header["sync"]
+    while f.tell() < stop_at:
+        probe = f.read(1)
+        if not probe:
+            return  # EOF
+        f.seek(-1, 1)
+        n_rows = _zigzag_decode(f)
+        n_bytes = _zigzag_decode(f)
+        body = f.read(n_bytes)
         if codec == "deflate":
             body = zlib.decompress(body, -15)
-        marker = buf.read(16)
-        if marker != sync:
-            raise ValueError(f"avro_lite: sync marker mismatch in {path}")
+        if f.read(16) != sync:
+            raise ValueError("avro_lite: sync marker mismatch")
         bbuf = io.BytesIO(body)
         for _ in range(n_rows):
             yield tuple(_decode_value(typ, bbuf) for _, typ in fields)
+
+
+def _seek_to_block_after(f, sync: bytes, lo: int) -> bool:
+    """Position ``f`` at the first block boundary at offset >= ``lo``
+    (a boundary is the byte right after a sync marker). Returns False
+    if no boundary exists at/after ``lo``. Scans in 1 MiB chunks with
+    a 15-byte overlap — the spec's own recovery design: the sync is 16
+    random bytes, so a data collision is a 2^-128-per-offset event."""
+    f.seek(max(lo - 16, 0))
+    tail = b""
+    while True:
+        base = f.tell() - len(tail)
+        chunk = tail + f.read(1 << 20)
+        if len(chunk) < 16:
+            return False
+        idx = chunk.find(sync)
+        while idx != -1:
+            boundary = base + idx + 16
+            if boundary >= lo:
+                f.seek(boundary)
+                return True
+            idx = chunk.find(sync, idx + 1)
+        tail = chunk[-15:]
+
+
+def read_avro_range(path: str, lo: int, hi: int):
+    """Yield rows of every block whose start offset falls in
+    ``[lo, hi)`` — the sync-marker byte-range split that lets many
+    tasks share one large container file (Avro's splittability
+    contract). Every block lands in exactly one split: the one its
+    start offset falls in; a block crossing ``hi`` is finished by this
+    split and skipped (via the boundary search) by the next."""
+    with open(path, "rb") as f:
+        header = _parse_header(f)
+        start = max(lo, header["data_start"])
+        if start > header["data_start"]:
+            if not _seek_to_block_after(f, header["sync"], start):
+                return
+        yield from _iter_blocks(f, header, hi)
+
+
+def read_avro(path: str):
+    """Yield rows (tuples in field order) of one container file."""
+    yield from read_avro_range(path, 0, os.path.getsize(path))
 
 
 # ------------------------------------------------------- Spark wiring
@@ -366,11 +410,28 @@ def register(spark) -> None:
             if not self.files:
                 raise ValueError(f"avro_lite: no .avro files under {path}")
 
+            self.split_bytes = int(options.get("splitBytes", 32 * 1024 * 1024))
+            if self.split_bytes < 1:
+                raise ValueError("avro_lite: splitBytes must be positive")
+
         def partitions(self):
-            return [InputPartition(f) for f in self.files]
+            # sync-marker byte-range splits: a large container file
+            # fans out to ceil(size/splitBytes) tasks instead of
+            # serializing on one — each block decoded by exactly the
+            # split its start offset falls in (read_avro_range).
+            parts = []
+            for f in self.files:
+                size = os.path.getsize(f)
+                lo = 0
+                while lo < size:
+                    hi = min(lo + self.split_bytes, size)
+                    parts.append(InputPartition((f, lo, hi)))
+                    lo = hi
+            return parts
 
         def read(self, partition):
-            yield from read_avro(partition.value)
+            f, lo, hi = partition.value
+            yield from read_avro_range(f, lo, hi)
 
     class AvroLiteSource(DataSource):
         @classmethod

@@ -87,6 +87,51 @@ def test_multi_block_files_and_sync_check():
         list(A.read_avro(bad))
 
 
+def test_range_splits_partition_rows_exactly_once():
+    """Sync-marker byte-range splits: for MANY split granularities,
+    the union of read_avro_range over consecutive [lo, hi) ranges is
+    the whole relation, each row exactly once — blocks belong to the
+    split their start offset falls in, crossing blocks are finished
+    by the owning split and skipped by the next."""
+    os.makedirs(OUT, exist_ok=True)
+    path = os.path.join(OUT, "splits.avro")
+    rows = [(i, f"r{i}" * 3, float(i), i % 3 == 0, bytes([i % 256])) for i in range(2000)]
+    A.write_avro(path, SCHEMA, rows, codec="deflate", rows_per_block=50)
+    size = os.path.getsize(path)
+    for split in (64, 500, 1777, size // 3, size, size * 2):
+        got = []
+        lo = 0
+        while lo < size:
+            hi = min(lo + split, size)
+            got.extend(A.read_avro_range(path, lo, hi))
+            lo = hi
+        assert got == rows, f"split={split}: {len(got)} rows"
+
+
+def test_spark_reads_one_file_across_many_tasks(spark):
+    """A single large container file fans out to multiple Spark tasks
+    via the splitBytes option — the splittability a 100 TB ingest
+    needs (no one-task-per-big-file serialization)."""
+    A.register(spark)
+    os.makedirs(OUT, exist_ok=True)
+    d = os.path.join(OUT, "one_big")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    path = os.path.join(d, "big.avro")
+    rows = [(i, f"name{i}", float(i), True, b"") for i in range(5000)]
+    A.write_avro(path, SCHEMA, rows, codec="null", rows_per_block=100)
+    size = os.path.getsize(path)
+    df = (
+        spark.read.format("avro_lite")
+        .option("path", d)
+        .option("splitBytes", str(max(1, size // 7)))
+        .load()
+    )
+    assert df.rdd.getNumPartitions() >= 7
+    got = sorted(tuple(r)[:2] for r in df.collect())
+    assert got == [(i, f"name{i}") for i in range(5000)]
+
+
 def test_unsupported_schema_rejected():
     with pytest.raises(ValueError, match="unsupported"):
         A.write_avro(
