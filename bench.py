@@ -110,6 +110,9 @@ HEADLINE = [
     "text_trigram_lm_score",
     "graph_pagerank_fixed",
     "mm_wav_decode_stats",
+    # r9: fact-scale bucketed RANGE frame, stdlib Avro connector
+    "window_range_frame_bucketed",
+    "src_avro_roundtrip",
 ]
 
 

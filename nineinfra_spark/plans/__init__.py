@@ -40,8 +40,8 @@ _load_all()
 #: queries that most need a fresh driver-green differential row are
 #: pinned first — r9 composition: (a) the 15-query cohort whose
 #: latest driver stamp is r4 (deferred from r8 — the stalest rows in
-#: the registry), (b) queries NEW or plan-changed in r9, (c) 33 of
-#: the 47-query r5-latest cohort. The 14 remaining r5 rows (listed at
+#: the registry), (b) queries NEW or plan-changed in r9, (c) 32 of
+#: the 47-query r5-latest cohort. The 15 remaining r5 rows (listed at
 #: the bottom — the lightest variants, each shadowed by a sibling in
 #: this window) lead the r10 rotation.
 _VERIFY_FIRST = [
@@ -65,7 +65,7 @@ _VERIFY_FIRST = [
     "window_range_frame_bucketed",  # fact-scale RANGE frame, no WindowExec
     "text_bpe_pair_counts",  # TakeOrdered-before-window rewrite (r9)
     "src_avro_roundtrip",  # pure-stdlib Avro OCF sink+source (r9)
-    # (c) the r5-latest cohort, 33 of 47
+    # (c) the r5-latest cohort, 32 of 47
     "agg_approx_sketches",
     "ann_cosine_topk",
     "ann_ivf_topk",
