@@ -88,6 +88,13 @@ class EngineConfig:
     # ``open()`` wraps the REST frontend in HTTP Basic against it;
     # None = open frontend (the reference's non-JDBC mode).
     rest_auth_table: str | None = None
+    # doAs impersonation ACL for the REST frontend (≙ Kyuubi's
+    # hive.server2.proxy.user path, ``kyuubi.go:55-64`` — the
+    # authorization/isolation half; the Hadoop proxy-user
+    # infrastructure half is env-blocked): {admin: "*" | iterable of
+    # target users}. Requires ``rest_auth_table`` (identity must be
+    # proven before it can be delegated).
+    rest_proxy_acl: dict | None = None
     # MySQL-protocol frontend (≙ the Doris FE serving port,
     # ``doris.go:20-28``): when set, ``open()`` serves the MySQL text
     # protocol on this port (0 = OS-assigned; read back via
@@ -252,7 +259,10 @@ class Engine:
 
                 auth = UserStore(self._spark, table=cfg.rest_auth_table)
             self.rest_gateway = start_rest_gateway(
-                self._spark, cfg.rest_port, auth=auth
+                self._spark,
+                cfg.rest_port,
+                auth=auth,
+                proxy_acl=cfg.rest_proxy_acl,
             )
         if cfg.mysql_port is not None:
             from nineinfra_spark.mysql_wire import start_mysql_gateway

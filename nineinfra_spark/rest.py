@@ -84,6 +84,12 @@ def _json_default(v):
 class _Handler(BaseHTTPRequestHandler):
     spark: SparkSession  # injected by start_rest_gateway
     auth: Callable[[str, str], bool] | None  # None → open frontend
+    # doAs impersonation ACL: {admin: "*" | set/list of allowed target
+    # users} — the in-process analog of Hadoop's proxyuser allowlist
+    # (the reference enables hive.server2.enable.doAs through Kyuubi,
+    # kyuubi.go:55-64; the Hadoop-infrastructure half is env-blocked,
+    # the AUTHORIZATION-and-isolation half is this).
+    proxy_acl: dict | None
     # per-gateway session registry: X-Session-Id → newSession() clone
     # (class attrs are injected per-gateway by start_rest_gateway)
     sessions: dict[str, SparkSession]
@@ -92,22 +98,32 @@ class _Handler(BaseHTTPRequestHandler):
     def log_message(self, *args) -> None:  # silence per-request stderr noise
         pass
 
-    def _session(self) -> SparkSession:
+    def _session(self, effective: str | None = None) -> SparkSession:
         """The SparkSession this request runs on: the shared session,
         or (with ``X-Session-Id``) a per-id ``newSession()`` clone —
-        own temp views/conf, shared context+catalog."""
+        own temp views/conf, shared context+catalog. With an
+        ``effective`` (impersonated) user the clone is keyed by
+        (user, session-id) — one user's temp state is never visible
+        through another user's sessions — and carries the identity in
+        ``spark.nineinfra.effective.user`` for audit/policy reads."""
         sid = self.headers.get("X-Session-Id")
-        if not sid:
+        if effective is None and not sid:
             return self.spark
+        # legacy plain-string key for anonymous sessions; a TUPLE key
+        # for user-scoped ones — a client-controlled sid can never
+        # collide with (i.e. hijack) another user's session entry
+        key = sid if effective is None else ("doas", effective, sid or "")
         with self.sessions_lock:
-            sess = self.sessions.get(sid)
+            sess = self.sessions.get(key)
             if sess is None:
                 sess = self.spark.newSession()
-                self.sessions[sid] = sess
+                if effective is not None:
+                    sess.conf.set("spark.nineinfra.effective.user", effective)
+                self.sessions[key] = sess
                 while len(self.sessions) > MAX_SESSIONS:
                     self.sessions.popitem(last=False)  # LRU eviction
             else:
-                self.sessions.move_to_end(sid)
+                self.sessions.move_to_end(key)
         return sess
 
     def _reply(self, code: int, payload: dict) -> None:
@@ -124,27 +140,51 @@ class _Handler(BaseHTTPRequestHandler):
         else:
             self._reply(404, {"error": f"unknown path {self.path}"})
 
-    def _authorized(self) -> bool:
-        """HTTP Basic check against the injected validator. The
-        username/password split and charset follow RFC 7617; any parse
-        failure is simply 'not authorized' (no 500s on garbage)."""
+    def _authenticate(self) -> str | None:
+        """HTTP Basic check against the injected validator; returns
+        the authenticated USERNAME (identity, not just a yes/no — the
+        doAs check needs to know who is asking), ``""`` on an open
+        frontend, ``None`` on failure. The username/password split and
+        charset follow RFC 7617; any parse failure is simply 'not
+        authorized' (no 500s on garbage)."""
         if self.auth is None:
-            return True
+            return ""
         header = self.headers.get("Authorization", "")
         if not header.startswith("Basic "):
-            return False
+            return None
         try:
             decoded = base64.b64decode(header[6:], validate=True).decode("utf-8")
             username, _, password = decoded.partition(":")
         except (binascii.Error, UnicodeDecodeError):
-            return False
-        return bool(self.auth(username, password))
+            return None
+        return username if self.auth(username, password) else None
+
+    def _resolve_proxy_user(self, authed: str) -> tuple[str | None, str | None]:
+        """Kyuubi-style ``doAs``: a request may carry ``X-Proxy-User``
+        to run AS another user. Allowed only when the frontend is
+        authenticated AND the ACL grants ``authed`` that target
+        (``"*"`` = any). Returns ``(effective_user, error)`` — the
+        deny reason is explicit so a blocked impersonation is an
+        auditable 403, never a silent identity fallback."""
+        proxy = self.headers.get("X-Proxy-User")
+        if proxy is None or proxy == authed:
+            return (proxy, None)
+        if self.auth is None:
+            return (
+                None,
+                "impersonation requires an authenticated frontend",
+            )
+        targets = (self.proxy_acl or {}).get(authed)
+        if targets == "*" or (targets is not None and proxy in targets):
+            return (proxy, None)
+        return (None, f"user '{authed}' may not impersonate '{proxy}'")
 
     def do_POST(self) -> None:  # noqa: N802 — http.server API
         if self.path != "/api/v1/sql":
             self._reply(404, {"error": f"unknown path {self.path}"})
             return
-        if not self._authorized():
+        authed = self._authenticate()
+        if authed is None:
             self.send_response(401)
             self.send_header("WWW-Authenticate", 'Basic realm="nineinfra"')
             body = json.dumps({"error": "unauthorized"}).encode()
@@ -152,6 +192,10 @@ class _Handler(BaseHTTPRequestHandler):
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
+            return
+        effective, deny = self._resolve_proxy_user(authed)
+        if deny is not None:
+            self._reply(403, {"error": deny})
             return
         try:
             length = int(self.headers.get("Content-Length", "0"))
@@ -172,7 +216,7 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(400, {"error": f"bad request: {exc}"})
             return
         try:
-            df = self._session().sql(sql)
+            df = self._session(effective).sql(sql)
             if explain:
                 # plan-only mode: nothing executes, nothing fetches —
                 # the gateway answers "what would this cost" questions
@@ -195,15 +239,15 @@ class _Handler(BaseHTTPRequestHandler):
             rows = df.limit(limit + 1).collect()
             truncated = len(rows) > limit
             rows = rows[:limit]
-            self._reply(
-                200,
-                {
-                    "columns": df.columns,
-                    "rows": [list(r) for r in rows],
-                    "rowCount": len(rows),
-                    "truncated": truncated,
-                },
-            )
+            payload = {
+                "columns": df.columns,
+                "rows": [list(r) for r in rows],
+                "rowCount": len(rows),
+                "truncated": truncated,
+            }
+            if effective is not None:
+                payload["effectiveUser"] = effective
+            self._reply(200, payload)
         except Exception as exc:  # engine errors → structured 400, not a 500 stack
             self._reply(400, {"error": str(exc)[:4000]})
 
@@ -230,18 +274,25 @@ def start_rest_gateway(
     spark: SparkSession,
     port: int = 0,
     auth: Callable[[str, str], bool] | None = None,
+    proxy_acl: dict | None = None,
 ) -> RestGateway:
     """Serve the REST SQL frontend on ``port`` (0 = OS-assigned; read
     the bound port from the returned handle). Binds immediately; the
     accept loop runs on a daemon thread. ``auth``: optional
     ``(username, password) -> bool`` validator enforcing HTTP Basic on
-    ``/api/v1/sql`` (see module docstring)."""
+    ``/api/v1/sql``. ``proxy_acl``: optional doAs allowlist
+    ``{admin: "*" | iterable of target users}`` — with it, an
+    authenticated admin may send ``X-Proxy-User`` to run a statement
+    AS that user (isolated per-user session clone, identity recorded
+    in ``spark.nineinfra.effective.user`` and echoed as
+    ``effectiveUser``); everyone else gets an explicit 403."""
     handler = type(
         "BoundHandler",
         (_Handler,),
         {
             "spark": spark,
             "auth": auth,
+            "proxy_acl": proxy_acl,
             "sessions": OrderedDict(),
             "sessions_lock": threading.Lock(),
         },

@@ -311,6 +311,137 @@ def test_explain_mode_returns_plan_without_executing(rest):
     assert "explainMode" in bad["error"]
 
 
+class TestDoAsImpersonation:
+    """Kyuubi-style doAs on the REST frontend (kyuubi.go:55-64 — the
+    authorization/isolation half; the Hadoop proxy-user half is
+    env-blocked): an authenticated admin may run statements AS another
+    user via X-Proxy-User under an explicit ACL; everyone else gets an
+    explicit 403, never a silent identity fallback."""
+
+    @pytest.fixture(scope="class")
+    def doas_rest(self, spark):
+        from nineinfra_spark.auth import UserStore, init_users_table
+
+        register_testdata(spark, SF)
+        init_users_table(
+            spark,
+            {"admin": "s3cret", "etl": "pw-etl", "bi_user": "pw2"},
+            table="nine_auth.users_doas",
+        )
+        store = UserStore(spark, table="nine_auth.users_doas")
+        gw = start_rest_gateway(
+            spark,
+            port=0,
+            auth=store,
+            proxy_acl={"admin": "*", "etl": {"bi_user"}},
+        )
+        yield gw
+        gw.stop()
+        spark.sql("DROP TABLE IF EXISTS nine_auth.users_doas")
+
+    _basic = staticmethod(TestAuth._basic)
+
+    def _post(self, gw, payload, headers=None):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{gw.port}/api/v1/sql",
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json", **(headers or {})},
+        )
+        return urllib.request.urlopen(req)
+
+    def test_admin_wildcard_may_impersonate(self, doas_rest):
+        with self._post(
+            doas_rest,
+            {"sql": "SELECT 1 AS x"},
+            {**self._basic("admin", "s3cret"), "X-Proxy-User": "bi_user"},
+        ) as r:
+            out = json.loads(r.read())
+        assert out["rows"] == [[1]]
+        assert out["effectiveUser"] == "bi_user"
+
+    def test_scoped_admin_only_its_targets(self, doas_rest):
+        with self._post(
+            doas_rest,
+            {"sql": "SELECT 1 AS x"},
+            {**self._basic("etl", "pw-etl"), "X-Proxy-User": "bi_user"},
+        ) as r:
+            assert json.loads(r.read())["effectiveUser"] == "bi_user"
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            self._post(
+                doas_rest,
+                {"sql": "SELECT 1 AS x"},
+                {**self._basic("etl", "pw-etl"), "X-Proxy-User": "admin"},
+            )
+        assert ei.value.code == 403
+        assert "may not impersonate" in json.loads(ei.value.read())["error"]
+
+    def test_non_admin_gets_403(self, doas_rest):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            self._post(
+                doas_rest,
+                {"sql": "SELECT 1 AS x"},
+                {**self._basic("bi_user", "pw2"), "X-Proxy-User": "admin"},
+            )
+        assert ei.value.code == 403
+
+    def test_self_impersonation_is_identity(self, doas_rest):
+        with self._post(
+            doas_rest,
+            {"sql": "SELECT 1 AS x"},
+            {**self._basic("bi_user", "pw2"), "X-Proxy-User": "bi_user"},
+        ) as r:
+            assert json.loads(r.read())["effectiveUser"] == "bi_user"
+
+    def test_effective_users_temp_state_is_isolated(self, doas_rest):
+        """A temp view created AS bi_user is invisible AS etl (and to
+        the shared session) — per-effective-user session clones."""
+        with self._post(
+            doas_rest,
+            {"sql": "CREATE OR REPLACE TEMP VIEW doas_probe AS SELECT 42 AS v"},
+            {**self._basic("admin", "s3cret"), "X-Proxy-User": "bi_user"},
+        ):
+            pass
+        with self._post(
+            doas_rest,
+            {"sql": "SELECT v FROM doas_probe"},
+            {**self._basic("admin", "s3cret"), "X-Proxy-User": "bi_user"},
+        ) as r:
+            assert json.loads(r.read())["rows"] == [[42]]
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            self._post(
+                doas_rest,
+                {"sql": "SELECT v FROM doas_probe"},
+                {**self._basic("admin", "s3cret"), "X-Proxy-User": "etl"},
+            )
+        assert ei.value.code == 400  # analyzer: view not found in that session
+
+    def test_identity_conf_recorded(self, doas_rest):
+        # the effective identity is readable through the SQL conf
+        # surface — the hook policy layers / audit taps use
+        with self._post(
+            doas_rest,
+            {"sql": "SET spark.nineinfra.effective.user"},
+            {**self._basic("admin", "s3cret"), "X-Proxy-User": "bi_user"},
+        ) as r:
+            out = json.loads(r.read())
+        assert out["rows"][0][1] == "bi_user"
+
+    def test_open_frontend_rejects_impersonation(self, spark):
+        register_testdata(spark, SF)
+        gw = start_rest_gateway(spark, port=0, proxy_acl={"anyone": "*"})
+        try:
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                self._post(
+                    gw,
+                    {"sql": "SELECT 1 AS x"},
+                    {"X-Proxy-User": "bob"},
+                )
+            assert ei.value.code == 403
+            assert "authenticated" in json.loads(ei.value.read())["error"]
+        finally:
+            gw.stop()
+
+
 class TestSessionIsolation:
     """CONNECTION-share semantics: X-Session-Id requests run on a
     per-id newSession() clone — temp views isolated per session,
