@@ -26,9 +26,13 @@ thrift_auth_users`` compiles a ``PasswdAuthenticationProvider``
 against Spark's own thriftserver jar and serves
 ``hive.server2.authentication=CUSTOM`` — beeline with bad credentials
 is rejected at the SASL layer (``thrift_auth.py``; the same salted-MD5
-scheme ``auth.py`` enforces on REST). What stays env-blocked is the
-``doAs`` IMPERSONATION half (running engine jobs AS the authed user),
-which needs Hadoop proxy-user infrastructure this container lacks.
+scheme ``auth.py`` enforces on REST). The ``doAs`` IMPERSONATION half
+on THIS wire stays env-blocked — HiveThriftServer2 delegates it to
+Hadoop proxy-user infrastructure this container lacks — but its
+authorization-and-isolation semantics are implemented and tested on
+the REST frontend (``rest.py``: ``X-Proxy-User`` + ``proxy_acl``
+allowlist, per-effective-user session isolation,
+``tests/test_rest_gateway.py::TestDoAsImpersonation``).
 """
 
 from __future__ import annotations

@@ -40,8 +40,8 @@ _load_all()
 #: queries that most need a fresh driver-green differential row are
 #: pinned first — r9 composition: (a) the 15-query cohort whose
 #: latest driver stamp is r4 (deferred from r8 — the stalest rows in
-#: the registry), (b) queries NEW or plan-changed in r9, (c) 32 of
-#: the 47-query r5-latest cohort. The 15 remaining r5 rows (listed at
+#: the registry), (b) queries NEW or plan-changed in r9, (c) 31 of
+#: the 47-query r5-latest cohort. The 16 remaining r5 rows (listed at
 #: the bottom — the lightest variants, each shadowed by a sibling in
 #: this window) lead the r10 rotation.
 _VERIFY_FIRST = [
@@ -65,7 +65,8 @@ _VERIFY_FIRST = [
     "window_range_frame_bucketed",  # fact-scale RANGE frame, no WindowExec
     "text_bpe_pair_counts",  # TakeOrdered-before-window rewrite (r9)
     "src_avro_roundtrip",  # pure-stdlib Avro OCF sink+source (r9)
-    # (c) the r5-latest cohort, 32 of 47
+    "stream_topics_rate_capped",  # Kafka-semantics connector contract (r9)
+    # (c) the r5-latest cohort, 31 of 47
     "agg_approx_sketches",
     "ann_cosine_topk",
     "ann_ivf_topk",
@@ -91,7 +92,6 @@ _VERIFY_FIRST = [
     "sort_multi_key",
     "src_csv_roundtrip",
     "src_orc_roundtrip",
-    "stream_sliding_window",
     "stream_tumbling_window",
     "text_decontaminate",
     "text_fingerprint",
@@ -99,7 +99,7 @@ _VERIFY_FIRST = [
     "text_quality_stats",
     "topk_global",
     # deferred to r10 (latest stamp r5; every one shadowed by a
-    # sibling above): ann_cosine_topk_pandas, ann_ivf_refined_topk,
+    # sibling above): stream_sliding_window, ann_cosine_topk_pandas, ann_ivf_refined_topk,
     # sample_stratified_hash, sample_hash_bucket, sim_join_exact_oracle,
     # mm_frame_sample, mm_metadata_extract, src_text_scan,
     # src_json_roundtrip, sort_within_partitions, distinct_projection,

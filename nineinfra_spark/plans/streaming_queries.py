@@ -657,3 +657,79 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select(
         "event_id", "user_id", "ts_offset_s", "value"
     )
+
+
+TOPICS_SPEC = "web:250,wiki:150,code:100"
+TOPICS_CAP = 120
+
+
+@query(
+    "stream_topics_rate_capped",
+    oracle="""
+    WITH t AS (
+        SELECT 'web' AS topic, 250 AS n
+        UNION ALL SELECT 'wiki', 150
+    ),
+    ks AS (
+        SELECT topic, unnest(generate_series(0, n - 1)) AS k FROM t
+    ),
+    h AS (
+        SELECT topic, k,
+               CAST('0x' || substr(
+                   md5(topic || '/' || CAST(k AS VARCHAR)), 1, 15) AS BIGINT)
+                   AS hv
+        FROM ks
+    )
+    SELECT topic, k AS event_id, hv % 1000 AS user_id,
+           (hv // 1000 % 1000000) / 100.0 AS value
+    FROM h
+    """,
+    tags=("stream", "connector", "kafka-semantics"),
+    min_spark="4.0",  # Python DataSource stream reader
+)
+def stream_topics_rate_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka-SEMANTICS streaming connector (`nine_topics`,
+    sources/pyds.py): three named topics, an anchored-regex pattern
+    subscription selecting two of them (`web|wiki` — the `code` topic
+    must never leak into the sink), and a maxOffsetsPerTrigger cap of
+    120 rows per micro-batch apportioned proportionally to each
+    topic's remaining backlog (Kafka's rate-limit distribution, made
+    deterministic by a floor+remainder split). 400 rows drain in ≥4
+    capped batches; offsets are {{topic: pos}} maps, so recovery
+    replays (`readBetweenOffsets`) regenerate identical batches. The
+    oracle recomputes the exact md5-derived relation — a dropped,
+    duplicated, or leaked (unsubscribed-topic) row breaks the hash.
+
+    The broker-backed Kafka leg stays env-blocked
+    (sources/readers.py:kafka_options builds the real options); this
+    query is the driver-verified contract of the semantics that leg
+    would add."""
+    import time as _time
+    import uuid as _uuid
+
+    from nineinfra_spark.sources import pyds
+
+    pyds.register(spark)
+    name = f"mem_topics_{_uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("nine_topics")
+        .option("topics", TOPICS_SPEC)
+        .option("subscribePattern", "web|wiki")
+        .option("maxOffsetsPerTrigger", str(TOPICS_CAP))
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="150 milliseconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 90
+        while _time.time() < deadline:
+            if spark.table(name).count() >= 400:
+                break
+            _time.sleep(0.3)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return spark.table(name).select("topic", "event_id", "user_id", "value")
