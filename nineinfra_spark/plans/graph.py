@@ -126,3 +126,161 @@ def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("pr_rank", F.row_number().over(w)).select(
         "node", "rank", "pr_rank"
     )
+
+
+# -- triangle counting ------------------------------------------------------
+
+#: Keep only co-occurrence edges with this much support: raw pair
+#: projections of a basket graph densify quadratically with basket
+#: count; thresholding keeps the statistically-supported subgraph (the
+#: production choice for any co-occurrence graph).
+TRI_MIN_SUPPORT = 2
+
+_TRIANGLE_ORACLE = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+    SELECT a.l_partkey AS u, b.l_partkey AS v
+    FROM op a JOIN op b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+edges AS (
+    SELECT u, v FROM pairs GROUP BY u, v HAVING COUNT(*) >= 2
+),
+deg AS (
+    SELECT node, COUNT(*) AS d
+    FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
+    GROUP BY node
+),
+tri AS (
+    SELECT COUNT(*) AS n_tri
+    FROM edges e1
+    JOIN edges e2 ON e2.u = e1.u AND e2.v > e1.v
+    JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v
+),
+agg AS (
+    SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+           (SELECT COUNT(*) FROM edges) AS n_edges,
+           (SELECT COALESCE(SUM(d * (d - 1) // 2), 0) FROM deg) AS n_wedges,
+           (SELECT n_tri FROM tri) AS n_triangles
+)
+SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(n_wedges AS BIGINT) AS n_wedges,
+       CAST(n_triangles AS BIGINT) AS n_triangles,
+       CAST(10000 * 3 * n_triangles // n_wedges AS BIGINT) AS clustering_bps
+FROM agg
+"""
+
+
+@query(
+    "graph_triangle_count",
+    oracle=_TRIANGLE_ORACLE,
+    tags=("graph", "triangle", "bounded-nlj"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient over the part
+    co-occurrence graph (parts bought together in ≥``TRI_MIN_SUPPORT``
+    orders — the market-basket projection, thresholded so the graph
+    doesn't densify with basket count).
+
+    Scale posture: the Spark side counts triangles by DEGREE-ORDERED
+    orientation (Suri & Vassilvitskii, WWW'11): every edge points from
+    its (degree, id)-smaller endpoint to the larger, making a DAG in
+    which each triangle u≺v≺w is found exactly once as wedge
+    (u→v, u→w) closed by edge v→w. Out-degrees under this orientation
+    are O(√m), so the wedge join is O(m^1.5) WORST CASE — a hub of
+    degree d costs d² wedges under the oracle's id-ordered join but
+    only ~m wedges here, which is why the id-ordered form is the
+    ORACLE and the degree-ordered form is the plan. Basket pairing is
+    bounded per order (baskets are small); every join is an equi-join;
+    the only nested-loop is the tagged 1-row stats combine. Wedge
+    count for the coefficient comes from the degree table
+    (Σ d(d−1)/2), never from materializing wedges.
+
+    Reference parity: graph analytics over warehouse tables is the
+    reference's reserved analytics-cluster workload
+    (``api/v1alpha1/ninecluster_types.go:31-38``)."""
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+    )
+    edges = (
+        pairs.groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= TRI_MIN_SUPPORT)
+        .select("u", "v")
+    )
+    # three consumers (degrees, orientation, closing join): materialize
+    # the thresholded edge set once
+    edges = edges.localCheckpoint(eager=False)
+
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    deg = deg.localCheckpoint(eager=False)
+
+    # degree-ordered orientation: src = (deg,id)-smaller endpoint; the
+    # (d, node) struct IS the total order, carried so wedge endpoints
+    # compare by the same key
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    ukey = F.struct(F.col("du").alias("kd"), F.col("u").alias("kn"))
+    vkey = F.struct(F.col("dv").alias("kd"), F.col("v").alias("kn"))
+    oriented = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(ukey < vkey, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(ukey < vkey, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(ukey < vkey, vkey).otherwise(ukey).alias("dst_key"),
+        )
+    )
+    oriented = oriented.localCheckpoint(eager=False)
+
+    x = oriented.select(
+        F.col("src"), F.col("dst").alias("w1"), F.col("dst_key").alias("k1")
+    )
+    y = oriented.select(
+        F.col("src"), F.col("dst").alias("w2"), F.col("dst_key").alias("k2")
+    )
+    wedges = x.join(y, "src").filter(F.col("k1") < F.col("k2"))
+    closing = oriented.select(
+        F.col("src").alias("w1"), F.col("dst").alias("w2")
+    )
+    n_tri = wedges.join(closing, ["w1", "w2"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+
+    node_stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.coalesce(
+            F.sum(F.expr("d * (d - 1) div 2")), F.lit(0).cast("bigint")
+        ).alias("n_wedges"),
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+
+    return (
+        node_stats.crossJoin(n_edges)
+        .crossJoin(n_tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.expr("cast(10000 * 3 * n_triangles div n_wedges as bigint)").alias(
+                "clustering_bps"
+            ),
+        )
+    )

@@ -1622,3 +1622,46 @@ def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("numPartitions", str(SYNTH_PARTS))
         .load()
     )
+
+
+@query(
+    "src_xml_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey,
+           CAST(n_nationkey AS DOUBLE) / 4 AS weight
+    FROM nation
+    """,
+    tags=("source", "sink", "xml"),
+    min_spark="4.0",  # built-in XML source (SPARK-44265)
+)
+def src_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink → XML source with an explicit schema (Spark 4's
+    built-in XML data source — previously the separate spark-xml
+    package). One element per row under ``rowTag``; a double column
+    proves numeric fidelity through the text encoding (Spark writes
+    doubles with round-trip precision, and /4 is exact binary so the
+    value is representable).
+
+    Scale posture: XML is a row-amplifying text format — fine for
+    config/feed ingestion, wrong for fact tables; the roundtrip uses
+    the dimension-sized ``nation``. Explicit schema on read (schema
+    inference over XML is a full extra pass, same rule as CSV/JSON).
+    Reference parity: the reference's Spark images bundle spark-xml
+    for feed ingestion alongside CSV/JSON (config-driven formats,
+    ``internal/controller/ninecluster_types.go:29-38``)."""
+    nation = t(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        "n_name",
+        "n_regionkey",
+        (F.col("n_nationkey").cast("double") / 4).alias("weight"),
+    )
+    path = _out("xml", os.path.basename(sf_dir), "nation")
+    nation.write.format("xml").option("rowTag", "nation").mode(
+        "overwrite"
+    ).save(path)
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .schema(nation.schema)
+        .load(path)
+    )

@@ -707,3 +707,127 @@ def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rolling_7d_users")
         )
     )
+
+
+# -- funnel analysis --------------------------------------------------------
+
+#: Ordered funnel stages over the behavioral event stream.
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+@query(
+    "events_funnel_conversion",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN s1 ON s1.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t1
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN s2 ON s2.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        GROUP BY e.user_id
+    ),
+    n AS (
+        SELECT (SELECT COUNT(*) FROM s1) AS n1,
+               (SELECT COUNT(*) FROM s2) AS n2,
+               (SELECT COUNT(*) FROM s3) AS n3
+    )
+    SELECT 1 AS stage_idx, 'view' AS stage, n1 AS n_users,
+           CAST(10000 AS BIGINT) AS conv_prev_bps,
+           CAST(10000 AS BIGINT) AS conv_top_bps
+    FROM n
+    UNION ALL
+    SELECT 2, 'click', n2, 10000 * n2 // n1, 10000 * n2 // n1 FROM n
+    UNION ALL
+    SELECT 3, 'purchase', n3, 10000 * n3 // n2, 10000 * n3 // n1 FROM n
+    """,
+    tags=("window", "analytics", "funnel"),
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): a user converts at
+    stage k+1 only with an event STRICTLY AFTER their stage-k
+    conversion time — the product-analytics funnel with ordering
+    semantics, not mere set membership. Rates in integer basis points
+    (floor division) so no float boundary can flip engines.
+
+    Scale posture: the naive formulation is one corpus join + groupBy
+    PER STAGE (the oracle's shape — 3 shuffles over events here, k for
+    a k-stage funnel). This plan folds events ONCE per user into three
+    per-stage timestamp arrays (bounded by per-user event counts, the
+    same bound sessionization carries) and resolves the whole cascade
+    with array expressions: t1 = min(views), t2 = min(clicks > t1),
+    t3 = min(purchases > t2) — ONE shuffle total regardless of funnel
+    depth, then a 1-row global fold fanned back out to stage rows."""
+    events = t(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == FUNNEL_STAGES[0], F.col("ts"))).alias(
+            "t1"
+        ),
+        F.collect_list(
+            F.when(F.col("event_type") == FUNNEL_STAGES[1], F.col("ts"))
+        ).alias("clicks"),
+        F.collect_list(
+            F.when(F.col("event_type") == FUNNEL_STAGES[2], F.col("ts"))
+        ).alias("purchases"),
+    )
+    # t2 must exist as a column before t3 can filter on it: chain two
+    # projections, carrying the purchase array through the first.
+    cascade = (
+        per_user.select(
+            "t1",
+            F.array_min(F.expr("filter(clicks, x -> x > t1)")).alias("t2"),
+            "purchases",
+        )
+        .select(
+            "t1",
+            "t2",
+            F.array_min(F.expr("filter(purchases, x -> x > t2)")).alias("t3"),
+        )
+    )
+    totals = cascade.agg(
+        F.count("t1").alias("n1"),
+        F.count("t2").alias("n2"),
+        F.count("t3").alias("n3"),
+    )
+    return totals.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("stage_idx"),
+                    F.lit(FUNNEL_STAGES[0]).alias("stage"),
+                    F.col("n1").alias("n_users"),
+                    F.lit(10000).cast("bigint").alias("conv_prev_bps"),
+                    F.lit(10000).cast("bigint").alias("conv_top_bps"),
+                ),
+                F.struct(
+                    F.lit(2).alias("stage_idx"),
+                    F.lit(FUNNEL_STAGES[1]).alias("stage"),
+                    F.col("n2").alias("n_users"),
+                    F.expr("cast(10000 * n2 div n1 as bigint)").alias(
+                        "conv_prev_bps"
+                    ),
+                    F.expr("cast(10000 * n2 div n1 as bigint)").alias(
+                        "conv_top_bps"
+                    ),
+                ),
+                F.struct(
+                    F.lit(3).alias("stage_idx"),
+                    F.lit(FUNNEL_STAGES[2]).alias("stage"),
+                    F.col("n3").alias("n_users"),
+                    F.expr("cast(10000 * n3 div n2 as bigint)").alias(
+                        "conv_prev_bps"
+                    ),
+                    F.expr("cast(10000 * n3 div n1 as bigint)").alias(
+                        "conv_top_bps"
+                    ),
+                ),
+            )
+        ).alias("s")
+    ).select("s.*")
