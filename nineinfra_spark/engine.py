@@ -117,6 +117,19 @@ class EngineConfig:
     # archives). A clean table is a no-op; a crashed publish is rolled
     # forward/back per the protocol's commit point. Empty = no replay.
     recover_tables: tuple[str, ...] = ()
+    # Service-discovery namespace (≙ the Kyuubi-HA ZooKeeper namespace,
+    # ``zookeeper.go:104-141``): a shared directory where this engine
+    # registers an ephemeral TTL-heartbeat entry on open() and
+    # deregisters on close(); clients discover live engines via
+    # ``discovery.ServiceRegistry(root).pick()``. None = standalone
+    # engine, no registration.
+    discovery_root: str | None = None
+    # Engine id within the namespace (defaults to app_name-pid).
+    discovery_engine_id: str | None = None
+    # Entry ttl — an engine that stops heartbeating (crash, hang) is
+    # dead to clients after this many seconds, like a ZK session
+    # timeout. Callers keep it live via Engine.heartbeat().
+    discovery_ttl_s: float = 10.0
     # 64 MB: small-side tables up to this size replicate instead of shuffling.
     broadcast_threshold: str = "64m"
     # Cap bytes per input split so one task's scan fits executor memory
@@ -151,6 +164,7 @@ class Engine:
         self._spark: SparkSession | None = None
         self.rest_gateway = None  # set by open() when rest_port configured
         self.mysql_gateway = None  # set by open() when mysql_port configured
+        self.registration = None  # set by open() when discovery_root configured
 
     # -- lifecycle ---------------------------------------------------------
     def open(self) -> "Engine":
@@ -275,9 +289,33 @@ class Engine:
             self.mysql_gateway = start_mysql_gateway(
                 self._spark, cfg.mysql_port, auth=mysql_auth
             )
+        if cfg.discovery_root is not None:
+            from nineinfra_spark.discovery import ServiceRegistry
+
+            endpoint = "local://in-process"
+            if self.rest_gateway is not None:
+                endpoint = f"http://127.0.0.1:{self.rest_gateway.port}"
+            elif cfg.thrift_port is not None:
+                endpoint = f"sts://127.0.0.1:{cfg.thrift_port}"
+            engine_id = (
+                cfg.discovery_engine_id or f"{cfg.app_name}-{os.getpid()}"
+            )
+            self.registration = ServiceRegistry(
+                cfg.discovery_root, ttl_s=cfg.discovery_ttl_s
+            ).register(engine_id, endpoint, {"app": cfg.app_name})
         return self
 
+    def heartbeat(self, load: int = 0) -> None:
+        """Refresh this engine's discovery entry (no-op when discovery
+        is off). Call from the host's liveness loop; an engine that
+        stops calling this expires for clients after discovery_ttl_s."""
+        if self.registration is not None:
+            self.registration.heartbeat(load=load)
+
     def close(self) -> None:
+        if self.registration is not None:
+            self.registration.deregister()
+            self.registration = None
         if self.rest_gateway is not None:
             self.rest_gateway.stop()
             self.rest_gateway = None
