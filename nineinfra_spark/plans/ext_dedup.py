@@ -1235,3 +1235,132 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# -- maximal duplicated spans (exact-substring dedup) -----------------------
+
+#: Duplicated-run detection window, in tokens. Lee et al. 2022
+#: ("Deduplicating Training Data Makes Language Models Better") use
+#: 50 BPE tokens over a suffix array; 8 word tokens is the same knob
+#: scaled to this corpus's ~100-token documents.
+SPAN_W = 8
+
+
+@query(
+    "dedup_duplicate_spans",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {TOKS_DUCK} AS toks FROM documents),
+    w AS (
+        SELECT doc_id, len(toks) AS n_tok,
+               unnest(generate_series(1, len(toks) - {SPAN_W} + 1)) AS p,
+               toks
+        FROM d WHERE len(toks) >= {SPAN_W}
+    ),
+    h AS (
+        SELECT doc_id, n_tok, p,
+               md5(array_to_string(toks[p : p + {SPAN_W} - 1], ' ')) AS wh
+        FROM w
+    ),
+    dup AS (SELECT wh FROM h GROUP BY wh HAVING COUNT(*) >= 2),
+    dpos AS (SELECT h.doc_id, h.n_tok, h.p FROM h JOIN dup USING (wh)),
+    isl AS (
+        SELECT doc_id, n_tok, p,
+               CASE WHEN p - LAG(p) OVER (
+                        PARTITION BY doc_id ORDER BY p) <= {SPAN_W}
+                    THEN 0 ELSE 1 END AS newg
+        FROM dpos
+    ),
+    gid AS (
+        SELECT doc_id, n_tok, p,
+               SUM(newg) OVER (PARTITION BY doc_id ORDER BY p) AS g
+        FROM isl
+    ),
+    spans AS (
+        SELECT doc_id, n_tok, g,
+               MIN(p) AS s, MAX(p) + {SPAN_W} - 1 AS e
+        FROM gid GROUP BY doc_id, n_tok, g
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_dup_spans,
+           CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens,
+           n_tok AS n_tokens,
+           CAST(10000 * SUM(e - s + 1) // n_tok AS BIGINT) AS dup_bps
+    FROM spans GROUP BY doc_id, n_tok
+    """,
+    tags=("ext", "dedup", "exact-substring"),
+)
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL duplicated spans per document — the exact-substring
+    dedup lens (Lee et al. 2022): every ``SPAN_W``-token rolling
+    window is hashed; windows whose content occurs ≥2 times anywhere
+    in the corpus (cross-doc AND self-repetition) mark duplicated
+    positions; overlapping/adjacent duplicated windows merge into
+    maximal spans (gaps-and-islands per doc), reported with exact
+    token extents. Fixed-boundary segment dedup
+    (``dedup_paragraph_exact``) misses duplicates that straddle its
+    segment grid; rolling windows catch every aligned-or-not repeat
+    ≥ SPAN_W tokens.
+
+    Scale posture: the suffix-array construction the paper uses is a
+    global sort the cluster can't stream; the rolling-window form is
+    the distributable equivalent — row amplification is ONE 16-byte
+    hash per token position (the inverted-index class; a stride >1
+    trades recall of short repeats for proportionally fewer rows).
+    Both shuffles are uniform by construction: the multiplicity
+    groupBy keys on the window hash, the island merge on doc_id.
+    In-row ``transform`` builds the hash list BEFORE posexplode, so
+    the amplified rows never carry the token array."""
+    docs = t(spark, sf_dir, "documents")
+    d = cpu_spread(docs.select("doc_id", "text")).select(
+        "doc_id", F.expr(TOKS_SPARK).alias("toks")
+    )
+    hashed = d.filter(F.size("toks") >= SPAN_W).select(
+        "doc_id",
+        F.size("toks").alias("n_tok"),
+        F.expr(
+            f"transform(sequence(1, size(toks) - {SPAN_W} + 1),"
+            f" p -> md5(array_join(slice(toks, p, {SPAN_W}), ' ')))"
+        ).alias("whs"),
+    )
+    pos = hashed.select(
+        "doc_id", "n_tok", F.posexplode("whs").alias("p0", "wh")
+    ).select("doc_id", "n_tok", (F.col("p0") + 1).alias("p"), "wh")
+
+    dup = (
+        pos.groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("mult"))
+        .filter(F.col("mult") >= 2)
+        .select("wh")
+    )
+    dpos = pos.join(dup, "wh").select("doc_id", "n_tok", "p")
+
+    from pyspark.sql import Window
+
+    w_doc = Window.partitionBy("doc_id").orderBy("p")
+    isl = dpos.withColumn(
+        "newg",
+        F.when(
+            F.col("p") - F.lag("p").over(w_doc) <= SPAN_W, F.lit(0)
+        ).otherwise(F.lit(1)),
+    ).withColumn(
+        "g",
+        F.sum("newg").over(
+            w_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    spans = isl.groupBy("doc_id", "n_tok", "g").agg(
+        F.min("p").alias("s"),
+        (F.max("p") + SPAN_W - 1).alias("e"),
+    )
+    return spans.groupBy("doc_id", "n_tok").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias("dup_tokens"),
+    ).select(
+        "doc_id",
+        "n_dup_spans",
+        "dup_tokens",
+        F.col("n_tok").alias("n_tokens"),
+        F.expr("cast(10000 * dup_tokens div n_tok as bigint)").alias(
+            "dup_bps"
+        ),
+    )

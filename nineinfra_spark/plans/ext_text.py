@@ -1202,3 +1202,171 @@ def text_trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("lm_rank") <= 5)
         .select("lang", "doc_id", "n_tri", "sum_freq", "score", "lm_rank")
     )
+
+
+# -- hashed linear quality classifier ---------------------------------------
+
+#: Feature-hashing bucket count. 2^10 keeps the oracle SQL legible;
+#: production fastText uses 2^21 — the plan shape is identical.
+HASH_CLS_BUCKETS = 1024
+
+# 60-bit md5 hashes (the repo-wide portable-hash idiom): Spark and
+# DuckDB spellings of the same integer.
+_HB_SPARK = (
+    "cast(conv(substr(md5(x), 1, 15), 16, 10) as bigint)"
+    f" % {HASH_CLS_BUCKETS}"
+)
+_HB_DUCK = (
+    "CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)"
+    f" % {HASH_CLS_BUCKETS}"
+)
+_W_SPARK = (
+    "cast(conv(substr(md5(concat('w:', cast(("
+    + _HB_SPARK
+    + ") as string))), 1, 15), 16, 10) as bigint) % 2001 - 1000"
+)
+_W_DUCK = (
+    "CAST('0x' || substr(md5('w:' || CAST(("
+    + _HB_DUCK
+    + ") AS VARCHAR)), 1, 15) AS BIGINT) % 2001 - 1000"
+)
+
+
+@query(
+    "text_hash_classifier",
+    oracle=f"""
+    WITH scored AS (
+        SELECT lang,
+               COALESCE(list_aggregate(
+                   list_transform({TOKS_DUCK}, x -> {_W_DUCK}), 'sum'
+               ), 0) AS score
+        FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (score >= 0) AS n_keep,
+           CAST(10000 * COUNT(*) FILTER (score >= 0) // COUNT(*) AS BIGINT)
+               AS keep_bps,
+           CAST(SUM(score) AS BIGINT) AS sum_score
+    FROM scored GROUP BY lang
+    """,
+    tags=("ext", "text", "classifier"),
+)
+def text_hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear quality classifier (the fastText serving
+    shape, per CCNet/DataComp quality gates): token → feature-hash
+    bucket (``HASH_CLS_BUCKETS``-way, md5-derived) → per-bucket weight
+    → doc score = Σ weights; keep iff score ≥ 0. The weights here are
+    hash-derived placeholders — a TRAINED model drops in as the same
+    bucket → weight map (broadcast, or inlined as expression exactly
+    like this) with zero plan change, which is the point: scoring a
+    linear bag-of-words model is a pure per-row fold, not an ML-
+    runtime dependency.
+
+    Scale posture: score is computed IN-ROW (``transform`` +
+    ``aggregate`` over the token array — no explode, so a zero-token
+    doc can't vanish and the corpus is never amplified); the only
+    shuffle is the |langs|-sized rollup. Runs at scan speed at 100 TB.
+    Sums and the keep decision are exact integers; ``keep_bps``
+    divides non-negative integers, so Spark ``div`` and DuckDB ``//``
+    agree."""
+    docs = t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "lang",
+        F.expr(
+            f"aggregate(transform({TOKS_SPARK}, x -> {_W_SPARK}),"
+            " 0L, (acc, w) -> acc + w)"
+        ).alias("score"),
+    )
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("score") >= 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_keep"),
+        F.expr(
+            "cast(10000 * sum(case when score >= 0 then 1 else 0 end)"
+            " div count(1) as bigint)"
+        ).alias("keep_bps"),
+        F.sum("score").cast("bigint").alias("sum_score"),
+    )
+
+
+# -- vocabulary / Zipf datasheet --------------------------------------------
+
+
+@query(
+    "text_vocab_stats",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({TOKS_DUCK}) AS tok FROM documents),
+    cnt AS (SELECT tok, COUNT(*) AS n FROM tok GROUP BY tok),
+    tot AS (
+        SELECT COUNT(*) AS vocab_size,
+               SUM(n) AS total_tokens,
+               COUNT(*) FILTER (n = 1) AS hapax_count,
+               COUNT(*) FILTER (n = 2) AS dis_count
+        FROM cnt
+    ),
+    top10 AS (
+        SELECT SUM(n) AS top_n FROM
+            (SELECT n FROM cnt ORDER BY n DESC, tok LIMIT 10)
+    )
+    SELECT CAST(vocab_size AS BIGINT) AS vocab_size,
+           CAST(total_tokens AS BIGINT) AS total_tokens,
+           CAST(hapax_count AS BIGINT) AS hapax_count,
+           CAST(dis_count AS BIGINT) AS dis_count,
+           CAST(10000 * vocab_size // total_tokens AS BIGINT)
+               AS type_token_bps,
+           CAST(10000 * top_n // total_tokens AS BIGINT)
+               AS top10_coverage_bps
+    FROM tot, top10
+    """,
+    tags=("ext", "text", "datasheet", "bounded-nlj"),
+)
+def text_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary datasheet: vocabulary size, total token count,
+    hapax/dis legomena counts (the Zipf-tail mass — a high hapax share
+    flags OCR noise or junk tokenization; a LOW one flags template
+    spam), type-token ratio, and top-10-token coverage (the Zipf-head
+    mass) — all in integer basis points. These are the
+    corpus-composition numbers a dataset card reports next to
+    ``text_corpus_datasheet``'s per-language table.
+
+    Scale posture: one word-count-shaped groupBy (map-side partials
+    collapse to vocabulary-sized data before the exchange), then
+    vocabulary-sized rollups; the top-10 head is
+    TakeOrderedAndProject, never a global sort. The final 1-row
+    combine is the tagged bounded nested loop."""
+    docs = t(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(F.expr(TOKS_SPARK)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cnt = cnt.localCheckpoint(eager=False)  # two consumers: totals + head
+    tot = cnt.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum("n").alias("total_tokens"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("hapax_count"),
+        F.sum(F.when(F.col("n") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("dis_count"),
+    )
+    top10 = (
+        cnt.orderBy(F.desc("n"), "tok")
+        .limit(10)
+        .agg(F.sum("n").alias("top_n"))
+    )
+    return tot.crossJoin(top10).select(
+        "vocab_size",
+        F.col("total_tokens").cast("bigint").alias("total_tokens"),
+        "hapax_count",
+        "dis_count",
+        F.expr("cast(10000 * vocab_size div total_tokens as bigint)").alias(
+            "type_token_bps"
+        ),
+        F.expr("cast(10000 * top_n div total_tokens as bigint)").alias(
+            "top10_coverage_bps"
+        ),
+    )
