@@ -184,7 +184,8 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     doesn't densify with basket count).
 
     Scale posture: the Spark side counts triangles by DEGREE-ORDERED
-    orientation (Suri & Vassilvitskii, WWW'11): every edge points from
+    orientation (``operators/triangles.py::triangle_stats``; Suri &
+    Vassilvitskii, WWW'11): every edge points from
     its (degree, id)-smaller endpoint to the larger, making a DAG in
     which each triangle u≺v≺w is found exactly once as wedge
     (u→v, u→w) closed by edge v→w. Out-degrees under this orientation
@@ -200,6 +201,17 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: graph analytics over warehouse tables is the
     reference's reserved analytics-cluster workload
     (``api/v1alpha1/ninecluster_types.go:31-38``)."""
+    from nineinfra_spark.operators.triangles import triangle_stats
+
+    return triangle_stats(_cooccur_edges(spark, sf_dir))
+
+
+def _cooccur_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thresholded part co-occurrence edges (u < v canonical, distinct,
+    support ≥ TRI_MIN_SUPPORT) — shared by the triangle and
+    link-prediction queries. Basket pairing is bounded per order;
+    the threshold keeps the projection from densifying with basket
+    count."""
     li = (
         t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -213,74 +225,116 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
     )
-    edges = (
+    return (
         pairs.groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= TRI_MIN_SUPPORT)
         .select("u", "v")
     )
-    # three consumers (degrees, orientation, closing join): materialize
-    # the thresholded edge set once
-    edges = edges.localCheckpoint(eager=False)
 
-    deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("d"))
+
+# -- link prediction --------------------------------------------------------
+
+LP_TOP = 20
+
+#: Same integer half-up 6-dp Jaccard as the dedup family: identical
+#: integer operands → identical double on both engines → stable order.
+_LP_JAC_SPARK = (
+    "(2000000 * common + union_sz) div (2 * union_sz) / 1e6"
+)
+_LP_JAC_DUCK = "((2000000 * common + union_sz) // (2 * union_sz)) / 1e6"
+
+_LINKPRED_ORACLE = f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+prs AS (
+    SELECT a.l_partkey AS u, b.l_partkey AS v
+    FROM op a JOIN op b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+edges AS (SELECT u, v FROM prs GROUP BY u, v HAVING COUNT(*) >= 2),
+adj AS (
+    SELECT u AS node, v AS nbr FROM edges
+    UNION ALL SELECT v, u FROM edges
+),
+deg AS (SELECT node, COUNT(*) AS d FROM adj GROUP BY node),
+common AS (
+    SELECT x.node AS u, y.node AS v, COUNT(*) AS common
+    FROM adj x JOIN adj y ON x.nbr = y.nbr AND x.node < y.node
+    GROUP BY x.node, y.node
+),
+cand AS (
+    SELECT c.u, c.v, c.common, du.d + dv.d - c.common AS union_sz
+    FROM common c
+    JOIN deg du ON du.node = c.u
+    JOIN deg dv ON dv.node = c.v
+    LEFT JOIN edges e ON e.u = c.u AND e.v = c.v
+    WHERE e.u IS NULL
+)
+SELECT u, v, CAST(common AS BIGINT) AS common,
+       CAST(union_sz AS BIGINT) AS union_sz,
+       {_LP_JAC_DUCK} AS jaccard
+FROM cand
+ORDER BY jaccard DESC, u, v
+LIMIT {LP_TOP}
+"""
+
+
+@query(
+    "graph_link_prediction",
+    oracle=_LINKPRED_ORACLE,
+    tags=("graph", "link-prediction"),
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard link prediction over the part co-occurrence graph: for
+    NON-adjacent node pairs sharing at least one neighbor, score
+    |N(u)∩N(v)| / |N(u)∪N(v)| and surface the top-{LP_TOP} predicted
+    links — the neighborhood-overlap recommender primitive
+    ("customers who buy u's companions also buy v").
+
+    Scale posture: common-neighbor pairs come from ONE wedge
+    equi-join keyed on the shared neighbor — bounded here by the
+    support threshold's degree cap (a raw hub of degree d would emit
+    d² wedges; at web scale, degree-cap or orient the wedge join
+    exactly as `operators/triangles.py` does). Degrees join from the
+    dimension-sized degree table; existing edges drop by anti-join;
+    the head is TakeOrderedAndProject, never a global sort. The
+    score uses the repo's integer half-up 6-dp Jaccard, then one IEEE
+    division of identical operands — order-stable cross-engine."""
+    edges = _cooccur_edges(spark, sf_dir).localCheckpoint(eager=False)
+    adj = edges.select(
+        F.col("u").alias("node"), F.col("v").alias("nbr")
+    ).unionAll(edges.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+    adj = adj.localCheckpoint(eager=False)
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+
+    x = adj.select(F.col("node").alias("u"), "nbr")
+    y = adj.select(F.col("node").alias("v"), "nbr")
+    common = (
+        x.join(y, "nbr")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("common"))
     )
-    deg = deg.localCheckpoint(eager=False)
-
-    # degree-ordered orientation: src = (deg,id)-smaller endpoint; the
-    # (d, node) struct IS the total order, carried so wedge endpoints
-    # compare by the same key
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
-    ukey = F.struct(F.col("du").alias("kd"), F.col("u").alias("kn"))
-    vkey = F.struct(F.col("dv").alias("kd"), F.col("v").alias("kn"))
-    oriented = (
-        edges.join(du, "u")
+    cand = (
+        common.join(edges, ["u", "v"], "left_anti")
+        .join(du, "u")
         .join(dv, "v")
         .select(
-            F.when(ukey < vkey, F.col("u")).otherwise(F.col("v")).alias("src"),
-            F.when(ukey < vkey, F.col("v")).otherwise(F.col("u")).alias("dst"),
-            F.when(ukey < vkey, vkey).otherwise(ukey).alias("dst_key"),
+            "u",
+            "v",
+            F.col("common").cast("bigint").alias("common"),
+            (F.col("du") + F.col("dv") - F.col("common"))
+            .cast("bigint")
+            .alias("union_sz"),
         )
     )
-    oriented = oriented.localCheckpoint(eager=False)
-
-    x = oriented.select(
-        F.col("src"), F.col("dst").alias("w1"), F.col("dst_key").alias("k1")
-    )
-    y = oriented.select(
-        F.col("src"), F.col("dst").alias("w2"), F.col("dst_key").alias("k2")
-    )
-    wedges = x.join(y, "src").filter(F.col("k1") < F.col("k2"))
-    closing = oriented.select(
-        F.col("src").alias("w1"), F.col("dst").alias("w2")
-    )
-    n_tri = wedges.join(closing, ["w1", "w2"]).agg(
-        F.count(F.lit(1)).alias("n_triangles")
-    )
-
-    node_stats = deg.agg(
-        F.count(F.lit(1)).alias("n_nodes"),
-        F.coalesce(
-            F.sum(F.expr("d * (d - 1) div 2")), F.lit(0).cast("bigint")
-        ).alias("n_wedges"),
-    )
-    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
-
     return (
-        node_stats.crossJoin(n_edges)
-        .crossJoin(n_tri)
-        .select(
-            "n_nodes",
-            "n_edges",
-            "n_wedges",
-            "n_triangles",
-            F.expr("cast(10000 * 3 * n_triangles div n_wedges as bigint)").alias(
-                "clustering_bps"
-            ),
+        cand.select(
+            "u", "v", "common", "union_sz",
+            F.expr(_LP_JAC_SPARK).alias("jaccard"),
         )
+        .orderBy(F.desc("jaccard"), "u", "v")
+        .limit(LP_TOP)
     )
