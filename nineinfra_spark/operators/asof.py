@@ -59,7 +59,10 @@ def asof_join(
         is what makes the winning payload value-deterministic instead
         of partition-layout-dependent. Non-orderable payloads are
         rejected up front with a clear error.
-    direction : "backward" (<=) or "forward" (>=)
+    direction : "backward" (<=), "forward" (>=), or "nearest" (the
+        closer of the two by |gap|, ties backward — pandas
+        merge_asof(direction="nearest") semantics; gaps compare as
+        exact integer microseconds for timestamp ts)
     tolerance_s : optional max |left.ts - right.ts| in seconds (the
         pandas ``merge_asof(tolerance=...)`` semantic): a match farther
         away than this is treated as NO match — payload columns come
@@ -67,8 +70,10 @@ def asof_join(
         comparison happens AFTER the single-window fill, so the plan
         shape (one shuffle, no range product) is unchanged.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     if tolerance_s is not None and tolerance_s < 0:
         raise ValueError(f"tolerance_s must be >= 0, got {tolerance_s}")
     if payload is None:
@@ -113,19 +118,57 @@ def asof_join(
     # among duplicate right rows at equal (key, ts) the struct value is
     # the tie-break, so the winning payload is value-deterministic, not
     # partition-layout-dependent.
-    order = [F.col(ts).asc() if direction == "backward" else F.col(ts).desc(),
-             F.col("__is_left").asc(),
-             F.col("__r").asc()]
-    w = (
-        Window.partitionBy(on)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    def _frame(ascending: bool):
+        order = [F.col(ts).asc() if ascending else F.col(ts).desc(),
+                 F.col("__is_left").asc(),
+                 F.col("__r").asc()]
+        return (
+            Window.partitionBy(on)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
 
-    filled = combined.select(
-        *[c for c in combined.columns if c != "__r"],
-        F.last("__r", ignorenulls=True).over(w).alias("__r"),
-    )
+    if direction == "nearest":
+        # Both directional fills over the SAME partitioning — one
+        # exchange, two sorts — then choose per row by exact
+        # integer-microsecond gap; ties go backward (the pandas
+        # merge_asof(direction="nearest") convention).
+        filled = combined.select(
+            *[c for c in combined.columns if c != "__r"],
+            F.last("__r", ignorenulls=True).over(_frame(True)).alias("__rb"),
+            F.last("__r", ignorenulls=True).over(_frame(False)).alias("__rf"),
+        )
+
+        def _micros(col):
+            # TIMESTAMP_NTZ has no unix_micros: route through TIMESTAMP
+            # (both operands convert identically → gap is tz-invariant);
+            # numeric ts falls back to a double gap.
+            if isinstance(
+                left.schema[ts].dataType,
+                (T.TimestampType, T.TimestampNTZType),
+            ):
+                return F.unix_micros(col.cast("timestamp"))
+            return col.cast("double")
+
+        gap_b = _micros(F.col(ts)) - _micros(F.col("__rb.__ts"))
+        gap_f = _micros(F.col("__rf.__ts")) - _micros(F.col(ts))
+        chosen = (
+            F.when(F.col("__rb").isNull(), F.col("__rf"))
+            .when(F.col("__rf").isNull(), F.col("__rb"))
+            .when(gap_f < gap_b, F.col("__rf"))
+            .otherwise(F.col("__rb"))
+        )
+        filled = filled.select(
+            *[c for c in filled.columns if c not in ("__rb", "__rf")],
+            chosen.alias("__r"),
+        )
+    else:
+        filled = combined.select(
+            *[c for c in combined.columns if c != "__r"],
+            F.last("__r", ignorenulls=True)
+            .over(_frame(direction == "backward"))
+            .alias("__r"),
+        )
     matched = F.col("__r")
     if tolerance_s is not None:
         # gap in seconds regardless of ts type: TIMESTAMP_NTZ has no

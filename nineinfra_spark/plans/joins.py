@@ -467,3 +467,74 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts_r").alias("next_error_ts"),
         F.col("value_r").alias("next_error_value"),
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH l AS (
+        SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'purchase'
+    ),
+    r AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'error'
+    ),
+    b AS (
+        SELECT l.event_id, r.ts AS b_ts, r.value AS b_val
+        FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+    ),
+    f AS (
+        SELECT l.event_id, r.ts AS f_ts, r.value AS f_val
+        FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND l.ts <= r.ts
+    )
+    SELECT l.event_id, l.user_id, l.ts,
+           CASE WHEN b_ts IS NULL THEN f_ts
+                WHEN f_ts IS NULL THEN b_ts
+                WHEN epoch_us(f_ts) - epoch_us(l.ts)
+                     < epoch_us(l.ts) - epoch_us(b_ts) THEN f_ts
+                ELSE b_ts END AS nearest_ts,
+           CASE WHEN b_ts IS NULL THEN f_val
+                WHEN f_ts IS NULL THEN b_val
+                WHEN epoch_us(f_ts) - epoch_us(l.ts)
+                     < epoch_us(l.ts) - epoch_us(b_ts) THEN f_val
+                ELSE b_val END AS nearest_value
+    FROM l
+    JOIN b ON b.event_id = l.event_id
+    JOIN f ON f.event_id = l.event_id
+    """,
+    tags=("join", "asof", "nearest", "custom"),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction as-of join (pandas ``merge_asof(direction=
+    "nearest")``): each purchase matched to the user's closest error
+    event in EITHER time direction, ties backward — incident
+    attribution where cause can precede or follow the observation
+    (clock skew between services, post-hoc error logging). Completes
+    the as-of family: backward, forward, tolerance, nearest.
+
+    Scale posture: both directional fills run over the SAME user_id
+    window partitioning — ONE exchange, two sorts (``operators/
+    asof.py``, direction="nearest"); the per-row chooser compares
+    exact integer-microsecond gaps, so no float boundary can flip the
+    winner cross-engine. The oracle states the same choice over two
+    native DuckDB ASOF joins."""
+    events = t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        purchases, errors, on="user_id", ts="ts", payload=["value"],
+        suffix="_r", direction="nearest",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_r").alias("nearest_ts"),
+        F.col("value_r").alias("nearest_value"),
+    )

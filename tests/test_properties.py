@@ -324,7 +324,7 @@ ASOF_RIGHT = st.lists(
 
 @SETTINGS
 @given(left=ASOF_LEFT, right=ASOF_RIGHT,
-       direction=st.sampled_from(["backward", "forward"]),
+       direction=st.sampled_from(["backward", "forward", "nearest"]),
        tol=st.sampled_from([None, 0, 7, 30]))
 def test_asof_join_matches_pandas_merge_asof(spark, left, right, direction, tol):
     """operators/asof.py vs pandas.merge_asof — an INDEPENDENT
