@@ -162,3 +162,128 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= HYBRID_TOP)
         .select("query_id", "doc_id", "rrf_score", "lex_rank", "vec_rank", "rank")
     )
+
+
+# -- BM25 lexical retrieval (integer-exact form) -----------------------------
+
+BM25_TOP = 10
+#: idf surrogate scale: idf_int = IDF_SCALE // df — monotone in 1/df
+#: (the same no-log idf trick as text_idf_keywords, chosen because
+#: ln() is only 1-ulp-accurate and NOT identical across engines).
+BM25_IDF_SCALE = 1_000_000
+
+
+def _bm25_oracle() -> str:
+    return f"""
+    WITH cd AS (
+        SELECT doc_id, {TOKS_DUCK} AS toks FROM documents
+        WHERE doc_id >= {N_QUERIES}
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n_docs,
+               SUM(len(toks)) AS total_len
+        FROM cd
+    ),
+    tf AS (
+        SELECT doc_id, dl, tok, COUNT(*) AS tf
+        FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM cd)
+        GROUP BY doc_id, dl, tok
+    ),
+    df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    qt AS (
+        SELECT doc_id AS query_id, unnest(list_distinct({TOKS_DUCK})) AS tok
+        FROM documents WHERE doc_id < {N_QUERIES}
+    ),
+    terms AS (
+        SELECT qt.query_id, tf.doc_id,
+               ({BM25_IDF_SCALE} // df.df) * 44 * s.total_len * tf.tf
+                   // (20 * s.total_len * tf.tf + 6 * s.total_len
+                       + 18 * tf.dl * s.n_docs) AS term_score
+        FROM qt
+        JOIN tf ON tf.tok = qt.tok
+        JOIN df ON df.tok = qt.tok
+        CROSS JOIN stats s
+    )
+    SELECT query_id, doc_id, score, rank FROM (
+        SELECT query_id, doc_id,
+               CAST(SUM(term_score) AS BIGINT) AS score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY SUM(term_score) DESC, doc_id) AS rank
+        FROM terms GROUP BY query_id, doc_id
+    ) WHERE rank <= {BM25_TOP}
+    """
+
+
+@query(
+    "search_bm25_topk",
+    oracle=_bm25_oracle(),
+    tags=("ext", "hybrid", "retrieval", "bm25", "bounded-nlj"),
+)
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval, top-{BM25_TOP} per query — the REAL
+    scorer behind the hybrid leg's token-overlap stand-in: per-term
+    tf saturation (k1 = 6/5) and document-length normalization
+    (b = 3/4), with the whole per-term score folded into ONE integer
+    floor division:
+
+        term = (IDF//df) · 44·L·tf  //  (20·L·tf + 6·L + 18·dl·N)
+
+    (the k1/b rationals cross-multiplied through avgdl = L/N, so no
+    float touches the ranking). The idf is the repo's no-log
+    surrogate (monotone in 1/df, like ``text_idf_keywords``) because
+    ln() is only 1-ulp accurate and differs across engines; a
+    production deployment would use float ln-idf and give up
+    bit-exact cross-engine ranking — exactly the trade this form
+    makes explicit. Integer bound: terms need idf·44·L·tf < 2^63,
+    i.e. corpora to ~10^11 total tokens at tf ≤ 100; beyond that,
+    drop the IDF_SCALE a few decades.
+
+    Scale posture: the probe is inverted-index-shaped — query terms
+    equi-join the (tok, doc, tf) posting table and the |vocab|-sized
+    df table; corpus stats broadcast as the tagged 1-row frame;
+    per-query heads are rank windows over posting-bounded rows. At
+    100 TB the posting table is the thing you'd have materialized
+    anyway; nothing here scans all pairs."""
+    docs = t(spark, sf_dir, "documents")
+    cd = docs.filter(F.col("doc_id") >= N_QUERIES).select(
+        "doc_id", F.expr(TOKS_SPARK).alias("toks")
+    )
+    stats = cd.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("toks")).alias("total_len"),
+    )
+    tf = (
+        cd.select(
+            "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("tok")
+        )
+        .groupBy("doc_id", "dl", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    tf = tf.localCheckpoint(eager=False)  # probe + df both consume it
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    qt = docs.filter(F.col("doc_id") < N_QUERIES).select(
+        F.col("doc_id").alias("query_id"),
+        F.explode(F.array_distinct(F.expr(TOKS_SPARK))).alias("tok"),
+    )
+    terms = (
+        qt.join(tf, "tok")
+        .join(df, "tok")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            F.expr(
+                f"({BM25_IDF_SCALE} div df) * 44 * total_len * tf"
+                " div (20 * total_len * tf + 6 * total_len"
+                " + 18 * dl * n_docs)"
+            ).alias("term_score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
+    return (
+        terms.groupBy("query_id", "doc_id")
+        .agg(F.sum("term_score").cast("bigint").alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOP)
+    )

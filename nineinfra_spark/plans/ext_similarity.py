@@ -1341,3 +1341,109 @@ def pair_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neg_id",
         F.expr(COS_SPARK.format(a="q_emb", b="n_emb")).alias("cos"),
     )
+
+
+# -- Matryoshka prefix-dimension retrieval ----------------------------------
+
+#: Leading dimensions used for the cheap first-pass scoring.
+#: Matryoshka-represented models (Kusupati et al., NeurIPS'22) train
+#: embeddings so any PREFIX is itself a valid lower-dim embedding —
+#: the production trick that makes "store 64 dims, search 16" work
+#: with no projection matrix at all.
+PREFIX_DIMS = 16
+PREFIX_SHORTLIST = 20
+
+
+def _prefix_rerank_oracle() -> str:
+    pre_cos = COS_DUCK.format(a="q.pre", b="c.pre")
+    full_cos = COS_DUCK.format(a="qe.embedding", b="ce.embedding")
+    return f"""
+    WITH p AS (
+        SELECT vec_id, embedding[1:{PREFIX_DIMS}] AS pre FROM embeddings
+    ),
+    pre_scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               {pre_cos} AS pre_cos
+        FROM p q JOIN p c
+          ON q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+    ),
+    short AS (
+        SELECT query_id, cand_id FROM (
+            SELECT query_id, cand_id,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY pre_cos DESC, cand_id) AS r
+            FROM pre_scored)
+        WHERE r <= {PREFIX_SHORTLIST}
+    )
+    SELECT query_id, cand_id, cos, rank FROM (
+        SELECT s.query_id, s.cand_id, {full_cos} AS cos,
+               row_number() OVER (
+                   PARTITION BY s.query_id
+                   ORDER BY {full_cos} DESC, s.cand_id) AS rank
+        FROM short s
+        JOIN embeddings qe ON qe.vec_id = s.query_id
+        JOIN embeddings ce ON ce.vec_id = s.cand_id)
+    WHERE rank <= {TOP_K}
+    """
+
+
+@query(
+    "ann_prefix_rerank_topk",
+    oracle=_prefix_rerank_oracle(),
+    tags=("ext", "similarity", "matryoshka", "rerank", "bounded-nlj"),
+)
+def ann_prefix_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval over PREFIX dimensions (the Matryoshka /
+    MRL pattern, Kusupati et al. NeurIPS'22): first-pass cosine over
+    only the leading ``PREFIX_DIMS`` coordinates — a 4× cheaper
+    comparison needing NO projection matrix, codebook, or training
+    artifact, because MRL-trained models make every prefix a valid
+    embedding — then the top-``PREFIX_SHORTLIST`` per query fetch full
+    vectors for the exact re-rank. Completes the compressed-first-pass
+    family: PQ/ADC (compute-side), random projection (storage-side),
+    prefix (FREE — slicing is a projection pushdown, so a columnar
+    store reads only the prefix bytes in pass one).
+
+    Plan: prefix columns are pure projections; pass one broadcasts the
+    |Q| query rows; the re-rank joins |Q|·shortlist rows back to the
+    vector store on vec_id. At scale pass one runs over an LSH/IVF
+    bucketing of prefix space; the re-rank join is unchanged.
+    Bit-replicated by the oracle (same fold order both engines)."""
+    emb = t(spark, sf_dir, "embeddings")
+    p = emb.select(
+        "vec_id", F.expr(f"slice(embedding, 1, {PREFIX_DIMS})").alias("pre")
+    )
+    q = p.filter(F.col("vec_id") < N_QUERIES).alias("q")
+    c = p.filter(F.col("vec_id") >= N_QUERIES).alias("c")
+    w_pre = Window.partitionBy("query_id").orderBy(F.desc("pre_cos"), "cand_id")
+    shortlist = (
+        c.crossJoin(F.broadcast(q))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("cand_id"),
+            F.expr(COS_SPARK.format(a="q.pre", b="c.pre")).alias("pre_cos"),
+        )
+        .withColumn("r", F.row_number().over(w_pre))
+        .filter(F.col("r") <= PREFIX_SHORTLIST)
+        .select("query_id", "cand_id")
+    )
+    qe = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    ce = emb.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("e_emb")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "cand_id")
+    return (
+        shortlist.join(qe, "query_id")
+        .join(ce, "cand_id")
+        .select(
+            "query_id",
+            "cand_id",
+            F.expr(COS_SPARK.format(a="q_emb", b="e_emb")).alias("cos"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", "cos", "rank")
+    )
