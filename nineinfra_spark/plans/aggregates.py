@@ -1171,3 +1171,231 @@ def agg_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(5 * 0.016) * F.col("_exact_union") + F.lit(1.0)
         ).alias("intersect_within_err"),
     )
+
+
+# -- exact-distinct bitmap rollup (the Doris BITMAP type pattern) -----------
+
+#: 63 usable bits per signed-int64 word (bit 63 would need an
+#: unsupported `1 << 63` on the oracle side — same bound as the
+#: portable Bloom filter).
+_BM_WORD_BITS = 63
+
+
+@query(
+    "agg_bitmap_distinct_rollup",
+    oracle="""
+    WITH wk AS (
+        SELECT user_id,
+               datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7
+                   AS week
+        FROM events
+    ),
+    weekly AS (
+        SELECT week, COUNT(DISTINCT user_id) AS n_distinct
+        FROM wk GROUP BY week
+    ),
+    total AS (
+        SELECT CAST(-1 AS BIGINT) AS week,
+               COUNT(DISTINCT user_id) AS n_distinct
+        FROM wk
+    )
+    SELECT week, CAST(n_distinct AS BIGINT) AS n_distinct FROM weekly
+    UNION ALL
+    SELECT week, CAST(n_distinct AS BIGINT) FROM total
+    """,
+    tags=("agg", "sketch", "bitmap", "mergeable"),
+)
+def agg_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via integer bitmaps — the Doris BITMAP
+    column type's pattern (precomputed exact distincts that stay
+    exact under rollup, where HLL only stays approximate): each week
+    folds its users into sparse (week, word) 63-bit bitmap rows by
+    bit_or; weekly distinct = Σ bit_count(word), and the Jan-total
+    re-aggregates the STORED weekly bitmaps (word-wise OR — set
+    union) without ever touching the fact again. The oracle computes
+    both levels with native COUNT(DISTINCT), so this differential
+    verifies the bitmap implementation against an independent one —
+    not bit-math against itself.
+
+    Scale posture: the map-side bit_or partial collapses each
+    partition to ≤ ⌈|id-domain|/63⌉ words before the exchange —
+    the same one-small-frame-out-at-any-scale contract as the Bloom/
+    CMS/HLL rows; the rollup merge is keyed on word index (bounded).
+    Dense surrogate ids are the precondition (the Doris deployment
+    pattern: dictionary-encode first); sparse domains want roaring
+    containers, same algebra."""
+    events = t(spark, sf_dir, "events")
+    wk = events.select(
+        F.floor(
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+            / 7
+        )
+        .cast("bigint")
+        .alias("week"),
+        "user_id",
+    )
+    words = wk.groupBy(
+        "week", F.expr(f"user_id div {_BM_WORD_BITS}").alias("w_idx")
+    ).agg(
+        F.expr(
+            f"bit_or(shiftleft(cast(1 as bigint),"
+            f" cast(user_id % {_BM_WORD_BITS} as int)))"
+        ).alias("bits")
+    )
+    words = words.localCheckpoint(eager=False)  # weekly + total rollup
+    weekly = words.groupBy("week").agg(
+        F.sum(F.bit_count("bits")).cast("bigint").alias("n_distinct")
+    )
+    total = (
+        words.groupBy("w_idx")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+        .agg(F.sum(F.bit_count("bits")).cast("bigint").alias("n_distinct"))
+        .select(F.lit(-1).cast("bigint").alias("week"), "n_distinct")
+    )
+    return weekly.select("week", "n_distinct").unionByName(total)
+
+
+# -- A/B experiment readout (Welch's t) -------------------------------------
+
+
+@query(
+    "agg_ab_ttest",
+    oracle="""
+    WITH v AS (
+        SELECT event_type, user_id % 2 AS variant,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    g AS (
+        SELECT event_type,
+               COUNT(*) FILTER (variant = 0) AS n_a,
+               COUNT(*) FILTER (variant = 1) AS n_b,
+               SUM(cents) FILTER (variant = 0) AS s1_a,
+               SUM(cents) FILTER (variant = 1) AS s1_b,
+               SUM(cents * cents) FILTER (variant = 0) AS s2_a,
+               SUM(cents * cents) FILTER (variant = 1) AS s2_b
+        FROM v GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(s1_a AS DOUBLE) / n_a AS mean_a_cents,
+           CAST(s1_b AS DOUBLE) / n_b AS mean_b_cents,
+           (CAST(s1_a AS DOUBLE) / n_a - CAST(s1_b AS DOUBLE) / n_b)
+             / sqrt(
+                 (CAST(n_a * s2_a - s1_a * s1_a AS DOUBLE)
+                     / (CAST(n_a AS DOUBLE) * (n_a - 1))) / n_a
+               + (CAST(n_b * s2_b - s1_b * s1_b AS DOUBLE)
+                     / (CAST(n_b AS DOUBLE) * (n_b - 1))) / n_b
+             ) AS t_stat
+    FROM g
+    """,
+    tags=("agg", "analytics", "experiment"),
+)
+def agg_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: Welch's t-statistic per event type
+    between variants A/B (user_id parity as the deterministic
+    assignment) — the two-sample significance primitive behind any
+    experimentation platform's scorecard.
+
+    Exactness: per-variant counts, Σcents and Σcents² fold as EXACT
+    integers (one conditional hash-agg, no join); means, Welch
+    variances ((n·Σx² − (Σx)²)/(n·(n−1))) and the final t are then a
+    fixed chain of IEEE ops (−, /, +, sqrt — all correctly rounded)
+    over those identical integer-valued doubles, so both engines
+    produce the same bits. Σx² in int64 bounds the corpus at ~10^12
+    cent-squared units — beyond that, lift s2 into decimal(38,0).
+
+    Scale posture: one map-side-combined groupBy on event_type;
+    |event types| rows out at any corpus size."""
+    events = t(spark, sf_dir, "events")
+    v = events.select(
+        "event_type",
+        (F.col("user_id") % 2).alias("variant"),
+        F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+    )
+
+    def _f(expr: str, variant: int):
+        return F.expr(
+            f"sum(case when variant = {variant} then {expr} else 0 end)"
+        )
+
+    g = v.groupBy("event_type").agg(
+        _f("1", 0).cast("bigint").alias("n_a"),
+        _f("1", 1).cast("bigint").alias("n_b"),
+        _f("cents", 0).alias("s1_a"),
+        _f("cents", 1).alias("s1_b"),
+        _f("cents * cents", 0).alias("s2_a"),
+        _f("cents * cents", 1).alias("s2_b"),
+    )
+    mean_a = F.expr("cast(s1_a as double) / n_a")
+    mean_b = F.expr("cast(s1_b as double) / n_b")
+    var_a = F.expr(
+        "cast(n_a * s2_a - s1_a * s1_a as double)"
+        " / (cast(n_a as double) * (n_a - 1))"
+    )
+    var_b = F.expr(
+        "cast(n_b * s2_b - s1_b * s1_b as double)"
+        " / (cast(n_b as double) * (n_b - 1))"
+    )
+    return g.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        mean_a.alias("mean_a_cents"),
+        mean_b.alias("mean_b_cents"),
+        (
+            (mean_a - mean_b)
+            / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b"))
+        ).alias("t_stat"),
+    )
+
+
+@query(
+    "agg_unpivot_melt",
+    oracle="""
+    WITH wide AS (
+        SELECT l_returnflag,
+               CAST(SUM(CASE WHEN l_linestatus = 'O'
+                             THEN CAST(l_quantity AS DECIMAL(18,2)) END)
+                    AS DOUBLE) AS qty_open,
+               CAST(SUM(CASE WHEN l_linestatus = 'F'
+                             THEN CAST(l_quantity AS DECIMAL(18,2)) END)
+                    AS DOUBLE) AS qty_filled
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'qty_open' AS metric, qty_open AS qty FROM wide
+    WHERE qty_open IS NOT NULL
+    UNION ALL
+    SELECT l_returnflag, 'qty_filled', qty_filled FROM wide
+    WHERE qty_filled IS NOT NULL
+    """,
+    tags=("agg", "unpivot"),
+)
+def agg_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt) — the inverse of `agg_pivot`: the pivoted wide
+    table folds back to (key, metric, value) long form via the native
+    ``unpivot``/``melt`` API (SQL ``UNPIVOT``), the shape feeding
+    metric stores and chart tools. Default semantics drop NULL cells
+    (both engines here state it explicitly).
+
+    Scale posture: unpivot is a zero-shuffle per-row flatMap — k
+    output rows per input row, no exchange; the only shuffle is the
+    upstream pivot aggregate it inverts. Decimal sums keep the
+    round-trip bit-stable."""
+    li = t(spark, sf_dir, "lineitem")
+    wide = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(dec("l_quantity")).cast("double"))
+        .select(
+            "l_returnflag",
+            F.col("O").alias("qty_open"),
+            F.col("F").alias("qty_filled"),
+        )
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["qty_open", "qty_filled"],
+        variableColumnName="metric",
+        valueColumnName="qty",
+    ).filter(F.col("qty").isNotNull())

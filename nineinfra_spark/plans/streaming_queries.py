@@ -733,3 +733,122 @@ def stream_topics_rate_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         q.awaitTermination()
     return spark.table(name).select("topic", "event_id", "user_id", "value")
+
+
+@query(
+    "stream_bitmap_distinct",
+    oracle="""
+    WITH wk AS (
+        SELECT user_id,
+               datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7
+                   AS week
+        FROM events
+    ),
+    weekly AS (
+        SELECT week, COUNT(DISTINCT user_id) AS n_distinct
+        FROM wk GROUP BY week
+    ),
+    total AS (
+        SELECT CAST(-1 AS BIGINT) AS week,
+               COUNT(DISTINCT user_id) AS n_distinct FROM wk
+    )
+    SELECT week, CAST(n_distinct AS BIGINT) AS n_distinct FROM weekly
+    UNION ALL
+    SELECT week, CAST(n_distinct AS BIGINT) FROM total
+    """,
+    tags=("streaming", "bitmap", "foreachBatch"),
+)
+def stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EXACT-distinct maintenance via bitmap OR-merge — the
+    continuous twin of `agg_bitmap_distinct_rollup`: each micro-batch
+    folds its users into (week, word, bits) 63-bit bitmap rows and
+    ORs them into the managed serving table. Bitwise OR is
+    commutative, associative AND IDEMPOTENT, so the index is not just
+    batch-boundary/arrival-order independent like the additive
+    maintainers (`stream_rollup_maintenance`) — it survives REPLAYED
+    batches byte-identically, i.e. at-least-once delivery already
+    yields the exactly-once result. That algebra is why serving tiers
+    store distincts as bitmaps (the Doris BITMAP pattern), and why
+    the oracle can be the plain batch COUNT(DISTINCT) at both rollup
+    levels.
+
+    Scale posture: per batch, one map-side bit_or over the DELTA
+    (≤ ⌈|ids|/63⌉ words out), one word-keyed OR-join into the index;
+    the final readout is dimension-sized."""
+    import os as _os
+
+    from nineinfra_spark.plans.sources_sinks import WAREHOUSE
+    from nineinfra_spark.streaming.ops import read_table_stream
+
+    sfx = _os.path.basename(sf_dir).replace(".", "_")
+    db = f"nine_wh_{sfx}"
+    idx = f"{db}.user_bitmaps"
+    is_hive = (
+        spark.conf.get("spark.sql.catalogImplementation", "in-memory") == "hive"
+    )
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{WAREHOUSE}/{db}'")
+    for tbl in ("user_bitmaps", "user_bitmaps__merge_stage"):
+        owned = spark.catalog.tableExists(f"{db}.{tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {db}.{tbl}")
+        loc = f"{WAREHOUSE}/{db}/{tbl}"
+        if _os.path.exists(loc) and (not is_hive or not owned):
+            import shutil
+
+            shutil.rmtree(loc, ignore_errors=True)
+
+    empty = spark.createDataFrame([], "week long, w_idx long, bits long")
+    empty.write.saveAsTable(idx)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        delta = (
+            batch_df.select(
+                F.floor(
+                    F.datediff(
+                        F.col("ts").cast("date"),
+                        F.lit("2024-01-01").cast("date"),
+                    )
+                    / 7
+                )
+                .cast("bigint")
+                .alias("week"),
+                "user_id",
+            )
+            .groupBy("week", F.expr("user_id div 63").alias("w_idx"))
+            .agg(
+                F.expr(
+                    "bit_or(shiftleft(cast(1 as bigint),"
+                    " cast(user_id % 63 as int)))"
+                ).alias("new_bits")
+            )
+        )
+        base = spark.table(idx).select(
+            "week", "w_idx", F.col("bits").alias("old_bits")
+        )
+        merged = base.join(delta, ["week", "w_idx"], "full_outer").select(
+            "week",
+            "w_idx",
+            F.expr(
+                "coalesce(old_bits, 0) | coalesce(new_bits, 0)"
+            ).alias("bits"),
+        )
+        publish_snapshot(spark, idx, merged)
+
+    ev = read_table_stream(spark, sf_dir, "events", maxFilesPerTrigger="1")
+    q = (
+        ev.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    words = spark.table(idx)
+    weekly = words.groupBy("week").agg(
+        F.sum(F.bit_count("bits")).cast("bigint").alias("n_distinct")
+    )
+    total = (
+        words.groupBy("w_idx")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+        .agg(F.sum(F.bit_count("bits")).cast("bigint").alias("n_distinct"))
+        .select(F.lit(-1).cast("bigint").alias("week"), "n_distinct")
+    )
+    return weekly.select("week", "n_distinct").unionByName(total)
