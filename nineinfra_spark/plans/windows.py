@@ -360,7 +360,11 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     + semi-filtering join — all shuffles keyed on user_id, so AQE can
     reuse the partitioning; the final stage counts are three 1-row
     frames cross-joined (hence bounded-nlj). The product-analytics
-    primitive behind conversion reporting at any scale."""
+    primitive behind conversion reporting at any scale. The
+    depth-independent ONE-shuffle rewrite (per-user stage arrays
+    resolved by array expressions) is ``events_funnel_conversion``
+    below — prefer it for deep funnels; this per-stage form is the
+    shape ad-hoc SQL users write."""
     ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
     v = (
         ev.filter(F.col("event_type") == "view")
@@ -757,9 +761,10 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics, not mere set membership. Rates in integer basis points
     (floor division) so no float boundary can flip engines.
 
-    Scale posture: the naive formulation is one corpus join + groupBy
-    PER STAGE (the oracle's shape — 3 shuffles over events here, k for
-    a k-stage funnel). This plan folds events ONCE per user into three
+    Scale posture: the per-stage formulation (``events_funnel``
+    above, and this oracle's shape) is one corpus join + groupBy PER
+    STAGE — 3 shuffles over events here, k for a k-stage funnel. This
+    plan folds events ONCE per user into three
     per-stage timestamp arrays (bounded by per-user event counts, the
     same bound sessionization carries) and resolves the whole cascade
     with array expressions: t1 = min(views), t2 = min(clicks > t1),
@@ -831,3 +836,151 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s")
     ).select("s.*")
+
+
+# -- time-series gap fill ----------------------------------------------------
+
+#: Users carried through the gap-fill demo (bounds the spine:
+#: |users| × |days| rows — the gap-fill contract at any scale).
+GAPFILL_USERS = 100
+
+
+@query(
+    "ts_gap_fill_interpolate",
+    oracle=f"""
+    WITH obs AS (
+        SELECT user_id,
+               CAST(ts AS DATE) AS day,
+               SUM(CAST(round(value * 100) AS BIGINT)) AS v
+        FROM events
+        WHERE user_id < {GAPFILL_USERS}
+        GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    spine AS (
+        SELECT u.user_id, CAST(d.d AS DATE) AS day
+        FROM (SELECT DISTINCT user_id FROM obs) u
+        CROSS JOIN generate_series(
+            DATE '2024-01-01', DATE '2024-01-30', INTERVAL 1 DAY) d(d)
+    ),
+    j AS (
+        SELECT s.user_id, s.day,
+               datediff('day', DATE '2024-01-01', s.day) AS di,
+               o.v
+        FROM spine s LEFT JOIN obs o
+          ON o.user_id = s.user_id AND o.day = s.day
+    ),
+    nb AS (
+        SELECT user_id, day, di, v,
+               last_value(CASE WHEN v IS NOT NULL
+                               THEN {{'d': di, 'x': v}} END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY di
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS prev,
+               first_value(CASE WHEN v IS NOT NULL
+                                THEN {{'d': di, 'x': v}} END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY di
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS nxt
+        FROM j
+    )
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+           CAST(COALESCE(CASE WHEN v IS NOT NULL THEN v * 1000
+                WHEN prev IS NOT NULL AND nxt IS NOT NULL THEN
+                    (1000 * (prev.x * (nxt.d - di) + nxt.x * (di - prev.d)))
+                        // (nxt.d - prev.d)
+                WHEN prev IS NOT NULL THEN prev.x * 1000
+           END, -1) AS BIGINT) AS filled_milli,
+           CASE WHEN v IS NOT NULL THEN 'obs'
+                WHEN prev IS NOT NULL AND nxt IS NOT NULL THEN 'interp'
+                WHEN prev IS NOT NULL THEN 'locf'
+                ELSE 'none' END AS fill_kind
+    FROM nb
+    """,
+    # bounded-nlj: the spine build crosses users with the CONSTANT
+    # 30-row calendar frame (broadcast) — bounded by construction.
+    tags=("window", "timeseries", "gapfill", "bounded-nlj"),
+)
+def ts_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill over a calendar spine — the hypertable
+    regularization pass (TimescaleDB time_bucket_gapfill +
+    interpolate/locf): per user, daily totals land on a complete
+    Jan-2024 day spine; interior gaps LINEARLY INTERPOLATE between
+    the flanking observations, trailing gaps carry the last
+    observation forward (locf), leading gaps carry the -1 sentinel
+    (fill_kind='none'; a NULL here would flip the pandas column to
+    float and break the driver's int/float stringify parity) — each
+    row labeled with how it was filled.
+
+    Exactness: values quantize to integer cents; the interpolation
+    is ONE floor division of cross-multiplied integers
+    ((v0·(d1−d) + v1·(d−d0))·1000 div (d1−d0), all non-negative),
+    so no float midpoint can flip engines.
+
+    Scale posture: ONE shuffle on user_id serves both neighbor
+    windows (same partitioning, ascending + descending frames); the
+    spine is |users| × |days| — gap fill is a DIMENSION-shaped
+    operation by contract (you fill a bounded entity set over a
+    bounded calendar, never raw events)."""
+    events = t(spark, sf_dir, "events")
+    obs = (
+        events.filter(F.col("user_id") < GAPFILL_USERS)
+        .groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("v")
+        )
+    )
+    users = obs.select("user_id").distinct()
+    days = spark.sql(
+        "SELECT explode(sequence(date'2024-01-01', date'2024-01-30',"
+        " interval 1 day)) AS day"
+    )
+    spine = users.crossJoin(days)
+    j = spine.join(obs, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.datediff("day", F.lit("2024-01-01").cast("date")).alias("di"),
+        "v",
+    )
+    marked = F.when(
+        F.col("v").isNotNull(),
+        F.struct(F.col("di").alias("d"), F.col("v").alias("x")),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("di")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("di")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    nb = j.select(
+        "user_id",
+        "day",
+        "di",
+        "v",
+        F.last(marked, ignorenulls=True).over(w_prev).alias("prev"),
+        F.first(marked, ignorenulls=True).over(w_next).alias("nxt"),
+    )
+    interp = F.expr(
+        "cast((1000 * (prev.x * (nxt.d - di) + nxt.x * (di - prev.d)))"
+        " div (nxt.d - prev.d) as bigint)"
+    )
+    return nb.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce(
+            F.when(F.col("v").isNotNull(), F.col("v") * 1000)
+            .when(F.col("prev").isNotNull() & F.col("nxt").isNotNull(), interp)
+            .when(F.col("prev").isNotNull(), F.expr("prev.x * 1000")),
+            F.lit(-1),
+        )
+        .cast("bigint")
+        .alias("filled_milli"),
+        F.when(F.col("v").isNotNull(), "obs")
+        .when(F.col("prev").isNotNull() & F.col("nxt").isNotNull(), "interp")
+        .when(F.col("prev").isNotNull(), "locf")
+        .otherwise("none")
+        .alias("fill_kind"),
+    )
