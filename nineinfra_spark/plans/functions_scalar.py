@@ -568,3 +568,45 @@ def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("cast(array_size(variant_get(v, '$.tags', 'array<variant>')) as int)")
         .alias("n_tags"),
     )
+
+
+@query(
+    "fn_try_safe",
+    oracle="""
+    SELECT s_suppkey,
+           CAST(s_acctbal AS DOUBLE) / NULLIF(s_suppkey % 3, 0)
+               AS safe_div,
+           TRY_CAST(CASE WHEN s_suppkey % 4 = 0 THEN 'n/a'
+                         ELSE CAST(s_suppkey AS VARCHAR) END AS BIGINT)
+               AS safe_cast,
+           ([s_nationkey, s_suppkey])[CAST(1 + s_suppkey % 3 AS INT)]
+               AS safe_elem
+    FROM supplier
+    """,
+    tags=("function", "error-safe"),
+)
+def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression family (the try_* surface): division by
+    zero, unparseable casts, and out-of-bounds element access all
+    degrade to NULL instead of failing the job — the posture a 100 TB
+    pipeline needs, where one malformed row must not kill a
+    multi-hour stage (the expression-level complement of the
+    CSV-level `src_csv_malformed_modes`). ``try_divide`` /
+    ``try_cast`` / ``try_element_at`` map to DuckDB's NULLIF-guarded
+    division, TRY_CAST, and natively NULL out-of-range list access.
+    Pure projection: scan speed, whole-stage codegen."""
+    supp = t(spark, sf_dir, "supplier")
+    return supp.select(
+        "s_suppkey",
+        F.expr(
+            "try_divide(cast(s_acctbal as double), s_suppkey % 3)"
+        ).alias("safe_div"),
+        F.expr(
+            "try_cast(case when s_suppkey % 4 = 0 then 'n/a'"
+            " else cast(s_suppkey as string) end as bigint)"
+        ).alias("safe_cast"),
+        F.expr(
+            "try_element_at(array(s_nationkey, s_suppkey),"
+            " cast(1 + s_suppkey % 3 as int))"
+        ).alias("safe_elem"),
+    )

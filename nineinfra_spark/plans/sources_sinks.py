@@ -1665,3 +1665,58 @@ def src_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .schema(nation.schema)
         .load(path)
     )
+
+
+@query(
+    "catalog_rls_view",
+    oracle="""
+    WITH policy AS (
+        SELECT 'analyst_emea' AS grantee, 'BUILDING' AS segment
+        UNION ALL SELECT 'analyst_emea', 'MACHINERY'
+        UNION ALL SELECT 'analyst_apac', 'AUTOMOBILE'
+    )
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment
+    FROM customer c
+    JOIN policy p
+      ON p.segment = c.c_mktsegment AND p.grantee = 'analyst_emea'
+    """,
+    tags=("catalog", "security", "rls"),
+)
+def catalog_rls_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW-level security — the filtering half of the policy layer
+    (`catalog_masked_view` is the column half): a policy table maps
+    grantees to the market segments they may see, and the secured
+    view is the base table SEMI-FILTERED through the policy for the
+    session's effective user (here pinned to ``analyst_emea``; the
+    gateway's doAs identity — ``rest.py`` X-Proxy-User — supplies it
+    in deployment, ``spark.nineinfra.effective.user``). Analysts get
+    the view; the base table stays ACL'd.
+
+    Scale posture: the policy table is grantee×segment-sized and
+    broadcasts; Catalyst inlines the view so the policy join lands
+    directly above the pushed-down base scan — row filtering costs
+    one broadcast semi-join at scan speed, never a second pass."""
+    cust = t(spark, sf_dir, "customer")
+    policy = spark.createDataFrame(
+        [
+            ("analyst_emea", "BUILDING"),
+            ("analyst_emea", "MACHINERY"),
+            ("analyst_apac", "AUTOMOBILE"),
+        ],
+        "grantee string, segment string",
+    )
+    cust.createOrReplaceTempView("rls_base_tmp")
+    policy.createOrReplaceTempView("rls_policy_tmp")
+    effective_user = "analyst_emea"
+    spark.sql(
+        f"""
+        CREATE OR REPLACE TEMPORARY VIEW customer_rls_tmp AS
+        SELECT b.c_custkey, b.c_name, b.c_mktsegment
+        FROM rls_base_tmp b
+        WHERE b.c_mktsegment IN (
+            SELECT segment FROM rls_policy_tmp
+            WHERE grantee = '{effective_user}'
+        )
+        """
+    )
+    return spark.table("customer_rls_tmp")
