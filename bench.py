@@ -113,6 +113,25 @@ HEADLINE = [
     # r9: fact-scale bucketed RANGE frame, stdlib Avro connector
     "window_range_frame_bucketed",
     "src_avro_roundtrip",
+    # r9 continuation: degree-ordered triangles, exact-substring spans,
+    # hashed quality classifier, ordered funnel
+    "graph_triangle_count",
+    "dedup_duplicate_spans",
+    "text_hash_classifier",
+    "events_funnel_conversion",
+    "ann_prefix_rerank_topk",
+    "text_vocab_stats",
+    "join_asof_nearest",
+    "mm_phash_neardup",
+    "graph_link_prediction",
+    "search_bm25_topk",
+    "agg_bitmap_distinct_rollup",
+    "ts_gap_fill_interpolate",
+    "agg_ab_ttest",
+    "agg_unpivot_melt",
+    "stream_bitmap_distinct",
+    "catalog_rls_view",
+    "fn_try_safe",
 ]
 
 

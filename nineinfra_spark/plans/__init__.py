@@ -40,10 +40,10 @@ _load_all()
 #: queries that most need a fresh driver-green differential row are
 #: pinned first — r9 composition: (a) the 15-query cohort whose
 #: latest driver stamp is r4 (deferred from r8 — the stalest rows in
-#: the registry), (b) queries NEW or plan-changed in r9, (c) 31 of
-#: the 47-query r5-latest cohort. The 16 remaining r5 rows (listed at
-#: the bottom — the lightest variants, each shadowed by a sibling in
-#: this window) lead the r10 rotation.
+#: the registry), (b) queries NEW or plan-changed in r9, (c) 17 of
+#: the 47-query r5-latest cohort. The 30 remaining r5 rows (listed at
+#: the bottom — each shadowed by a sibling in this window) lead the
+#: r10 rotation.
 _VERIFY_FIRST = [
     # (a) the r4-latest cohort — stalest stamps in the registry
     "setop_union_all",
@@ -66,45 +66,73 @@ _VERIFY_FIRST = [
     "text_bpe_pair_counts",  # TakeOrdered-before-window rewrite (r9)
     "src_avro_roundtrip",  # pure-stdlib Avro OCF sink+source (r9)
     "stream_topics_rate_capped",  # Kafka-semantics connector contract (r9)
-    # (c) the r5-latest cohort, 31 of 47
-    "agg_approx_sketches",
-    "ann_cosine_topk",
-    "ann_ivf_topk",
+    "graph_triangle_count",  # degree-ordered triangle counting (r9)
+    "events_funnel_conversion",  # ordered funnel, one user-keyed shuffle (r9)
+    "src_xml_roundtrip",  # Spark 4 built-in XML source/sink (r9)
+    "text_hash_classifier",  # hashed-feature linear quality gate (r9)
+    "dedup_duplicate_spans",  # exact-substring maximal spans (r9)
+    "ann_prefix_rerank_topk",  # Matryoshka prefix-dim retrieval (r9)
+    "text_vocab_stats",  # vocabulary/Zipf datasheet (r9)
+    "join_asof_nearest",  # nearest-direction as-of (r9)
+    "mm_phash_neardup",  # image perceptual-hash near-dup, exact banding (r9)
+    "graph_link_prediction",  # Jaccard neighborhood-overlap top-k (r9)
+    "search_bm25_topk",  # integer-exact BM25 retrieval (r9)
+    "agg_bitmap_distinct_rollup",  # exact-distinct bitmap rollup (r9)
+    "ts_gap_fill_interpolate",  # hypertable gap fill, locf+interp (r9)
+    "agg_ab_ttest",  # Welch t experiment readout (r9)
+    "agg_unpivot_melt",  # UNPIVOT, the inverse of agg_pivot (r9)
+    "stream_bitmap_distinct",  # replay-idempotent OR-merge maintainer (r9)
+    "catalog_rls_view",  # row-level security policy view (r9)
+    "fn_try_safe",  # error-safe try_* expression family (r9)
+    # (c) the r5-latest cohort, 13 of 47
     "ann_lsh_buckets",
     "catalog_bucketed_join",
-    "catalog_compact_small_files",
     "catalog_insert_overwrite_dynamic",
     "catalog_table_lifecycle",
-    "dedup_by_subset",
-    "dedup_keep_canonical",
-    "dedup_simhash",
     "filter_predicates",
-    "join_inner_equi",
-    "mm_decode_features",
-    "project_compute",
     "q13_customer_distribution",
     "q15_top_supplier",
     "q21_waiting_suppliers",
-    "sample_bernoulli",
-    "setop_except_all",
-    "setop_union_by_name",
     "sink_partitioned_pruning",
     "sort_multi_key",
     "src_csv_roundtrip",
-    "src_orc_roundtrip",
-    "stream_tumbling_window",
     "text_decontaminate",
-    "text_fingerprint",
     "text_lang_id",
-    "text_quality_stats",
-    "topk_global",
     # deferred to r10 (latest stamp r5; every one shadowed by a
     # sibling above): stream_sliding_window, ann_cosine_topk_pandas, ann_ivf_refined_topk,
     # sample_stratified_hash, sample_hash_bucket, sim_join_exact_oracle,
     # mm_frame_sample, mm_metadata_extract, src_text_scan,
     # src_json_roundtrip, sort_within_partitions, distinct_projection,
     # project_rename_drop, text_quality_topk_per_lang,
-    # text_token_topk, fn_bitwise
+    # text_token_topk, fn_bitwise, setop_except_all (family in (a)),
+    # setop_union_by_name (family in (a)), catalog_compact_small_files
+    # (dynamic-overwrite mechanism ≙ catalog_insert_overwrite_dynamic),
+    # dedup_by_subset (≙ dedup_exact_content in (a) + distinct family),
+    # text_quality_stats (≙ text_hash_classifier quality gate; also
+    # recomputed inside pipeline_curate_corpus),
+    # ann_cosine_topk (≙ ann_prefix_rerank_topk's exact re-rank stage,
+    # same COS kernel + rank window), join_inner_equi (≙ the inner
+    # equi-joins inside q15/q21 in this window),
+    # text_fingerprint (≙ dedup_exact_content in (a) — same
+    # md5-over-token-stream kernel), mm_decode_features
+    # (≙ mm_phash_neardup — same mapInPandas Arrow decode pipeline),
+    # sample_bernoulli (bounds-check-only row; the deterministic
+    # sampling family re-stamps together in r10), dedup_simhash
+    # (≙ mm_phash_neardup — same hamming-band blocking mechanism),
+    # ann_ivf_topk (≙ ann_lsh_buckets — bucket-probe ANN; the Lloyd
+    # leg ann_ivf_refined_topk is already deferred), topk_global
+    # (≙ the TakeOrderedAndProject heads inside text_vocab_stats /
+    # graph_link_prediction / text_bpe_pair_counts in this window),
+    # project_compute (≙ the computed projections every in-window
+    # query builds; filter_predicates keeps the §2.2 slot),
+    # agg_approx_sketches (≙ agg_bitmap_distinct_rollup in window +
+    # the sketch-merge legs agg_hll_union_rollup/agg_kll_merge_rollup
+    # stamped r8), stream_tumbling_window (≙ stream_bitmap_distinct +
+    # stream_topics_rate_capped in this window), dedup_keep_canonical
+    # (≙ dedup_exact_content in (a) + dedup_duplicate_spans in (b)),
+    # src_orc_roundtrip (≙ the sink→source roundtrip mechanism via
+    # src_xml_roundtrip/src_avro_roundtrip in this window; the
+    # ORC-specific leg re-stamps in r10)
 ]
 
 registry.set_order(_VERIFY_FIRST)
