@@ -599,9 +599,15 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     was measured degenerate — letter-frequency soup collides
     everything; the positional block structure is what makes this key
     selective: 489/500 distinct hashes, max band posting list 33 at
-    sf0.01.) A real JPEG corpus swaps `decode_ppm` for the codec and
-    64-bit aHash/pHash for the 25-bit grid; banding and verify are
-    unchanged."""
+    sf0.01.) Scale accounting (measured): the tiled sf1 corpus holds
+    950k TRUE pairs at this radius vs 8.1k at sf0.1 — the OUTPUT is
+    quadratic in corpus near-dup density, so wall grows with it
+    (×25 for ×10 data, i.e. 4× SUB-linear against the ×117 output and
+    ×102 candidate growth). A real JPEG corpus swaps `decode_ppm` for
+    the codec and 64-bit pHash for the 25-bit grid — 16-bit bands
+    (65k-key space) then keep posting lists short, and a pipeline
+    that only needs canonicals should consume the CLUSTER form
+    (`dedup_embedding_clusters` shape) instead of the pair relation."""
     src = ppm_payloads(spark, sf_dir)
     hashes = src.mapInPandas(_phash_batches, "doc_id long, phash long")
     hashes = hashes.localCheckpoint(eager=False)  # banding + 2 verify joins
