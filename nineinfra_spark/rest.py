@@ -29,6 +29,18 @@ Endpoints:
   With ``{"explain": true, "explainMode": "formatted"}`` the query is
   only PLANNED — the response carries ``{"columns", "plan"}`` and no
   data moves (modes: simple/extended/codegen/cost/formatted).
+  With ``{"cursor": true}`` the statement opens INCREMENTALLY
+  (Kyuubi's ExecuteStatement → FetchResults loop): the response is
+  ``{"statementId", "columns"}`` and rows stream page-by-page from
+- ``POST /api/v1/statements/<id>/fetch`` → body ``{"max": 100}``;
+  responds ``{"rows", "rowCount", "hasMore"}``. The handle is backed
+  by ``toLocalIterator(prefetchPartitions=False)``, so the driver
+  holds ONE partition at a time no matter how large the result — the
+  unbounded-extraction path the capped one-shot fetch refuses. An
+  exhausted or DELETEd handle returns 404 (auto-closed); handles are
+  per-gateway LRU-bounded (``MAX_STATEMENTS``) and owner-scoped when
+  the frontend is authenticated.
+- ``DELETE /api/v1/statements/<id>`` → close early → ``{"closed"}``.
 
 Session isolation: a request carrying an ``X-Session-Id`` header runs
 on a dedicated ``spark.newSession()`` keyed by that id — own temp
@@ -66,6 +78,11 @@ DEFAULT_FETCH_LIMIT = 1000
 #: not be able to raise it past this.
 MAX_FETCH_LIMIT = 10_000
 
+#: Cap on live cursor statements per gateway (same rationale as
+#: MAX_SESSIONS: handles are client-created; past the cap the
+#: least-recently-FETCHED statement is evicted).
+MAX_STATEMENTS = 32
+
 #: Cap on live ``X-Session-Id`` sessions per gateway. The header is
 #: client-controlled, so an unbounded registry lets one client cycling
 #: random ids grow driver memory without limit; past the cap the
@@ -81,6 +98,40 @@ def _json_default(v):
     return str(v)
 
 
+class _Statement:
+    """One open cursor: a live ``toLocalIterator`` plus a one-row
+    lookahead buffer (so ``hasMore`` is answerable without consuming
+    the next page) and a lock (HTTP handler threads share the
+    registry; an iterator is not thread-safe)."""
+
+    def __init__(self, columns: list, it, owner: str):
+        self.columns = columns
+        self._it = it
+        self.owner = owner  # "" on an open frontend
+        self._peeked = None
+        self._has_peeked = False
+        self.lock = threading.Lock()
+
+    def fetch(self, max_rows: int) -> tuple[list, bool]:
+        """Up to ``max_rows`` rows + whether more remain. Caller holds
+        ``self.lock``."""
+        out = []
+        if self._has_peeked:
+            out.append(self._peeked)
+            self._has_peeked = False
+        while len(out) < max_rows:
+            try:
+                out.append(next(self._it))
+            except StopIteration:
+                return out, False
+        try:
+            self._peeked = next(self._it)
+            self._has_peeked = True
+        except StopIteration:
+            return out, False
+        return out, True
+
+
 class _Handler(BaseHTTPRequestHandler):
     spark: SparkSession  # injected by start_rest_gateway
     auth: Callable[[str, str], bool] | None  # None → open frontend
@@ -94,6 +145,9 @@ class _Handler(BaseHTTPRequestHandler):
     # (class attrs are injected per-gateway by start_rest_gateway)
     sessions: dict[str, SparkSession]
     sessions_lock: threading.Lock
+    # per-gateway open-cursor registry: statementId → _Statement
+    statements: "OrderedDict[str, _Statement]"
+    statements_lock: threading.Lock
 
     def log_message(self, *args) -> None:  # silence per-request stderr noise
         pass
@@ -179,7 +233,85 @@ class _Handler(BaseHTTPRequestHandler):
             return (proxy, None)
         return (None, f"user '{authed}' may not impersonate '{proxy}'")
 
+    def _statement_for(self, stmt_id: str, owner: str):
+        """Look up an open cursor, enforcing owner scoping. Returns
+        the statement or None (unknown/foreign ids are both 404 — a
+        foreign statement id must be indistinguishable from a
+        nonexistent one)."""
+        with self.statements_lock:
+            st = self.statements.get(stmt_id)
+            if st is None or st.owner != owner:
+                return None
+            self.statements.move_to_end(stmt_id)
+            return st
+
+    def _close_statement(self, stmt_id: str) -> None:
+        with self.statements_lock:
+            self.statements.pop(stmt_id, None)
+
+    def do_DELETE(self) -> None:  # noqa: N802 — http.server API
+        parts = self.path.strip("/").split("/")
+        if len(parts) == 4 and parts[:3] == ["api", "v1", "statements"]:
+            authed = self._authenticate()
+            if authed is None:
+                self._reply(401, {"error": "unauthorized"})
+                return
+            st = self._statement_for(parts[3], authed)
+            if st is None:
+                self._reply(404, {"error": "unknown statement"})
+                return
+            self._close_statement(parts[3])
+            self._reply(200, {"closed": parts[3]})
+            return
+        self._reply(404, {"error": f"unknown path {self.path}"})
+
+    def _handle_fetch(self, stmt_id: str) -> None:
+        authed = self._authenticate()
+        if authed is None:
+            self._reply(401, {"error": "unauthorized"})
+            return
+        try:
+            length = int(self.headers.get("Content-Length", "0"))
+            req = json.loads(self.rfile.read(length) or b"{}")
+            max_rows = int(req.get("max", DEFAULT_FETCH_LIMIT))
+            if max_rows < 1 or max_rows > MAX_FETCH_LIMIT:
+                raise ValueError(
+                    f"max must be in [1, {MAX_FETCH_LIMIT}], got {max_rows}"
+                )
+        except (TypeError, ValueError, json.JSONDecodeError) as exc:
+            self._reply(400, {"error": f"bad request: {exc}"})
+            return
+        st = self._statement_for(stmt_id, authed)
+        if st is None:
+            self._reply(404, {"error": "unknown statement"})
+            return
+        try:
+            with st.lock:
+                rows, has_more = st.fetch(max_rows)
+        except Exception as exc:  # mid-stream execution error
+            self._close_statement(stmt_id)
+            self._reply(400, {"error": str(exc)[:4000]})
+            return
+        if not has_more:
+            self._close_statement(stmt_id)  # exhausted → auto-close
+        self._reply(
+            200,
+            {
+                "rows": [list(r) for r in rows],
+                "rowCount": len(rows),
+                "hasMore": has_more,
+            },
+        )
+
     def do_POST(self) -> None:  # noqa: N802 — http.server API
+        parts = self.path.strip("/").split("/")
+        if (
+            len(parts) == 5
+            and parts[:3] == ["api", "v1", "statements"]
+            and parts[4] == "fetch"
+        ):
+            self._handle_fetch(parts[3])
+            return
         if self.path != "/api/v1/sql":
             self._reply(404, {"error": f"unknown path {self.path}"})
             return
@@ -207,6 +339,9 @@ class _Handler(BaseHTTPRequestHandler):
             if limit < 0 or limit > MAX_FETCH_LIMIT:
                 raise ValueError(f"limit must be in [0, {MAX_FETCH_LIMIT}], got {limit}")
             explain = bool(req.get("explain", False))
+            cursor = bool(req.get("cursor", False))
+            if cursor and explain:
+                raise ValueError("cursor and explain are exclusive")
             explain_mode = str(req.get("explainMode", "formatted"))
             if explain_mode not in (
                 "simple", "extended", "codegen", "cost", "formatted",
@@ -233,6 +368,28 @@ class _Handler(BaseHTTPRequestHandler):
                             )
                         ),
                     },
+                )
+                return
+            if cursor:
+                # Kyuubi's ExecuteStatement→FetchResults loop: hand
+                # back a handle; rows stream page-by-page from the
+                # statements endpoint. prefetchPartitions=False keeps
+                # driver residency to ONE partition at a time — the
+                # sanctioned unbounded-extraction path.
+                import uuid as _uuid
+
+                stmt_id = _uuid.uuid4().hex
+                st = _Statement(
+                    df.columns,
+                    df.toLocalIterator(prefetchPartitions=False),
+                    owner=authed,
+                )
+                with self.statements_lock:
+                    self.statements[stmt_id] = st
+                    while len(self.statements) > MAX_STATEMENTS:
+                        self.statements.popitem(last=False)
+                self._reply(
+                    200, {"statementId": stmt_id, "columns": df.columns}
                 )
                 return
             # fetch limit+1 to report truncation without a count() pass
@@ -295,6 +452,8 @@ def start_rest_gateway(
             "proxy_acl": proxy_acl,
             "sessions": OrderedDict(),
             "sessions_lock": threading.Lock(),
+            "statements": OrderedDict(),
+            "statements_lock": threading.Lock(),
         },
     )
     server = ThreadingHTTPServer(("127.0.0.1", port), handler)

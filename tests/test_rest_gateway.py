@@ -543,3 +543,105 @@ class TestSessionRegistryEviction:
         assert "keepme" in handler.sessions
         out = _post(rest, {"sql": "SELECT x FROM tv_lru"}, session="keepme")
         assert out["rows"] == [[7]]
+
+
+# -- cursor statements (the Kyuubi ExecuteStatement→FetchResults loop) ------
+
+
+def _post_path(gw, path, payload, method="POST"):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{gw.port}{path}",
+        data=json.dumps(payload).encode() if payload is not None else None,
+        headers={"Content-Type": "application/json"},
+        method=method,
+    )
+    with urllib.request.urlopen(req) as r:
+        return json.loads(r.read())
+
+
+def test_cursor_pages_through_full_result(rest):
+    """250 rows in pages of 100: 100/100/50, hasMore flips on the last
+    page, exhausted handle auto-closes (further fetch → 404) — the
+    unbounded-extraction path the capped one-shot fetch refuses."""
+    opened = _post(
+        rest,
+        {"sql": "SELECT id FROM range(250) ORDER BY id", "cursor": True},
+    )
+    sid = opened["statementId"]
+    assert opened["columns"] == ["id"]
+
+    seen = []
+    p1 = _post_path(rest, f"/api/v1/statements/{sid}/fetch", {"max": 100})
+    assert (p1["rowCount"], p1["hasMore"]) == (100, True)
+    seen += [r[0] for r in p1["rows"]]
+    p2 = _post_path(rest, f"/api/v1/statements/{sid}/fetch", {"max": 100})
+    assert (p2["rowCount"], p2["hasMore"]) == (100, True)
+    seen += [r[0] for r in p2["rows"]]
+    p3 = _post_path(rest, f"/api/v1/statements/{sid}/fetch", {"max": 100})
+    assert (p3["rowCount"], p3["hasMore"]) == (50, False)
+    seen += [r[0] for r in p3["rows"]]
+    assert seen == list(range(250))
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post_path(rest, f"/api/v1/statements/{sid}/fetch", {"max": 10})
+    assert e.value.code == 404
+
+
+def test_cursor_exact_boundary_has_no_phantom_page(rest):
+    """A result that ends exactly on a page boundary must report
+    hasMore=False on that page (the lookahead buffer's job)."""
+    sid = _post(rest, {"sql": "SELECT id FROM range(100)", "cursor": True})[
+        "statementId"
+    ]
+    p = _post_path(rest, f"/api/v1/statements/{sid}/fetch", {"max": 100})
+    assert (p["rowCount"], p["hasMore"]) == (100, False)
+
+
+def test_cursor_delete_closes_early(rest):
+    sid = _post(rest, {"sql": "SELECT id FROM range(10)", "cursor": True})[
+        "statementId"
+    ]
+    out = _post_path(
+        rest, f"/api/v1/statements/{sid}", None, method="DELETE"
+    )
+    assert out == {"closed": sid}
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post_path(rest, f"/api/v1/statements/{sid}/fetch", {"max": 1})
+    assert e.value.code == 404
+
+
+def test_cursor_bad_requests(rest):
+    # unknown statement id
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post_path(rest, "/api/v1/statements/nope/fetch", {"max": 1})
+    assert e.value.code == 404
+    # over-cap page size
+    sid = _post(rest, {"sql": "SELECT 1 AS x", "cursor": True})["statementId"]
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post_path(rest, f"/api/v1/statements/{sid}/fetch", {"max": 99999})
+    assert e.value.code == 400
+    # cursor+explain is contradictory
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(rest, {"sql": "SELECT 1", "cursor": True, "explain": True})
+    assert e.value.code == 400
+
+
+def test_cursor_streams_past_the_oneshot_cap(rest):
+    """The cursor path must extract MORE rows than MAX_FETCH_LIMIT in
+    total — that's its reason to exist — while each page stays capped."""
+    from nineinfra_spark.rest import MAX_FETCH_LIMIT
+
+    n = MAX_FETCH_LIMIT + 500
+    sid = _post(
+        rest, {"sql": f"SELECT id FROM range({n})", "cursor": True}
+    )["statementId"]
+    total, pages = 0, 0
+    while True:
+        p = _post_path(
+            rest, f"/api/v1/statements/{sid}/fetch", {"max": MAX_FETCH_LIMIT}
+        )
+        total += p["rowCount"]
+        pages += 1
+        if not p["hasMore"]:
+            break
+    assert total == n and pages == 2
