@@ -132,6 +132,7 @@ HEADLINE = [
     "stream_bitmap_distinct",
     "catalog_rls_view",
     "fn_try_safe",
+    "sample_balanced_classes",
 ]
 
 

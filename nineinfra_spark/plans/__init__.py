@@ -84,7 +84,8 @@ _VERIFY_FIRST = [
     "stream_bitmap_distinct",  # replay-idempotent OR-merge maintainer (r9)
     "catalog_rls_view",  # row-level security policy view (r9)
     "fn_try_safe",  # error-safe try_* expression family (r9)
-    # (c) the r5-latest cohort, 13 of 47
+    "sample_balanced_classes",  # data-derived class-balance cap (r9)
+    # (c) the r5-latest cohort, 12 of 47
     "ann_lsh_buckets",
     "catalog_bucketed_join",
     "catalog_insert_overwrite_dynamic",
@@ -97,7 +98,6 @@ _VERIFY_FIRST = [
     "sort_multi_key",
     "src_csv_roundtrip",
     "text_decontaminate",
-    "text_lang_id",
     # deferred to r10 (latest stamp r5; every one shadowed by a
     # sibling above): stream_sliding_window, ann_cosine_topk_pandas, ann_ivf_refined_topk,
     # sample_stratified_hash, sample_hash_bucket, sim_join_exact_oracle,
@@ -132,7 +132,9 @@ _VERIFY_FIRST = [
     # (≙ dedup_exact_content in (a) + dedup_duplicate_spans in (b)),
     # src_orc_roundtrip (≙ the sink→source roundtrip mechanism via
     # src_xml_roundtrip/src_avro_roundtrip in this window; the
-    # ORC-specific leg re-stamps in r10)
+    # ORC-specific leg re-stamps in r10), text_lang_id
+    # (≙ text_hash_classifier — the same per-doc token-scoring gate
+    # shape, marker lists swapped for hashed weights)
 ]
 
 registry.set_order(_VERIFY_FIRST)

@@ -538,3 +538,56 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("kept_check"), F.lit(0)).alias("kept_check"),
         )
     )
+
+
+@query(
+    "sample_balanced_classes",
+    oracle="""
+    WITH minority AS (
+        SELECT MIN(n) AS floor_n FROM (
+            SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang)
+    ),
+    ranked AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM documents
+    )
+    SELECT r.doc_id, r.lang, r.rk
+    FROM ranked r JOIN minority m ON r.rk <= m.floor_n
+    """,
+    tags=("sample", "deterministic", "balance", "bounded-nlj"),
+)
+def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: every language keeps exactly
+    min-class-count documents (majority classes downsample to the
+    minority's size — the classifier-training balance move;
+    `sample_temperature_mixture` is its softer T≠0 sibling). The cap
+    is DERIVED FROM THE DATA (min per-class count), not a constant,
+    and which rows survive is md5-hash order — reproducible across
+    engines, runs, and partitionings, so the oracle is exact at the
+    row level.
+
+    Scale posture: one |classes|-row aggregate broadcasts as the
+    tagged 1-row threshold (the bounded nested loop); the corpus pass
+    is the same single per-class window as `sample_cap_per_group` —
+    the data-derived cap costs one extra dimension-sized job, never a
+    second corpus scan."""
+    docs = t(spark, sf_dir, "documents")
+    floor_n = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.min("n").alias("floor_n"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = (
+        docs.select("doc_id", "lang")
+        .withColumn("rk", F.row_number().over(w))
+    )
+    return ranked.crossJoin(F.broadcast(floor_n)).filter(
+        F.col("rk") <= F.col("floor_n")
+    ).select("doc_id", "lang", "rk")
