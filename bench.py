@@ -133,6 +133,7 @@ HEADLINE = [
     "catalog_rls_view",
     "fn_try_safe",
     "sample_balanced_classes",
+    "events_funnel_latency",
 ]
 
 

@@ -85,7 +85,8 @@ _VERIFY_FIRST = [
     "catalog_rls_view",  # row-level security policy view (r9)
     "fn_try_safe",  # error-safe try_* expression family (r9)
     "sample_balanced_classes",  # data-derived class-balance cap (r9)
-    # (c) the r5-latest cohort, 12 of 47
+    "events_funnel_latency",  # time-to-convert percentiles (r9)
+    # (c) the r5-latest cohort, 11 of 47
     "ann_lsh_buckets",
     "catalog_bucketed_join",
     "catalog_insert_overwrite_dynamic",
@@ -95,7 +96,6 @@ _VERIFY_FIRST = [
     "q15_top_supplier",
     "q21_waiting_suppliers",
     "sink_partitioned_pruning",
-    "sort_multi_key",
     "src_csv_roundtrip",
     "text_decontaminate",
     # deferred to r10 (latest stamp r5; every one shadowed by a
@@ -134,7 +134,10 @@ _VERIFY_FIRST = [
     # src_xml_roundtrip/src_avro_roundtrip in this window; the
     # ORC-specific leg re-stamps in r10), text_lang_id
     # (≙ text_hash_classifier — the same per-doc token-scoring gate
-    # shape, marker lists swapped for hashed weights)
+    # shape, marker lists swapped for hashed weights), sort_multi_key
+    # (≙ the multi-key TakeOrdered heads and window ORDER BYs inside
+    # graph_link_prediction / text_vocab_stats / the rank windows of
+    # this window's retrieval queries)
 ]
 
 registry.set_order(_VERIFY_FIRST)

@@ -984,3 +984,94 @@ def ts_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("none")
         .alias("fill_kind"),
     )
+
+
+@query(
+    "events_funnel_latency",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN s1 ON s1.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t1
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN s2 ON s2.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        GROUP BY e.user_id
+    ),
+    gaps AS (
+        SELECT 'view->click' AS stage_pair,
+               epoch_us(s2.t2) - epoch_us(s1.t1) AS gap_us
+        FROM s2 JOIN s1 ON s1.user_id = s2.user_id
+        UNION ALL
+        SELECT 'click->purchase',
+               epoch_us(s3.t3) - epoch_us(s2.t2)
+        FROM s3 JOIN s2 ON s2.user_id = s3.user_id
+    )
+    SELECT stage_pair,
+           COUNT(*) AS n_users,
+           CAST(MIN(gap_us) AS BIGINT) AS min_us,
+           quantile_cont(gap_us, 0.5)::DOUBLE AS p50_us,
+           quantile_cont(gap_us, 0.95)::DOUBLE AS p95_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_us
+    FROM gaps GROUP BY stage_pair
+    """,
+    tags=("window", "analytics", "funnel"),
+)
+def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution per funnel stage transition —
+    the companion readout to `events_funnel_conversion` (how MANY
+    convert) answering how FAST they do: per converting user, the gap
+    between consecutive stage timestamps, summarized as exact
+    min/p50/p95/max. Gaps are integer microseconds (both engines'
+    epoch arithmetic), so the percentile interpolation is exact
+    (a+b)/2 double math on integers — bit-stable.
+
+    Scale posture: the same ONE user-keyed fold as the conversion
+    query resolves the cascade (per-user stage arrays → t1/t2/t3);
+    gap percentiles run per stage-pair — 2 bounded groups, the exact-
+    percentile regime (swap percentile_approx in beyond that)."""
+    events = t(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == FUNNEL_STAGES[0], F.col("ts"))
+        ).alias("t1"),
+        F.collect_list(
+            F.when(F.col("event_type") == FUNNEL_STAGES[1], F.col("ts"))
+        ).alias("clicks"),
+        F.collect_list(
+            F.when(F.col("event_type") == FUNNEL_STAGES[2], F.col("ts"))
+        ).alias("purchases"),
+    )
+    cascade = per_user.select(
+        "t1",
+        F.array_min(F.expr("filter(clicks, x -> x > t1)")).alias("t2"),
+        "purchases",
+    ).select(
+        "t1",
+        "t2",
+        F.array_min(F.expr("filter(purchases, x -> x > t2)")).alias("t3"),
+    )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    gaps = cascade.filter(F.col("t2").isNotNull()).select(
+        F.lit("view->click").alias("stage_pair"),
+        (us("t2") - us("t1")).alias("gap_us"),
+    ).unionAll(
+        cascade.filter(F.col("t3").isNotNull()).select(
+            F.lit("click->purchase").alias("stage_pair"),
+            (us("t3") - us("t2")).alias("gap_us"),
+        )
+    )
+    return gaps.groupBy("stage_pair").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.min("gap_us").cast("bigint").alias("min_us"),
+        F.expr("percentile(gap_us, 0.5)").alias("p50_us"),
+        F.expr("percentile(gap_us, 0.95)").alias("p95_us"),
+        F.max("gap_us").cast("bigint").alias("max_us"),
+    )
