@@ -134,6 +134,7 @@ HEADLINE = [
     "fn_try_safe",
     "sample_balanced_classes",
     "events_funnel_latency",
+    "sink_python_datasource",
 ]
 
 

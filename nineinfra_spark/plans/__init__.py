@@ -86,7 +86,8 @@ _VERIFY_FIRST = [
     "fn_try_safe",  # error-safe try_* expression family (r9)
     "sample_balanced_classes",  # data-derived class-balance cap (r9)
     "events_funnel_latency",  # time-to-convert percentiles (r9)
-    # (c) the r5-latest cohort, 11 of 47
+    "sink_python_datasource",  # custom sink connector, manifest commit (r9)
+    # (c) the r5-latest cohort, 10 of 47
     "ann_lsh_buckets",
     "catalog_bucketed_join",
     "catalog_insert_overwrite_dynamic",
@@ -96,7 +97,6 @@ _VERIFY_FIRST = [
     "q15_top_supplier",
     "q21_waiting_suppliers",
     "sink_partitioned_pruning",
-    "src_csv_roundtrip",
     "text_decontaminate",
     # deferred to r10 (latest stamp r5; every one shadowed by a
     # sibling above): stream_sliding_window, ann_cosine_topk_pandas, ann_ivf_refined_topk,
@@ -137,7 +137,9 @@ _VERIFY_FIRST = [
     # shape, marker lists swapped for hashed weights), sort_multi_key
     # (≙ the multi-key TakeOrdered heads and window ORDER BYs inside
     # graph_link_prediction / text_vocab_stats / the rank windows of
-    # this window's retrieval queries)
+    # this window's retrieval queries), src_csv_roundtrip (≙ CSV
+    # parse surface via src_csv_malformed_modes r7 + the roundtrip
+    # mechanism via src_xml/src_avro in this window)
 ]
 
 registry.set_order(_VERIFY_FIRST)

@@ -1720,3 +1720,52 @@ def catalog_rls_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return spark.table("customer_rls_tmp")
+
+
+@query(
+    "sink_python_datasource",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderpriority
+    FROM orders WHERE o_orderkey % 10 = 0
+    """,
+    tags=("sink", "source", "connector", "python-datasource"),
+    min_spark="4.0",  # Python DataSource writer API
+)
+def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM SINK CONNECTOR end-to-end through the Python DataSource
+    WRITER API — the write-side twin of ``src_python_datasource``:
+    ``format("nine_jsonl")`` stages one uniquely-named JSON-lines file
+    per task, and the driver's commit renames the acknowledged files
+    and writes ``_MANIFEST.json`` LAST (the commit point — readers
+    trust only manifested files, so a crashed or aborted job is
+    invisible whatever staging debris remains; ``sources/pyds.py``,
+    same stage→rename→manifest shape as the object-store publish).
+    The read-back goes through the manifest, and the oracle states
+    the original relation — any fidelity or atomicity slip in either
+    direction fails the hash. Integer/string columns only: portable
+    JSON is the connector's contract (cross-engine float text is
+    not).
+
+    Scale posture: write is executor-parallel (one file per task,
+    nothing through the driver but ~bytes-sized commit messages);
+    abort is O(tasks). Python-per-row is the API's contract for the
+    SINK boundary, exactly as for the source."""
+    from nineinfra_spark.sources import pyds
+
+    pyds.register(spark)
+    out = _out("pyds_sink", os.path.basename(sf_dir), "orders")
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)  # overwrite semantics
+    sel = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select("o_orderkey", "o_custkey", "o_orderpriority")
+        .repartition(4)
+    )
+    sel.write.format("nine_jsonl").option("path", out).mode(
+        "append"
+    ).save()
+    return spark.read.schema(
+        "o_orderkey long, o_custkey long, o_orderpriority string"
+    ).json(pyds.manifested_files(out))

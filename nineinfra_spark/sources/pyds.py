@@ -22,11 +22,15 @@ downstream of the scan is ordinary JVM/codegen.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 #: value scale: cents derived from a 60-bit md5 slice
@@ -258,7 +262,116 @@ class TopicsSource(DataSource):
         return _TopicsStreamReader(self.options)
 
 
+# -- custom SINK connector (Python DataSource writer) -----------------------
+
+
+@dataclass
+class _JsonlCommit(WriterCommitMessage):
+    """Per-task commit message: the staged file this task produced.
+    Travels executor → driver, so it must stay picklable-simple."""
+
+    staged: str
+    rows: int
+
+
+class _JsonlWriter(DataSourceWriter):
+    """Task-side writer + driver-side commit protocol for the
+    ``nine_jsonl`` sink. Each task writes its rows to a UNIQUELY-NAMED
+    staging file (never a final name — concurrent/zombie attempts of
+    the same task can't collide) and reports it in its commit message;
+    the DRIVER's ``commit`` renames the acknowledged stagings to
+    ``part-<i>.jsonl`` and writes ``_MANIFEST.json`` LAST — the commit
+    point. A reader trusts only manifested files, so a job that dies
+    before commit (or whose ``abort`` ran) is invisible no matter what
+    staging debris remains. This is the same
+    stage→rename→manifest shape as ``operators/objstore.py``'s
+    publish, at the connector layer."""
+
+    def __init__(self, options, schema, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("nine_jsonl sink requires option 'path'")
+        self.fields = [f.name for f in schema.fields]
+        self.overwrite = overwrite
+
+    # executor-side: one call per task
+    def write(self, iterator) -> _JsonlCommit:
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        _os.makedirs(self.path, exist_ok=True)
+        staged = _os.path.join(
+            self.path, f".staging-{_uuid.uuid4().hex}.jsonl"
+        )
+        n = 0
+        with open(staged, "w", encoding="utf-8") as f:
+            for row in iterator:
+                f.write(
+                    _json.dumps(
+                        dict(zip(self.fields, row)), sort_keys=True
+                    )
+                )
+                f.write("\n")
+                n += 1
+        return _JsonlCommit(staged=staged, rows=n)
+
+    # driver-side: all tasks succeeded
+    def commit(self, messages) -> None:
+        import json as _json
+        import os as _os
+
+        files = []
+        for i, m in enumerate(messages):
+            final = _os.path.join(self.path, f"part-{i:05d}.jsonl")
+            _os.replace(m.staged, final)
+            files.append({"file": _os.path.basename(final), "rows": m.rows})
+        manifest = _os.path.join(self.path, "_MANIFEST.json")
+        tmp = manifest + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            _json.dump({"files": files}, f)
+        _os.replace(tmp, manifest)
+
+    # driver-side: some task failed — drop every acknowledged staging
+    def abort(self, messages) -> None:
+        import os as _os
+
+        for m in messages:
+            if m is not None:
+                try:
+                    _os.remove(m.staged)
+                except FileNotFoundError:
+                    pass
+
+
+class JsonlSinkSource(DataSource):
+    """``format("nine_jsonl")`` — a custom SINK through the Python
+    DataSource writer API: manifest-committed JSON-lines files (see
+    ``_JsonlWriter``). The batch-write twin of the ``nine_synth`` /
+    ``nine_topics`` readers."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "nine_jsonl"
+
+    def writer(self, schema, overwrite: bool) -> _JsonlWriter:
+        return _JsonlWriter(self.options, schema, overwrite)
+
+
+def manifested_files(path: str) -> list[str]:
+    """The committed file set: paths listed by ``_MANIFEST.json``.
+    Raises if no manifest exists (an uncommitted/aborted write is NOT
+    readable — that's the protocol, not an error path)."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_MANIFEST.json"), encoding="utf-8") as f:
+        manifest = _json.load(f)
+    return [_os.path.join(path, e["file"]) for e in manifest["files"]]
+
+
 def register(spark) -> None:
     """Idempotently register the connectors on ``spark``."""
     spark.dataSource.register(SynthEventsSource)
     spark.dataSource.register(TopicsSource)
+    spark.dataSource.register(JsonlSinkSource)

@@ -235,3 +235,90 @@ def test_stream_midbatch_kill_replays_exactly_once(spark, tmp_path):
         if proc.poll() is None:
             proc.kill()
         err_f.close()
+
+
+# -- nine_jsonl sink: commit protocol ---------------------------------------
+
+
+class TestJsonlSink:
+    def _write(self, spark, tmp_path, df):
+        from nineinfra_spark.sources import pyds
+
+        pyds.register(spark)
+        out = str(tmp_path / "out")
+        df.write.format("nine_jsonl").option("path", out).mode(
+            "append"
+        ).save()
+        return out
+
+    def test_commit_manifest_and_no_staging_debris(self, spark, tmp_path):
+        import json
+        import os
+
+        from nineinfra_spark.sources import pyds
+
+        df = spark.range(100).selectExpr("id", "concat('v', id) AS s") \
+            .repartition(4)
+        out = self._write(spark, tmp_path, df)
+
+        names = sorted(os.listdir(out))
+        assert "_MANIFEST.json" in names
+        assert not [n for n in names if n.startswith(".staging-")]
+        manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+        assert sum(e["rows"] for e in manifest["files"]) == 100
+        back = spark.read.schema("id long, s string").json(
+            pyds.manifested_files(out)
+        )
+        assert sorted(r["id"] for r in back.collect()) == list(range(100))
+
+    def test_failed_job_leaves_no_commit_point(self, spark, tmp_path):
+        """A task failure mid-write must leave the target UNREADABLE
+        by protocol: no manifest, no final part files — only ignorable
+        staging debris at worst."""
+        import os
+
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+
+        from nineinfra_spark.sources import pyds
+
+        pyds.register(spark)
+
+        @F.udf("long")
+        def poison(v):
+            if v == 37:
+                raise RuntimeError("poisoned row")
+            return v
+
+        out = str(tmp_path / "crash")
+        df = spark.range(100).select(poison("id").alias("id")).repartition(4)
+        with _pytest.raises(Exception):
+            df.write.format("nine_jsonl").option("path", out).mode(
+                "append"
+            ).save()
+
+        names = os.listdir(out) if os.path.isdir(out) else []
+        assert "_MANIFEST.json" not in names
+        assert not [n for n in names if n.startswith("part-")]
+        with _pytest.raises(FileNotFoundError):
+            pyds.manifested_files(out)
+
+    def test_reader_trusts_only_the_manifest(self, spark, tmp_path):
+        import os
+
+        from nineinfra_spark.sources import pyds
+
+        df = spark.range(10).selectExpr("id", "'x' AS s").repartition(2)
+        out = self._write(spark, tmp_path, df)
+        # plant debris: an orphan staging file and an unmanifested part
+        open(os.path.join(out, ".staging-zombie.jsonl"), "w").write(
+            '{"id": 999, "s": "zombie"}\n'
+        )
+        open(os.path.join(out, "part-99999.jsonl"), "w").write(
+            '{"id": 998, "s": "stray"}\n'
+        )
+        back = spark.read.schema("id long, s string").json(
+            pyds.manifested_files(out)
+        )
+        ids = sorted(r["id"] for r in back.collect())
+        assert ids == list(range(10))
