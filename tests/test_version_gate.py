@@ -18,8 +18,19 @@ GATED = {
     "fn_variant_json": "4.0",
     "src_python_datasource": "4.0",
     "stream_python_datasource": "4.0",
+    "sink_python_datasource": "4.0",  # DataSource writer API (r9)
+    "src_avro_roundtrip": "4.0",  # reader rides the Python DataSource
+    "src_xml_roundtrip": "4.0",  # built-in XML source (SPARK-44265)
+    "stream_topics_rate_capped": "4.0",  # Python DataSource stream
     "udf_python_udtf": "3.5",
 }
+
+
+def test_gated_set_is_exhaustive():
+    """Every registry entry declaring min_spark is in GATED — a new
+    gated query must land here too, or the floor goes untested."""
+    declared = {n for n in registry.names() if registry.get(n).min_spark}
+    assert declared == set(GATED), declared ^ set(GATED)
 
 
 class _FakeSession:
