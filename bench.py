@@ -135,6 +135,8 @@ HEADLINE = [
     "sample_balanced_classes",
     "events_funnel_latency",
     "sink_python_datasource",
+    "events_rfm_segments",
+    "part_revenue_abc",
 ]
 
 

@@ -87,16 +87,16 @@ _VERIFY_FIRST = [
     "sample_balanced_classes",  # data-derived class-balance cap (r9)
     "events_funnel_latency",  # time-to-convert percentiles (r9)
     "sink_python_datasource",  # custom sink connector, manifest commit (r9)
-    # (c) the r5-latest cohort, 10 of 47
+    "events_rfm_segments",  # RFM segmentation, broadcast thresholds (r9)
+    "part_revenue_abc",  # Pareto/ABC revenue classes (r9)
+    # (c) the r5-latest cohort, 8 of 47
     "ann_lsh_buckets",
     "catalog_bucketed_join",
     "catalog_insert_overwrite_dynamic",
     "catalog_table_lifecycle",
     "filter_predicates",
-    "q13_customer_distribution",
     "q15_top_supplier",
     "q21_waiting_suppliers",
-    "sink_partitioned_pruning",
     "text_decontaminate",
     # deferred to r10 (latest stamp r5; every one shadowed by a
     # sibling above): stream_sliding_window, ann_cosine_topk_pandas, ann_ivf_refined_topk,
@@ -139,7 +139,12 @@ _VERIFY_FIRST = [
     # graph_link_prediction / text_vocab_stats / the rank windows of
     # this window's retrieval queries), src_csv_roundtrip (≙ CSV
     # parse surface via src_csv_malformed_modes r7 + the roundtrip
-    # mechanism via src_xml/src_avro in this window)
+    # mechanism via src_xml/src_avro in this window),
+    # q13_customer_distribution (≙ join_right_outer +
+    # agg_multi_distinct in (a) — outer-join + double-agg mechanics),
+    # sink_partitioned_pruning (≙ catalog_insert_overwrite_dynamic in
+    # this window — partitioned write path — plus the r8-stamped
+    # partition-pruned mutation catalog_delete_partition_scoped)
 ]
 
 registry.set_order(_VERIFY_FIRST)

@@ -13,7 +13,7 @@ tests/test_aggregates.py (their merge order varies by partitioning).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nineinfra_spark.plans._util import dec, t
@@ -1399,3 +1399,91 @@ def agg_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="qty",
     ).filter(F.col("qty").isNotNull())
+
+
+@query(
+    "part_revenue_abc",
+    oracle="""
+    WITH rev AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS rev_cents
+        FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT SUM(rev_cents) AS total_cents FROM rev),
+    ranked AS (
+        SELECT rev_cents,
+               SUM(rev_cents) OVER (
+                   ORDER BY rev_cents DESC, l_partkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_cents
+        FROM rev
+    ),
+    classed AS (
+        SELECT rev_cents,
+               CASE WHEN 100 * cum_cents <= 80 * t.total_cents THEN 'A'
+                    WHEN 100 * cum_cents <= 95 * t.total_cents THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               t.total_cents
+        FROM ranked CROSS JOIN tot t
+    )
+    SELECT abc_class,
+           COUNT(*) AS n_parts,
+           CAST(SUM(rev_cents) AS BIGINT) AS class_rev_cents,
+           CAST(10000 * SUM(rev_cents) // MAX(total_cents) AS BIGINT)
+               AS revenue_share_bps
+    FROM classed GROUP BY abc_class
+    """,
+    tags=("agg", "analytics", "pareto", "bounded-nlj"),
+)
+def part_revenue_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto inventory classification: parts ranked by revenue,
+    class A = items covering the first 80% of cumulative revenue,
+    B = next 15%, C = the tail — the assortment-analysis primitive
+    ("which 20% of SKUs earn 80%"). Revenue folds as exact decimal →
+    integer cents; class boundaries compare CROSS-MULTIPLIED integers
+    (100·cum ≤ 80·total), so no float midpoint can flip a boundary
+    part between engines.
+
+    Scale posture: the fact-sized work is ONE map-side-combined hash
+    aggregate (lineitem → per-part revenue); the cumulative ranking
+    then runs over the |catalog|-sized ROLLUP — inherently
+    dimension-scale (a cumulative share is defined over the item
+    catalog, not over fact rows), the same post-rollup-window shape
+    as `graph.py`'s top-k. The 1-row total broadcasts (tagged
+    bounded-nlj)."""
+    li = t(spark, sf_dir, "lineitem")
+    rev = (
+        li.groupBy("l_partkey")
+        .agg(
+            (F.sum(dec("l_extendedprice")) * 100)
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    rev = rev.localCheckpoint(eager=False)  # total + ranking
+    tot = rev.agg(F.sum("rev_cents").alias("total_cents"))
+    w = (
+        Window.orderBy(F.desc("rev_cents"), "l_partkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = rev.select(
+        "rev_cents", F.sum("rev_cents").over(w).alias("cum_cents")
+    )
+    classed = ranked.crossJoin(F.broadcast(tot)).select(
+        "rev_cents",
+        "total_cents",
+        F.when(
+            100 * F.col("cum_cents") <= 80 * F.col("total_cents"), "A"
+        )
+        .when(100 * F.col("cum_cents") <= 95 * F.col("total_cents"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("rev_cents").cast("bigint").alias("class_rev_cents"),
+        F.expr(
+            "cast(10000 * sum(rev_cents) div max(total_cents) as bigint)"
+        ).alias("revenue_share_bps"),
+    )

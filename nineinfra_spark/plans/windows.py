@@ -1075,3 +1075,88 @@ def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(gap_us, 0.95)").alias("p95_us"),
         F.max("gap_us").cast("bigint").alias("max_us"),
     )
+
+
+@query(
+    "events_rfm_segments",
+    oracle="""
+    WITH pu AS (
+        SELECT user_id,
+               datediff('day', MAX(CAST(ts AS DATE)), DATE '2024-01-31')
+                   AS recency_days,
+               COUNT(*) AS frequency,
+               SUM(CAST(round(value * 100) AS BIGINT)) AS monetary_cents
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    th AS (
+        SELECT quantile_cont(recency_days, 0.5)::DOUBLE AS r_med,
+               quantile_cont(frequency, 0.5)::DOUBLE AS f_med,
+               quantile_cont(monetary_cents, 0.5)::DOUBLE AS m_med
+        FROM pu
+    ),
+    scored AS (
+        SELECT CASE WHEN recency_days <= r_med THEN 2 ELSE 1 END AS r_score,
+               CASE WHEN frequency > f_med THEN 2 ELSE 1 END AS f_score,
+               CASE WHEN monetary_cents > m_med THEN 2 ELSE 1 END AS m_score,
+               monetary_cents
+        FROM pu CROSS JOIN th
+    )
+    SELECT r_score, f_score, m_score,
+           COUNT(*) AS n_users,
+           CAST(SUM(monetary_cents) AS BIGINT) AS sum_monetary_cents
+    FROM scored GROUP BY r_score, f_score, m_score
+    """,
+    tags=("window", "analytics", "rfm", "bounded-nlj"),
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary —
+    the CRM workhorse): per purchasing user the three metrics, split
+    high/low against the corpus MEDIANS, rolled up to the 8 segment
+    cells with user counts and segment revenue.
+
+    Scale posture: scoring uses BROADCAST THRESHOLDS (one 1-row
+    median aggregate, the tagged bounded nested loop), NOT a global
+    ntile — an ntile window would single-partition every user through
+    one task (exactly the WindowExec shape `window_range_frame`
+    documents as dimension-only), while threshold comparison is a
+    scan-speed projection at any user count. Metrics are exact
+    integers (days / counts / cents); the median thresholds
+    interpolate integers identically on both engines, and comparisons
+    against them are therefore bit-stable."""
+    events = t(spark, sf_dir, "events")
+    pu = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.datediff(
+                F.lit("2024-01-31").cast("date"),
+                F.max(F.col("ts").cast("date")),
+            ).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.expr("cast(round(value * 100) as bigint)")).alias(
+                "monetary_cents"
+            ),
+        )
+    )
+    pu = pu.localCheckpoint(eager=False)  # thresholds + scoring
+    th = pu.agg(
+        F.expr("percentile(recency_days, 0.5)").alias("r_med"),
+        F.expr("percentile(frequency, 0.5)").alias("f_med"),
+        F.expr("percentile(monetary_cents, 0.5)").alias("m_med"),
+    )
+    scored = pu.crossJoin(F.broadcast(th)).select(
+        F.when(F.col("recency_days") <= F.col("r_med"), 2)
+        .otherwise(1)
+        .alias("r_score"),
+        F.when(F.col("frequency") > F.col("f_med"), 2).otherwise(1).alias(
+            "f_score"
+        ),
+        F.when(F.col("monetary_cents") > F.col("m_med"), 2)
+        .otherwise(1)
+        .alias("m_score"),
+        "monetary_cents",
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("monetary_cents").cast("bigint").alias("sum_monetary_cents"),
+    )
