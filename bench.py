@@ -137,6 +137,8 @@ HEADLINE = [
     "sink_python_datasource",
     "events_rfm_segments",
     "part_revenue_abc",
+    "agg_winsorized_stats",
+    "dq_volume_freshness",
 ]
 
 

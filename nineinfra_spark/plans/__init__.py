@@ -89,13 +89,13 @@ _VERIFY_FIRST = [
     "sink_python_datasource",  # custom sink connector, manifest commit (r9)
     "events_rfm_segments",  # RFM segmentation, broadcast thresholds (r9)
     "part_revenue_abc",  # Pareto/ABC revenue classes (r9)
-    # (c) the r5-latest cohort, 8 of 47
+    "agg_winsorized_stats",  # percentile-capped robust means (r9)
+    "dq_volume_freshness",  # operational volume/freshness gate (r9)
+    # (c) the r5-latest cohort, 6 of 47
     "ann_lsh_buckets",
-    "catalog_bucketed_join",
     "catalog_insert_overwrite_dynamic",
     "catalog_table_lifecycle",
     "filter_predicates",
-    "q15_top_supplier",
     "q21_waiting_suppliers",
     "text_decontaminate",
     # deferred to r10 (latest stamp r5; every one shadowed by a
@@ -144,7 +144,11 @@ _VERIFY_FIRST = [
     # agg_multi_distinct in (a) — outer-join + double-agg mechanics),
     # sink_partitioned_pruning (≙ catalog_insert_overwrite_dynamic in
     # this window — partitioned write path — plus the r8-stamped
-    # partition-pruned mutation catalog_delete_partition_scoped)
+    # partition-pruned mutation catalog_delete_partition_scoped),
+    # catalog_bucketed_join (zero-Exchange SortMergeJoin is
+    # plan-asserted in pytest on every run), q15_top_supplier
+    # (CTE-reuse + scalar-subquery shapes plan-asserted in
+    # tests/test_sql_shapes.py; q21 keeps the TPC-H subquery slot)
 ]
 
 registry.set_order(_VERIFY_FIRST)

@@ -1487,3 +1487,89 @@ def part_revenue_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(10000 * sum(rev_cents) div max(total_cents) as bigint)"
         ).alias("revenue_share_bps"),
     )
+
+
+@query(
+    "agg_winsorized_stats",
+    oracle="""
+    WITH v AS (
+        SELECT event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    th AS (
+        SELECT event_type,
+               CAST(FLOOR(quantile_cont(cents, 0.01)) AS BIGINT) AS p01,
+               CAST(FLOOR(quantile_cont(cents, 0.99)) AS BIGINT) AS p99
+        FROM v GROUP BY event_type
+    ),
+    capped AS (
+        SELECT v.event_type,
+               v.cents,
+               GREATEST(LEAST(v.cents, th.p99), th.p01) AS w_cents,
+               th.p01, th.p99
+        FROM v JOIN th ON th.event_type = v.event_type
+    )
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(cents) AS DOUBLE) / COUNT(*) AS raw_mean_cents,
+           CAST(SUM(w_cents) AS DOUBLE) / COUNT(*) AS winsor_mean_cents,
+           CAST(SUM(CASE WHEN cents > p99 OR cents < p01
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_capped
+    FROM capped
+    GROUP BY event_type
+    """,
+    tags=("agg", "robust", "analytics"),
+)
+def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust means per event type — the outlier-capping
+    twin of `agg_anomaly_mad`'s outlier-FLAGGING: values clamp to the
+    per-group [p01, p99] band before averaging, so one fat-finger
+    event can't drag a metric (the standard robust-KPI move).
+
+    Exactness: cents are exact integers; the percentile thresholds
+    interpolate integers identically on both engines and are then
+    FLOORED to integer cents — clamping against a fractional double
+    would need a double→bigint re-quantization, which ROUNDS on
+    DuckDB but TRUNCATES on Spark (the known cast trap, measured here
+    at the 7th decimal of the mean). Integer thresholds keep the
+    whole clamp-and-sum in exact bigints; final means are one IEEE
+    division each.
+
+    Scale posture: thresholds are a |groups|-sized aggregate joined
+    back (AQE broadcasts it); both passes are map-side-combined hash
+    aggs — the two-pass shape every percentile-capped metric needs
+    (percentile_approx replaces pass one beyond the exact regime)."""
+    events = t(spark, sf_dir, "events")
+    v = events.select(
+        "event_type", F.expr("cast(round(value * 100) as bigint)").alias("cents")
+    )
+    th = v.groupBy("event_type").agg(
+        F.expr("cast(floor(percentile(cents, 0.01)) as bigint)").alias("p01"),
+        F.expr("cast(floor(percentile(cents, 0.99)) as bigint)").alias("p99"),
+    )
+    capped = v.join(F.broadcast(th), "event_type").select(
+        "event_type",
+        "cents",
+        "p01",
+        "p99",
+        F.expr("greatest(least(cents, p99), p01)").alias("w_cents"),
+    )
+    return capped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("cast(sum(cents) as double) / count(1)").alias(
+            "raw_mean_cents"
+        ),
+        F.expr("cast(sum(w_cents) as double) / count(1)").alias(
+            "winsor_mean_cents"
+        ),
+        F.sum(
+            F.when(
+                (F.col("cents") > F.col("p99"))
+                | (F.col("cents") < F.col("p01")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_capped"),
+    )

@@ -120,3 +120,85 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(verdict("lineitem_qty_range", qty))
         .unionAll(verdict("lineitem_ships_after_order", ship))
     )
+
+
+@query(
+    "dq_volume_freshness",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+        FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    vol AS (
+        SELECT day, n,
+               LAG(n) OVER (ORDER BY day) AS prev_n
+        FROM daily
+    ),
+    vol_rows AS (
+        SELECT 'volume_drop' AS check_name,
+               strftime(day, '%Y-%m-%d') AS scope,
+               CAST(COALESCE(10000 * n // prev_n, -1) AS BIGINT) AS value,
+               COALESCE(2 * n >= prev_n, TRUE) AS ok
+        FROM vol
+    ),
+    fresh AS (
+        SELECT 'freshness' AS check_name,
+               'events' AS scope,
+               CAST((epoch_us(TIMESTAMP '2024-01-31 00:00:00')
+                     - epoch_us(MAX(ts))) // 3600000000 AS BIGINT) AS value,
+               (epoch_us(TIMESTAMP '2024-01-31 00:00:00')
+                - epoch_us(MAX(ts))) // 3600000000 <= 48 AS ok
+        FROM events
+    )
+    SELECT * FROM vol_rows UNION ALL SELECT * FROM fresh
+    """,
+    tags=("dq", "operational", "bounded-nlj"),
+)
+def dq_volume_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational data-quality gate — the pipeline-health checks
+    `dq_expectations`' CONSTRAINT checks don't cover: (a) day-over-day
+    VOLUME: each ingest day is flagged when its row count falls below
+    half the previous day's (2·n ≥ prev as cross-multiplied integers —
+    the "upstream silently broke" detector), carried with the actual
+    ratio in basis points (-1 sentinel on the first day, which has no
+    baseline and passes vacuously); (b) FRESHNESS: integer hours
+    between the newest event and the reference clock (pinned to
+    2024-01-31 — a deployment passes now()), gated at 48 h. One
+    verdict row per check, counts and hours only — never data rows.
+
+    Scale posture: one map-side-combined daily rollup (≤|calendar|
+    rows) + a calendar-sized lag window + a 1-row freshness
+    aggregate — scan-speed at any volume, same contract as
+    dq_expectations."""
+    from pyspark.sql import Window
+
+    events = t(spark, sf_dir, "events")
+    daily = events.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy("day")
+    vol = daily.select(
+        "day", "n", F.lag("n").over(w).alias("prev_n")
+    ).select(
+        F.lit("volume_drop").alias("check_name"),
+        F.date_format("day", "yyyy-MM-dd").alias("scope"),
+        F.coalesce(
+            F.expr("cast(10000 * n div prev_n as bigint)"), F.lit(-1)
+        )
+        .cast("bigint")
+        .alias("value"),
+        F.coalesce(2 * F.col("n") >= F.col("prev_n"), F.lit(True)).alias(
+            "ok"
+        ),
+    )
+    hours = F.expr(
+        "(unix_micros(timestamp'2024-01-31 00:00:00')"
+        " - unix_micros(cast(max(ts) as timestamp))) div 3600000000"
+    )
+    fresh = events.agg(hours.alias("h")).select(
+        F.lit("freshness").alias("check_name"),
+        F.lit("events").alias("scope"),
+        F.col("h").cast("bigint").alias("value"),
+        (F.col("h") <= 48).alias("ok"),
+    )
+    return vol.unionByName(fresh)
