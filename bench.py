@@ -139,6 +139,8 @@ HEADLINE = [
     "part_revenue_abc",
     "agg_winsorized_stats",
     "dq_volume_freshness",
+    "agg_gini_concentration",
+    "emb_centroid_drift",
 ]
 
 

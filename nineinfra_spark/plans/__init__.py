@@ -91,13 +91,13 @@ _VERIFY_FIRST = [
     "part_revenue_abc",  # Pareto/ABC revenue classes (r9)
     "agg_winsorized_stats",  # percentile-capped robust means (r9)
     "dq_volume_freshness",  # operational volume/freshness gate (r9)
-    # (c) the r5-latest cohort, 6 of 47
-    "ann_lsh_buckets",
+    "agg_gini_concentration",  # revenue-inequality scalar (r9)
+    "emb_centroid_drift",  # per-label embedding drift monitor (r9)
+    # (c) the r5-latest cohort, 4 of 47
     "catalog_insert_overwrite_dynamic",
     "catalog_table_lifecycle",
     "filter_predicates",
     "q21_waiting_suppliers",
-    "text_decontaminate",
     # deferred to r10 (latest stamp r5; every one shadowed by a
     # sibling above): stream_sliding_window, ann_cosine_topk_pandas, ann_ivf_refined_topk,
     # sample_stratified_hash, sample_hash_bucket, sim_join_exact_oracle,
@@ -148,7 +148,13 @@ _VERIFY_FIRST = [
     # catalog_bucketed_join (zero-Exchange SortMergeJoin is
     # plan-asserted in pytest on every run), q15_top_supplier
     # (CTE-reuse + scalar-subquery shapes plan-asserted in
-    # tests/test_sql_shapes.py; q21 keeps the TPC-H subquery slot)
+    # tests/test_sql_shapes.py; q21 keeps the TPC-H subquery slot),
+    # ann_lsh_buckets (≙ the band-bucket LSH join mechanics of
+    # mm_phash_neardup in (b); its recall curve is pytest-swept in
+    # tests/test_lsh_curve.py every run), text_decontaminate (≙ the
+    # shingle kernel of dedup_duplicate_spans in (b); its
+    # broadcast-semi-join stage re-verifies inside
+    # pipeline_curate_corpus)
 ]
 
 registry.set_order(_VERIFY_FIRST)

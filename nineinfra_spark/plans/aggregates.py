@@ -1573,3 +1573,80 @@ def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_capped"),
     )
+
+
+@query(
+    "agg_gini_concentration",
+    oracle="""
+    WITH rev AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS rev_cents
+        FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+        SELECT rev_cents,
+               ROW_NUMBER() OVER (ORDER BY rev_cents, l_partkey) AS i,
+               COUNT(*) OVER () AS n,
+               SUM(rev_cents) OVER () AS total
+        FROM rev
+    ),
+    g AS (
+        SELECT MAX(n) AS n, MAX(total) AS total,
+               SUM(i * rev_cents) AS weighted
+        FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_parts,
+           CAST(total AS BIGINT) AS total_cents,
+           (2.0 * CAST(weighted AS DOUBLE)
+            - CAST(n + 1 AS DOUBLE) * CAST(total AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE)) AS gini
+    FROM g
+    """,
+    tags=("agg", "analytics", "concentration"),
+)
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue concentration across parts — the
+    scalar companion to `part_revenue_abc`'s class table (assortment
+    inequality as one monitorable number; 0 = uniform, →1 = winner
+    takes all). Computed by the rank formula
+    G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) over ascending-sorted
+    revenues: the folds (Σx, Σ i·x) are exact integer cents, the
+    final ratio is a FIXED chain of IEEE ops over them (the
+    `agg_ab_ttest` pattern) — int64→double conversion is
+    value-determined round-to-nearest on both engines, so identical
+    integers give identical doubles give an identical ratio. An
+    integer basis-point form was tried first and caught OVERFLOWING
+    at sf1 by the scale proof (Σ i·x alone reaches ~2^61.6 there; a
+    ×10000 on top cannot fit, and split-division can't rescue a
+    modulus that large) — the loud ANSI SparkArithmeticException is
+    exactly why the proof runs at 10× data.
+
+    Scale posture: the fact-sized work is the same single hash
+    aggregate as ABC; the rank runs over the |catalog|-sized rollup
+    (inherently dimension-scale — inequality is a property of the
+    item distribution). Integer bound on the folds themselves:
+    Σ i·x < 2^63 holds to ~3× this sf1's catalog·mass; beyond,
+    fold in dollars instead of cents."""
+    li = t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        (F.sum(dec("l_extendedprice")) * 100).cast("bigint").alias("rev_cents")
+    )
+    w = Window.orderBy("rev_cents", "l_partkey")
+    ranked = rev.select(
+        "rev_cents", F.row_number().over(w).alias("i")
+    )
+    g = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rev_cents").alias("total"),
+        F.sum(F.col("i") * F.col("rev_cents")).alias("weighted"),
+    )
+    return g.select(
+        F.col("n").cast("bigint").alias("n_parts"),
+        F.col("total").cast("bigint").alias("total_cents"),
+        F.expr(
+            "(2.0 * cast(weighted as double)"
+            " - cast(n + 1 as double) * cast(total as double))"
+            " / (cast(n as double) * cast(total as double))"
+        ).alias("gini"),
+    )

@@ -1447,3 +1447,107 @@ def ann_prefix_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "cand_id", "cos", "rank")
     )
+
+
+# -- embedding drift monitor -------------------------------------------------
+
+#: quantization for drift sums: 1e5 keeps per-(label,half,dim) sums
+#: and their squared cross-products inside int64 up to ~10^5 vectors
+#: per label (document the bound; drop a decade per 100× beyond).
+DRIFT_SCALE = 100_000
+
+
+@query(
+    "emb_centroid_drift",
+    oracle=f"""
+    WITH comp AS (
+        SELECT label, vec_id % 2 AS half,
+               unnest(generate_series(1, len(embedding))) AS dim,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE)
+                          * {DRIFT_SCALE}) AS BIGINT) AS q
+        FROM embeddings
+    ),
+    sums AS (
+        SELECT label, dim,
+               SUM(CASE WHEN half = 0 THEN q ELSE 0 END) AS a_sum,
+               SUM(CASE WHEN half = 1 THEN q ELSE 0 END) AS b_sum
+        FROM comp GROUP BY label, dim
+    ),
+    halves AS (
+        SELECT label,
+               COUNT(DISTINCT CASE WHEN half = 0 THEN vec_id END) AS n_a,
+               COUNT(DISTINCT CASE WHEN half = 1 THEN vec_id END) AS n_b
+        FROM (SELECT label, vec_id % 2 AS half, vec_id FROM embeddings)
+        GROUP BY label
+    )
+    SELECT s.label,
+           CAST(h.n_a AS BIGINT) AS n_a, CAST(h.n_b AS BIGINT) AS n_b,
+           CAST(SUM(s.a_sum * s.b_sum) AS DOUBLE)
+               / (sqrt(CAST(SUM(s.a_sum * s.a_sum) AS DOUBLE))
+                  * sqrt(CAST(SUM(s.b_sum * s.b_sum) AS DOUBLE)))
+               AS centroid_cos
+    FROM sums s JOIN halves h ON h.label = s.label
+    GROUP BY s.label, h.n_a, h.n_b
+    """,
+    tags=("ext", "similarity", "monitoring", "drift"),
+)
+def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding DRIFT monitor: per label, the cosine between the
+    centroids of two deterministic cohort halves (vec_id parity here;
+    a deployment compares week N vs week N+1). A healthy stable
+    embedding pipeline keeps per-label centroid cosine near 1; a
+    model swap, normalization bug, or upstream-content shift drags it
+    down — the check that catches a silently-retrained encoder before
+    a retrieval index is rebuilt on mixed vectors. Complements
+    `emb_dim_stats` (per-dimension health) with per-LABEL geometry.
+
+    Exactness: components quantize to exact 1e5-scale integers (same
+    IEEE multiply+round both engines); centroid cosine uses the SUM
+    vectors directly — cosine is scale-invariant, so skipping the /n
+    mean keeps everything in integer cross-products (bounded in int64
+    to ~10^5 vectors/label; rescale a decade per 100× beyond), and
+    the final cosine is a fixed chain of IEEE ops on identical
+    integers. No float summation order anywhere.
+
+    Scale posture: one (label, dim)-keyed map-side-combined aggregate
+    over the exploded components (|labels|·|dims| rows out), then a
+    |labels|-sized rollup — scan speed at any corpus size."""
+    emb = t(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("dim0", "val"),
+    ).select(
+        "label",
+        "half",
+        (F.col("dim0") + 1).alias("dim"),
+        F.expr(
+            f"cast(round(cast(val as double) * {DRIFT_SCALE}) as bigint)"
+        ).alias("q"),
+    )
+    sums = comp.groupBy("label", "dim").agg(
+        F.sum(F.when(F.col("half") == 0, F.col("q")).otherwise(0)).alias(
+            "a_sum"
+        ),
+        F.sum(F.when(F.col("half") == 1, F.col("q")).otherwise(0)).alias(
+            "b_sum"
+        ),
+    )
+    halves = emb.groupBy("label").agg(
+        F.sum(F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("vec_id") % 2 == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+    )
+    per_label = sums.groupBy("label").agg(
+        F.expr(
+            "cast(sum(a_sum * b_sum) as double)"
+            " / (sqrt(cast(sum(a_sum * a_sum) as double))"
+            " * sqrt(cast(sum(b_sum * b_sum) as double)))"
+        ).alias("centroid_cos")
+    )
+    return per_label.join(halves, "label").select(
+        "label", "n_a", "n_b", "centroid_cos"
+    )
