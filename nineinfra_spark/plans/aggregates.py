@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nineinfra_spark.plans._util import dec, t
+from nineinfra_spark.plans._util import dec, ranked_prefix, t
 from nineinfra_spark.plans.registry import query
 
 
@@ -1446,12 +1446,15 @@ def part_revenue_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     part between engines.
 
     Scale posture: the fact-sized work is ONE map-side-combined hash
-    aggregate (lineitem → per-part revenue); the cumulative ranking
-    then runs over the |catalog|-sized ROLLUP — inherently
-    dimension-scale (a cumulative share is defined over the item
-    catalog, not over fact rows), the same post-rollup-window shape
-    as `graph.py`'s top-k. The 1-row total broadcasts (tagged
-    bounded-nlj)."""
+    aggregate (lineitem → per-part revenue); the cumulative share is
+    then computed over the |catalog|-sized rollup by the DISTRIBUTED
+    prefix-sum in `_util.ranked_prefix` (range-repartition +
+    pid-local window + broadcast partition offsets) — a 100 TB corpus
+    catalog is 10⁷–10⁸ parts, and an unpartitioned WindowExec over
+    that rollup would be a one-task bottleneck (the r9 verdict's
+    finding; the plan-lint rule in tests/test_plan_lint.py now guards
+    it). The 1-row total and the |n_parts|² offsets theta-join
+    broadcast (tagged bounded-nlj)."""
     li = t(spark, sf_dir, "lineitem")
     rev = (
         li.groupBy("l_partkey")
@@ -1463,13 +1466,9 @@ def part_revenue_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = rev.localCheckpoint(eager=False)  # total + ranking
     tot = rev.agg(F.sum("rev_cents").alias("total_cents"))
-    w = (
-        Window.orderBy(F.desc("rev_cents"), "l_partkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    ranked = rev.select(
-        "rev_cents", F.sum("rev_cents").over(w).alias("cum_cents")
-    )
+    ranked = ranked_prefix(
+        rev, [F.col("rev_cents").desc(), F.col("l_partkey")], "rev_cents"
+    ).select("rev_cents", F.col("cum").alias("cum_cents"))
     classed = ranked.crossJoin(F.broadcast(tot)).select(
         "rev_cents",
         "total_cents",
@@ -1603,7 +1602,7 @@ def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE)) AS gini
     FROM g
     """,
-    tags=("agg", "analytics", "concentration"),
+    tags=("agg", "analytics", "concentration", "bounded-nlj"),
 )
 def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of revenue concentration across parts — the
@@ -1623,19 +1622,19 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly why the proof runs at 10× data.
 
     Scale posture: the fact-sized work is the same single hash
-    aggregate as ABC; the rank runs over the |catalog|-sized rollup
-    (inherently dimension-scale — inequality is a property of the
-    item distribution). Integer bound on the folds themselves:
-    Σ i·x < 2^63 holds to ~3× this sf1's catalog·mass; beyond,
-    fold in dollars instead of cents."""
+    aggregate as ABC; the rank over the |catalog|-sized rollup is the
+    DISTRIBUTED `_util.ranked_prefix` (range-repartition + pid-local
+    window + broadcast partition offsets — no single-partition
+    WindowExec; r9 verdict finding, now lint-guarded). Integer bound
+    on the folds themselves: Σ i·x < 2^63 holds to ~3× this sf1's
+    catalog·mass; beyond, fold in dollars instead of cents."""
     li = t(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
         (F.sum(dec("l_extendedprice")) * 100).cast("bigint").alias("rev_cents")
     )
-    w = Window.orderBy("rev_cents", "l_partkey")
-    ranked = rev.select(
-        "rev_cents", F.row_number().over(w).alias("i")
-    )
+    ranked = ranked_prefix(
+        rev, [F.col("rev_cents"), F.col("l_partkey")], "rev_cents"
+    ).select("rev_cents", "i")
     g = ranked.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("rev_cents").alias("total"),

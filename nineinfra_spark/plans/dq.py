@@ -152,7 +152,7 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT * FROM vol_rows UNION ALL SELECT * FROM fresh
     """,
-    tags=("dq", "operational", "bounded-nlj"),
+    tags=("dq", "operational", "bounded-nlj", "dimension-only"),
 )
 def dq_volume_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Operational data-quality gate — the pipeline-health checks

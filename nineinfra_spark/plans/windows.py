@@ -158,7 +158,7 @@ def window_moving_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
                RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING) AS n_within_500
     FROM supplier
     """,
-    tags=("window", "frame", "range"),
+    tags=("window", "frame", "range", "dimension-only"),
 )
 def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE frame keyed on a numeric ordering (value-based peers).

@@ -12,13 +12,30 @@ test, so a regression can't sneak in behind a green differential:
    UDF/UDTF queries — everywhere else Python must be Arrow-batched
    (``ArrowEvalPython`` / ``MapInPandas`` / ``FlatMapGroupsInPandas``)
    or absent.
+4. No single-partition WindowExec: a ``Window`` node whose partition
+   spec is EMPTY but whose order spec is not moves the entire input
+   to ONE task ("No Partition Defined for Window operation"). Allowed
+   only when (a) the window's subtree contains a
+   ``TakeOrderedAndProject``/``GlobalLimit`` (the rank-after-top-k
+   house pattern: the window sees ≤N rows), or (b) the query is
+   tagged ``dimension-only`` (a declared bounded rollup —
+   ``window_range_frame``'s supplier-catalog frame,
+   ``dq_volume_freshness``'s day-grain gate). This is the rule that
+   would have caught the r9 ``agg_gini_concentration`` /
+   ``part_revenue_abc`` catalog-rollup windows mechanically (both now
+   use ``_util.ranked_prefix`` instead).
 
-Queries whose build has side effects (streaming runs, sink writes,
-catalog DDL) are skipped: their returned frames are trivial sink/scan
-reads, and executing them here would just re-run test_oracle_all.
+Only queries whose build RUNS a stream (tag ``streaming``) are
+skipped: a micro-batch run here would just re-run test_streaming
+slowly, and the returned frames are memory-sink reads. Catalog / sink
+/ source builds ARE executed (they are idempotent — the driver sim
+runs the whole registry twice back-to-back) so their read-back plans
+get linted too: 223 of 234 queries covered.
 """
 
 from __future__ import annotations
+
+import re
 
 import pytest
 
@@ -26,7 +43,7 @@ from nineinfra_spark.plans import registry
 
 SF = "/root/testdata/sf0.001"
 
-_SKIP_TAGS = {"streaming", "sink", "catalog", "source"}
+_SKIP_TAGS = {"streaming"}
 
 _LINTABLE = [
     n
@@ -42,6 +59,43 @@ _ROW_PYTHON_OK = {"udf_scalar_python", "udf_sql_registered", "udf_python_udtf"}
 def _plan(spark, name: str) -> str:
     df = registry.get(name).fn(spark, SF)
     return df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+
+
+_WINDOW_NODE = re.compile(r"(?:^|[\s:+-])Window \[")
+
+
+def _top_level_groups(line: str) -> list[str]:
+    """Top-level ``[...]`` groups of one plan line — ``Window`` prints
+    ``Window [exprs], [partitionSpec], [orderSpec]`` and OMITS empty
+    specs, so group shape distinguishes the cases: 3 groups =
+    partitioned+ordered; 2 groups = either unpartitioned+ordered (last
+    group carries ASC/DESC) or partitioned+unordered (it doesn't)."""
+    groups, depth, start = [], 0, -1
+    for i, ch in enumerate(line):
+        if ch == "[":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append(line[start : i + 1])
+    return groups
+
+
+def _unpartitioned_window_lines(plan: str) -> list[int]:
+    """Indices of ``Window`` plan lines with an EMPTY partition spec
+    and a non-empty order spec (the single-partition shape)."""
+    out = []
+    for idx, line in enumerate(plan.splitlines()):
+        if not _WINDOW_NODE.search(line):
+            continue
+        groups = _top_level_groups(line)
+        if len(groups) == 2 and (
+            " ASC" in groups[-1] or " DESC" in groups[-1]
+        ):
+            out.append(idx)
+    return out
 
 
 @pytest.mark.parametrize("name", _LINTABLE)
@@ -67,6 +121,19 @@ def test_plan_scale_rules(spark, name):
             f"Arrow-batched pandas UDF\n{plan[:1500]}"
         )
 
+    lines = plan.splitlines()
+    for idx in _unpartitioned_window_lines(plan):
+        subtree = "\n".join(lines[idx:])
+        bounded = (
+            "TakeOrderedAndProject" in subtree or "GlobalLimit" in subtree
+        )
+        assert bounded or "dimension-only" in tags, (
+            f"{name}: unpartitioned ordered WindowExec over an "
+            f"unbounded input — single-partition bottleneck; use "
+            f"_util.ranked_prefix, rank after a top-k limit, or tag "
+            f"the query dimension-only\n{lines[idx]}"
+        )
+
 
 def test_range_frame_bucketed_has_no_window(spark):
     """The fact-scale RANGE-frame variant must never plan a WindowExec
@@ -86,8 +153,9 @@ def test_bpe_pair_counts_takes_ordered_before_window(spark):
 
 def test_lint_covers_most_of_registry():
     """The skip set must stay the minority — if a refactor re-tags
-    half the registry into the skip list, this fails."""
-    assert len(_LINTABLE) >= 70, (len(_LINTABLE), len(registry.names()))
+    half the registry into the skip list, this fails. r10 narrowed
+    the skip to streaming-run queries only (>210 of 234 linted)."""
+    assert len(_LINTABLE) >= 210, (len(_LINTABLE), len(registry.names()))
 
 
 def test_verify_priority_fits_driver_window():
