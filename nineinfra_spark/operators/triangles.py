@@ -97,8 +97,13 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             "n_edges",
             "n_wedges",
             "n_triangles",
+            # Wedge-free graphs (all degrees ≤ 1) have no defined
+            # clustering coefficient: return NULL instead of raising
+            # DIVIDE_BY_ZERO under ANSI mode (the oracle mirrors the
+            # same CASE guard).
             F.expr(
-                "cast(10000 * 3 * n_triangles div n_wedges as bigint)"
+                "cast(case when n_wedges > 0"
+                " then 10000 * 3 * n_triangles div n_wedges end as bigint)"
             ).alias("clustering_bps"),
         )
     )

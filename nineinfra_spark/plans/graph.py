@@ -167,7 +167,9 @@ SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
        CAST(n_edges AS BIGINT) AS n_edges,
        CAST(n_wedges AS BIGINT) AS n_wedges,
        CAST(n_triangles AS BIGINT) AS n_triangles,
-       CAST(10000 * 3 * n_triangles // n_wedges AS BIGINT) AS clustering_bps
+       CAST(CASE WHEN n_wedges > 0
+                 THEN 10000 * 3 * n_triangles // n_wedges
+            END AS BIGINT) AS clustering_bps
 FROM agg
 """
 

@@ -1667,6 +1667,23 @@ def src_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _safe_identity(user: str) -> str:
+    """Validate a policy identity before it may appear inside view
+    SQL. The grantee here is a constant, but the deployment path
+    feeds it from the gateway's doAs identity (client-controlled
+    X-Proxy-User) — interpolating that unchecked into the policy
+    predicate would be SQL-injectable (r9 ADVICE finding). CREATE
+    VIEW is DDL, which Spark's parameterized ``spark.sql(sql, args)``
+    cannot cover, so the identity is allowlist-validated instead:
+    lowercase identifier characters only, same charset as the auth
+    table's user names."""
+    import re as _re
+
+    if not _re.fullmatch(r"[a-z][a-z0-9_]{0,63}", user):
+        raise ValueError(f"invalid policy identity: {user!r}")
+    return user
+
+
 @query(
     "catalog_rls_view",
     oracle="""
@@ -1689,8 +1706,10 @@ def catalog_rls_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     view is the base table SEMI-FILTERED through the policy for the
     session's effective user (here pinned to ``analyst_emea``; the
     gateway's doAs identity — ``rest.py`` X-Proxy-User — supplies it
-    in deployment, ``spark.nineinfra.effective.user``). Analysts get
-    the view; the base table stays ACL'd.
+    in deployment, ``spark.nineinfra.effective.user``, and MUST pass
+    :func:`_safe_identity` first: the header is client-controlled and
+    view DDL is not parameterizable). Analysts get the view; the base
+    table stays ACL'd.
 
     Scale posture: the policy table is grantee×segment-sized and
     broadcasts; Catalyst inlines the view so the policy join lands
@@ -1707,7 +1726,7 @@ def catalog_rls_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cust.createOrReplaceTempView("rls_base_tmp")
     policy.createOrReplaceTempView("rls_policy_tmp")
-    effective_user = "analyst_emea"
+    effective_user = _safe_identity("analyst_emea")
     spark.sql(
         f"""
         CREATE OR REPLACE TEMPORARY VIEW customer_rls_tmp AS

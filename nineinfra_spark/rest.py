@@ -112,6 +112,18 @@ class _Statement:
         self._has_peeked = False
         self.lock = threading.Lock()
 
+    def close(self) -> None:
+        """Best-effort release of the underlying ``toLocalIterator``
+        generator: until closed it pins the driver-side fetch
+        thread/socket for the in-flight partition (r9 ADVICE finding
+        — LRU-evicted cursors otherwise leak it until GC)."""
+        close = getattr(self._it, "close", None)
+        if close is not None:
+            try:
+                close()
+            except Exception:
+                pass
+
     def fetch(self, max_rows: int) -> tuple[list, bool]:
         """Up to ``max_rows`` rows + whether more remain. Caller holds
         ``self.lock``."""
@@ -247,7 +259,9 @@ class _Handler(BaseHTTPRequestHandler):
 
     def _close_statement(self, stmt_id: str) -> None:
         with self.statements_lock:
-            self.statements.pop(stmt_id, None)
+            st = self.statements.pop(stmt_id, None)
+        if st is not None:
+            st.close()
 
     def do_DELETE(self) -> None:  # noqa: N802 — http.server API
         parts = self.path.strip("/").split("/")
@@ -384,10 +398,13 @@ class _Handler(BaseHTTPRequestHandler):
                     df.toLocalIterator(prefetchPartitions=False),
                     owner=authed,
                 )
+                evicted = []
                 with self.statements_lock:
                     self.statements[stmt_id] = st
                     while len(self.statements) > MAX_STATEMENTS:
-                        self.statements.popitem(last=False)
+                        evicted.append(self.statements.popitem(last=False)[1])
+                for ev in evicted:  # release iterators outside the lock
+                    ev.close()
                 self._reply(
                     200, {"statementId": stmt_id, "columns": df.columns}
                 )

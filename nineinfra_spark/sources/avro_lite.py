@@ -180,7 +180,14 @@ def write_avro(
     rows_per_block: int = 4096,
 ) -> int:
     """Write ``rows`` (sequences ordered like ``schema['fields']``) as
-    one Avro Object Container File. Returns the row count."""
+    one Avro Object Container File. Returns the row count.
+
+    Blocks STREAM to the ``.inprogress`` file as they fill — only one
+    encoded block is ever resident (r9 ADVICE finding: buffering the
+    whole container in one bytearray held a partition's full
+    encoded+compressed bytes in executor memory at once). The
+    tmp-then-``os.replace`` publish is unchanged: readers never see a
+    half-written file."""
     if codec not in ("null", "deflate"):
         raise ValueError(f"avro_lite: codec must be null|deflate, got {codec}")
     fields = _check_schema(schema)
@@ -192,46 +199,46 @@ def write_avro(
     # scans after a byte-range seek rely on the 16 bytes never
     # colliding with data — 2^-128 per offset with a random marker.
     sync = os.urandom(16)
-    buf = bytearray(MAGIC)
+    header = bytearray(MAGIC)
     # file metadata: a map<bytes> — one block of len(meta) pairs, then 0
-    buf += _zigzag_encode(len(meta))
+    header += _zigzag_encode(len(meta))
     for k, v in meta.items():
         kb = k.encode()
-        buf += _zigzag_encode(len(kb)) + kb
-        buf += _zigzag_encode(len(v)) + v
-    buf += _zigzag_encode(0)
-    buf += sync
+        header += _zigzag_encode(len(kb)) + kb
+        header += _zigzag_encode(len(v)) + v
+    header += _zigzag_encode(0)
+    header += sync
 
     n_total = 0
     block: list = []
-
-    def flush():
-        nonlocal n_total
-        if not block:
-            return
-        body = bytearray()
-        for row in block:
-            for (name, typ), v in zip(fields, row):
-                _encode_value(typ, v, body)
-        data = bytes(body)
-        if codec == "deflate":
-            c = zlib.compressobj(9, zlib.DEFLATED, -15)
-            data = c.compress(data) + c.flush()
-        buf.extend(_zigzag_encode(len(block)))
-        buf.extend(_zigzag_encode(len(data)))
-        buf.extend(data)
-        buf.extend(sync)
-        n_total += len(block)
-        block.clear()
-
-    for row in rows:
-        block.append(tuple(row))
-        if len(block) >= rows_per_block:
-            flush()
-    flush()
     tmp = f"{path}.inprogress"
-    with open(tmp, "wb") as f:
-        f.write(buf)
+    with open(tmp, "wb") as out:
+        out.write(header)
+
+        def flush():
+            nonlocal n_total
+            if not block:
+                return
+            body = bytearray()
+            for row in block:
+                for (name, typ), v in zip(fields, row):
+                    _encode_value(typ, v, body)
+            data = bytes(body)
+            if codec == "deflate":
+                c = zlib.compressobj(9, zlib.DEFLATED, -15)
+                data = c.compress(data) + c.flush()
+            out.write(bytes(_zigzag_encode(len(block))))
+            out.write(bytes(_zigzag_encode(len(data))))
+            out.write(data)
+            out.write(sync)
+            n_total += len(block)
+            block.clear()
+
+        for row in rows:
+            block.append(tuple(row))
+            if len(block) >= rows_per_block:
+                flush()
+        flush()
     os.replace(tmp, path)  # readers never see a half-written file
     return n_total
 

@@ -326,6 +326,24 @@ class _JsonlWriter(DataSourceWriter):
             final = _os.path.join(self.path, f"part-{i:05d}.jsonl")
             _os.replace(m.staged, final)
             files.append({"file": _os.path.basename(final), "rows": m.rows})
+        if self.overwrite:
+            # mode("overwrite") must not leave stale part files from a
+            # previous LARGER commit: manifested readers would ignore
+            # them, but a plain spark.read.json(dir) would see mixed
+            # old/new data (r9 ADVICE finding). Delete every
+            # part-*.jsonl not in this commit BEFORE the manifest
+            # flips — a crash here leaves the old manifest pointing at
+            # some deleted files, the same torn state a crashed
+            # non-overwrite commit already has (readers that trust the
+            # manifest-last contract re-run the job either way).
+            keep = {f["file"] for f in files}
+            for name in _os.listdir(self.path):
+                if (
+                    name.startswith("part-")
+                    and name.endswith(".jsonl")
+                    and name not in keep
+                ):
+                    _os.remove(_os.path.join(self.path, name))
         manifest = _os.path.join(self.path, "_MANIFEST.json")
         tmp = manifest + ".tmp"
         with open(tmp, "w", encoding="utf-8") as f:

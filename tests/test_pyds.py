@@ -303,6 +303,32 @@ class TestJsonlSink:
         with _pytest.raises(FileNotFoundError):
             pyds.manifested_files(out)
 
+    def test_overwrite_removes_stale_parts(self, spark, tmp_path):
+        """mode('overwrite') after a LARGER previous commit must not
+        leave stale part-*.jsonl behind: a plain spark.read.json(dir)
+        (no manifest filtering) has to see only the new data (r9
+        ADVICE finding)."""
+        import os
+
+        from nineinfra_spark.sources import pyds
+
+        pyds.register(spark)
+        out = str(tmp_path / "ow")
+        big = spark.range(100).selectExpr("id", "'old' AS s").repartition(8)
+        big.write.format("nine_jsonl").option("path", out).mode(
+            "append"
+        ).save()
+        small = spark.range(5).selectExpr("id", "'new' AS s").repartition(2)
+        small.write.format("nine_jsonl").option("path", out).mode(
+            "overwrite"
+        ).save()
+
+        parts = [n for n in os.listdir(out) if n.startswith("part-")]
+        assert len(parts) == 2, parts
+        back = spark.read.schema("id long, s string").json(out)
+        got = sorted((r["id"], r["s"]) for r in back.collect())
+        assert got == [(i, "new") for i in range(5)]
+
     def test_reader_trusts_only_the_manifest(self, spark, tmp_path):
         import os
 

@@ -68,6 +68,18 @@ def test_hub_star_has_zero_triangles(spark):
     assert got["clustering_bps"] == 0
 
 
+def test_wedge_free_graph_returns_null_coefficient(spark):
+    """A perfect matching (every degree 1) has ZERO wedges — the
+    coefficient is undefined and must come back NULL, not raise
+    DIVIDE_BY_ZERO under ANSI mode (r9 ADVICE finding)."""
+    edges = [(0, 1), (2, 3), (4, 5)]
+    got = _spark_stats(spark, edges)
+    assert got["n_wedges"] == 0
+    assert got["n_triangles"] == 0
+    assert got["clustering_bps"] is None
+    assert got == _brute(edges)
+
+
 def test_clique_counts_every_triple_once(spark):
     n = 8
     edges = list(itertools.combinations(range(n), 2))
