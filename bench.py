@@ -123,6 +123,7 @@ HEADLINE = [
     "text_vocab_stats",
     "join_asof_nearest",
     "mm_phash_neardup",
+    "mm_phash_neardup_64",
     "graph_link_prediction",
     "search_bm25_topk",
     "agg_bitmap_distinct_rollup",

@@ -38,123 +38,86 @@ _load_all()
 #: Verification-priority prefix: the driver's CORRECTNESS gate checks
 #: a bounded window (exactly 50) of queries in export order, so the
 #: queries that most need a fresh driver-green differential row are
-#: pinned first — r9 composition: (a) the 15-query cohort whose
-#: latest driver stamp is r4 (deferred from r8 — the stalest rows in
-#: the registry), (b) queries NEW or plan-changed in r9, (c) 17 of
-#: the 47-query r5-latest cohort. The 30 remaining r5 rows (listed at
-#: the bottom — each shadowed by a sibling in this window) lead the
-#: r10 rotation.
+#: pinned first — r10 composition: (a) all 43 queries whose latest
+#: driver stamp is r5 (the artifact-derived rotation debt, cleared in
+#: full), (b) the one query NEW in r10, (c) the first 6 of the
+#: 42-query r6-latest cohort. After this round no latest stamp is
+#: older than r6; the 36 remaining r6 rows (listed at the bottom)
+#: are the r11 window.
 _VERIFY_FIRST = [
-    # (a) the r4-latest cohort — stalest stamps in the registry
-    "setop_union_all",
-    "setop_union_distinct",
-    "setop_intersect",
-    "setop_intersect_all",
-    "setop_except",
-    "fn_null_misc",
-    "agg_boolean_family",
-    "agg_collect_list_sorted",
-    "agg_skew_kurt",
-    "agg_corr_moments",
-    "agg_grouping_sets",
-    "join_right_outer",
-    "agg_first_last_by",
-    "dedup_exact_content",
-    "agg_multi_distinct",
-    # (b) new / plan-changed in round 9
-    "window_range_frame_bucketed",  # fact-scale RANGE frame, no WindowExec
-    "text_bpe_pair_counts",  # TakeOrdered-before-window rewrite (r9)
-    "src_avro_roundtrip",  # pure-stdlib Avro OCF sink+source (r9)
-    "stream_topics_rate_capped",  # Kafka-semantics connector contract (r9)
-    "graph_triangle_count",  # degree-ordered triangle counting (r9)
-    "events_funnel_conversion",  # ordered funnel, one user-keyed shuffle (r9)
-    "src_xml_roundtrip",  # Spark 4 built-in XML source/sink (r9)
-    "text_hash_classifier",  # hashed-feature linear quality gate (r9)
-    "dedup_duplicate_spans",  # exact-substring maximal spans (r9)
-    "ann_prefix_rerank_topk",  # Matryoshka prefix-dim retrieval (r9)
-    "text_vocab_stats",  # vocabulary/Zipf datasheet (r9)
-    "join_asof_nearest",  # nearest-direction as-of (r9)
-    "mm_phash_neardup",  # image perceptual-hash near-dup, exact banding (r9)
-    "graph_link_prediction",  # Jaccard neighborhood-overlap top-k (r9)
-    "search_bm25_topk",  # integer-exact BM25 retrieval (r9)
-    "agg_bitmap_distinct_rollup",  # exact-distinct bitmap rollup (r9)
-    "ts_gap_fill_interpolate",  # hypertable gap fill, locf+interp (r9)
-    "agg_ab_ttest",  # Welch t experiment readout (r9)
-    "agg_unpivot_melt",  # UNPIVOT, the inverse of agg_pivot (r9)
-    "stream_bitmap_distinct",  # replay-idempotent OR-merge maintainer (r9)
-    "catalog_rls_view",  # row-level security policy view (r9)
-    "fn_try_safe",  # error-safe try_* expression family (r9)
-    "sample_balanced_classes",  # data-derived class-balance cap (r9)
-    "events_funnel_latency",  # time-to-convert percentiles (r9)
-    "sink_python_datasource",  # custom sink connector, manifest commit (r9)
-    "events_rfm_segments",  # RFM segmentation, broadcast thresholds (r9)
-    "part_revenue_abc",  # Pareto/ABC revenue classes (r9)
-    "agg_winsorized_stats",  # percentile-capped robust means (r9)
-    "dq_volume_freshness",  # operational volume/freshness gate (r9)
-    "agg_gini_concentration",  # revenue-inequality scalar (r9)
-    "emb_centroid_drift",  # per-label embedding drift monitor (r9)
-    # (c) the r5-latest cohort, 4 of 47
-    "catalog_insert_overwrite_dynamic",
-    "catalog_table_lifecycle",
-    "filter_predicates",
-    "q21_waiting_suppliers",
-    # deferred to r10 (latest stamp r5; every one shadowed by a
-    # sibling above): stream_sliding_window, ann_cosine_topk_pandas, ann_ivf_refined_topk,
-    # sample_stratified_hash, sample_hash_bucket, sim_join_exact_oracle,
-    # mm_frame_sample, mm_metadata_extract, src_text_scan,
-    # src_json_roundtrip, sort_within_partitions, distinct_projection,
-    # project_rename_drop, text_quality_topk_per_lang,
-    # text_token_topk, fn_bitwise, setop_except_all (family in (a)),
-    # setop_union_by_name (family in (a)), catalog_compact_small_files
-    # (dynamic-overwrite mechanism ≙ catalog_insert_overwrite_dynamic),
-    # dedup_by_subset (≙ dedup_exact_content in (a) + distinct family),
-    # text_quality_stats (≙ text_hash_classifier quality gate; also
-    # recomputed inside pipeline_curate_corpus),
-    # ann_cosine_topk (≙ ann_prefix_rerank_topk's exact re-rank stage,
-    # same COS kernel + rank window), join_inner_equi (≙ the inner
-    # equi-joins inside q15/q21 in this window),
-    # text_fingerprint (≙ dedup_exact_content in (a) — same
-    # md5-over-token-stream kernel), mm_decode_features
-    # (≙ mm_phash_neardup — same mapInPandas Arrow decode pipeline),
-    # sample_bernoulli (bounds-check-only row; the deterministic
-    # sampling family re-stamps together in r10), dedup_simhash
-    # (≙ mm_phash_neardup — same hamming-band blocking mechanism),
-    # ann_ivf_topk (≙ ann_lsh_buckets — bucket-probe ANN; the Lloyd
-    # leg ann_ivf_refined_topk is already deferred), topk_global
-    # (≙ the TakeOrderedAndProject heads inside text_vocab_stats /
-    # graph_link_prediction / text_bpe_pair_counts in this window),
-    # project_compute (≙ the computed projections every in-window
-    # query builds; filter_predicates keeps the §2.2 slot),
-    # agg_approx_sketches (≙ agg_bitmap_distinct_rollup in window +
-    # the sketch-merge legs agg_hll_union_rollup/agg_kll_merge_rollup
-    # stamped r8), stream_tumbling_window (≙ stream_bitmap_distinct +
-    # stream_topics_rate_capped in this window), dedup_keep_canonical
-    # (≙ dedup_exact_content in (a) + dedup_duplicate_spans in (b)),
-    # src_orc_roundtrip (≙ the sink→source roundtrip mechanism via
-    # src_xml_roundtrip/src_avro_roundtrip in this window; the
-    # ORC-specific leg re-stamps in r10), text_lang_id
-    # (≙ text_hash_classifier — the same per-doc token-scoring gate
-    # shape, marker lists swapped for hashed weights), sort_multi_key
-    # (≙ the multi-key TakeOrdered heads and window ORDER BYs inside
-    # graph_link_prediction / text_vocab_stats / the rank windows of
-    # this window's retrieval queries), src_csv_roundtrip (≙ CSV
-    # parse surface via src_csv_malformed_modes r7 + the roundtrip
-    # mechanism via src_xml/src_avro in this window),
-    # q13_customer_distribution (≙ join_right_outer +
-    # agg_multi_distinct in (a) — outer-join + double-agg mechanics),
-    # sink_partitioned_pruning (≙ catalog_insert_overwrite_dynamic in
-    # this window — partitioned write path — plus the r8-stamped
-    # partition-pruned mutation catalog_delete_partition_scoped),
-    # catalog_bucketed_join (zero-Exchange SortMergeJoin is
-    # plan-asserted in pytest on every run), q15_top_supplier
-    # (CTE-reuse + scalar-subquery shapes plan-asserted in
-    # tests/test_sql_shapes.py; q21 keeps the TPC-H subquery slot),
-    # ann_lsh_buckets (≙ the band-bucket LSH join mechanics of
-    # mm_phash_neardup in (b); its recall curve is pytest-swept in
-    # tests/test_lsh_curve.py every run), text_decontaminate (≙ the
-    # shingle kernel of dedup_duplicate_spans in (b); its
-    # broadcast-semi-join stage re-verifies inside
-    # pipeline_curate_corpus)
+    # (a) the full r5-latest cohort — the artifact-derived 43-row
+    # rotation debt the r9 verdict enumerated (union of
+    # CORRECTNESS_r01..r09 latest stamps; recounted from the
+    # artifacts, not session notes)
+    "agg_approx_sketches",
+    "ann_cosine_topk",
+    "ann_cosine_topk_pandas",
+    "ann_ivf_refined_topk",
+    "ann_ivf_topk",
+    "ann_lsh_buckets",
+    "catalog_bucketed_join",
+    "catalog_compact_small_files",
+    "dedup_by_subset",
+    "dedup_keep_canonical",
+    "dedup_simhash",
+    "distinct_projection",
+    "fn_bitwise",
+    "join_inner_equi",
+    "mm_decode_features",
+    "mm_frame_sample",
+    "mm_metadata_extract",
+    "project_compute",
+    "project_rename_drop",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "sample_bernoulli",
+    "sample_hash_bucket",
+    "sample_stratified_hash",
+    "setop_except_all",
+    "setop_union_by_name",
+    "sim_join_exact_oracle",
+    "sink_partitioned_pruning",
+    "sort_multi_key",
+    "sort_within_partitions",
+    "src_csv_roundtrip",
+    "src_json_roundtrip",
+    "src_orc_roundtrip",
+    "src_text_scan",
+    "stream_sliding_window",
+    "stream_tumbling_window",
+    "text_decontaminate",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality_stats",
+    "text_quality_topk_per_lang",
+    "text_token_topk",
+    "topk_global",
+    # (b) new in round 10 — must be stamped the round it lands
+    "mm_phash_neardup_64",  # 64-bit pHash, 16-bit bands, exact at ham<=3
+    # (c) the r6-latest cohort, first 6 of 42 (alphabetical)
+    "agg_anomaly_mad",
+    "agg_bloom_membership",
+    "agg_cms_heavy_hitters",
+    "agg_mode_deterministic",
+    "ann_pq_adc_topk",
+    "ann_pq_rerank_topk",
+    # deferred to r11 (latest stamp r6, 36 rows — the whole
+    # remaining r6 cohort; with these stamped, no registered
+    # query's latest stamp will be older than r6, and r11 clears
+    # ann_rp_rerank_topk, catalog_analyze_stats, catalog_masked_view,
+    # catalog_rollup_incremental, catalog_rollup_routing,
+    # catalog_view_lifecycle, dedup_incremental_batch,
+    # dedup_minhash_df_capped, dedup_paragraph_exact,
+    # dedup_semantic_cells, dq_expectations, emb_random_projection,
+    # events_rolling_active_users, events_transition_matrix,
+    # fn_zorder_values, hybrid_search_rrf, join_asof_forward,
+    # join_interval_bucketed, pipeline_curate_corpus,
+    # q11_important_stock, q16_supplier_cnt, q20_potential_promotion,
+    # q2_min_cost_supplier, q7_volume_shipping, q9_product_type_profit,
+    # sample_mixture_lang, scd2_intervals, text_bigram_familiarity,
+    # text_boilerplate_ngrams, text_corpus_datasheet,
+    # text_length_buckets, text_pack_sequences, text_pii_redact,
+    # text_repetition_filter, udf_python_udtf, window_distribution_ranks
 ]
 
 registry.set_order(_VERIFY_FIRST)
