@@ -40,10 +40,10 @@ _load_all()
 #: queries that most need a fresh driver-green differential row are
 #: pinned first — r10 composition: (a) all 43 queries whose latest
 #: driver stamp is r5 (the artifact-derived rotation debt, cleared in
-#: full), (b) the one query NEW in r10, (c) the first 6 of the
-#: 42-query r6-latest cohort. After this round no latest stamp is
-#: older than r6; the 36 remaining r6 rows (listed at the bottom)
-#: are the r11 window.
+#: full), (b) the one query NEW in r10, (c) the first 4 of the
+#: 42-query r6-latest cohort, (d) the two queries whose PLAN changed
+#: in r10. After this round no latest stamp is older than r6; the 38
+#: remaining r6 rows (listed at the bottom) are the r11 window.
 _VERIFY_FIRST = [
     # (a) the full r5-latest cohort — the artifact-derived 43-row
     # rotation debt the r9 verdict enumerated (union of
@@ -94,17 +94,20 @@ _VERIFY_FIRST = [
     "topk_global",
     # (b) new in round 10 — must be stamped the round it lands
     "mm_phash_neardup_64",  # 64-bit pHash, 16-bit bands, exact at ham<=3
-    # (c) the r6-latest cohort, first 6 of 42 (alphabetical)
+    # (c) the r6-latest cohort, first 4 of 42 (alphabetical)
     "agg_anomaly_mad",
     "agg_bloom_membership",
     "agg_cms_heavy_hitters",
     "agg_mode_deterministic",
-    "ann_pq_adc_topk",
-    "ann_pq_rerank_topk",
-    # deferred to r11 (latest stamp r6, 36 rows — the whole
-    # remaining r6 cohort; with these stamped, no registered
-    # query's latest stamp will be older than r6, and r11 clears
-    # ann_rp_rerank_topk, catalog_analyze_stats, catalog_masked_view,
+    # (d) plan-changed in r10 (distributed ranked_prefix rewrite) —
+    # re-stamped the round the plan changed, same as r9 precedent
+    "agg_gini_concentration",
+    "part_revenue_abc",
+    # deferred to r11 (latest stamp r6 — the 38 remaining rows of the
+    # r6 cohort; after this round's window lands, no registered
+    # query's latest stamp is older than r6):
+    # ann_pq_adc_topk, ann_pq_rerank_topk, ann_rp_rerank_topk,
+    # catalog_analyze_stats, catalog_masked_view,
     # catalog_rollup_incremental, catalog_rollup_routing,
     # catalog_view_lifecycle, dedup_incremental_batch,
     # dedup_minhash_df_capped, dedup_paragraph_exact,
