@@ -98,6 +98,32 @@ def _unpartitioned_window_lines(plan: str) -> list[int]:
     return out
 
 
+def _node_col(line: str) -> int:
+    """Column where the node starts in one treeString line (the first
+    char that is not tree-drawing: space, ':', '+', '-'). A codegen
+    star ``*(3) Node`` counts from the star — it sits at the node's
+    indent column, keeping starred and plain siblings comparable.
+    Greater column = deeper in the tree."""
+    for i, ch in enumerate(line):
+        if ch not in " :+-":
+            return i
+    return len(line)
+
+
+def _subtree(lines: list[str], idx: int) -> str:
+    """The treeString SUBTREE rooted at ``lines[idx]``: following
+    lines strictly deeper than the root (a sibling or ancestor at the
+    same or shallower column ends it) — so a limit found here really
+    feeds the window, not some later branch of the plan."""
+    root_col = _node_col(lines[idx])
+    out = [lines[idx]]
+    for line in lines[idx + 1 :]:
+        if line.strip() and _node_col(line) <= root_col:
+            break
+        out.append(line)
+    return "\n".join(out)
+
+
 @pytest.mark.parametrize("name", _LINTABLE)
 def test_plan_scale_rules(spark, name):
     tags = set(registry.get(name).tags)
@@ -123,7 +149,7 @@ def test_plan_scale_rules(spark, name):
 
     lines = plan.splitlines()
     for idx in _unpartitioned_window_lines(plan):
-        subtree = "\n".join(lines[idx:])
+        subtree = _subtree(lines, idx)
         bounded = (
             "TakeOrderedAndProject" in subtree or "GlobalLimit" in subtree
         )
