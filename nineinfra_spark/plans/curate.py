@@ -33,16 +33,23 @@ QUALITY_MIN_INT = 5500  # quality_score ≥ 0.55, compared as the integer
 
 #: scaled-integer composite quality numerator (identical to
 #: text_quality_stats — the threshold compares INTEGERS so the gate
-#: can't flip engines on a float boundary).
+#: can't flip engines on a float boundary). Zero-token docs score -1
+#: (< every gate threshold → rejected) instead of raising ANSI
+#: DIVIDE_BY_ZERO — a curation gate must FAIL an unscoreable doc, not
+#: crash the corpus job (the triangles r9-advice class).
 _QINT_SPARK = (
-    "40 * least(n_tokens, 100) + 3000"
+    "case when n_tokens > 0 then"
+    " 40 * least(n_tokens, 100) + 3000"
     " - (6000 * n_stop + n_tokens) div (2 * n_tokens)"
     " + least((6000 * sum_len + 8 * n_tokens) div (16 * n_tokens), 3000)"
+    " else -1 end"
 )
 _QINT_DUCK = (
-    "40 * LEAST(n_tokens, 100) + 3000"
+    "CASE WHEN n_tokens > 0 THEN"
+    " 40 * LEAST(n_tokens, 100) + 3000"
     " - (6000 * n_stop + n_tokens) // (2 * n_tokens)"
     " + LEAST((6000 * sum_len + 8 * n_tokens) // (16 * n_tokens), 3000)"
+    " ELSE -1 END"
 )
 
 

@@ -49,12 +49,19 @@ _STOP = "'the','a','and','of','in'"
         FROM d
     )
     SELECT doc_id, n_chars_measured, n_tokens,
-           ((20000 * sum_len + n_tokens) // (2 * n_tokens)) / 10000.0 AS avg_token_len,
-           ((20000 * n_stop + n_tokens) // (2 * n_tokens)) / 10000.0 AS stopword_ratio,
-           (40 * LEAST(n_tokens, 100)
-            + 3000 - (6000 * n_stop + n_tokens) // (2 * n_tokens)
-            + LEAST((6000 * sum_len + 8 * n_tokens) // (16 * n_tokens), 3000)
-           ) / 10000.0 AS quality_score
+           CASE WHEN n_tokens > 0 THEN
+               ((20000 * sum_len + n_tokens) // (2 * n_tokens)) / 10000.0
+           END AS avg_token_len,
+           CASE WHEN n_tokens > 0 THEN
+               ((20000 * n_stop + n_tokens) // (2 * n_tokens)) / 10000.0
+           END AS stopword_ratio,
+           CASE WHEN n_tokens > 0 THEN
+               (40 * LEAST(n_tokens, 100)
+                + 3000 - (6000 * n_stop + n_tokens) // (2 * n_tokens)
+                + LEAST((6000 * sum_len + 8 * n_tokens) // (16 * n_tokens),
+                        3000)
+               ) / 10000.0
+           END AS quality_score
     FROM s
     """,
     tags=("ext", "text"),
@@ -89,23 +96,26 @@ def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_chars_measured",
             "n_tokens",
-            (
-                F.expr("(20000 * sum_len + n_tokens) div (2 * n_tokens)") / 10000.0
+            # Zero-token docs (whitespace/punctuation-only text) have
+            # no defined ratios: NULL, never ANSI DIVIDE_BY_ZERO (the
+            # triangles r9-advice class; oracle mirrors the guard).
+            F.expr(
+                "case when n_tokens > 0 then"
+                " ((20000 * sum_len + n_tokens) div (2 * n_tokens))"
+                " / 10000.0D end"
             ).alias("avg_token_len"),
-            (
-                F.expr("(20000 * n_stop + n_tokens) div (2 * n_tokens)") / 10000.0
+            F.expr(
+                "case when n_tokens > 0 then"
+                " ((20000 * n_stop + n_tokens) div (2 * n_tokens))"
+                " / 10000.0D end"
             ).alias("stopword_ratio"),
-            (
-                (
-                    40 * F.least(F.col("n_tokens"), F.lit(100))
-                    + 3000
-                    - F.expr("(6000 * n_stop + n_tokens) div (2 * n_tokens)")
-                    + F.least(
-                        F.expr("(6000 * sum_len + 8 * n_tokens) div (16 * n_tokens)"),
-                        F.lit(3000),
-                    )
-                )
-                / 10000.0
+            F.expr(
+                "case when n_tokens > 0 then"
+                " (40 * least(n_tokens, 100)"
+                "  + 3000 - (6000 * n_stop + n_tokens) div (2 * n_tokens)"
+                "  + least((6000 * sum_len + 8 * n_tokens)"
+                "          div (16 * n_tokens), 3000)"
+                " ) / 10000.0D end"
             ).alias("quality_score"),
         )
     )

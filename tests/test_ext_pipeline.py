@@ -731,3 +731,58 @@ class TestPpmRoundTrip:
             got = decode_ppm(payload)
             assert got.shape == (h, w, 3)
             assert np.array_equal(got, raster)
+
+
+class TestZeroTokenGuards:
+    """Zero-token documents (whitespace/punctuation/digit-only text)
+    must score NULL / gate-fail — never raise DIVIDE_BY_ZERO under
+    ANSI mode (the triangles r9-advice class, applied to the text
+    quality surface)."""
+
+    def _docs_dir(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [
+                (1, "the quick brown fox and the lazy dog", "en", "web", 37),
+                (2, "!!! 123 ... ### 456", "en", "web", 19),  # zero tokens
+                (3, "", "en", "web", 0),  # empty text
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "documents.parquet")
+        )
+        return str(tmp_path)
+
+    def test_quality_stats_null_not_error(self, spark, tmp_path):
+        from nineinfra_spark.plans.ext_text import text_quality_stats
+
+        rows = {
+            r["doc_id"]: r
+            for r in text_quality_stats(
+                spark, self._docs_dir(spark, tmp_path)
+            ).collect()
+        }
+        assert rows[1]["quality_score"] is not None
+        for d in (2, 3):
+            assert rows[d]["n_tokens"] == 0
+            assert rows[d]["avg_token_len"] is None
+            assert rows[d]["stopword_ratio"] is None
+            assert rows[d]["quality_score"] is None
+
+    def test_curate_gate_rejects_unscoreable_docs(self, spark):
+        """The curation q_int expression scores a zero-token doc -1
+        (< every threshold) instead of raising."""
+        from nineinfra_spark.plans.curate import _QINT_SPARK
+
+        from pyspark.sql import functions as F
+
+        feat = spark.createDataFrame(
+            [(10, 0, 0, 0), (11, 8, 40, 2)],
+            "doc_id long, n_tokens long, sum_len long, n_stop long",
+        )
+        got = {
+            r["doc_id"]: r["q_int"]
+            for r in feat.withColumn("q_int", F.expr(_QINT_SPARK)).collect()
+        }
+        assert got[10] == -1
+        assert got[11] > 0
