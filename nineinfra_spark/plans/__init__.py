@@ -40,11 +40,12 @@ _load_all()
 #: queries that most need a fresh driver-green differential row are
 #: pinned first — r10 composition: (a) all 43 queries whose latest
 #: driver stamp is r5 (the artifact-derived rotation debt, cleared in
-#: full), (b) the one query NEW in r10, (c) the first 3 of the
-#: 42-query r6-latest cohort, (d) the four queries whose PLAN changed
-#: in r10 (two of them r5/r6 rotation rows anyway). After this round
-#: no latest stamp is older than r6; the 38 remaining r6 rows (listed
-#: at the bottom) are the r11 window.
+#: full), (b) the one query NEW in r10, (c) the first 2 of the
+#: 42-query r6-latest cohort, (d) the queries whose PLAN changed in
+#: r10 (two of them r5/r6 rotation rows anyway) — every plan- or
+#: oracle-changed query re-stamps the round it changed. After this
+#: round no latest stamp is older than r6; the 39 remaining r6 rows
+#: (listed at the bottom) lead the r11 window.
 _VERIFY_FIRST = [
     # (a) the full r5-latest cohort — the artifact-derived 43-row
     # rotation debt the r9 verdict enumerated (union of
@@ -95,22 +96,24 @@ _VERIFY_FIRST = [
     "topk_global",
     # (b) new in round 10 — must be stamped the round it lands
     "mm_phash_neardup_64",  # 64-bit pHash, 16-bit bands, exact at ham<=3
-    # (c) the r6-latest cohort, first 3 of 42 (alphabetical)
+    # (c) the r6-latest cohort, first 2 of 42 (alphabetical)
     "agg_anomaly_mad",
     "agg_bloom_membership",
-    "agg_cms_heavy_hitters",
     # (d) plan-changed in r10 — re-stamped the round the plan changed,
-    # same as the r9 precedent: the two ranked_prefix rewrites and the
-    # zero-token-guarded curation gate (also an r6 rotation row);
+    # same as the r9 precedent: the two ranked_prefix rewrites, the
+    # zero-token-guarded curation gate (also an r6 rotation row), and
+    # the zero-wedge-guarded triangle stats;
     # text_quality_stats / text_quality_topk_per_lang (same guard) are
     # already in (a)
     "agg_gini_concentration",
     "part_revenue_abc",
     "pipeline_curate_corpus",
-    # deferred to r11 (latest stamp r6 — the 38 remaining rows of the
+    "graph_triangle_count",
+    # deferred to r11 (latest stamp r6 — the 39 remaining rows of the
     # r6 cohort; after this round's window lands, no registered
     # query's latest stamp is older than r6):
-    # agg_mode_deterministic, ann_pq_adc_topk, ann_pq_rerank_topk,
+    # agg_cms_heavy_hitters, agg_mode_deterministic, ann_pq_adc_topk,
+    # ann_pq_rerank_topk,
     # ann_rp_rerank_topk, catalog_analyze_stats, catalog_masked_view,
     # catalog_rollup_incremental, catalog_rollup_routing,
     # catalog_view_lifecycle, dedup_incremental_batch,

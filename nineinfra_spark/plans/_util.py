@@ -49,6 +49,16 @@ def ranked_prefix(df, order_cols, value_col, n_parts: int = 32):
     ``order_cols`` must define a TOTAL order (include a tiebreaker
     key) — rows with equal keys could otherwise straddle a range
     boundary and double-count an offset."""
+    reserved = {"_pid", "_li", "_lsum", "_pcnt", "_psum",
+                "_cnt_off", "_sum_off", "i", "cum"}
+    clash = reserved & set(df.columns)
+    if clash:
+        # withColumn would silently overwrite (or drop, for _pid) a
+        # caller column — refuse loudly instead of losing data
+        raise ValueError(
+            f"ranked_prefix: input columns collide with the helper's "
+            f"working/output names: {sorted(clash)}"
+        )
     parts = (
         df.repartitionByRange(n_parts, *order_cols)
         .withColumn("_pid", F.spark_partition_id())

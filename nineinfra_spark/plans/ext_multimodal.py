@@ -675,8 +675,6 @@ _PPM64_BYTES = PPM64_W * PPM64_H * 3
 PHASH64_HAM_T = 3
 _PHASH64_BANDS = 4
 _BAND64_BITS = PHASH64_BITS // _PHASH64_BANDS
-#: doc_id offset for the re-rendered variant of each image.
-RENDITION_OFFSET = 1_000_000
 
 
 def ppm64_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -687,12 +685,15 @@ def ppm64_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     detection between renditions of the same asset is the actual
     pHash use-case; the corpus therefore contains genuine near-pairs
     at small hamming distances rather than only organic ham≈30
-    strangers."""
+    strangers. Rendition ids MIRROR the original's: ``-doc_id - 1``
+    — collision-free against every non-negative doc_id at any corpus
+    size (a fixed additive offset would alias once doc_id crosses
+    it)."""
     docs = t(spark, sf_dir, "documents").filter(F.length("text") >= 38)
     body = F.substring(F.repeat(F.col("text"), 21), 1, _PPM64_BYTES)
     orig = docs.select(F.col("doc_id"), body.alias("body"))
     rend = docs.select(
-        (F.col("doc_id") + RENDITION_OFFSET).alias("doc_id"),
+        (-F.col("doc_id") - 1).alias("doc_id"),
         F.concat(
             F.lit("zzzzzz"), F.substring(body, 7, _PPM64_BYTES - 6)
         ).alias("body"),
@@ -725,7 +726,7 @@ def _phash64_batches(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFram
     rep AS (
         SELECT doc_id, body FROM rep0
         UNION ALL
-        SELECT doc_id + {RENDITION_OFFSET}, 'zzzzzz' || substr(body, 7)
+        SELECT -doc_id - 1, 'zzzzzz' || substr(body, 7)
         FROM rep0
     ),
     bs AS (

@@ -116,13 +116,19 @@ class _Statement:
         """Best-effort release of the underlying ``toLocalIterator``
         generator: until closed it pins the driver-side fetch
         thread/socket for the in-flight partition (r9 ADVICE finding
-        — LRU-evicted cursors otherwise leak it until GC)."""
-        close = getattr(self._it, "close", None)
-        if close is not None:
-            try:
-                close()
-            except Exception:
-                pass
+        — LRU-evicted cursors otherwise leak it until GC). Taken
+        under ``self.lock``: closing a generator another thread is
+        mid-``fetch`` on would make that fetch see StopIteration and
+        reply a silently-truncated ``hasMore=False`` page — eviction
+        must wait for the in-flight page to finish (the evictee has
+        already left the registry, so no new fetch can start)."""
+        with self.lock:
+            close = getattr(self._it, "close", None)
+            if close is not None:
+                try:
+                    close()
+                except Exception:
+                    pass
 
     def fetch(self, max_rows: int) -> tuple[list, bool]:
         """Up to ``max_rows`` rows + whether more remain. Caller holds

@@ -212,33 +212,44 @@ def write_avro(
     n_total = 0
     block: list = []
     tmp = f"{path}.inprogress"
-    with open(tmp, "wb") as out:
-        out.write(header)
+    try:
+        with open(tmp, "wb") as out:
+            out.write(header)
 
-        def flush():
-            nonlocal n_total
-            if not block:
-                return
-            body = bytearray()
-            for row in block:
-                for (name, typ), v in zip(fields, row):
-                    _encode_value(typ, v, body)
-            data = bytes(body)
-            if codec == "deflate":
-                c = zlib.compressobj(9, zlib.DEFLATED, -15)
-                data = c.compress(data) + c.flush()
-            out.write(bytes(_zigzag_encode(len(block))))
-            out.write(bytes(_zigzag_encode(len(data))))
-            out.write(data)
-            out.write(sync)
-            n_total += len(block)
-            block.clear()
+            def flush():
+                nonlocal n_total
+                if not block:
+                    return
+                body = bytearray()
+                for row in block:
+                    for (name, typ), v in zip(fields, row):
+                        _encode_value(typ, v, body)
+                data = bytes(body)
+                if codec == "deflate":
+                    c = zlib.compressobj(9, zlib.DEFLATED, -15)
+                    data = c.compress(data) + c.flush()
+                out.write(bytes(_zigzag_encode(len(block))))
+                out.write(bytes(_zigzag_encode(len(data))))
+                out.write(data)
+                out.write(sync)
+                n_total += len(block)
+                block.clear()
 
-        for row in rows:
-            block.append(tuple(row))
-            if len(block) >= rows_per_block:
-                flush()
-        flush()
+            for row in rows:
+                block.append(tuple(row))
+                if len(block) >= rows_per_block:
+                    flush()
+            flush()
+    except BaseException:
+        # a mid-stream encode failure must not leave a partial
+        # .inprogress orphan behind (the in-memory builder this
+        # replaced left nothing on failure; streaming keeps that
+        # contract)
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
+        raise
     os.replace(tmp, path)  # readers never see a half-written file
     return n_total
 

@@ -179,3 +179,20 @@ def test_dataframe_sink_and_datasource_roundtrip(spark):
     want = sorted(tuple(r) for r in df.collect())
     assert got == want
     assert sum(v is None for _, _, v in got) == len([i for i in range(1000) if i % 7 == 0])
+
+
+def test_midstream_failure_leaves_no_inprogress_orphan(tmp_path):
+    """An encode failure after several flushed blocks must remove the
+    partial .inprogress file (the pre-streaming builder left nothing
+    on failure; the streaming writer keeps that contract)."""
+    path = str(tmp_path / "fail.avro")
+
+    def rows():
+        for i in range(10_000):  # > one 4096-row block flushes first
+            yield (i, f"n{i}", None, True, b"")
+        yield ("not-a-long", "boom", None, True, b"")
+
+    with pytest.raises(Exception):
+        A.write_avro(path, SCHEMA, rows())
+    assert not os.path.exists(path)
+    assert not os.path.exists(path + ".inprogress")

@@ -30,7 +30,10 @@ skipped: a micro-batch run here would just re-run test_streaming
 slowly, and the returned frames are memory-sink reads. Catalog / sink
 / source builds ARE executed (they are idempotent — the driver sim
 runs the whole registry twice back-to-back) so their read-back plans
-get linted too: 223 of 234 queries covered.
+get linted too: the 11 streaming-run queries are the entire skip
+list (test_lint_covers_most_of_registry pins coverage ≥ 210 and the
+skip count ≤ 15, so neither number in this docstring can silently
+rot).
 """
 
 from __future__ import annotations
@@ -179,9 +182,13 @@ def test_bpe_pair_counts_takes_ordered_before_window(spark):
 
 def test_lint_covers_most_of_registry():
     """The skip set must stay the minority — if a refactor re-tags
-    half the registry into the skip list, this fails. r10 narrowed
-    the skip to streaming-run queries only (>210 of 234 linted)."""
+    part of the registry into the skip list, this fails. r10 narrowed
+    the skip to streaming-run queries only."""
     assert len(_LINTABLE) >= 210, (len(_LINTABLE), len(registry.names()))
+    assert len(registry.names()) - len(_LINTABLE) <= 15, (
+        len(_LINTABLE),
+        len(registry.names()),
+    )
 
 
 def test_verify_priority_fits_driver_window():

@@ -76,3 +76,9 @@ def test_plan_has_no_unpartitioned_window(spark):
                     depth -= 1
             assert groups == 3, line
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_rejects_colliding_column_names(spark):
+    df = spark.createDataFrame([(1, 2, 3)], "id long, val long, cum long")
+    with pytest.raises(ValueError, match="collide"):
+        ranked_prefix(df, [F.col("val"), F.col("id")], "val")
