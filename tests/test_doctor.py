@@ -1,0 +1,114 @@
+"""nineinfra_spark.doctor — the plan-doctor API, pinned on crafted
+plans: each rule fires on its anti-pattern, stays silent on the
+corresponding healthy shape, and AQE's Final+Initial double-print
+doesn't duplicate findings."""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+import pandas as pd
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from nineinfra_spark import doctor
+
+
+def _kinds(df):
+    return sorted({f.kind for f in doctor.scale_risks(df)})
+
+
+@contextmanager
+def _no_broadcast(spark):
+    """Force non-broadcast join strategies (CartesianProduct instead
+    of BroadcastNestedLoopJoin for an unkeyed join)."""
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
+def test_cartesian_flagged(spark):
+    a = spark.range(100)
+    b = spark.range(100).withColumnRenamed("id", "id2")
+    with _no_broadcast(spark):
+        assert "cartesian" in _kinds(a.crossJoin(b))
+
+
+def test_nested_loop_flagged(spark):
+    a = spark.range(100)
+    one = spark.range(1).agg(F.count(F.lit(1)).alias("n"))
+    kinds = _kinds(a.crossJoin(F.broadcast(one)))
+    assert "nested-loop" in kinds
+    assert "cartesian" not in kinds
+
+
+def test_equi_join_clean(spark):
+    a = spark.range(100).withColumn("k", F.col("id") % 7)
+    b = spark.range(7).withColumnRenamed("id", "k")
+    assert _kinds(a.join(b, "k")) == []
+
+
+def test_global_window_flagged_and_partitioned_clean(spark):
+    df = spark.range(100).withColumn("k", F.col("id") % 7)
+    bad = df.withColumn("r", F.row_number().over(Window.orderBy("id")))
+    assert _kinds(bad) == ["global-window"]
+    good = df.withColumn(
+        "r", F.row_number().over(Window.partitionBy("k").orderBy("id"))
+    )
+    assert _kinds(good) == []
+
+
+def test_partitionby_without_orderby_clean(spark):
+    """partitionBy-without-orderBy also prints 2 bracket groups — the
+    detector must not confuse it with the unpartitioned shape."""
+    df = spark.range(100).withColumn("k", F.col("id") % 7)
+    ok = df.withColumn("m", F.min("id").over(Window.partitionBy("k")))
+    assert _kinds(ok) == []
+
+
+def test_rank_after_topk_suppressed(spark):
+    """The house pattern: a global window fed by a TakeOrdered(N) sees
+    at most N rows — not a risk."""
+    df = spark.range(1000).withColumn("v", F.col("id") % 97)
+    top = df.orderBy(F.desc("v"), "id").limit(10)
+    ranked = top.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("v"), "id"))
+    )
+    assert _kinds(ranked) == []
+
+
+def test_row_python_flagged_arrow_clean(spark):
+    @F.udf("long")
+    def slow(v):
+        return v + 1
+
+    assert "row-python" in _kinds(spark.range(10).select(slow("id")))
+
+    @F.pandas_udf("long")
+    def fast(v: pd.Series) -> pd.Series:
+        return v + 1
+
+    assert _kinds(spark.range(10).select(fast("id"))) == []
+
+
+def test_findings_deduped_across_aqe_sections(spark):
+    """AQE prints Final AND Initial plans — one physical risk must
+    yield one finding, not two."""
+    df = spark.range(100).withColumn(
+        "r", F.row_number().over(Window.orderBy("id"))
+    )
+    findings = doctor.scale_risks(df)
+    assert len([f for f in findings if f.kind == "global-window"]) == 1
+
+
+def test_every_finding_carries_a_hint(spark):
+    df = spark.range(100).withColumn(
+        "r", F.row_number().over(Window.orderBy("id"))
+    )
+    for f in doctor.scale_risks(df):
+        assert f.hint and f.line

@@ -38,9 +38,9 @@ rot).
 
 from __future__ import annotations
 
-import re
-
 import pytest
+
+from nineinfra_spark import doctor
 
 from nineinfra_spark.plans import registry
 
@@ -64,67 +64,16 @@ def _plan(spark, name: str) -> str:
     return df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
 
 
-_WINDOW_NODE = re.compile(r"(?:^|[\s:+-])Window \[")
+# the detection helpers live in nineinfra_spark.doctor — the
+# user-facing plan-doctor API; this suite is the same rule engine
+# applied registry-wide with the tag-based exemption policy
 
-
-def _top_level_groups(line: str) -> list[str]:
-    """Top-level ``[...]`` groups of one plan line — ``Window`` prints
-    ``Window [exprs], [partitionSpec], [orderSpec]`` and OMITS empty
-    specs, so group shape distinguishes the cases: 3 groups =
-    partitioned+ordered; 2 groups = either unpartitioned+ordered (last
-    group carries ASC/DESC) or partitioned+unordered (it doesn't)."""
-    groups, depth, start = [], 0, -1
-    for i, ch in enumerate(line):
-        if ch == "[":
-            if depth == 0:
-                start = i
-            depth += 1
-        elif ch == "]":
-            depth -= 1
-            if depth == 0:
-                groups.append(line[start : i + 1])
-    return groups
-
-
-def _unpartitioned_window_lines(plan: str) -> list[int]:
-    """Indices of ``Window`` plan lines with an EMPTY partition spec
-    and a non-empty order spec (the single-partition shape)."""
-    out = []
-    for idx, line in enumerate(plan.splitlines()):
-        if not _WINDOW_NODE.search(line):
-            continue
-        groups = _top_level_groups(line)
-        if len(groups) == 2 and (
-            " ASC" in groups[-1] or " DESC" in groups[-1]
-        ):
-            out.append(idx)
-    return out
-
-
-def _node_col(line: str) -> int:
-    """Column where the node starts in one treeString line (the first
-    char that is not tree-drawing: space, ':', '+', '-'). A codegen
-    star ``*(3) Node`` counts from the star — it sits at the node's
-    indent column, keeping starred and plain siblings comparable.
-    Greater column = deeper in the tree."""
-    for i, ch in enumerate(line):
-        if ch not in " :+-":
-            return i
-    return len(line)
-
-
-def _subtree(lines: list[str], idx: int) -> str:
-    """The treeString SUBTREE rooted at ``lines[idx]``: following
-    lines strictly deeper than the root (a sibling or ancestor at the
-    same or shallower column ends it) — so a limit found here really
-    feeds the window, not some later branch of the plan."""
-    root_col = _node_col(lines[idx])
-    out = [lines[idx]]
-    for line in lines[idx + 1 :]:
-        if line.strip() and _node_col(line) <= root_col:
-            break
-        out.append(line)
-    return "\n".join(out)
+#: which Finding kinds each exemption tag excuses
+_TAG_EXCUSES = {
+    "cartesian": {"not-for-scale"},
+    "nested-loop": {"bounded-nlj", "dimension-only", "not-for-scale"},
+    "global-window": {"dimension-only"},
+}
 
 
 @pytest.mark.parametrize("name", _LINTABLE)
@@ -132,35 +81,15 @@ def test_plan_scale_rules(spark, name):
     tags = set(registry.get(name).tags)
     plan = _plan(spark, name)
 
-    if "CartesianProduct" in plan:
-        assert "not-for-scale" in tags, (
-            f"{name}: unbounded CartesianProduct in plan without a "
-            f"not-for-scale tag\n{plan[:1500]}"
-        )
-
-    if "BroadcastNestedLoopJoin" in plan:
-        assert tags & {"bounded-nlj", "dimension-only", "not-for-scale"}, (
-            f"{name}: BroadcastNestedLoopJoin without a tag declaring "
-            f"why it is bounded\n{plan[:1500]}"
-        )
-
-    if "BatchEvalPython" in plan:
-        assert name in _ROW_PYTHON_OK, (
-            f"{name}: row-at-a-time Python UDF in the plan — use an "
-            f"Arrow-batched pandas UDF\n{plan[:1500]}"
-        )
-
-    lines = plan.splitlines()
-    for idx in _unpartitioned_window_lines(plan):
-        subtree = _subtree(lines, idx)
-        bounded = (
-            "TakeOrderedAndProject" in subtree or "GlobalLimit" in subtree
-        )
-        assert bounded or "dimension-only" in tags, (
-            f"{name}: unpartitioned ordered WindowExec over an "
-            f"unbounded input — single-partition bottleneck; use "
-            f"_util.ranked_prefix, rank after a top-k limit, or tag "
-            f"the query dimension-only\n{lines[idx]}"
+    for f in doctor.scale_risks_in_plan(plan):
+        if f.kind == "row-python":
+            assert name in _ROW_PYTHON_OK, (
+                f"{name}: {f.kind} — {f.hint}\n{f.line}"
+            )
+            continue
+        assert tags & _TAG_EXCUSES[f.kind], (
+            f"{name}: {f.kind} without a declaring tag — {f.hint}"
+            f"\n{f.line}"
         )
 
 
