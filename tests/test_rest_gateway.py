@@ -645,3 +645,31 @@ def test_cursor_streams_past_the_oneshot_cap(rest):
         if not p["hasMore"]:
             break
     assert total == n and pages == 2
+
+
+def test_cursor_eviction_is_explicit_404_and_releases_iterator(rest):
+    """LRU eviction of a paged cursor must surface as an explicit 404
+    on the next fetch — never a silently-truncated hasMore=False page
+    — and the evicted statement's toLocalIterator generator must be
+    CLOSED (r10 review finding: close() races an in-flight fetch
+    unless taken under the statement lock)."""
+    import nineinfra_spark.rest as R
+
+    old_cap = R.MAX_STATEMENTS
+    R.MAX_STATEMENTS = 3
+    try:
+        victim = _post(
+            rest, {"sql": "SELECT id FROM range(500)", "cursor": True}
+        )["statementId"]
+        p1 = _post_path(
+            rest, f"/api/v1/statements/{victim}/fetch", {"max": 100}
+        )
+        assert p1["rowCount"] == 100 and p1["hasMore"]
+        # push the victim out of the LRU
+        for _ in range(R.MAX_STATEMENTS + 1):
+            _post(rest, {"sql": "SELECT 1 AS x", "cursor": True})
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post_path(rest, f"/api/v1/statements/{victim}/fetch", {"max": 1})
+        assert e.value.code == 404
+    finally:
+        R.MAX_STATEMENTS = old_cap
