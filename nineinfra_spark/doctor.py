@@ -25,6 +25,14 @@ them against 100 TB:
   the hot path, ~10-100× slower than an Arrow-batched pandas UDF
   (``ArrowEvalPython`` / ``MapInPandas`` are the fast shapes and are
   not flagged).
+- ``unpruned-scan``: a ``FileScan`` of a PARTITIONED table whose
+  ``PartitionFilters`` is empty while a ``Filter`` node elsewhere in
+  the plan references one of that scan's partition-column attributes
+  — at 100 TB the scan reads every partition even though the query
+  only wants a few; the filter was blocked from reaching the scan
+  (a limit between them, a Python-UDF predicate, a non-deterministic
+  expression). Partition columns are derived from the scan line
+  itself (in the output list, absent from ``ReadSchema``).
 
 Detection is plan-text based and versioned against Spark 4's
 ``treeString`` format: a ``Window`` line prints
@@ -94,6 +102,111 @@ def subtree(lines: list[str], idx: int) -> str:
     return "\n".join(out)
 
 
+_BINARY_NODE = re.compile(r"Join\b|CartesianProduct|Union")
+
+
+def feeding_chain(lines: list[str], idx: int) -> str:
+    """The part of ``lines[idx]``'s subtree that provably FEEDS it:
+    the subtree truncated at the first binary node (join / cartesian /
+    union) below the root. A ``GlobalLimit`` under a join could sit
+    on the BUILD side — bounding that side only, while the node's
+    actual input stays unbounded (r10 ADVICE finding) — so a limit
+    only counts as bounding when no binary node stands between it and
+    the root. Conservative direction: truncating can only ADD
+    findings (a limit genuinely bounding a join's streamed side is no
+    longer seen), never hide one."""
+    root_col = node_col(lines[idx])
+    out = [lines[idx]]
+    for line in lines[idx + 1 :]:
+        if line.strip() and node_col(line) <= root_col:
+            break
+        out.append(line)
+        if _BINARY_NODE.search(line):
+            break
+    return "\n".join(out)
+
+
+def _struct_field_names(schema: str) -> set[str] | None:
+    """Top-level field names of a ``struct<name:type,...>`` rendering
+    (nested structs stay inside their ``<>`` depth). Returns ``None``
+    when the struct never CLOSES — plan metadata strings are truncated
+    at ``spark.sql.maxMetadataStringLength`` (default 100) chars, and a
+    cut-off schema would make every later column look like a partition
+    column (the false positive this guard killed on q1's 7-column
+    lineitem scan)."""
+    inner = schema.partition("<")[2]
+    names, depth, start, expect_name = set(), 0, 0, True
+    for i, ch in enumerate(inner):
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            if depth == 0:
+                if expect_name and inner[start:i].strip():
+                    names.add(inner[start:i].split(":")[0].strip())
+                return names
+            depth -= 1
+        elif ch == "," and depth == 0:
+            start, expect_name = i + 1, True
+        elif ch == ":" and depth == 0 and expect_name:
+            names.add(inner[start:i].strip())
+            expect_name = False
+    return None  # truncated: never saw the closing '>'
+
+
+def unpruned_partition_scans(plan: str) -> list[tuple[int, list[str]]]:
+    """``(line_idx, partition_attr_tokens)`` for every ``FileScan`` of
+    a PARTITIONED table that reads every partition
+    (``PartitionFilters: []``) while some ``Filter`` node elsewhere in
+    the plan references one of that scan's partition-column attributes
+    — the filter exists but never reached the scan (pushdown blocked
+    by a limit, a Python UDF, a non-deterministic expression, ...),
+    the one §4 scale-killer class pruning regressions produce.
+
+    Partition columns are recovered from the scan line itself: they
+    appear in the scan's OUTPUT attribute list but not in
+    ``ReadSchema`` (their values come from directory names, not file
+    bytes). Attribute tokens (``name#id`` with any type suffix) are
+    matched exactly, so a filter on a same-named column of a
+    DIFFERENT scan cannot false-positive."""
+    out = []
+    lines = plan.splitlines()
+    filter_lines = [
+        ln for ln in lines if re.search(r"\bFilter\b", ln)
+    ]
+    for idx, line in enumerate(lines):
+        if "FileScan" not in line or "PartitionFilters: []" not in line:
+            continue
+        groups = top_level_groups(line)
+        if not groups or "ReadSchema: struct" not in line:
+            continue
+        if "more fields" in groups[0]:
+            continue  # output list truncated (>maxToStringFields cols)
+        attrs = [a.strip() for a in groups[0][1:-1].split(",") if a.strip()]
+        read_names = _struct_field_names(
+            line.partition("ReadSchema: ")[2]
+        )
+        if read_names is None:
+            continue  # schema truncated — can't tell data from partition
+        part_attrs = [
+            a
+            for a in attrs
+            if a.split("#")[0] not in read_names and "#" in a
+        ]
+        filtered = [
+            a
+            for a in part_attrs
+            if any(
+                re.search(
+                    r"(?<![#\w])" + re.escape(a) + r"(?![0-9A-Za-z])", ln
+                )
+                for ln in filter_lines
+            )
+        ]
+        if filtered:
+            out.append((idx, filtered))
+    return out
+
+
 def unpartitioned_window_lines(plan: str) -> list[int]:
     """Indices of ``Window`` plan lines with an EMPTY partition spec
     and a non-empty order spec (the single-partition shape)."""
@@ -145,7 +258,7 @@ def scale_risks_in_plan(plan: str) -> list[Finding]:
                 )
             )
     for idx in unpartitioned_window_lines(plan):
-        below = subtree(lines, idx)
+        below = feeding_chain(lines, idx)
         if "TakeOrderedAndProject" in below or "GlobalLimit" in below:
             continue  # rank-after-top-k: the window sees <= N rows
         findings.append(
@@ -157,9 +270,46 @@ def scale_risks_in_plan(plan: str) -> list[Finding]:
                 "after a top-k limit",
             )
         )
+    for idx, part_attrs in unpruned_partition_scans(plan):
+        findings.append(
+            Finding(
+                "unpruned-scan",
+                lines[idx].strip()[:200],
+                "partitioned scan reads EVERY partition while the "
+                "query filters on partition column(s) "
+                f"{', '.join(a.split('#')[0] for a in part_attrs)} "
+                "elsewhere — pushdown was blocked (limit / Python UDF "
+                "/ non-deterministic expr between filter and scan); "
+                "restructure so PartitionFilters is non-empty",
+            )
+        )
     # AQE plans print Final AND Initial sections — the same operator
     # appears twice; report each distinct risk once
     return list(dict.fromkeys(findings))
+
+
+def full_plan(df) -> str:
+    """``df``'s executed physical plan rendered with metadata strings
+    and field lists long enough to PARSE: the defaults
+    (``spark.sql.maxMetadataStringLength`` = 100,
+    ``spark.sql.debug.maxToStringFields`` = 25) truncate
+    ``ReadSchema``/output lists mid-token on any real fact-table scan,
+    which would blind the unpruned-scan rule (it conservatively skips
+    truncated lines). Both confs are restored after rendering; nothing
+    executes."""
+    spark = df.sparkSession
+    keys = {
+        "spark.sql.maxMetadataStringLength": "100000",
+        "spark.sql.debug.maxToStringFields": "10000",
+    }
+    old = {k: spark.conf.get(k) for k in keys}
+    for k, v in keys.items():
+        spark.conf.set(k, v)
+    try:
+        return df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001, E501
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
 
 
 def scale_risks(df) -> list[Finding]:
@@ -168,5 +318,4 @@ def scale_risks(df) -> list[Finding]:
     plan does not execute the query (AQE plans render their initial
     plan; both Final and Initial sections are scanned, so a risk in
     either is reported)."""
-    plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
-    return scale_risks_in_plan(plan)
+    return scale_risks_in_plan(full_plan(df))

@@ -748,9 +748,13 @@ FUNNEL_STAGES = ("view", "click", "purchase")
            CAST(10000 AS BIGINT) AS conv_top_bps
     FROM n
     UNION ALL
-    SELECT 2, 'click', n2, 10000 * n2 // n1, 10000 * n2 // n1 FROM n
+    SELECT 2, 'click', n2,
+           CASE WHEN n1 = 0 THEN NULL ELSE 10000 * n2 // n1 END,
+           CASE WHEN n1 = 0 THEN NULL ELSE 10000 * n2 // n1 END FROM n
     UNION ALL
-    SELECT 3, 'purchase', n3, 10000 * n3 // n2, 10000 * n3 // n1 FROM n
+    SELECT 3, 'purchase', n3,
+           CASE WHEN n2 = 0 THEN NULL ELSE 10000 * n3 // n2 END,
+           CASE WHEN n1 = 0 THEN NULL ELSE 10000 * n3 // n1 END FROM n
     """,
     tags=("window", "analytics", "funnel"),
 )
@@ -815,23 +819,31 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit(2).alias("stage_idx"),
                     F.lit(FUNNEL_STAGES[1]).alias("stage"),
                     F.col("n2").alias("n_users"),
-                    F.expr("cast(10000 * n2 div n1 as bigint)").alias(
-                        "conv_prev_bps"
-                    ),
-                    F.expr("cast(10000 * n2 div n1 as bigint)").alias(
-                        "conv_top_bps"
-                    ),
+                    # n1 = 0 (EMPTY events table: the global agg still
+                    # yields ONE row of zero counts) would raise ANSI
+                    # DIVIDE_BY_ZERO — an empty funnel has NULL rates,
+                    # not a crashed job (r10 division sweep finding)
+                    F.expr(
+                        "case when n1 = 0 then cast(null as bigint)"
+                        " else cast(10000 * n2 div n1 as bigint) end"
+                    ).alias("conv_prev_bps"),
+                    F.expr(
+                        "case when n1 = 0 then cast(null as bigint)"
+                        " else cast(10000 * n2 div n1 as bigint) end"
+                    ).alias("conv_top_bps"),
                 ),
                 F.struct(
                     F.lit(3).alias("stage_idx"),
                     F.lit(FUNNEL_STAGES[2]).alias("stage"),
                     F.col("n3").alias("n_users"),
-                    F.expr("cast(10000 * n3 div n2 as bigint)").alias(
-                        "conv_prev_bps"
-                    ),
-                    F.expr("cast(10000 * n3 div n1 as bigint)").alias(
-                        "conv_top_bps"
-                    ),
+                    F.expr(
+                        "case when n2 = 0 then cast(null as bigint)"
+                        " else cast(10000 * n3 div n2 as bigint) end"
+                    ).alias("conv_prev_bps"),
+                    F.expr(
+                        "case when n1 = 0 then cast(null as bigint)"
+                        " else cast(10000 * n3 div n1 as bigint) end"
+                    ).alias("conv_top_bps"),
                 ),
             )
         ).alias("s")

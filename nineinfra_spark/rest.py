@@ -27,8 +27,13 @@ Endpoints:
   responds ``{"columns": [...], "rows": [[...]], "rowCount": N,
   "truncated": bool}``. Errors → HTTP 400 with ``{"error": ...}``.
   With ``{"explain": true, "explainMode": "formatted"}`` the query is
-  only PLANNED — the response carries ``{"columns", "plan"}`` and no
-  data moves (modes: simple/extended/codegen/cost/formatted).
+  only PLANNED — the response carries ``{"columns", "plan",
+  "scaleRisks"}`` and no data moves (modes: simple/extended/codegen/
+  cost/formatted). ``scaleRisks`` is the plan doctor's verdict
+  (``nineinfra_spark.doctor.scale_risks``): each entry names a
+  100 TB anti-pattern in the plan — cartesian, nested-loop,
+  global-window, row-python, unpruned-scan — with the offending plan
+  line and a remediation hint; ``[]`` means the plan is clean.
   With ``{"cursor": true}`` the statement opens INCREMENTALLY
   (Kyuubi's ExecuteStatement → FetchResults loop): the response is
   ``{"statementId", "columns"}`` and rows stream page-by-page from
@@ -98,6 +103,12 @@ def _json_default(v):
     return str(v)
 
 
+class StatementClosedError(RuntimeError):
+    """Fetch attempted on a statement whose iterator was already
+    closed (LRU eviction or explicit DELETE) — the handler maps this
+    to 404, never to a truncated page."""
+
+
 class _Statement:
     """One open cursor: a live ``toLocalIterator`` plus a one-row
     lookahead buffer (so ``hasMore`` is answerable without consuming
@@ -110,6 +121,7 @@ class _Statement:
         self.owner = owner  # "" on an open frontend
         self._peeked = None
         self._has_peeked = False
+        self._closed = False
         self.lock = threading.Lock()
 
     def close(self) -> None:
@@ -120,9 +132,15 @@ class _Statement:
         under ``self.lock``: closing a generator another thread is
         mid-``fetch`` on would make that fetch see StopIteration and
         reply a silently-truncated ``hasMore=False`` page — eviction
-        must wait for the in-flight page to finish (the evictee has
-        already left the registry, so no new fetch can start)."""
+        must wait for the in-flight page to finish. Leaving the
+        registry does NOT stop every future fetch (a handler that
+        resolved the statement BEFORE the LRU pop can still acquire
+        the lock after this close — the r10 ADVICE race), so the
+        ``_closed`` flag makes such a fetch raise explicitly instead
+        of seeing StopIteration and replying a silently-truncated
+        ``hasMore=False`` page."""
         with self.lock:
+            self._closed = True
             close = getattr(self._it, "close", None)
             if close is not None:
                 try:
@@ -133,6 +151,8 @@ class _Statement:
     def fetch(self, max_rows: int) -> tuple[list, bool]:
         """Up to ``max_rows`` rows + whether more remain. Caller holds
         ``self.lock``."""
+        if self._closed:
+            raise StatementClosedError("statement is closed")
         out = []
         if self._has_peeked:
             out.append(self._peeked)
@@ -308,6 +328,12 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             with st.lock:
                 rows, has_more = st.fetch(max_rows)
+        except StatementClosedError:
+            # lost the race with eviction/DELETE: the lookup happened
+            # before the LRU pop, the close before our lock acquire —
+            # answer exactly what a post-eviction lookup would get
+            self._reply(404, {"error": "unknown statement"})
+            return
         except Exception as exc:  # mid-stream execution error
             self._close_statement(stmt_id)
             self._reply(400, {"error": str(exc)[:4000]})
@@ -376,7 +402,14 @@ class _Handler(BaseHTTPRequestHandler):
                 # plan-only mode: nothing executes, nothing fetches —
                 # the gateway answers "what would this cost" questions
                 # without touching the data (Kyuubi operation
-                # EXECUTE_STATEMENT with EXPLAIN, minus the round trip)
+                # EXECUTE_STATEMENT with EXPLAIN, minus the round trip).
+                # scaleRisks turns plan inspection into plan VETTING:
+                # the doctor's findings (cartesian / nested-loop /
+                # global-window / row-python / unpruned-scan) ride
+                # along so a user sees the 100 TB anti-patterns before
+                # submitting, not in a post-mortem.
+                from nineinfra_spark import doctor as _doctor
+
                 qe = df._jdf.queryExecution()  # noqa: SLF001
                 self._reply(
                     200,
@@ -387,6 +420,10 @@ class _Handler(BaseHTTPRequestHandler):
                                 explain_mode
                             )
                         ),
+                        "scaleRisks": [
+                            {"kind": f.kind, "line": f.line, "hint": f.hint}
+                            for f in _doctor.scale_risks(df)
+                        ],
                     },
                 )
                 return

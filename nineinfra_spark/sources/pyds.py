@@ -326,16 +326,21 @@ class _JsonlWriter(DataSourceWriter):
             final = _os.path.join(self.path, f"part-{i:05d}.jsonl")
             _os.replace(m.staged, final)
             files.append({"file": _os.path.basename(final), "rows": m.rows})
+        manifest = _os.path.join(self.path, "_MANIFEST.json")
+        tmp = manifest + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            _json.dump({"files": files}, f)
+        _os.replace(tmp, manifest)
         if self.overwrite:
             # mode("overwrite") must not leave stale part files from a
             # previous LARGER commit: manifested readers would ignore
             # them, but a plain spark.read.json(dir) would see mixed
             # old/new data (r9 ADVICE finding). Delete every
-            # part-*.jsonl not in this commit BEFORE the manifest
-            # flips — a crash here leaves the old manifest pointing at
-            # some deleted files, the same torn state a crashed
-            # non-overwrite commit already has (readers that trust the
-            # manifest-last contract re-run the job either way).
+            # part-*.jsonl not in this commit AFTER the manifest flips
+            # (r10 ADVICE finding): a crash mid-deletion then leaves
+            # only extra stale parts — visible solely to
+            # manifest-ignoring readers — never a committed manifest
+            # pointing at already-deleted files.
             keep = {f["file"] for f in files}
             for name in _os.listdir(self.path):
                 if (
@@ -344,11 +349,6 @@ class _JsonlWriter(DataSourceWriter):
                     and name not in keep
                 ):
                     _os.remove(_os.path.join(self.path, name))
-        manifest = _os.path.join(self.path, "_MANIFEST.json")
-        tmp = manifest + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as f:
-            _json.dump({"files": files}, f)
-        _os.replace(tmp, manifest)
 
     # driver-side: some task failed — drop every acknowledged staging
     def abort(self, messages) -> None:

@@ -112,3 +112,61 @@ def test_every_finding_carries_a_hint(spark):
     )
     for f in doctor.scale_risks(df):
         assert f.hint and f.line
+
+
+def test_unpruned_scan_flagged_blocked_pushdown(spark, tmp_path):
+    """A limit between a partition-column filter and the scan blocks
+    pushdown: the scan reads EVERY partition (PartitionFilters: [])
+    while the query filters on the partition column — the r10-verdict
+    §4 scale-killer class the doctor must now see."""
+    p = str(tmp_path / "part_tbl")
+    (
+        spark.range(200)
+        .withColumn(
+            "dt", F.when(F.col("id") % 2 == 0, "a").otherwise("b")
+        )
+        .write.partitionBy("dt")
+        .parquet(p)
+    )
+    blocked = spark.read.parquet(p).limit(50).filter(F.col("dt") == "a")
+    assert "unpruned-scan" in _kinds(blocked)
+
+
+def test_pruned_scan_clean(spark, tmp_path):
+    """The healthy twin: the same filter directly over the scan
+    becomes a PartitionFilter — no finding."""
+    p = str(tmp_path / "part_tbl")
+    (
+        spark.range(200)
+        .withColumn(
+            "dt", F.when(F.col("id") % 2 == 0, "a").otherwise("b")
+        )
+        .write.partitionBy("dt")
+        .parquet(p)
+    )
+    pruned = spark.read.parquet(p).filter(F.col("dt") == "a")
+    assert "unpruned-scan" not in _kinds(pruned)
+    # a blocked filter on a NON-partition column is not this rule's
+    # business: no partition-column filter exists anywhere
+    other = spark.read.parquet(p).limit(50).filter(F.col("id") > 3)
+    assert "unpruned-scan" not in _kinds(other)
+
+
+def test_limit_on_join_build_side_does_not_suppress_global_window(spark):
+    """r10 ADVICE: a GlobalLimit on the BUILD side of a join bounds
+    that side only — the window's actual input is still unbounded, so
+    the suppression walk must stop at the join and the global-window
+    finding must fire."""
+    a = spark.range(1000).withColumn("k", F.col("id") % 7)
+    b = (
+        spark.range(1000)
+        .withColumn("k", F.col("id") % 7)
+        .orderBy("id")
+        .limit(5)
+        .select("k")
+        .distinct()
+    )
+    ranked = a.join(b, "k").withColumn(
+        "r", F.row_number().over(Window.orderBy("id"))
+    )
+    assert "global-window" in _kinds(ranked)

@@ -24,6 +24,13 @@ test, so a regression can't sneak in behind a green differential:
    would have caught the r9 ``agg_gini_concentration`` /
    ``part_revenue_abc`` catalog-rollup windows mechanically (both now
    use ``_util.ranked_prefix`` instead).
+5. No unpruned partitioned scan: a ``FileScan`` whose
+   ``PartitionFilters`` is empty while a ``Filter`` elsewhere in the
+   plan references one of that scan's partition columns (derived from
+   the scan line: in the output list, absent from ``ReadSchema``) —
+   the pruning-regression class nothing excuses. Plans are rendered
+   via ``doctor.full_plan`` (metadata un-truncated) so the rule can
+   read wide fact-table scan lines.
 
 Only queries whose build RUNS a stream (tag ``streaming``) are
 skipped: a micro-batch run here would just re-run test_streaming
@@ -60,8 +67,9 @@ _ROW_PYTHON_OK = {"udf_scalar_python", "udf_sql_registered", "udf_python_udtf"}
 
 
 def _plan(spark, name: str) -> str:
-    df = registry.get(name).fn(spark, SF)
-    return df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    # full_plan: metadata strings un-truncated, so the unpruned-scan
+    # rule can actually read ReadSchema on wide fact-table scans
+    return doctor.full_plan(registry.get(name).fn(spark, SF))
 
 
 # the detection helpers live in nineinfra_spark.doctor — the
@@ -73,6 +81,9 @@ _TAG_EXCUSES = {
     "cartesian": {"not-for-scale"},
     "nested-loop": {"bounded-nlj", "dimension-only", "not-for-scale"},
     "global-window": {"dimension-only"},
+    # NO tag excuses an unpruned partitioned scan: a partition-column
+    # filter that fails to reach the scan is a bug, fix the plan
+    "unpruned-scan": set(),
 }
 
 

@@ -329,6 +329,52 @@ class TestJsonlSink:
         got = sorted((r["id"], r["s"]) for r in back.collect())
         assert got == [(i, "new") for i in range(5)]
 
+    def test_overwrite_crash_mid_cleanup_keeps_manifest_consistent(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """r10 ADVICE: stale-part deletion runs AFTER the manifest
+        flip, so a crash mid-cleanup leaves only EXTRA stale parts
+        (invisible to manifest-trusting readers) — never a committed
+        manifest referencing already-deleted files. Driver-side unit
+        of ``_JsonlWriter.commit`` with ``os.remove`` poisoned."""
+        import json
+        import os
+
+        import pytest as _pytest
+
+        from nineinfra_spark.sources.pyds import _JsonlCommit, _JsonlWriter
+
+        out = str(tmp_path / "ow_crash")
+        os.makedirs(out)
+        # previous LARGER commit: 3 parts + manifest
+        old = []
+        for i in range(3):
+            name = f"part-{i:05d}.jsonl"
+            with open(os.path.join(out, name), "w") as f:
+                f.write('{"id": %d, "s": "old"}\n' % i)
+            old.append({"file": name, "rows": 1})
+        with open(os.path.join(out, "_MANIFEST.json"), "w") as f:
+            json.dump({"files": old}, f)
+        # new 1-part overwrite whose stale-cleanup crashes on unlink
+        schema = spark.range(1).selectExpr("id", "'x' AS s").schema
+        w = _JsonlWriter({"path": out}, schema, overwrite=True)
+        staged = os.path.join(out, ".staging-crashtest.jsonl")
+        with open(staged, "w") as f:
+            f.write('{"id": 100, "s": "new"}\n')
+
+        def boom(_path):
+            raise OSError("simulated crash mid-cleanup")
+
+        monkeypatch.setattr(os, "remove", boom)
+        with _pytest.raises(OSError, match="mid-cleanup"):
+            w.commit([_JsonlCommit(staged=staged, rows=1)])
+        monkeypatch.undo()
+
+        manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+        assert [f["file"] for f in manifest["files"]] == ["part-00000.jsonl"]
+        for f in manifest["files"]:
+            assert os.path.exists(os.path.join(out, f["file"]))
+
     def test_reader_trusts_only_the_manifest(self, spark, tmp_path):
         import os
 

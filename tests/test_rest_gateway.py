@@ -311,6 +311,28 @@ def test_explain_mode_returns_plan_without_executing(rest):
     assert "explainMode" in bad["error"]
 
 
+def test_explain_surfaces_doctor_scale_risks(rest):
+    """explain:true carries the plan doctor's verdict: a clean plan
+    reports scaleRisks: [], a single-partition window reports the
+    global-window anti-pattern with a hint — Kyuubi-parity plan mode
+    doubles as plan VETTING (r10 verdict item 4)."""
+    clean = _post(rest, {"sql": "SELECT 1 AS one", "explain": True})
+    assert clean["scaleRisks"] == []
+
+    risky = _post(
+        rest,
+        {
+            "sql": "SELECT id, row_number() OVER (ORDER BY id) AS r "
+            "FROM range(100)",
+            "explain": True,
+        },
+    )
+    kinds = {f["kind"] for f in risky["scaleRisks"]}
+    assert "global-window" in kinds
+    for f in risky["scaleRisks"]:
+        assert f["hint"] and f["line"]
+
+
 class TestDoAsImpersonation:
     """Kyuubi-style doAs on the REST frontend (kyuubi.go:55-64 — the
     authorization/isolation half; the Hadoop proxy-user half is
@@ -673,3 +695,22 @@ def test_cursor_eviction_is_explicit_404_and_releases_iterator(rest):
         assert e.value.code == 404
     finally:
         R.MAX_STATEMENTS = old_cap
+
+
+def test_statement_fetch_after_close_raises_not_truncates():
+    """r10 ADVICE race: a handler that resolved the statement BEFORE
+    the LRU pop acquires the lock AFTER close() already ran. The fetch
+    must raise StatementClosedError (handler maps it to 404) — never
+    see StopIteration from the closed generator and reply a
+    silently-truncated hasMore=False page."""
+    from nineinfra_spark.rest import StatementClosedError, _Statement
+
+    def gen():
+        yield from [(1,), (2,), (3,)]
+
+    st = _Statement(["x"], gen(), owner="")
+    # the racing handler already holds a reference (resolved pre-pop)
+    st.close()
+    with pytest.raises(StatementClosedError):
+        with st.lock:
+            st.fetch(10)
