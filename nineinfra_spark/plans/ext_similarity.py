@@ -1551,3 +1551,103 @@ def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_label.join(halves, "label").select(
         "label", "n_a", "n_b", "centroid_cos"
     )
+
+
+# -- embedding-norm outlier gate --------------------------------------------
+
+
+@query(
+    "emb_norm_outliers",
+    oracle="""
+    WITH norms AS (
+        SELECT vec_id, label,
+               CAST(round(list_aggregate(
+                        list_transform(embedding,
+                                       x -> CAST(x AS DOUBLE)
+                                            * CAST(x AS DOUBLE)),
+                        'sum') * 1000000000.0) AS BIGINT) AS norm2_nano
+        FROM embeddings
+    ),
+    th AS (
+        SELECT CAST(floor(quantile_cont(norm2_nano, 0.01)) AS BIGINT) AS lo,
+               CAST(floor(quantile_cont(norm2_nano, 0.99)) AS BIGINT) AS hi
+        FROM norms
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           CAST(SUM(CASE WHEN norm2_nano < lo THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_low,
+           CAST(SUM(CASE WHEN norm2_nano > hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_high,
+           CAST(10000 * (CAST(SUM(CASE WHEN norm2_nano < lo
+                                       THEN 1 ELSE 0 END) AS BIGINT)
+                         + CAST(SUM(CASE WHEN norm2_nano > hi
+                                         THEN 1 ELSE 0 END) AS BIGINT))
+                // COUNT(*) AS BIGINT) AS outlier_bps
+    FROM norms, th
+    GROUP BY label
+    """,
+    tags=("ext", "similarity", "profile", "bounded-nlj"),
+)
+def emb_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-bucketed embedding-NORM outlier gate (the r10-verdict
+    suggested companion to ``emb_dim_stats``): squared-L2 norms land
+    outside the corpus [p1, p99] band for exactly the vectors an
+    embedding pipeline must quarantine — near-zero norms (a failed
+    encode, an all-pad input) and exploding norms (fp overflow, a
+    mis-normalized model) — reported per label so a single bad source
+    shows up as a hot bucket.
+
+    Exactness: the squared norm is a SEQUENTIAL left-fold of IEEE
+    double products (bit-identical fold order on both engines), then
+    quantized once to exact nano-unit integers (round(x*1e9) — same
+    IEEE multiply, same integer rounding). The p1/p99 thresholds
+    interpolate over those INTEGERS (identical on both engines) and
+    are FLOORED to integers before any comparison — the winsorize
+    idiom: never re-quantize a float threshold through a cast, clamp
+    in pure ints.
+
+    Scale posture: one scan computes norms, one 1-row global
+    percentile agg, broadcast back (bounded-nlj: the 1-row threshold
+    frame), one map-side-combined groupBy(label) — rollup-sized
+    output no matter the corpus. The norm scan is arrow-free,
+    whole-stage-codegen (higher-order ``aggregate``)."""
+    emb = cpu_spread(t(spark, sf_dir, "embeddings"))
+    norms = emb.select(
+        "label",
+        F.expr(
+            "cast(round(aggregate(embedding, cast(0.0 as double),"
+            " (acc, x) -> acc + cast(x as double) * cast(x as double))"
+            " * 1000000000.0D) as bigint)"
+        ).alias("norm2_nano"),
+    )
+    th = norms.agg(
+        F.expr(
+            "cast(floor(percentile(norm2_nano, 0.01D)) as bigint)"
+        ).alias("lo"),
+        F.expr(
+            "cast(floor(percentile(norm2_nano, 0.99D)) as bigint)"
+        ).alias("hi"),
+    )
+    return (
+        norms.crossJoin(F.broadcast(th))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.when(F.col("norm2_nano") < F.col("lo"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_low"),
+            F.sum(F.when(F.col("norm2_nano") > F.col("hi"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_high"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            "n_low",
+            "n_high",
+            F.expr(
+                "cast(10000 * (n_low + n_high) div n_vecs as bigint)"
+            ).alias("outlier_bps"),
+        )
+    )

@@ -1380,3 +1380,120 @@ def text_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top10_coverage_bps"
         ),
     )
+
+
+# -- BPE tokenizer APPLICATION ----------------------------------------------
+
+#: Frozen merge table in APPLICATION order — the vocabulary artifact a
+#: trained tokenizer ships (these are the merges ``text_bpe_pair_counts``
+#: ranks highest on English corpora, frozen as literals so both engines
+#: apply the identical vocabulary; a live tokenizer loads exactly such a
+#: frozen list, it never re-trains at encode time). Later merges build
+#: on earlier ones ('t'+'h' -> 'th', then 'th'+'e' -> 'the').
+BPE_MERGES = [
+    ("t", "h"), ("th", "e"), ("a", "n"), ("an", "d"), ("i", "n"),
+    ("in", "g"), ("e", "r"), ("o", "n"), ("r", "e"), ("o", "f"),
+    ("e", "d"), ("e", "s"),
+]
+
+
+def _bpe_merge_chain(base: str) -> str:
+    """Nested ``replace`` expression applying every merge in order to a
+    space-separated symbol string (identical function name + semantics
+    in Spark SQL and DuckDB: replace ALL non-overlapping occurrences,
+    scanning left to right). Each merge is ONE greedy pass — two
+    adjacent occurrences sharing a boundary space leave the second
+    unmerged, deterministically, on both engines; that single-pass
+    greedy semantics IS this operator's contract (documented, stable),
+    chosen over iterate-to-fixpoint because it keeps the expression a
+    fixed-depth codegen-able tree."""
+    expr = base
+    for a, b in BPE_MERGES:
+        expr = f"replace({expr}, ' {a} {b} ', ' {a}{b} ')"
+    return expr
+
+
+#: per-word symbol string: ' a b c ' (one leading space; the per-char
+#: regexp replacement appends one trailing space per symbol)
+_BPE_BASE_SPARK = "concat(' ', regexp_replace(w, '(.)', '$1 '))"
+_BPE_BASE_DUCK = "' ' || regexp_replace(w, '(.)', '\\1 ', 'g')"
+
+
+@query(
+    "text_bpe_apply",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, unnest({TOKS_DUCK}) AS w FROM documents
+    ),
+    enc AS (
+        SELECT doc_id,
+               length(w) AS n_chars,
+               len(string_split(trim({_bpe_merge_chain(_BPE_BASE_DUCK)}),
+                                ' ')) AS n_sym
+        FROM words
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_words,
+           CAST(SUM(n_chars) AS BIGINT) AS n_alpha_chars,
+           CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens,
+           CAST(10000 * CAST(SUM(n_sym) AS BIGINT)
+                // CAST(SUM(n_chars) AS BIGINT) AS BIGINT)
+               AS compression_bps
+    FROM enc GROUP BY doc_id
+    """,
+    tags=("ext", "text", "bpe"),
+)
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION — the encode half that completes the
+    tokenizer loop ``text_bpe_pair_counts`` trains for: apply a frozen,
+    ordered merge table to every word of every document and report the
+    per-document token count and char->token compression. This is the
+    'how many training tokens is this corpus' pass every LLM data
+    pipeline runs before packing.
+
+    Encoding is IN-ROW: each word becomes a space-separated symbol
+    string and the merge table is applied as a fixed chain of
+    ``replace`` calls (greedy single pass per merge, in merge-priority
+    order — see ``_bpe_merge_chain``). No explode-per-character, no
+    per-merge shuffle, no Python: the whole encoder is one
+    whole-stage-codegen projection.
+
+    Scale posture: explode(words) -> in-row encode -> ONE
+    map-side-combined groupBy(doc_id) — and the words of a document
+    colocate with their scan partition, so the partial aggregate
+    collapses each doc to one row before the shuffle. Word-count
+    shape; runs at scan speed on 100 TB. The merge table is a
+    broadcast-free literal baked into the plan (a real vocab of 32k
+    merges would ride a broadcast variable into a pandas UDF — the
+    12-merge literal chain here keeps both engines bit-identical,
+    which is what the oracle gate needs).
+
+    Cf. reference data-processing role: the platform delegates batch
+    text processing to its provisioned engine
+    (``internal/controller/kyuubi.go:189-203``); tokenizer-application
+    is implemented natively here."""
+    docs = _spread(t(spark, sf_dir, "documents"))
+    words = docs.select(
+        "doc_id", F.explode(F.expr(TOKS_SPARK)).alias("w")
+    )
+    enc = words.select(
+        "doc_id",
+        F.length("w").cast("bigint").alias("n_chars"),
+        F.expr(
+            f"cast(size(split(trim({_bpe_merge_chain(_BPE_BASE_SPARK)}),"
+            " ' ')) as bigint)"
+        ).alias("n_sym"),
+    )
+    return enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("n_chars").cast("bigint").alias("n_alpha_chars"),
+        F.sum("n_sym").cast("bigint").alias("n_bpe_tokens"),
+    ).select(
+        "doc_id",
+        "n_words",
+        "n_alpha_chars",
+        "n_bpe_tokens",
+        F.expr(
+            "cast(10000 * n_bpe_tokens div n_alpha_chars as bigint)"
+        ).alias("compression_bps"),
+    )

@@ -21,6 +21,7 @@ from nineinfra_spark.plans._util import t
 from nineinfra_spark.plans.ext_text import TOKS_DUCK, TOKS_SPARK
 from nineinfra_spark.plans.registry import query
 from nineinfra_spark.streaming.ops import (
+    capture_microbatch_plan,
     read_events_stream,
     run_available_now,
     sink_name,
@@ -385,6 +386,7 @@ def stream_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    capture_microbatch_plan(q, "stream_upsert_snapshot")
     return spark.table(snap).select(*cols)
 
 
@@ -482,6 +484,7 @@ def stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    capture_microbatch_plan(q, "stream_dedup_index")
     return spark.table(idx).select("content_hash", "canonical_doc_id", "n_copies")
 
 
@@ -576,6 +579,7 @@ def stream_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    capture_microbatch_plan(q, "stream_rollup_maintenance")
     return spark.table(tbl).select(
         "m",
         "o_orderstatus",
@@ -654,6 +658,7 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
         q.awaitTermination()
+    capture_microbatch_plan(q, "stream_python_datasource")
     return spark.table(name).select(
         "event_id", "user_id", "ts_offset_s", "value"
     )
@@ -732,6 +737,7 @@ def stream_topics_rate_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
         q.awaitTermination()
+    capture_microbatch_plan(q, "stream_topics_rate_capped")
     return spark.table(name).select("topic", "event_id", "user_id", "value")
 
 
@@ -840,6 +846,7 @@ def stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    capture_microbatch_plan(q, "stream_bitmap_distinct")
 
     words = spark.table(idx)
     weekly = words.groupBy("week").agg(

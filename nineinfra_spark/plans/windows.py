@@ -850,6 +850,200 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s.*")
 
 
+#: conversion deadline for the windowed funnel: a stage-k+1 event
+#: counts only within this many hours AFTER the stage-k conversion —
+#: the attribution-window semantics every real product funnel carries
+FUNNEL_WINDOW_HOURS = 72
+
+
+@query(
+    "events_funnel_windowed",
+    oracle=f"""
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN s1 ON s1.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t1
+          AND e.ts <= s1.t1 + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN s2 ON s2.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+          AND e.ts <= s2.t2 + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR
+        GROUP BY e.user_id
+    ),
+    n AS (
+        SELECT (SELECT COUNT(*) FROM s1) AS n1,
+               (SELECT COUNT(*) FROM s2) AS n2,
+               (SELECT COUNT(*) FROM s3) AS n3
+    )
+    SELECT 1 AS stage_idx, 'view' AS stage, n1 AS n_users,
+           CAST(10000 AS BIGINT) AS conv_prev_bps
+    FROM n
+    UNION ALL
+    SELECT 2, 'click', n2,
+           CASE WHEN n1 = 0 THEN NULL ELSE 10000 * n2 // n1 END FROM n
+    UNION ALL
+    SELECT 3, 'purchase', n3,
+           CASE WHEN n2 = 0 THEN NULL ELSE 10000 * n3 // n2 END FROM n
+    """,
+    tags=("window", "analytics", "funnel"),
+)
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel with a CONVERSION DEADLINE: stage k+1 counts only
+    when its event lands strictly after the stage-k conversion AND
+    within ``FUNNEL_WINDOW_HOURS`` of it — the attribution-window
+    variant of ``events_funnel_conversion`` (a purchase six months
+    after the click is organic, not funnel conversion; every real
+    product funnel carries this deadline).
+
+    Same one-shuffle shape as the unwindowed twin: fold events ONCE
+    per user into per-stage timestamp arrays, then resolve the whole
+    cascade in-row with array expressions — the deadline adds only a
+    second predicate inside each ``filter`` lambda (timestamp
+    comparisons in exact integer micros on both engines), not a
+    shuffle. Empty-input guard from day one: a 0-user prior stage
+    yields NULL conversion, never DIVIDE_BY_ZERO."""
+    events = t(spark, sf_dir, "events")
+    hours = FUNNEL_WINDOW_HOURS
+    per_user = events.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == FUNNEL_STAGES[0], F.col("ts"))
+        ).alias("t1"),
+        F.collect_list(
+            F.when(F.col("event_type") == FUNNEL_STAGES[1], F.col("ts"))
+        ).alias("clicks"),
+        F.collect_list(
+            F.when(F.col("event_type") == FUNNEL_STAGES[2], F.col("ts"))
+        ).alias("purchases"),
+    )
+    cascade = per_user.select(
+        "t1",
+        F.array_min(
+            F.expr(
+                f"filter(clicks, x -> x > t1"
+                f" AND x <= t1 + INTERVAL '{hours}' HOUR)"
+            )
+        ).alias("t2"),
+        "purchases",
+    ).select(
+        "t1",
+        "t2",
+        F.array_min(
+            F.expr(
+                f"filter(purchases, x -> x > t2"
+                f" AND x <= t2 + INTERVAL '{hours}' HOUR)"
+            )
+        ).alias("t3"),
+    )
+    totals = cascade.agg(
+        F.count("t1").alias("n1"),
+        F.count("t2").alias("n2"),
+        F.count("t3").alias("n3"),
+    )
+    return totals.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("stage_idx"),
+                    F.lit(FUNNEL_STAGES[0]).alias("stage"),
+                    F.col("n1").alias("n_users"),
+                    F.lit(10000).cast("bigint").alias("conv_prev_bps"),
+                ),
+                F.struct(
+                    F.lit(2).alias("stage_idx"),
+                    F.lit(FUNNEL_STAGES[1]).alias("stage"),
+                    F.col("n2").alias("n_users"),
+                    F.expr(
+                        "case when n1 = 0 then cast(null as bigint)"
+                        " else cast(10000 * n2 div n1 as bigint) end"
+                    ).alias("conv_prev_bps"),
+                ),
+                F.struct(
+                    F.lit(3).alias("stage_idx"),
+                    F.lit(FUNNEL_STAGES[2]).alias("stage"),
+                    F.col("n3").alias("n_users"),
+                    F.expr(
+                        "case when n2 = 0 then cast(null as bigint)"
+                        " else cast(10000 * n3 div n2 as bigint) end"
+                    ).alias("conv_prev_bps"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.*")
+
+
+@query(
+    "events_attribution_lastclick",
+    oracle="""
+    WITH attr AS (
+        SELECT event_type, value,
+               LAST_VALUE(CASE WHEN event_type IN ('view', 'click')
+                               THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS channel
+        FROM events
+    )
+    SELECT channel,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM attr WHERE event_type = 'purchase'
+    GROUP BY channel
+    """,
+    tags=("window", "analytics", "attribution"),
+)
+def events_attribution_lastclick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST-TOUCH attribution: every purchase is credited to the most
+    recent preceding marketing touch (view or click) by the same user
+    — NULL channel = organic purchase with no prior touch. The
+    marketing-analytics twin of the funnel: funnels count converting
+    USERS, attribution routes PURCHASE REVENUE to channels.
+
+    One user-partitioned ordered window (``last(..., ignorenulls)``
+    over UNBOUNDED PRECEDING..1 PRECEDING — the 'carry the last
+    non-null backward' idiom, deterministic via the (ts, event_id)
+    tie-break), then one rollup groupBy. Revenue in exact integer
+    cents (round(value*100) — same IEEE multiply and integer rounding
+    both engines).
+
+    Scale posture: the window is PARTITIONED on user_id (millions of
+    independent partitions — no single-task hazard, the lint checks);
+    one shuffle on user_id + one rollup-sized groupBy(channel)."""
+    events = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    attr = events.withColumn(
+        "channel",
+        F.last(
+            F.when(
+                F.col("event_type").isin("view", "click"),
+                F.col("event_type"),
+            ),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        attr.filter(F.col("event_type") == "purchase")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.expr("cast(round(value * 100) as bigint)"))
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+    )
+
+
 # -- time-series gap fill ----------------------------------------------------
 
 #: Users carried through the gap-fill demo (bounds the spine:

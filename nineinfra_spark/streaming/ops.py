@@ -37,6 +37,32 @@ from nineinfra_spark.sources.readers import (
 
 STREAM_SRC_ROOT = "/tmp/nineinfra_stream_src"
 
+#: Micro-batch PHYSICAL plans captured by the replay harness, keyed by
+#: sink/query name plus the ``__last__`` alias for the most recent
+#: capture — the streaming half of the plan lint reads these
+#: (tests/test_plan_lint.py): batch queries are linted from their
+#: DataFrame plan, streaming queries from the plan the micro-batch
+#: engine ACTUALLY executed (incremental planner output with the
+#: state-store operators and their Exchanges — the partitioning that
+#: decides whether stateful operators scale).
+MICROBATCH_PLANS: dict[str, str] = {}
+
+
+def capture_microbatch_plan(query, name: str) -> None:
+    """Record the last executed micro-batch's physical plan of a
+    (possibly terminated) StreamingQuery. Capture is best-effort: a
+    query whose replay saw zero batches has no lastExecution and is
+    simply not recorded (the lint then fails on the MISSING key —
+    loudly, not with a stale plan)."""
+    try:
+        plan = query._jsq.explainInternal(False)  # noqa: SLF001
+    except Exception:
+        return
+    if "No physical plan" in plan:
+        return
+    MICROBATCH_PLANS[name] = plan
+    MICROBATCH_PLANS["__last__"] = plan
+
 
 def _staged_table_dir(sf_dir: str, table: str) -> str:
     """The file source streams a DIRECTORY (new files appear → new
@@ -122,6 +148,7 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+    capture_microbatch_plan(q, name)
     return spark.table(name)
 
 

@@ -32,15 +32,18 @@ test, so a regression can't sneak in behind a green differential:
    via ``doctor.full_plan`` (metadata un-truncated) so the rule can
    read wide fact-table scan lines.
 
-Only queries whose build RUNS a stream (tag ``streaming``) are
-skipped: a micro-batch run here would just re-run test_streaming
-slowly, and the returned frames are memory-sink reads. Catalog / sink
-/ source builds ARE executed (they are idempotent — the driver sim
-runs the whole registry twice back-to-back) so their read-back plans
-get linted too: the 11 streaming-run queries are the entire skip
-list (test_lint_covers_most_of_registry pins coverage ≥ 210 and the
-skip count ≤ 15, so neither number in this docstring can silently
-rot).
+Coverage is the WHOLE registry (r11 closed the skip list): batch
+queries are linted from their DataFrame plan; queries whose build
+RUNS a stream (tag ``streaming``) are linted from the micro-batch
+plan the incremental planner ACTUALLY executed, captured by
+``streaming.ops.capture_microbatch_plan`` at every replay-harness
+exit point — that plan contains the state-store operators and their
+``REQUIRED_BY_STATEFUL_OPERATOR`` Exchanges a batch plan never
+shows, so the stateful witnesses (dedup, stream-stream join) also
+prove their state is hash-partitioned on its key. Catalog / sink /
+source builds are executed too (idempotent — the driver sim runs the
+registry twice back-to-back). ``test_lint_covers_whole_registry``
+pins batch ∪ streaming == registry, batch ∩ streaming == ∅.
 """
 
 from __future__ import annotations
@@ -120,15 +123,83 @@ def test_bpe_pair_counts_takes_ordered_before_window(spark):
     assert "TakeOrderedAndProject" in plan, plan[:1500]
 
 
-def test_lint_covers_most_of_registry():
-    """The skip set must stay the minority — if a refactor re-tags
-    part of the registry into the skip list, this fails. r10 narrowed
-    the skip to streaming-run queries only."""
-    assert len(_LINTABLE) >= 210, (len(_LINTABLE), len(registry.names()))
-    assert len(registry.names()) - len(_LINTABLE) <= 15, (
-        len(_LINTABLE),
-        len(registry.names()),
-    )
+def test_lint_covers_whole_registry():
+    """EVERY registered query is linted by exactly one of the two
+    sweeps: batch queries from their DataFrame plan
+    (test_plan_scale_rules), streaming queries from their captured
+    micro-batch plan (test_streaming_microbatch_plan_rules). r11
+    closed the skip list: coverage is the full registry."""
+    assert set(_LINTABLE) | set(_STREAMING) == set(registry.names())
+    assert not set(_LINTABLE) & set(_STREAMING)
+    assert len(_STREAMING) <= 15, _STREAMING  # streaming stays minority
+
+
+# -- streaming: lint the plan the micro-batch engine ACTUALLY ran -----------
+
+_STREAMING = [
+    n
+    for n in registry.names()
+    if "streaming" in registry.get(n).tags
+]
+
+#: stateful streaming operators must hash-partition on their STATE
+#: key (the engine inserts Exchange REQUIRED_BY_STATEFUL_OPERATOR) —
+#: a state store not co-partitioned with its key cannot scale past
+#: one executor. Checked on the two r10-verdict-named witnesses.
+_STATE_KEYED = {
+    "stream_dedup_watermark": ("StreamingDeduplicate", ("user_id", "event_type")),
+    "stream_stream_join": ("StreamingSymmetricHashJoin", ("user_id",)),
+}
+
+
+def _microbatch_plan(spark, name: str) -> str:
+    """Run the streaming query's replay (availableNow at the smoke SF)
+    and return the physical plan of the last executed micro-batch —
+    captured by ``streaming.ops.capture_microbatch_plan`` at every
+    harness exit point."""
+    from nineinfra_spark.streaming import ops
+
+    ops.MICROBATCH_PLANS.pop("__last__", None)
+    registry.get(name).fn(spark, SF)
+    plan = ops.MICROBATCH_PLANS.get("__last__")
+    assert plan is not None, f"{name}: no micro-batch plan captured"
+    return plan
+
+
+@pytest.mark.parametrize("name", _STREAMING)
+def test_streaming_microbatch_plan_rules(spark, name):
+    """The r10-verdict item: the 11 streaming queries were the entire
+    lint skip list — now each one's micro-batch EXECUTION plan (from
+    the incremental planner, with the state-store operators the batch
+    plan never shows) passes the same rule engine, and the stateful
+    witnesses prove their state is partitioned on its key."""
+    plan = _microbatch_plan(spark, name)
+    tags = set(registry.get(name).tags)
+    for f in doctor.scale_risks_in_plan(plan):
+        if f.kind == "row-python":
+            assert name in _ROW_PYTHON_OK, (
+                f"{name}: {f.kind} — {f.hint}\n{f.line}"
+            )
+            continue
+        assert tags & _TAG_EXCUSES[f.kind], (
+            f"{name}: {f.kind} without a declaring tag — {f.hint}"
+            f"\n{f.line}"
+        )
+    if name in _STATE_KEYED:
+        node, keys = _STATE_KEYED[name]
+        assert node in plan, f"{name}: expected {node} in\n{plan[:2000]}"
+        part_lines = [
+            ln
+            for ln in plan.splitlines()
+            if "Exchange hashpartitioning(" in ln
+            and "REQUIRED_BY_STATEFUL_OPERATOR" in ln
+        ]
+        assert part_lines, f"{name}: no stateful-operator Exchange"
+        assert any(
+            all(k in ln for k in keys) for ln in part_lines
+        ), f"{name}: state Exchange not keyed on {keys}:\n" + "\n".join(
+            part_lines
+        )
 
 
 def test_verify_priority_fits_driver_window():
