@@ -142,6 +142,18 @@ HEADLINE = [
     "dq_volume_freshness",
     "agg_gini_concentration",
     "emb_centroid_drift",
+    # r11: tokenizer APPLICATION (the encode half of the BPE loop),
+    # embedding-norm outlier gate, deadline funnel, last-touch
+    # attribution
+    "text_bpe_apply",
+    "emb_norm_outliers",
+    "events_funnel_windowed",
+    "events_attribution_lastclick",
+    # r11 second batch: leakage-guarded split, weighted median,
+    # 3-step journey mining
+    "split_leakage_guard",
+    "agg_weighted_median",
+    "events_path_3gram",
 ]
 
 

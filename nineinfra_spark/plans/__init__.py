@@ -44,13 +44,14 @@ _load_all()
 #: union of CORRECTNESS_r01..r10 latest stamps, recounted from the
 #: artifacts), (b) the one r10-stamped query whose PLAN+ORACLE changed
 #: in r11 (the funnel empty-input guard — plan-changed queries
-#: re-stamp the round they change), (c) the 5 queries NEW in r11 —
+#: re-stamp the round they change), (c) the 8 queries NEW in r11 —
 #: brand-new queries must take a window slot or they carry no stamp,
-#: (d) the first 5 of the 49-row r7 cohort (alphabetical), eating
-#: into next round's rotation debt. 39+1+5+5 = 50. After this round
-#: the oldest latest-stamp is r7 (44 rows; they plus 6 r8 rows are
-#: the r12 window), and the one retired name `sim_join_threshold`
-#: still carries its old r2 stamp unexported.
+#: (d) the first 2 of the 49-row r7 cohort (alphabetical), eating
+#: into next round's rotation debt. 39+1+8+2 = 50. After this round
+#: the oldest latest-stamp is r7 (47 rows; they plus 3 slots for
+#: r12-new/changed queries are the r12 window), and the one retired
+#: name `sim_join_threshold` still carries its old r2 stamp
+#: unexported.
 _VERIFY_FIRST = [
     # (a) the full r6-latest cohort — 39 rows, artifact-derived
     "agg_cms_heavy_hitters",
@@ -101,15 +102,18 @@ _VERIFY_FIRST = [
     "doctor_scale_witness",      # the plan doctor pinned by an oracle
     "events_funnel_windowed",    # funnel with conversion deadline
     "events_attribution_lastclick",  # last-touch revenue attribution
-    # (d) the r7-latest cohort, first 5 of 49 (alphabetical)
+    "split_leakage_guard",       # dedup-cluster-aware split, leak proof
+    "agg_weighted_median",       # quantity-weighted median, integer-exact
+    "events_path_3gram",         # top-10 three-step user journeys
+    # (d) the r7-latest cohort, first 2 of 49 (alphabetical)
     "agg_histogram_bins",
     "agg_hll_union_rollup",
-    "catalog_delete_update",
-    "catalog_merge_timetravel",
-    "catalog_merge_upsert",
-    # deferred to r12 (latest stamp r7 — the 44 remaining rows of the
+    # deferred to r12 (latest stamp r7 — the 47 remaining rows of the
     # r7 cohort; after this round's window lands, no registered
     # query's latest stamp is older than r7):
+    # catalog_delete_update
+    # catalog_merge_timetravel
+    # catalog_merge_upsert
     # catalog_partsupp_bucketed
     # dedup_connected_clusters
     # dedup_embedding_clusters

@@ -1649,3 +1649,73 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / (cast(n as double) * cast(total as double))"
         ).alias("gini"),
     )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH g AS (
+        SELECT l_returnflag,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_cents,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        FROM lineitem GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT l_returnflag, price_cents, w,
+               SUM(w) OVER (
+                   PARTITION BY l_returnflag ORDER BY price_cents
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cumw,
+               SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+        FROM g
+    )
+    SELECT l_returnflag,
+           MIN(price_cents) AS wmedian_cents,
+           CAST(MAX(tot) AS BIGINT) AS total_weight
+    FROM c WHERE 2 * cumw >= tot GROUP BY 1
+    """,
+    tags=("agg", "window", "percentile"),
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (lower): smallest extended price v per return
+    flag such that the quantity-weighted mass at or below v reaches
+    half the group's total — the robust central-price statistic
+    ``agg_percentile_exact`` (unweighted) doesn't cover, and one no
+    built-in aggregate computes. Integer-exact end to end: prices as
+    cents, quantities as integer weights, the half-mass predicate
+    cross-multiplied (``2*cumw >= tot``), never a float division.
+
+    Scale posture: the pre-aggregation on (flag, price) collapses the
+    fact table to the distinct-value grid BEFORE any window — the
+    cumulative sum then runs over |distinct prices| rows per flag,
+    partitioned on the group key (no global window), and the final
+    min-per-flag reuses the same partitioning. One fact-sized
+    shuffle + one grid-sized window, the same shape at any SF."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.expr("cast(round(l_extendedprice * 100) as bigint)").alias(
+            "price_cents"
+        ),
+        F.col("l_quantity").cast("bigint").alias("q"),
+    )
+    g = li.groupBy("l_returnflag", "price_cents").agg(
+        F.sum("q").alias("w")
+    )
+    wcum = Window.partitionBy("l_returnflag").orderBy("price_cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy("l_returnflag")
+    c = g.select(
+        "l_returnflag",
+        "price_cents",
+        F.sum("w").over(wcum).alias("cumw"),
+        F.sum("w").over(wall).alias("tot"),
+    )
+    return (
+        c.filter(F.lit(2) * F.col("cumw") >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("price_cents").alias("wmedian_cents"),
+            F.max("tot").alias("total_weight"),
+        )
+    )

@@ -591,3 +591,146 @@ def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.crossJoin(F.broadcast(floor_n)).filter(
         F.col("rk") <= F.col("floor_n")
     ).select("doc_id", "lang", "rk")
+
+
+# -- leakage-guarded split --------------------------------------------------
+
+
+def _split_of(id_col) -> "F.Column":
+    """Deterministic 80/10/10 split label of an integer id (same
+    md5-first-two-hex-digits bucketing as ``split_train_valid_test``)."""
+    h = F.conv(F.substring(F.md5(id_col.cast("string")), 1, 2), 16, 10).cast(
+        "bigint"
+    )
+    return (
+        F.when(h < SPLIT_TRAIN_HI, F.lit("train"))
+        .when(h < SPLIT_VALID_HI, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+
+
+_SPLIT_CASE_SQL = (
+    "CASE WHEN CAST('0x' || substr(md5(CAST({id} AS VARCHAR)), 1, 2) AS BIGINT)"
+    f" < {SPLIT_TRAIN_HI} THEN 'train'"
+    " WHEN CAST('0x' || substr(md5(CAST({id} AS VARCHAR)), 1, 2) AS BIGINT)"
+    f" < {SPLIT_VALID_HI} THEN 'valid' ELSE 'test' END"
+)
+
+
+@query(
+    "split_leakage_guard",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT -doc_id - 1 AS doc_id, text || '  ' AS text FROM documents
+    ),
+    keyed AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS ck
+        FROM corpus
+    ),
+    m AS (
+        SELECT doc_id, ck, MIN(doc_id) OVER (PARTITION BY ck) AS canonical
+        FROM keyed
+    ),
+    cl AS (
+        SELECT ck,
+               COUNT(*) AS n_members,
+               COUNT(DISTINCT {_SPLIT_CASE_SQL.format(id='doc_id')})
+                   AS naive_splits,
+               COUNT(DISTINCT {_SPLIT_CASE_SQL.format(id='canonical')})
+                   AS guarded_splits,
+               MIN({_SPLIT_CASE_SQL.format(id='canonical')}) AS split
+        FROM m GROUP BY ck
+    )
+    SELECT CAST(SUM(n_members) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_clusters,
+           CAST(SUM(CASE WHEN n_members > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_multi_clusters,
+           CAST(SUM(CASE WHEN naive_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS naive_leaky_clusters,
+           CAST(SUM(CASE WHEN guarded_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS guarded_leaky_clusters,
+           CAST(SUM(CASE WHEN split = 'train' THEN n_members ELSE 0 END)
+                AS BIGINT) AS train_docs,
+           CAST(SUM(CASE WHEN split = 'valid' THEN n_members ELSE 0 END)
+                AS BIGINT) AS valid_docs,
+           CAST(SUM(CASE WHEN split = 'test' THEN n_members ELSE 0 END)
+                AS BIGINT) AS test_docs
+    FROM cl
+    """,
+    tags=("sample", "deterministic", "split", "dedup"),
+)
+def split_leakage_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-cluster-aware train/valid/test split — the eval-leakage
+    guard every training pipeline needs on top of the plain hash
+    split: a document's split is a function of its duplicate
+    CLUSTER's canonical id, not its own id, so exact/whitespace
+    duplicates can never straddle train and eval. The query proves
+    the guard differentially: it pairs every document with a
+    whitespace-edited rendition (id ``-doc_id-1``, the collision-free
+    mirror idiom from ``mm_phash_neardup_64``), clusters on the
+    normalized content hash, and reports how many clusters the NAIVE
+    per-doc-id split would tear across split boundaries
+    (``naive_leaky_clusters`` — hundreds, at every SF) versus the
+    guarded assignment (``guarded_leaky_clusters`` — computed, not
+    asserted, and exactly 0). Organic corpus duplicates (present at
+    sf0.1+) cluster and co-travel identically.
+
+    Scale posture: one corpus-sized shuffle on the uniform content
+    hash (window + groupBy share the same ``ck`` partitioning — one
+    exchange, no second corpus scan), then a 1-row global rollup.
+    The guarded assignment itself stays a pure per-row function
+    (hash of the cluster canonical), so a production pipeline applies
+    it as a projection after any exact-dedup pass."""
+    docs = t(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", "text").unionAll(
+        docs.select(
+            (-F.col("doc_id") - 1).alias("doc_id"),
+            F.concat(F.col("text"), F.lit("  ")).alias("text"),
+        )
+    )
+    keyed = corpus.select(
+        "doc_id",
+        F.md5(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+        ).alias("ck"),
+    )
+    m = keyed.withColumn(
+        "canonical", F.min("doc_id").over(Window.partitionBy("ck"))
+    )
+    cl = m.groupBy("ck").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.countDistinct(_split_of(F.col("doc_id"))).alias("naive_splits"),
+        F.countDistinct(_split_of(F.col("canonical"))).alias("guarded_splits"),
+        F.min(_split_of(F.col("canonical"))).alias("split"),
+    )
+    return cl.agg(
+        F.sum("n_members").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum((F.col("n_members") > 1).cast("bigint")).alias(
+            "n_multi_clusters"
+        ),
+        F.sum((F.col("naive_splits") > 1).cast("bigint")).alias(
+            "naive_leaky_clusters"
+        ),
+        F.sum((F.col("guarded_splits") > 1).cast("bigint")).alias(
+            "guarded_leaky_clusters"
+        ),
+        F.sum(
+            F.when(F.col("split") == "train", F.col("n_members")).otherwise(
+                F.lit(0)
+            )
+        ).alias("train_docs"),
+        F.sum(
+            F.when(F.col("split") == "valid", F.col("n_members")).otherwise(
+                F.lit(0)
+            )
+        ).alias("valid_docs"),
+        F.sum(
+            F.when(F.col("split") == "test", F.col("n_members")).otherwise(
+                F.lit(0)
+            )
+        ).alias("test_docs"),
+    )

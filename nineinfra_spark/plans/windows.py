@@ -1366,3 +1366,58 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_users"),
         F.sum("monetary_cents").cast("bigint").alias("sum_monetary_cents"),
     )
+
+
+@query(
+    "events_path_3gram",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS step1,
+               LEAD(event_type, 1) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS step2,
+               LEAD(event_type, 2) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS step3
+        FROM events
+    )
+    SELECT step1, step2, step3, COUNT(*) AS n_paths
+    FROM seq WHERE step3 IS NOT NULL
+    GROUP BY 1, 2, 3
+    ORDER BY n_paths DESC, step1, step2, step3
+    LIMIT 10
+    """,
+    tags=("window", "analytics", "topk"),
+)
+def events_path_3gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 three-step user journeys: the path-mining extension of
+    ``events_transition_matrix`` from single transitions to ordered
+    3-grams — the table behind "what do users actually do before
+    converting" journey analysis. A path counts once per position in
+    the user's time-ordered stream (event_id breaks ts ties
+    deterministically); the top-k order is fully keyed
+    (count desc, then path) so equal-count paths can't reorder.
+
+    Scale posture: one window shuffle keyed on user_id (two LEADs
+    share a single WindowExec pass), a map-side-combined rollup on
+    the ≤|types|³ path grid, and the global LIMIT fuses into
+    TakeOrderedAndProject (per-partition heaps, no global sort)."""
+    events = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.select(
+            F.col("event_type").alias("step1"),
+            F.lead("event_type", 1).over(w).alias("step2"),
+            F.lead("event_type", 2).over(w).alias("step3"),
+        )
+        .filter(F.col("step3").isNotNull())
+        .groupBy("step1", "step2", "step3")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(
+            F.desc("n_paths"),
+            F.asc("step1"),
+            F.asc("step2"),
+            F.asc("step3"),
+        )
+        .limit(10)
+    )
