@@ -46,6 +46,8 @@ excluded (their 2-group form is the partitioned one).
 from __future__ import annotations
 
 import re
+import threading
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 _WINDOW_NODE = re.compile(r"(?:^|[\s:+-])Window \[")
@@ -86,20 +88,6 @@ def node_col(line: str) -> int:
         if ch not in " :+-":
             return i
     return len(line)
-
-
-def subtree(lines: list[str], idx: int) -> str:
-    """The treeString SUBTREE rooted at ``lines[idx]``: following lines
-    strictly deeper than the root (a sibling or ancestor at the same
-    or shallower column ends it) — so a limit found here really feeds
-    the node, not some later branch of the plan."""
-    root_col = node_col(lines[idx])
-    out = [lines[idx]]
-    for line in lines[idx + 1 :]:
-        if line.strip() and node_col(line) <= root_col:
-            break
-        out.append(line)
-    return "\n".join(out)
 
 
 _BINARY_NODE = re.compile(r"Join\b|CartesianProduct|Union")
@@ -288,6 +276,38 @@ def scale_risks_in_plan(plan: str) -> list[Finding]:
     return list(dict.fromkeys(findings))
 
 
+#: Serializes every set-render-restore of the truncation confs below:
+#: they are SESSION-scoped, so two concurrent renders on the same
+#: session (e.g. parallel REST ``explain:true`` requests on the shared
+#: gateway session) would otherwise interleave — one request rendering
+#: with the defaults back in place (truncated ReadSchema → the
+#: unpruned-scan rule silently skips) and the other "restoring" the
+#: inflated values permanently.
+_PLAN_RENDER_LOCK = threading.Lock()
+
+_RENDER_CONFS = {
+    "spark.sql.maxMetadataStringLength": "100000",
+    "spark.sql.debug.maxToStringFields": "10000",
+}
+
+
+@contextmanager
+def untruncated_plan_confs(spark):
+    """Raise the plan-rendering truncation confs for the duration of
+    one render, restoring them after — under the module lock, so
+    concurrent renders on a shared session serialize instead of
+    tearing each other's conf values."""
+    with _PLAN_RENDER_LOCK:
+        old = {k: spark.conf.get(k) for k in _RENDER_CONFS}
+        for k, v in _RENDER_CONFS.items():
+            spark.conf.set(k, v)
+        try:
+            yield
+        finally:
+            for k, v in old.items():
+                spark.conf.set(k, v)
+
+
 def full_plan(df) -> str:
     """``df``'s executed physical plan rendered with metadata strings
     and field lists long enough to PARSE: the defaults
@@ -297,19 +317,8 @@ def full_plan(df) -> str:
     which would blind the unpruned-scan rule (it conservatively skips
     truncated lines). Both confs are restored after rendering; nothing
     executes."""
-    spark = df.sparkSession
-    keys = {
-        "spark.sql.maxMetadataStringLength": "100000",
-        "spark.sql.debug.maxToStringFields": "10000",
-    }
-    old = {k: spark.conf.get(k) for k in keys}
-    for k, v in keys.items():
-        spark.conf.set(k, v)
-    try:
+    with untruncated_plan_confs(df.sparkSession):
         return df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001, E501
-    finally:
-        for k, v in old.items():
-            spark.conf.set(k, v)
 
 
 def scale_risks(df) -> list[Finding]:

@@ -382,21 +382,37 @@ SPLIT_TRAIN_HI = 204
 SPLIT_VALID_HI = 230
 
 
+def _split_of(id_col) -> "F.Column":
+    """Deterministic 80/10/10 split label of an integer id: first two
+    md5 hex digits bucketed 0..255 — THE split expression, shared by
+    the plain split census and the leakage-guarded variant so the two
+    queries can never drift apart."""
+    h = F.conv(F.substring(F.md5(id_col.cast("string")), 1, 2), 16, 10).cast(
+        "bigint"
+    )
+    return (
+        F.when(h < SPLIT_TRAIN_HI, F.lit("train"))
+        .when(h < SPLIT_VALID_HI, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+
+
+#: DuckDB rendering of the same expression (``{id}`` = the id column).
+_SPLIT_CASE_SQL = (
+    "CASE WHEN CAST('0x' || substr(md5(CAST({id} AS VARCHAR)), 1, 2) AS BIGINT)"
+    f" < {SPLIT_TRAIN_HI} THEN 'train'"
+    " WHEN CAST('0x' || substr(md5(CAST({id} AS VARCHAR)), 1, 2) AS BIGINT)"
+    f" < {SPLIT_VALID_HI} THEN 'valid' ELSE 'test' END"
+)
+
+
 @query(
     "split_train_valid_test",
     oracle=f"""
-    WITH b AS (
-        SELECT lang,
-               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
-                    AS BIGINT) AS h
-        FROM documents
-    )
     SELECT lang,
-           CASE WHEN h < {SPLIT_TRAIN_HI} THEN 'train'
-                WHEN h < {SPLIT_VALID_HI} THEN 'valid'
-                ELSE 'test' END AS split,
+           {_SPLIT_CASE_SQL.format(id='doc_id')} AS split,
            COUNT(*) AS n_docs
-    FROM b GROUP BY lang, split
+    FROM documents GROUP BY lang, split
     """,
     tags=("sample", "deterministic", "split"),
 )
@@ -415,16 +431,8 @@ def split_train_valid_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     split ASSIGNMENT itself is a filter, usable as three pushed-down
     scans without materializing anything."""
     docs = t(spark, sf_dir, "documents")
-    h = F.expr(
-        "cast(conv(substr(md5(cast(doc_id as string)), 1, 2), 16, 10) as bigint)"
-    )
-    split = (
-        F.when(h < SPLIT_TRAIN_HI, F.lit("train"))
-        .when(h < SPLIT_VALID_HI, F.lit("valid"))
-        .otherwise(F.lit("test"))
-    )
     return (
-        docs.select("lang", split.alias("split"))
+        docs.select("lang", _split_of(F.col("doc_id")).alias("split"))
         .groupBy("lang", "split")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
@@ -594,27 +602,6 @@ def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -- leakage-guarded split --------------------------------------------------
-
-
-def _split_of(id_col) -> "F.Column":
-    """Deterministic 80/10/10 split label of an integer id (same
-    md5-first-two-hex-digits bucketing as ``split_train_valid_test``)."""
-    h = F.conv(F.substring(F.md5(id_col.cast("string")), 1, 2), 16, 10).cast(
-        "bigint"
-    )
-    return (
-        F.when(h < SPLIT_TRAIN_HI, F.lit("train"))
-        .when(h < SPLIT_VALID_HI, F.lit("valid"))
-        .otherwise(F.lit("test"))
-    )
-
-
-_SPLIT_CASE_SQL = (
-    "CASE WHEN CAST('0x' || substr(md5(CAST({id} AS VARCHAR)), 1, 2) AS BIGINT)"
-    f" < {SPLIT_TRAIN_HI} THEN 'train'"
-    " WHEN CAST('0x' || substr(md5(CAST({id} AS VARCHAR)), 1, 2) AS BIGINT)"
-    f" < {SPLIT_VALID_HI} THEN 'valid' ELSE 'test' END"
-)
 
 
 @query(

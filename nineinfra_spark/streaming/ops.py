@@ -53,9 +53,20 @@ def capture_microbatch_plan(query, name: str) -> None:
     (possibly terminated) StreamingQuery. Capture is best-effort: a
     query whose replay saw zero batches has no lastExecution and is
     simply not recorded (the lint then fails on the MISSING key —
-    loudly, not with a stale plan)."""
+    loudly, not with a stale plan). The render runs under
+    ``doctor.untruncated_plan_confs`` — the default
+    ``maxMetadataStringLength=100`` truncates ReadSchema mid-field on
+    any real fact scan, which would silently no-op the unpruned-scan
+    rule on the entire streaming half of the lint."""
+    from nineinfra_spark.doctor import untruncated_plan_confs
+
     try:
-        plan = query._jsq.explainInternal(False)  # noqa: SLF001
+        spark = SparkSession.getActiveSession()
+        if spark is not None:
+            with untruncated_plan_confs(spark):
+                plan = query._jsq.explainInternal(False)  # noqa: SLF001
+        else:
+            plan = query._jsq.explainInternal(False)  # noqa: SLF001
     except Exception:
         return
     if "No physical plan" in plan:

@@ -170,3 +170,78 @@ def test_limit_on_join_build_side_does_not_suppress_global_window(spark):
         "r", F.row_number().over(Window.orderBy("id"))
     )
     assert "global-window" in _kinds(ranked)
+
+
+def test_untruncated_plan_confs_serialize_and_restore(spark):
+    """Review finding (r11): full_plan's conf set-render-restore is
+    session-scoped state — two concurrent renders on a shared session
+    (parallel REST explain:true requests) could interleave so one
+    rendered truncated and the other "restored" the inflated values
+    permanently. The context manager must hold a lock for the whole
+    set→render→restore span and always restore the ORIGINAL value."""
+    import threading
+
+    from nineinfra_spark.doctor import untruncated_plan_confs
+
+    key = "spark.sql.maxMetadataStringLength"
+    original = spark.conf.get(key)
+    inside_a = threading.Event()
+    b_entered = threading.Event()
+    seen = {}
+
+    def hold_a():
+        with untruncated_plan_confs(spark):
+            seen["a"] = spark.conf.get(key)
+            inside_a.set()
+            # B must NOT get in while A holds the lock
+            assert not b_entered.wait(timeout=0.4)
+
+    def try_b():
+        inside_a.wait(timeout=5)
+        with untruncated_plan_confs(spark):
+            b_entered.set()
+            seen["b"] = spark.conf.get(key)
+
+    ta = threading.Thread(target=hold_a)
+    tb = threading.Thread(target=try_b)
+    ta.start()
+    tb.start()
+    ta.join()
+    tb.join()
+    # both renders saw the raised value; neither saw the other's
+    # temporary as its baseline
+    assert seen["a"] == "100000"
+    assert seen["b"] == "100000"
+    assert b_entered.is_set()
+    # and the session ends where it started, not inflated
+    assert spark.conf.get(key) == original
+
+
+def test_microbatch_capture_renders_untruncated(spark):
+    """Review finding (r11): the streaming plan capture rendered under
+    the DEFAULT truncation confs, silently no-opping the unpruned-scan
+    lint rule on the streaming half. The capture must raise the
+    rendering confs for the explainInternal call."""
+    from nineinfra_spark.streaming import ops
+
+    key = "spark.sql.maxMetadataStringLength"
+
+    class FakeJsq:
+        def explainInternal(self, _extended):
+            return f"conf={spark.conf.get(key)}"
+
+    class FakeQuery:
+        _jsq = FakeJsq()
+
+    original = spark.conf.get(key)
+    prev_last = ops.MICROBATCH_PLANS.get("__last__")
+    ops.capture_microbatch_plan(FakeQuery(), "capture_conf_probe")
+    try:
+        assert ops.MICROBATCH_PLANS["capture_conf_probe"] == "conf=100000"
+        assert spark.conf.get(key) == original
+    finally:
+        ops.MICROBATCH_PLANS.pop("capture_conf_probe", None)
+        if prev_last is None:
+            ops.MICROBATCH_PLANS.pop("__last__", None)
+        else:
+            ops.MICROBATCH_PLANS["__last__"] = prev_last
