@@ -79,3 +79,89 @@ class TestPath3gram:
         for r in rows:
             assert {r["step1"], r["step2"], r["step3"]} <= types
             assert r["n_paths"] > 0
+
+
+class TestSplitExpressionParity:
+    def test_split_of_matches_sql_rendering_cross_engine(self, spark):
+        """The guarded and plain splits share ONE expression pair
+        (_split_of / _SPLIT_CASE_SQL — r11 review finding 4); this
+        pins the pair itself: both renderings assign the same label
+        to the same id on Spark and DuckDB, including the NEGATIVE
+        rendition ids (-doc_id-1) the leakage guard feeds it."""
+        import random
+
+        import duckdb
+        from pyspark.sql import functions as F
+
+        from nineinfra_spark.plans.sortlimit import _SPLIT_CASE_SQL, _split_of
+
+        rng = random.Random(11)
+        ids = (
+            [0, 1, -1, -2, 255, 256, 2**40, -(2**40)]
+            + [rng.randrange(-(2**62), 2**62) for _ in range(200)]
+        )
+        got = dict(
+            spark.createDataFrame([(i,) for i in ids], "id bigint")
+            .select("id", _split_of(F.col("id")).alias("s"))
+            .collect()
+        )
+        values = ", ".join(f"({i})" for i in ids)
+        sql = (
+            f"SELECT id, {_SPLIT_CASE_SQL.format(id='id')} AS s "
+            f"FROM (VALUES {values}) AS t(id)"
+        )
+        want = dict(duckdb.sql(sql).fetchall())
+        assert got == want
+        # and the assignment really uses all three splits on this draw
+        assert set(got.values()) == {"train", "valid", "test"}
+
+
+class TestWeightedMedianRandomized:
+    def test_matches_brute_force_on_random_weighted_multisets(
+        self, spark, tmp_path
+    ):
+        """agg_weighted_median against an independent brute force on
+        seeded random inputs, including the exact-half-mass boundary
+        (2*cumw == tot) where the lower-median convention decides."""
+        import random
+
+        import pandas as pd
+
+        from nineinfra_spark.plans.aggregates import agg_weighted_median
+
+        rng = random.Random(7)
+        rows = []
+        # group 'E': engineered even-total boundary — two values, equal
+        # weight: lower weighted median must be the SMALLER value
+        rows += [("E", 10.00, 3.0), ("E", 20.00, 3.0)]
+        # group 'S': single row
+        rows += [("S", 42.42, 5.0)]
+        # groups 'A'/'B': random multisets with duplicate values
+        for g in ("A", "B"):
+            for _ in range(300):
+                rows.append(
+                    (g, rng.randrange(1, 50) * 0.25, float(rng.randrange(1, 9)))
+                )
+        pdf = pd.DataFrame(
+            rows, columns=["l_returnflag", "l_extendedprice", "l_quantity"]
+        )
+        sf = tmp_path / "wm"
+        spark.createDataFrame(pdf).write.parquet(str(sf / "lineitem.parquet"))
+
+        got = {
+            r["l_returnflag"]: (r["wmedian_cents"], r["total_weight"])
+            for r in agg_weighted_median(spark, str(sf)).collect()
+        }
+
+        pdf["cents"] = (pdf["l_extendedprice"] * 100).round().astype("int64")
+        pdf["w"] = pdf["l_quantity"].astype("int64")
+        for g, grp in pdf.groupby("l_returnflag"):
+            agg = grp.groupby("cents")["w"].sum().sort_index()
+            tot = int(agg.sum())
+            cum = 0
+            for v, w in agg.items():
+                cum += int(w)
+                if 2 * cum >= tot:
+                    assert got[g] == (v, tot), g
+                    break
+        assert got["E"][0] == 1000  # lower median at the exact boundary
