@@ -165,3 +165,48 @@ class TestWeightedMedianRandomized:
                     assert got[g] == (v, tot), g
                     break
         assert got["E"][0] == 1000  # lower median at the exact boundary
+
+
+class TestPath3gramRandomized:
+    def test_matches_brute_force_on_random_streams(self, spark, tmp_path):
+        """events_path_3gram against an independent pandas brute force
+        on a seeded random event log with heavy ts ties (the event_id
+        tie-break is what makes the window deterministic)."""
+        import random
+
+        import pandas as pd
+
+        from nineinfra_spark.plans.windows import events_path_3gram
+
+        rng = random.Random(3)
+        types = ["view", "click", "signup", "purchase"]
+        rows = []
+        eid = 0
+        for user in range(40):
+            for _ in range(rng.randrange(1, 12)):
+                # coarse ts → many exact ties inside one user stream
+                ts = pd.Timestamp("2024-01-01") + pd.Timedelta(
+                    hours=rng.randrange(0, 5)
+                )
+                rows.append((eid, ts, user, rng.choice(types)))
+                eid += 1
+        pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type"])
+        sf = tmp_path / "p3"
+        spark.createDataFrame(pdf).write.parquet(str(sf / "events.parquet"))
+
+        got = [
+            (r["step1"], r["step2"], r["step3"], r["n_paths"])
+            for r in events_path_3gram(spark, str(sf)).collect()
+        ]
+
+        pdf = pdf.sort_values(["user_id", "ts", "event_id"])
+        counts: dict[tuple, int] = {}
+        for _, grp in pdf.groupby("user_id"):
+            seq = grp["event_type"].tolist()
+            for a, b, c in zip(seq, seq[1:], seq[2:]):
+                counts[(a, b, c)] = counts.get((a, b, c), 0) + 1
+        want = sorted(
+            ((k[0], k[1], k[2], n) for k, n in counts.items()),
+            key=lambda r: (-r[3], r[0], r[1], r[2]),
+        )[:10]
+        assert got == want
