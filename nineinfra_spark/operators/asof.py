@@ -140,14 +140,22 @@ def asof_join(
         )
 
         def _micros(col):
-            # TIMESTAMP_NTZ has no unix_micros: route through TIMESTAMP
-            # (both operands convert identically → gap is tz-invariant);
-            # numeric ts falls back to a double gap.
-            if isinstance(
-                left.schema[ts].dataType,
-                (T.TimestampType, T.TimestampNTZType),
-            ):
-                return F.unix_micros(col.cast("timestamp"))
+            # TIMESTAMP_NTZ gaps must be WALL-CLOCK arithmetic: routing
+            # through TIMESTAMP maps through the session timezone,
+            # which is non-linear at DST transitions — a gap crossing
+            # the spring-forward hole shrinks by an hour and 'nearest'
+            # picks the wrong side (r11 review finding; the session-tz
+            # dependence also made results vary per session). DST-free
+            # via timestamp_diff against the NTZ epoch.
+            dt = left.schema[ts].dataType
+            if isinstance(dt, T.TimestampNTZType):
+                return F.timestamp_diff(
+                    "MICROSECOND",
+                    F.expr("TIMESTAMP_NTZ '1970-01-01 00:00:00'"),
+                    col,
+                )
+            if isinstance(dt, T.TimestampType):
+                return F.unix_micros(col)
             return col.cast("double")
 
         gap_b = _micros(F.col(ts)) - _micros(F.col("__rb.__ts"))
@@ -171,13 +179,21 @@ def asof_join(
         )
     matched = F.col("__r")
     if tolerance_s is not None:
-        # gap in seconds regardless of ts type: TIMESTAMP_NTZ has no
-        # direct double cast — route it through TIMESTAMP (both sides
-        # convert identically, so the DIFFERENCE is tz-invariant);
-        # timestamp/numeric ts cast straight to epoch seconds.
+        # gap in seconds regardless of ts type. TIMESTAMP_NTZ must use
+        # wall-clock arithmetic, NOT a session-tz cast: across a DST
+        # transition the cast distorts the gap by up to an hour,
+        # mis-admitting/mis-dropping matches at the tolerance boundary
+        # (r11 review finding — same distortion as the 'nearest' gap).
         def _secs(col):
             if isinstance(left.schema[ts].dataType, T.TimestampNTZType):
-                return col.cast("timestamp").cast("double")
+                return (
+                    F.timestamp_diff(
+                        "MICROSECOND",
+                        F.expr("TIMESTAMP_NTZ '1970-01-01 00:00:00'"),
+                        col,
+                    ).cast("double")
+                    / 1_000_000.0
+                )
             return col.cast("double")
 
         gap = F.abs(_secs(F.col(ts)) - _secs(F.col("__r.__ts")))

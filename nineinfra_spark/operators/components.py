@@ -89,16 +89,16 @@ def star_contract(pairs: DataFrame, max_rounds: int | None = None) -> tuple[Data
         .distinct()
         .localCheckpoint()
     )
-    if max_rounds is None:
-        n = (
-            edges.select(F.col("hi").alias("x"))
-            .unionAll(edges.select(F.col("lo").alias("x")))
-            .distinct()
-            .count()
-        )
-        max_rounds = 4 * math.ceil(math.log2(n + 2)) + 8
     prev = edges
     prev_n = prev.count()
+    if max_rounds is None:
+        # n_nodes <= 2*n_edges, and the edge count is computed anyway
+        # for the convergence check — deriving the bound from it
+        # deletes what used to be a SECOND full-graph shuffle (union
+        # of both endpoints + distinct + count) whose only purpose was
+        # a ceil(log2) that this loosens by at most ~4 rounds (r11
+        # review finding).
+        max_rounds = 4 * math.ceil(math.log2(2 * prev_n + 2)) + 8
     for rounds in range(1, max_rounds + 1):
         nxt = _small_star(_large_star(prev)).localCheckpoint()
         nxt_n = nxt.count()

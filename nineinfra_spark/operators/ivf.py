@@ -122,13 +122,29 @@ def train(
         assigned = assign_cells(vectors, current, id_col=id_col, vec_col=vec_col)
         refined = refine_centroids(assigned, vec_col=vec_col).localCheckpoint()
         old = current.select("cell", F.col("c_emb").alias("old_emb"))
+        # Convergence must COUNT what changed, not skip it (r11 review
+        # finding): an inner join dropped cells that vanished between
+        # passes, and a NULL cosine (zero-norm centroid — opposite-
+        # signed members summing to zero) was silently skipped by
+        # SUM — both could report convergence while the centroid set
+        # actually changed. Full-outer join + maximal movement (2.0,
+        # the 1-cos range limit) for missing/degenerate cells.
         move_rows = (
-            refined.join(old, "cell")
+            refined.select("cell", "c_emb")
+            .join(old, "cell", "full_outer")
             .select(
-                (
+                F.when(
+                    F.col("c_emb").isNull() | F.col("old_emb").isNull(),
+                    F.lit(2.0),
+                )
+                .otherwise(
                     F.lit(1.0)
-                    - cosine_similarity(F.col("c_emb"), F.col("old_emb"))
-                ).alias("move")
+                    - F.coalesce(
+                        cosine_similarity(F.col("c_emb"), F.col("old_emb")),
+                        F.lit(-1.0),
+                    )
+                )
+                .alias("move")
             )
             .agg(F.sum("move").alias("total"))
             .collect()  # 1-row convergence metric, like the CC flag

@@ -27,6 +27,7 @@ merges (updates touching few partitions) compose by pre-filtering
 from __future__ import annotations
 
 import random
+import re
 import time
 import uuid
 from collections.abc import Mapping, Sequence
@@ -71,6 +72,22 @@ def _is_concurrent_scan_race(exc: BaseException) -> bool:
     re-read and retry."""
     s = str(exc)
     return "FileNotFoundException" in s or "FILE_NOT_EXIST" in s
+
+
+_FNF_PATH = re.compile(r"(?:file:)?(/[^\s'\"]+)")
+
+
+def _missing_path(exc: BaseException) -> str | None:
+    """The missing file path named by a FileNotFound-style error, or
+    None. Used to tell a rename RACE from PERMANENT damage: a racing
+    publish replaces the listing, so after REFRESH a retry fails (if
+    at all) on a DIFFERENT path — the SAME path missing twice in a
+    row means the file is gone for good (deleted out-of-band), and
+    re-running the full staged merge max_retries more times would
+    burn compute and then misreport the cause as a CAS conflict
+    (r11 review finding)."""
+    m = _FNF_PATH.search(str(exc))
+    return m.group(1) if m else None
 
 
 def _backoff(attempt: int) -> None:
@@ -217,14 +234,22 @@ def _versioned_merge_loop(
     state: dict,
 ) -> int:
     last_err: Exception | None = None
+    last_missing: str | None = None
     for _attempt in range(max_retries + 1):
         # Read the version TOKEN before the base: if a concurrent
         # writer commits between these reads, our token is stale and
         # the CAS below fails (a safe spurious retry). Reading base
         # first would allow the reverse interleaving — stale base,
         # fresh token — which the CAS could NOT detect (lost update).
+        # The high-water-mark property keeps numbering monotone even
+        # after vacuum_versions emptied the archive (r11 review
+        # finding: max(archives)+1 restarted at 0, silently rebinding
+        # old version handles to post-vacuum snapshots).
         versions = list_versions(spark, table)
-        version = (max(versions) + 1) if versions else 0
+        floor = max(
+            _version_hwm(spark, table), max(versions) if versions else -1
+        )
+        version = floor + 1
         try:
             base = spark.table(table)
             merged = merge_upsert(base, updates, keys, when_matched=when_matched)
@@ -249,6 +274,14 @@ def _versioned_merge_loop(
             # AnalysisException. Same race, one phase later: re-read.
             if not _is_concurrent_scan_race(exc):
                 raise
+            missing = _missing_path(exc)
+            if missing is not None and missing == last_missing:
+                # the SAME file is missing after a REFRESH + re-read:
+                # that is permanent damage (out-of-band deletion), not
+                # a rename race — surface it instead of recomputing
+                # the full staged merge to exhaustion
+                raise
+            last_missing = missing
             last_err = exc
             # A plain re-read is NOT enough: the session caches the
             # table's FILE LISTING by path, and a concurrent publish
@@ -283,6 +316,7 @@ def _versioned_merge_loop(
             spark.sql(f"ALTER TABLE {stage} RENAME TO {table}")
         except BaseException as publish_exc:
             _finish_after_cas(spark, table, stage, version, state, publish_exc)
+        _record_hwm(spark, table, version)
         return version
     raise MergeConflictError(
         f"merge into {table}: lost the version CAS {max_retries + 1} "
@@ -748,6 +782,44 @@ def list_versions(spark: SparkSession, table: str) -> list[int]:
     return sorted(out)
 
 
+#: Table property carrying the highest version number EVER archived —
+#: survives vacuum so version numbers are never reused.
+_HWM_PROP = "nineinfra.version.hwm"
+
+
+def _version_hwm(spark: SparkSession, table: str) -> int:
+    """Highest version ever archived for ``table`` per its table
+    property, or -1 (absent / pre-HWM table / table mid-rename)."""
+    try:
+        rows = spark.sql(
+            f"SHOW TBLPROPERTIES {table} ('{_HWM_PROP}')"
+        ).collect()
+    except AnalysisException:
+        return -1  # live name momentarily missing — archives cover it
+    for r in rows:
+        v = r["value"]
+        if v.lstrip("-").isdigit():
+            return int(v)
+    return -1
+
+
+def _record_hwm(spark: SparkSession, table: str, version: int) -> None:
+    """Record ``version`` as the archive high-water mark on the live
+    table (monotone floor for future numbering). Best-effort: the
+    archive table itself also carries the number until vacuumed, so a
+    failed property write only matters if a vacuum races in before
+    the next successful merge."""
+    if version <= _version_hwm(spark, table):
+        return
+    try:
+        spark.sql(
+            f"ALTER TABLE {table} SET TBLPROPERTIES "
+            f"('{_HWM_PROP}' = '{version}')"
+        )
+    except AnalysisException:
+        pass
+
+
 def read_version(spark: SparkSession, table: str, version: int) -> DataFrame:
     """Time-travel read: the archived snapshot ``version`` (as
     returned by :func:`merge_into_table_versioned`)."""
@@ -763,6 +835,12 @@ def vacuum_versions(spark: SparkSession, table: str, keep: int) -> list[int]:
         # (versions[:-keep] == versions[:abs(keep)] — oldest-first)
         raise ValueError(f"vacuum {table}: keep must be >= 0, got {keep}")
     versions = list_versions(spark, table)
+    if versions:
+        # pin the high-water mark BEFORE dropping: with the archive
+        # emptied (keep=0), max(archives)+1 would restart numbering at
+        # 0 and silently rebind callers' recorded version handles to
+        # unrelated post-vacuum snapshots (r11 review finding)
+        _record_hwm(spark, table, max(versions))
     drop = versions[:-keep] if keep > 0 else versions
     for v in drop:
         spark.sql(f"DROP TABLE {table}__v{v}")

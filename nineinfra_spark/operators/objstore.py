@@ -99,8 +99,20 @@ def rename_prefix(
     seam for exercising the split state.
 
     Returns the number of objects moved.
+
+    ``src_prefix`` is DIRECTORY-like: without a trailing slash, only
+    the exact key and keys under ``src_prefix + '/'`` match — a raw
+    string-prefix match would also sweep SIBLING prefixes sharing the
+    string (renaming ``warehouse/orders`` must not relocate and delete
+    ``warehouse/orders_v2/...``; r11 review finding).
     """
-    keys = list_prefix(s3, bucket, src_prefix)
+    keys = [
+        k
+        for k in list_prefix(s3, bucket, src_prefix)
+        if src_prefix.endswith("/")
+        or k == src_prefix
+        or k.startswith(src_prefix + "/")
+    ]
     for key in keys:
         dst_key = dst_prefix + key.removeprefix(src_prefix)
         s3.copy_object(

@@ -64,7 +64,15 @@ def pagerank_fixed(edges: DataFrame, iters: int = 3) -> DataFrame:
     # recompute per round, turning iters× reuse into iters× rebuild).
     edges = edges.localCheckpoint(eager=False)
     nodes = edges.select(F.col("src").alias("node")).distinct()
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # deg never changes across rounds but sits inside every round's
+    # broadcast join — without its own checkpoint each of the iters
+    # rounds re-runs the full |E|-row groupBy just to re-broadcast an
+    # unchanged |V|-row table (r11 review finding).
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .localCheckpoint(eager=False)
+    )
     teleport = SCALE * (DAMP_DEN - DAMP_NUM) // DAMP_DEN
     ranks = nodes.select("node", F.lit(SCALE).cast("long").alias("rank"))
     for _ in range(iters):

@@ -109,10 +109,38 @@ def list_orphan_dirs(
             continue
         if os.path.realpath(path) in claimed:
             continue  # some table somewhere owns this directory
-        if now - os.path.getmtime(path) < grace_s:
+        if _in_flight_write(path):
+            continue  # a committer staging dir means a job is writing
+        if now - _newest_mtime(path) < grace_s:
             continue  # possibly a table mid-CREATE — leave it
         orphans.append(path)
     return orphans
+
+
+def _in_flight_write(path: str) -> bool:
+    """True when a Hadoop output-committer staging directory
+    (``_temporary``) exists anywhere under ``path`` — an uncommitted
+    job is actively writing, whatever the directory's age."""
+    for root, dirs, _files in os.walk(path):
+        if "_temporary" in dirs:
+            return True
+    return False
+
+
+def _newest_mtime(path: str) -> float:
+    """Newest mtime anywhere in the subtree, not just the top level:
+    a long-running write streams part files into NESTED directories
+    that never touch the top-level mtime, so judging age by the root
+    alone would classify an hours-long in-flight CREATE as an orphan
+    and destroy it mid-write (r11 review finding)."""
+    newest = os.path.getmtime(path)
+    for root, dirs, files in os.walk(path):
+        for entry in dirs + files:
+            try:
+                newest = max(newest, os.path.getmtime(os.path.join(root, entry)))
+            except OSError:
+                continue  # entry vanished mid-walk (concurrent commit)
+    return newest
 
 
 def vacuum_orphan_dirs(

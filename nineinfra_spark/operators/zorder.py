@@ -28,12 +28,17 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: bits of z-resolution per column (k columns → k*BITS-bit z-value;
-#: 16 bits × ≤4 cols stays inside a signed 64-bit long).
+#: default bits of z-resolution per column. The k-column z-value uses
+#: k*bits bits and must stay inside a signed 64-bit long (≤ 62), so
+#: the DEFAULT auto-fits: min(ZBITS, 62 // k) — 16 bits up to 3 cols,
+#: 15 bits at 4 cols (r11 review finding: the old fixed default made
+#: the documented 4-column form unconditionally raise).
 ZBITS = 16
 
 
-def zvalue_column(df: DataFrame, cols: Sequence[str], bits: int = ZBITS) -> Column:
+def zvalue_column(
+    df: DataFrame, cols: Sequence[str], bits: int | None = None
+) -> Column:
     """Morton code over ``cols``: each column is min-max scaled to an
     unsigned ``bits``-bit integer grid, then the columns' bits are
     interleaved (column i contributes bit b to z-bit ``b*k + i``).
@@ -47,6 +52,8 @@ def zvalue_column(df: DataFrame, cols: Sequence[str], bits: int = ZBITS) -> Colu
     k = len(cols)
     if not 1 <= k <= 4:
         raise ValueError(f"zorder supports 1..4 columns, got {k}")
+    if bits is None:
+        bits = min(ZBITS, 62 // k)
     if bits * k > 62:
         raise ValueError(f"bits={bits} × {k} cols exceeds a signed long")
     stats = df.agg(
@@ -57,6 +64,12 @@ def zvalue_column(df: DataFrame, cols: Sequence[str], bits: int = ZBITS) -> Colu
     cells = []
     for c in cols:
         lo, hi = stats[f"_lo_{c}"], stats[f"_hi_{c}"]
+        if lo is None or hi is None:
+            # empty frame or all-NULL column: no data to scale; any
+            # constants work (NULL inputs fall through least/greatest
+            # to a deterministic cell) — just don't crash the layout
+            # job on a None - None subtraction (r11 review finding)
+            lo, hi = 0.0, 0.0
         span = (hi - lo) or 1.0
         cell = F.least(
             F.lit(grid),
@@ -79,7 +92,7 @@ def zorder_write(
     path: str,
     cols: Sequence[str],
     n_files: int,
-    bits: int = ZBITS,
+    bits: int | None = None,
     mode: str = "error",
 ) -> None:
     """Rewrite ``df`` as ``n_files`` parquet files clustered on the

@@ -46,13 +46,13 @@ _load_all()
 #: in r11 (the funnel empty-input guard — plan-changed queries
 #: re-stamp the round they change), (c) the 8 queries NEW in r11 —
 #: brand-new queries must take a window slot or they carry no stamp,
-#: (d) the r7 row whose plan+oracle the split-expression dedup
-#: refactor changed (same re-stamp rule), (e) the first 1 of the
-#: 49-row r7 cohort (alphabetical), eating into next round's rotation
-#: debt. 39+1+8+1+1 = 50. After this round the oldest latest-stamp is
-#: r7 (47 rows; they plus 3 slots for r12-new/changed queries are the
-#: r12 window), and the one retired name `sim_join_threshold` still
-#: carries its old r2 stamp unexported.
+#: (d) the two rows whose executed plans the r11 review fixes changed
+#: (same re-stamp rule: the split-expression dedup refactor and the
+#: pagerank degree checkpoint). 39+1+8+2 = 50. After this round the
+#: oldest latest-stamp is r7 (47 rows; they plus 3 slots for
+#: r12-new/changed queries are the r12 window), and the one retired
+#: name `sim_join_threshold` still carries its old r2 stamp
+#: unexported.
 _VERIFY_FIRST = [
     # (a) the full r6-latest cohort — 39 rows, artifact-derived
     "agg_cms_heavy_hitters",
@@ -106,15 +106,17 @@ _VERIFY_FIRST = [
     "split_leakage_guard",       # dedup-cluster-aware split, leak proof
     "agg_weighted_median",       # quantity-weighted median, integer-exact
     "events_path_3gram",         # top-10 three-step user journeys
-    # (d) r7 row whose plan+oracle changed in r11: the split
-    # expression is now the shared _split_of/_SPLIT_CASE_SQL pair
-    # (review finding — the guarded and plain splits could drift)
+    # (d) r7 rows whose plans changed in r11 (review findings): the
+    # split expression is now the shared _split_of/_SPLIT_CASE_SQL
+    # pair (the guarded and plain splits could drift), and pagerank's
+    # degree table is checkpointed once instead of re-aggregated every
+    # power-iteration round
     "split_train_valid_test",
-    # (e) the r7-latest cohort, first 1 of 49 (alphabetical)
-    "agg_histogram_bins",
+    "graph_pagerank_fixed",
     # deferred to r12 (latest stamp r7 — the 47 remaining rows of the
     # r7 cohort; after this round's window lands, no registered
     # query's latest stamp is older than r7):
+    # agg_histogram_bins
     # agg_hll_union_rollup
     # catalog_delete_update
     # catalog_merge_timetravel

@@ -156,3 +156,38 @@ def test_second_pass_recall_not_worse(spark, emb, cand, cent0):
 def test_train_rejects_zero_passes(cand, cent0):
     with pytest.raises(ValueError, match="passes"):
         train(cand, cent0, passes=0)
+
+
+class TestConvergenceCountsDegenerateCells:
+    """r11 review finding: the movement metric inner-joined old/new
+    centroids and SUM-skipped NULL cosines, so a vanished cell or a
+    zero-norm refined centroid (opposite-signed members summing to
+    zero) contributed NO movement — train() could stop early claiming
+    convergence while the centroid set actually changed. Both cases
+    now count as maximal movement (2.0)."""
+
+    def test_zero_sum_cell_is_not_convergence(self, spark):
+        vectors = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [-1.0, 0.0])], "vec_id long, embedding array<double>"
+        )
+        cent0 = spark.createDataFrame(
+            [(0, [1.0, 0.0])], "cell int, c_emb array<double>"
+        )
+        # both vectors land in the single cell; their mean is the zero
+        # vector -> cosine(old, new) is NULL
+        res = train(vectors, cent0, passes=2, tol=0.0)
+        assert res.movements[0] == pytest.approx(2.0)
+        assert res.passes_run == 2  # did NOT stop claiming convergence
+
+    def test_vanished_cell_counts_as_movement(self, spark):
+        vectors = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.9, 0.1])], "vec_id long, embedding array<double>"
+        )
+        cent0 = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [-1.0, 0.0])],
+            "cell int, c_emb array<double>",
+        )
+        # every vector is nearest cell 0; cell 1 refines to NOTHING —
+        # the centroid set shrank, which must register as movement
+        res = train(vectors, cent0, passes=1, tol=0.0)
+        assert res.movements[0] >= 2.0

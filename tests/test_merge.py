@@ -785,3 +785,79 @@ def test_partition_scoped_rewrite_scan_prunes_to_affected(spark):
         assert "DataFilters: [NOT coalesce((id" in scan, scan[:300]
     finally:
         _cleanup_prefix(spark, "pp_plan")
+
+
+class TestVersionHighWaterMark:
+    """r11 review finding: after vacuum_versions(keep=0) emptied the
+    archive, max(archives)+1 restarted numbering at 0 — a caller's
+    recorded version handle silently rebound to an unrelated
+    post-vacuum snapshot. The high-water-mark table property keeps
+    numbering monotone across vacuums."""
+
+    def test_versions_never_reused_after_full_vacuum(self, spark):
+        from nineinfra_spark.operators.merge import (
+            list_versions,
+            merge_into_table_versioned,
+            read_version,
+            vacuum_versions,
+        )
+
+        spark.sql("DROP TABLE IF EXISTS hwm_t")
+        for v in range(3):
+            spark.sql(f"DROP TABLE IF EXISTS hwm_t__v{v}")
+        spark.createDataFrame([(1, 10)], "id int, x int").write.saveAsTable(
+            "hwm_t"
+        )
+        try:
+            up1 = spark.createDataFrame([(1, 11)], "id int, x int")
+            up2 = spark.createDataFrame([(1, 12)], "id int, x int")
+            assert merge_into_table_versioned(spark, "hwm_t", up1, ["id"]) == 0
+            assert merge_into_table_versioned(spark, "hwm_t", up2, ["id"]) == 1
+            assert vacuum_versions(spark, "hwm_t", keep=0) == [0, 1]
+            assert list_versions(spark, "hwm_t") == []
+            up3 = spark.createDataFrame([(1, 13)], "id int, x int")
+            v = merge_into_table_versioned(spark, "hwm_t", up3, ["id"])
+            assert v == 2  # NOT 0 — old handles can never rebind
+            assert read_version(spark, "hwm_t", 2).collect()[0]["x"] == 12
+        finally:
+            spark.sql("DROP TABLE IF EXISTS hwm_t")
+            for v in range(4):
+                spark.sql(f"DROP TABLE IF EXISTS hwm_t__v{v}")
+
+
+class TestPermanentFileLossEscalates:
+    """r11 review finding: ANY FileNotFoundException was treated as a
+    retryable rename race — a permanently deleted base file caused
+    max_retries full staged-merge recomputations, then a misdiagnosed
+    MergeConflictError. The SAME path missing twice in a row (after a
+    REFRESH + re-read) now surfaces the original error on attempt 2."""
+
+    def test_same_missing_path_raises_after_second_attempt(
+        self, spark, monkeypatch
+    ):
+        from nineinfra_spark.operators import merge as M
+
+        spark.sql("DROP TABLE IF EXISTS fnf_t")
+        spark.createDataFrame([(1, 10)], "id int, x int").write.saveAsTable(
+            "fnf_t"
+        )
+        calls = {"n": 0}
+
+        def always_missing(*a, **k):
+            calls["n"] += 1
+            raise RuntimeError(
+                "Job aborted: FAILED_READ_FILE.FILE_NOT_EXIST "
+                "java.io.FileNotFoundException: File "
+                "file:/warehouse/fnf_t/part-00000.parquet does not exist"
+            )
+
+        monkeypatch.setattr(M, "merge_upsert", always_missing)
+        up = spark.createDataFrame([(1, 11)], "id int, x int")
+        try:
+            with pytest.raises(RuntimeError, match="does not exist"):
+                M.merge_into_table_versioned(
+                    spark, "fnf_t", up, ["id"], max_retries=5
+                )
+            assert calls["n"] == 2  # one race-benefit retry, then surface
+        finally:
+            spark.sql("DROP TABLE IF EXISTS fnf_t")

@@ -467,3 +467,61 @@ def test_update_where_partitioned_equiv_full_rewrite(spark, rows, pred):
     assert got == exp
     for t in ("prop_up", "prop_uf"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_asof_ntz_gap_is_dst_free(spark):
+    """r11 review finding: TIMESTAMP_NTZ gaps routed through a
+    session-timezone cast, which is non-linear at DST transitions —
+    'nearest' could pick the wrong side by up to an hour and results
+    varied with the session timezone. NTZ arithmetic is wall-clock
+    now: under Europe/Berlin across the 2026-03-29 spring-forward,
+    the forward candidate at a 75-minute wall gap must beat the
+    backward candidate at a 90-minute wall gap (the tz-cast route
+    collapsed the backward gap to 30 minutes and chose it)."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from nineinfra_spark.operators.asof import asof_join
+
+    ntz = T.TimestampNTZType()
+    lschema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("ts", ntz)]
+    )
+    rschema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("ts", ntz),
+            T.StructField("tag", T.StringType()),
+        ]
+    )
+    left = spark.createDataFrame(
+        [(1, datetime.datetime(2026, 3, 29, 3, 0, 0))], lschema
+    )
+    right = spark.createDataFrame(
+        [
+            (1, datetime.datetime(2026, 3, 29, 1, 30, 0), "backward"),
+            (1, datetime.datetime(2026, 3, 29, 4, 15, 0), "forward"),
+        ],
+        rschema,
+    )
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Europe/Berlin")
+    try:
+        out = asof_join(
+            left, right, on="k", ts="ts", direction="nearest"
+        ).collect()
+        assert len(out) == 1
+        assert out[0]["tag_right"] == "forward"
+        # tolerance is wall-clock too: 80 min admits only the forward
+        out2 = asof_join(
+            left,
+            right.filter("tag = 'backward'"),
+            on="k",
+            ts="ts",
+            direction="nearest",
+            tolerance_s=80 * 60,
+        ).collect()
+        assert out2[0]["tag_right"] is None  # 90-min wall gap > 80 min
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)

@@ -219,3 +219,24 @@ def test_listing_paginates_beyond_one_page(s3):
     for i in range(1005):
         s3.put_object(Bucket=BUCKET, Key=f"{prefix}o{i:05d}", Body=b"x")
     assert len(list_prefix(s3, BUCKET, prefix)) == 1005
+
+
+def test_rename_without_trailing_slash_spares_sibling_prefixes(s3):
+    """r11 review finding: a raw string-prefix match on
+    'warehouse/orders' also swept 'warehouse/orders_v2/...' — sibling
+    tables relocated AND deleted by a rename of a different table.
+    Prefixes are now directory-like: only the exact key and keys under
+    'prefix/' move."""
+    victim = _stage(s3, "t3/orders_v2/", 3)
+    target = _stage(s3, "t3/orders/", 2)
+    n = rename_prefix(s3, BUCKET, "t3/orders", "t3/archive/orders")
+    assert n == len(target)
+    # the sibling table is untouched, under its original keys
+    assert sorted(list_prefix(s3, BUCKET, "t3/orders_v2/")) == sorted(
+        "t3/orders_v2/" + k for k in victim
+    )
+    # the target moved completely
+    assert list_prefix(s3, BUCKET, "t3/orders/") == []
+    assert sorted(list_prefix(s3, BUCKET, "t3/archive/orders/")) == sorted(
+        "t3/archive/orders/" + k for k in target
+    )

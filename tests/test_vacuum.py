@@ -18,9 +18,13 @@ from nineinfra_spark.operators.vacuum import (
 def _make_dir(loc, name, age_s=7200.0):
     path = os.path.join(loc, name)
     os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, "part-00000.parquet"), "wb") as f:
+    fpath = os.path.join(path, "part-00000.parquet")
+    with open(fpath, "wb") as f:
         f.write(b"junk")
+    # age the WHOLE subtree: orphan age is now the newest mtime
+    # anywhere inside (a genuinely abandoned dir has only old files)
     old = time.time() - age_s
+    os.utime(fpath, (old, old))
     os.utime(path, (old, old))
     return path
 
@@ -135,3 +139,69 @@ def test_dry_run_reports_without_deleting(spark):
         import shutil
 
         shutil.rmtree(orphan, ignore_errors=True)
+
+
+class TestInFlightWriteProtection:
+    """r11 review finding: the grace period judged age by the TOP-LEVEL
+    directory mtime, which a long write streaming into nested dirs
+    never touches — an hours-old in-flight CREATE looked like an
+    orphan. Age is now the newest mtime anywhere in the subtree, and a
+    Hadoop committer ``_temporary`` staging dir protects the directory
+    outright."""
+
+    def test_nested_recent_write_defers_vacuum(self, spark, tmp_path):
+        import os
+        import time
+
+        from nineinfra_spark.operators.vacuum import (
+            database_location,
+            vacuum_orphan_dirs,
+        )
+
+        loc = database_location(spark, "default")
+        stale = os.path.join(loc, "vac_inflight_probe")
+        nested = os.path.join(stale, "part=1", "deep")
+        os.makedirs(nested, exist_ok=True)
+        try:
+            old = time.time() - 7200
+            # top level AND intermediate look 2h old…
+            for p in (stale, os.path.join(stale, "part=1")):
+                os.utime(p, (old, old))
+            # …but a part file deep inside was written seconds ago
+            with open(os.path.join(nested, "part-0001.parquet"), "w") as f:
+                f.write("x")
+            os.utime(stale, (old, old))  # writing the file bumped nothing above
+            found = vacuum_orphan_dirs(spark, grace_s=3600, dry_run=True)
+            assert stale not in found
+        finally:
+            import shutil
+
+            shutil.rmtree(stale, ignore_errors=True)
+
+    def test_temporary_staging_dir_protects_regardless_of_age(
+        self, spark
+    ):
+        import os
+        import time
+
+        from nineinfra_spark.operators.vacuum import (
+            database_location,
+            vacuum_orphan_dirs,
+        )
+
+        loc = database_location(spark, "default")
+        stale = os.path.join(loc, "vac_committer_probe")
+        tmpdir = os.path.join(stale, "_temporary", "0")
+        os.makedirs(tmpdir, exist_ok=True)
+        try:
+            old = time.time() - 7200
+            for root, dirs, files in os.walk(stale, topdown=False):
+                for e in dirs + files:
+                    os.utime(os.path.join(root, e), (old, old))
+            os.utime(stale, (old, old))
+            found = vacuum_orphan_dirs(spark, grace_s=3600, dry_run=True)
+            assert stale not in found
+        finally:
+            import shutil
+
+            shutil.rmtree(stale, ignore_errors=True)

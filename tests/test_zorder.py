@@ -108,3 +108,29 @@ def test_zorder_preserves_content(spark, layouts):
         back.agg(F.sum("event_id"), F.sum("user_id")).first()
         == ev.agg(F.sum("event_id"), F.sum("user_id")).first()
     )
+
+
+def test_four_columns_work_at_default_bits(spark):
+    """r11 review finding: the documented 1..4-column contract raised
+    unconditionally at 4 columns because the fixed 16-bit default
+    overflowed the signed long; the default now auto-fits (15 bits at
+    k=4) while explicit oversized bits still raise."""
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 3.0, 4.0), (4.0, 3.0, 2.0, 1.0)], "a double, b double, c double, d double"
+    )
+    rows = df.withColumn("z", zvalue_column(df, ["a", "b", "c", "d"])).collect()
+    assert len(rows) == 2
+    assert all(r["z"] >= 0 for r in rows)
+    with pytest.raises(ValueError):
+        zvalue_column(df, ["a", "b", "c", "d"], bits=16)
+
+
+def test_empty_and_all_null_inputs_do_not_crash(spark, tmp_path):
+    """r11 review finding: None min/max stats (empty frame, all-NULL
+    column) crashed the expression builder with a bare TypeError."""
+    empty = spark.createDataFrame([], "x double, y double")
+    assert empty.withColumn("z", zvalue_column(empty, ["x", "y"])).count() == 0
+    nulls = spark.createDataFrame([(None, 1.0), (None, 2.0)], "x double, y double")
+    out = nulls.withColumn("z", zvalue_column(nulls, ["x", "y"])).collect()
+    assert len(out) == 2
+    zorder_write(empty, str(tmp_path / "zempty"), ["x", "y"], 1)
