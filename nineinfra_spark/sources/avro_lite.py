@@ -222,6 +222,15 @@ def write_avro(
                     return
                 body = bytearray()
                 for row in block:
+                    if len(row) != len(fields):
+                        # zip would silently truncate/discard while
+                        # the block header still claims a full row —
+                        # publishing a corrupt container that only
+                        # fails at READ time (r11 review finding)
+                        raise ValueError(
+                            f"avro_lite: row has {len(row)} values for "
+                            f"{len(fields)} schema fields"
+                        )
                     for (name, typ), v in zip(fields, row):
                         _encode_value(typ, v, body)
                 data = bytes(body)
@@ -390,22 +399,40 @@ def avro_schema_for(df, name: str = "row") -> dict:
 def write_avro_dataframe(df, out_dir: str, codec: str = "deflate") -> list[str]:
     """Executor-parallel Avro sink: each partition writes one
     container file under ``out_dir`` (driver never sees row data;
-    the returned list is just the file names, one per partition)."""
+    the returned list is just the file names, one per partition).
+
+    Publish is stage-then-swap (r11 review finding: the old form
+    deleted every existing ``.avro`` up front, so any task failure
+    destroyed the previous successful write): tasks write
+    ``*.avro.staged`` names the directory reader never lists; only
+    after the WHOLE job succeeds does the driver replace the old
+    files. A failed job leaves the previous output untouched (plus
+    ignorable staging debris); a crash mid-swap leaves a readable mix
+    that a re-run converges."""
     schema = avro_schema_for(df)
     os.makedirs(out_dir, exist_ok=True)
-    for old in os.listdir(out_dir):
-        if old.endswith(".avro"):
-            os.remove(os.path.join(out_dir, old))
 
     def write_part(idx, rows):
-        path = os.path.join(out_dir, f"part-{idx:05d}.avro")
-        n = write_avro(path, schema, (tuple(r) for r in rows), codec=codec)
+        staged = os.path.join(out_dir, f"part-{idx:05d}.avro.staged")
+        n = write_avro(staged, schema, (tuple(r) for r in rows), codec=codec)
         if n == 0:
-            os.remove(path)
+            os.remove(staged)
             return
-        yield path
+        yield staged
 
-    return sorted(df.rdd.mapPartitionsWithIndex(write_part).collect())
+    staged = sorted(df.rdd.mapPartitionsWithIndex(write_part).collect())
+    # job succeeded — swap: final names first (os.replace overwrites
+    # same-named old parts atomically), then sweep leftovers
+    finals = []
+    for s in staged:
+        final = s[: -len(".staged")]
+        os.replace(s, final)
+        finals.append(final)
+    keep = {os.path.basename(f) for f in finals}
+    for old in os.listdir(out_dir):
+        if old.endswith(".avro") and old not in keep:
+            os.remove(os.path.join(out_dir, old))
+    return sorted(finals)
 
 
 def register(spark) -> None:
@@ -431,6 +458,16 @@ def register(spark) -> None:
             self.split_bytes = int(options.get("splitBytes", 32 * 1024 * 1024))
             if self.split_bytes < 1:
                 raise ValueError("avro_lite: splitBytes must be positive")
+            # planning-time field order of files[0] — every task
+            # validates its own file's header against this before
+            # decoding, so a directory mixing files with reordered or
+            # renamed fields fails LOUDLY instead of silently zipping
+            # one file's values into another file's column order (r11
+            # review finding)
+            self.expect_fields = [
+                f["name"]
+                for f in read_schema(self.files[0])["schema"]["fields"]
+            ]
 
         def partitions(self):
             # sync-marker byte-range splits: a large container file
@@ -449,6 +486,15 @@ def register(spark) -> None:
 
         def read(self, partition):
             f, lo, hi = partition.value
+            got = [
+                fl["name"] for fl in read_schema(f)["schema"]["fields"]
+            ]
+            if got != self.expect_fields:
+                raise ValueError(
+                    f"avro_lite: {f} header fields {got} do not match "
+                    f"the directory schema {self.expect_fields} "
+                    "(mixed-schema directory)"
+                )
             yield from read_avro_range(f, lo, hi)
 
     class AvroLiteSource(DataSource):

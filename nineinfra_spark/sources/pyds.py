@@ -55,8 +55,19 @@ class _SynthReader(DataSourceReader):
     def __init__(self, options):
         self.n = int(options.get("n", 1000))
         self.parts = int(options.get("numPartitions", 8))
+        # validate at plan time with a clear message instead of an
+        # opaque range()/ZeroDivisionError planning failure (r11
+        # review finding); n=0 is a legitimate empty scan
+        if self.n < 0:
+            raise ValueError(f"nine_synth: n must be >= 0, got {self.n}")
+        if self.parts < 1:
+            raise ValueError(
+                f"nine_synth: numPartitions must be >= 1, got {self.parts}"
+            )
 
     def partitions(self):
+        if self.n == 0:
+            return [InputPartition((0, 0))]  # one empty split
         # contiguous key ranges, one per task
         step = -(-self.n // self.parts)
         return [
@@ -296,9 +307,28 @@ class _JsonlWriter(DataSourceWriter):
 
     # executor-side: one call per task
     def write(self, iterator) -> _JsonlCommit:
+        import base64 as _b64
+        import datetime as _dt
+        import decimal as _dec
         import json as _json
         import os as _os
         import uuid as _uuid
+
+        def _default(o):
+            # JSON-encode the non-native Spark row types instead of
+            # crashing every task with a bare TypeError (r11 review
+            # finding): timestamps/dates → ISO strings, decimals →
+            # exact strings, binary → base64. Anything else is still
+            # a loud failure.
+            if isinstance(o, (_dt.datetime, _dt.date, _dt.time)):
+                return o.isoformat()
+            if isinstance(o, _dec.Decimal):
+                return str(o)
+            if isinstance(o, (bytes, bytearray)):
+                return _b64.b64encode(bytes(o)).decode("ascii")
+            raise TypeError(
+                f"nine_jsonl cannot encode {type(o).__name__} values"
+            )
 
         _os.makedirs(self.path, exist_ok=True)
         staged = _os.path.join(
@@ -309,7 +339,9 @@ class _JsonlWriter(DataSourceWriter):
             for row in iterator:
                 f.write(
                     _json.dumps(
-                        dict(zip(self.fields, row)), sort_keys=True
+                        dict(zip(self.fields, row)),
+                        sort_keys=True,
+                        default=_default,
                     )
                 )
                 f.write("\n")
@@ -321,9 +353,28 @@ class _JsonlWriter(DataSourceWriter):
         import json as _json
         import os as _os
 
-        files = []
+        existing: list[dict] = []
+        start = 0
+        if not self.overwrite:
+            # mode("append") extends the previous commit instead of
+            # destroying it (r11 review finding: part names restarted
+            # at part-00000, os.replace clobbered the old files and
+            # the rewritten manifest listed only the new ones). New
+            # parts are numbered after every part file on disk —
+            # manifested or stale — so nothing is ever overwritten,
+            # and the manifest carries old + new.
+            manifest_path = _os.path.join(self.path, "_MANIFEST.json")
+            if _os.path.exists(manifest_path):
+                with open(manifest_path, encoding="utf-8") as f:
+                    existing = _json.load(f).get("files", [])
+            for name in _os.listdir(self.path):
+                if name.startswith("part-") and name.endswith(".jsonl"):
+                    idx = name[len("part-") : -len(".jsonl")]
+                    if idx.isdigit():
+                        start = max(start, int(idx) + 1)
+        files = list(existing)
         for i, m in enumerate(messages):
-            final = _os.path.join(self.path, f"part-{i:05d}.jsonl")
+            final = _os.path.join(self.path, f"part-{start + i:05d}.jsonl")
             _os.replace(m.staged, final)
             files.append({"file": _os.path.basename(final), "rows": m.rows})
         manifest = _os.path.join(self.path, "_MANIFEST.json")

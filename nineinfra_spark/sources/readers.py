@@ -111,9 +111,13 @@ def _rebuild_nanos_ts(df: DataFrame, nanos_cols: set[str]) -> DataFrame:
         if dtypes.get(c) == "bigint":
             df = df.withColumn(
                 c,
+                # backtick-quote the name: unquoted interpolation
+                # breaks on columns with spaces/hyphens/reserved words
+                # that plain spark.read.parquet handles fine (r11
+                # review finding)
                 F.expr(
                     "timestamp_ntz'1970-01-01 00:00:00' + "
-                    f"make_dt_interval(0, 0, 0, cast({c} div 1000 as decimal(20,0)) / 1000000)"
+                    f"make_dt_interval(0, 0, 0, cast(`{c}` div 1000 as decimal(20,0)) / 1000000)"
                 ),
             )
     return df

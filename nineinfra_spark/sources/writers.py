@@ -81,8 +81,13 @@ def write_jdbc(
     ``num_partitions`` is the write concurrency knob — size it to what
     the target database accepts, NOT to the cluster (1000 executors
     hammering one Postgres is an outage, not a sink)."""
-    if num_partitions is not None:
-        df = df.coalesce(num_partitions)
+    if num_partitions is not None and num_partitions != df.rdd.getNumPartitions():
+        # repartition, not coalesce: coalesce can only REDUCE (the
+        # knob silently no-ops upward) and a coalesce(1) propagates up
+        # the plan, serializing the expensive upstream computation
+        # onto one task (r11 review finding). The shuffle is the price
+        # of an honest concurrency contract.
+        df = df.repartition(num_partitions)
     writer = df.write.format("jdbc").option("url", url).option("dbtable", table)
     for k, v in options.items():
         writer = writer.option(k, v)
@@ -165,6 +170,22 @@ def compact_partitioned_table(
                 .filter(F.col("col_name") == "Location")
                 .first()["data_type"]
             )
+            if not location.startswith("file:"):
+                # the driver-side os.walk sizing below only sees a
+                # local filesystem — on s3a/hdfs it would yield ZERO
+                # budgets and the job would return success having
+                # compacted nothing (r11 review finding: fail loudly,
+                # never silently no-op a maintenance job)
+                raise ValueError(
+                    f"compact_partitioned_table({table!r}, "
+                    "target_file_bytes=...): byte-budget mode sizes "
+                    f"partitions by local directory walk; {location} "
+                    "is not a local-filesystem table. Use the "
+                    "one-file-per-partition mode (target_file_bytes="
+                    "None) or a storage-native listing."
+                )
+            from urllib.parse import unquote
+
             root = location.removeprefix("file:")
             budgets = []  # one row per partition value: cols + base + k
             base = 0
@@ -177,12 +198,26 @@ def compact_partitioned_table(
                 if pbytes == 0:
                     continue
                 rel = os.path.relpath(dirpath, root)
-                kv = dict(p.split("=", 1) for p in rel.split(os.sep) if "=" in p)
+                # Hive %-escapes special chars in k=v dir names
+                # ('a:b' → 'a%3Ab') — unquote so the join matches the
+                # actual column values (r11 review finding)
+                kv = {
+                    k: unquote(v)
+                    for k, v in (
+                        p.split("=", 1) for p in rel.split(os.sep) if "=" in p
+                    )
+                }
                 if sorted(kv) != sorted(partition_cols):
                     continue
                 k = max(1, -(-pbytes // target_file_bytes))
                 budgets.append([kv[c] for c in partition_cols] + [base, k])
                 base += k
+            if not budgets:
+                raise RuntimeError(
+                    f"compact_partitioned_table({table!r}): no "
+                    "partition directories with parquet data found "
+                    f"under {root} — refusing to run a no-op overwrite"
+                )
             schema = (
                 ", ".join(f"{c} string" for c in partition_cols) + ", _base int, _k int"
             )
@@ -195,8 +230,12 @@ def compact_partitioned_table(
             data_cols = [c for c in df.columns if c not in partition_cols]
             # dense global file id: each (partition value, salt) pair
             # gets its own id in [0, total) → range-partitioning on it
-            # puts exactly one output file's rows in each task (hash
-            # repartition would merge groups on bucket collisions)
+            # targets one output file's rows per task. (Approximate,
+            # not exact: RangePartitioner samples _fid, so under heavy
+            # skew two adjacent dense ids can share a task and its
+            # file lands above target — a sizing target, not a hard
+            # cap; hash repartition would be strictly worse, merging
+            # groups on bucket collisions.)
             salted = (
                 df.join(F.broadcast(kmap), cond)
                 .drop(*[kmap[c] for c in partition_cols])
@@ -205,6 +244,18 @@ def compact_partitioned_table(
                     F.col("_base") + F.pmod(F.hash(*data_cols), F.col("_k")),
                 )
             )
+            # inner-join semantics: any row whose partition value found
+            # no budget (escaping drift, NULL partition) would be
+            # silently DROPPED from the rewrite — verify nothing leaked
+            # before overwriting the table with the joined set
+            n_df, n_salted = df.count(), salted.count()
+            if n_df != n_salted:
+                raise RuntimeError(
+                    f"compact_partitioned_table({table!r}): "
+                    f"{n_df - n_salted} rows matched no partition "
+                    "budget (directory-name/value drift, e.g. NULL "
+                    "partitions) — aborting before a lossy overwrite"
+                )
             total = max(base, 1)
             out = (
                 salted.repartitionByRange(total, salted["_fid"])

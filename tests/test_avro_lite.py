@@ -196,3 +196,78 @@ def test_midstream_failure_leaves_no_inprogress_orphan(tmp_path):
         A.write_avro(path, SCHEMA, rows())
     assert not os.path.exists(path)
     assert not os.path.exists(path + ".inprogress")
+
+
+class TestR11ReviewFindings:
+    def test_row_width_mismatch_raises_not_corrupts(self, tmp_path):
+        """zip() would silently truncate a short row (or discard a
+        long one) while the block header still claimed a full row —
+        publishing a container that only fails at read time."""
+        path = str(tmp_path / "w.avro")
+        with pytest.raises(ValueError, match="values for"):
+            A.write_avro(path, SCHEMA, [(1, "only-two")])
+        with pytest.raises(ValueError, match="values for"):
+            A.write_avro(
+                path, SCHEMA, [(1, "a", 1.0, True, b"", "extra")]
+            )
+        assert not os.path.exists(path)  # nothing published
+
+    def test_failed_job_preserves_previous_output(self, spark, tmp_path):
+        """The sink deleted all existing .avro BEFORE the job ran — a
+        failed job destroyed the prior successful write. Stage-then-
+        swap now: old data survives any task failure."""
+        import pyspark.sql.functions as F
+
+        out = str(tmp_path / "persist")
+        ok = spark.range(5).select(
+            F.col("id"), F.lit("keep").alias("tag")
+        )
+        first = A.write_avro_dataframe(ok, out)
+        assert first
+
+        @F.udf("string")
+        def poison(v):
+            raise RuntimeError("boom")
+
+        bad = spark.range(5).select(F.col("id"), poison("id").alias("tag"))
+        with pytest.raises(Exception):
+            A.write_avro_dataframe(bad, out)
+        # the previous commit is intact and fully readable
+        rows = []
+        for f in sorted(os.listdir(out)):
+            if f.endswith(".avro"):
+                rows += list(A.read_avro(os.path.join(out, f)))
+        assert sorted(r[0] for r in rows) == [0, 1, 2, 3, 4]
+        assert all(r[1] == "keep" for r in rows)
+
+    def test_mixed_schema_directory_raises_not_misaligns(
+        self, spark, tmp_path
+    ):
+        """Directory reads took the schema from files[0] while each
+        task decoded by its own header — reordered fields silently
+        landed values in the wrong columns."""
+        out = tmp_path / "mixed"
+        out.mkdir()
+        s1 = {
+            "type": "record",
+            "name": "r",
+            "fields": [
+                {"name": "event_id", "type": "long"},
+                {"name": "user_id", "type": "long"},
+            ],
+        }
+        s2 = {
+            "type": "record",
+            "name": "r",
+            "fields": [
+                {"name": "user_id", "type": "long"},
+                {"name": "event_id", "type": "long"},
+            ],
+        }
+        A.write_avro(str(out / "part-00000.avro"), s1, [(1, 100)])
+        A.write_avro(str(out / "part-00001.avro"), s2, [(200, 2)])
+        A.register(spark)
+        with pytest.raises(Exception, match="do not match"):
+            spark.read.format("avro_lite").option(
+                "path", str(out)
+            ).load().collect()

@@ -394,3 +394,95 @@ class TestJsonlSink:
         )
         ids = sorted(r["id"] for r in back.collect())
         assert ids == list(range(10))
+
+
+class TestJsonlAppendAndTypes:
+    """r11 review findings: (a) mode('append') renamed new parts over
+    the old commit's part files and rewrote the manifest with only the
+    new ones — the previous commit was silently destroyed; (b) any
+    timestamp/date/decimal/binary column crashed every task with a
+    bare json TypeError."""
+
+    def test_append_extends_previous_commit(self, spark, tmp_path):
+        import json
+        import os
+
+        from nineinfra_spark.sources import pyds
+
+        pyds.register(spark)
+        out = str(tmp_path / "appnd")
+        df1 = spark.range(10).selectExpr("id", "'first' AS tag").coalesce(2)
+        df2 = spark.range(10, 25).selectExpr("id", "'second' AS tag").coalesce(3)
+        for df in (df1, df2):
+            df.write.format("nine_jsonl").option("path", out).mode(
+                "append"
+            ).save()
+        manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+        assert sum(e["rows"] for e in manifest["files"]) == 25
+        # every manifested file exists; names never collided
+        names = [e["file"] for e in manifest["files"]]
+        assert len(names) == len(set(names))
+        for n in names:
+            assert os.path.exists(os.path.join(out, n))
+        back = spark.read.schema("id long, tag string").json(
+            pyds.manifested_files(out)
+        )
+        got = {(r["id"], r["tag"]) for r in back.collect()}
+        assert got == {(i, "first") for i in range(10)} | {
+            (i, "second") for i in range(10, 25)
+        }
+
+    def test_timestamp_decimal_binary_columns_serialize(self, spark, tmp_path):
+        import json
+        import os
+
+        from nineinfra_spark.sources import pyds
+
+        pyds.register(spark)
+        out = str(tmp_path / "typed")
+        df = spark.range(3).selectExpr(
+            "id",
+            "timestamp'2024-05-04 03:02:01' AS ts",
+            "date'2024-05-04' AS d",
+            "cast(1.25 as decimal(10,2)) AS dec",
+            "cast('ab' as binary) AS bin",
+        )
+        df.write.format("nine_jsonl").option("path", out).mode(
+            "overwrite"
+        ).save()
+        manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+        assert sum(e["rows"] for e in manifest["files"]) == 3
+        nonempty = next(e for e in manifest["files"] if e["rows"] > 0)
+        row = json.loads(
+            open(os.path.join(out, nonempty["file"])).readline()
+        )
+        assert row["ts"].startswith("2024-05-04T03:02:01")
+        assert row["d"] == "2024-05-04"
+        assert row["dec"] == "1.25"
+        assert row["bin"] == "YWI="  # base64('ab')
+
+
+class TestSynthEdgeInputs:
+    """r11 review finding: n=0 crashed planning with range(0,0,0) and
+    numPartitions=0 with ZeroDivisionError — now an empty scan and a
+    clear error respectively."""
+
+    def test_n_zero_is_empty_scan(self, spark):
+        from nineinfra_spark.sources import pyds
+
+        pyds.register(spark)
+        assert (
+            spark.read.format("nine_synth").option("n", "0").load().count()
+            == 0
+        )
+
+    def test_bad_partitions_raise_clearly(self, spark):
+        import pytest as _pytest
+
+        from nineinfra_spark.sources import pyds
+
+        pyds.register(spark)
+        with _pytest.raises(Exception, match="numPartitions"):
+            spark.read.format("nine_synth").option("n", "10").option(
+                "numPartitions", "0"
+            ).load().count()

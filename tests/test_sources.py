@@ -363,3 +363,53 @@ def test_compact_with_target_file_bytes(spark, tmp_path):
     assert spark.table(tbl).count() == before
     spark.sql(f"DROP TABLE {tbl}")
     spark.sql(f"DROP DATABASE {db}")
+
+
+def test_nanos_rebuild_quotes_awkward_column_names(spark, tmp_path):
+    """r11 review finding: the nanos→timestamp rebuild interpolated
+    the raw column name into F.expr — a TIMESTAMP(NANOS) column named
+    'event ts' (space) or 'order' (reserved word) threw ParseException
+    on a file plain spark.read.parquet handles. Backtick-quoted now."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "nanos_names")
+    os.makedirs(p, exist_ok=True)
+    tbl = pa.table(
+        {
+            "event ts": pa.array([1_700_000_000_000_000_000], pa.timestamp("ns")),
+            "order": pa.array([2_000_000_000_000_000_000], pa.timestamp("ns")),
+        }
+    )
+    pq.write_table(tbl, os.path.join(p, "f.parquet"))
+    back = readers.read_parquet(spark, p)
+    types = dict(back.dtypes)
+    assert types["event ts"].startswith("timestamp")
+    assert types["order"].startswith("timestamp")
+    assert back.count() == 1
+
+
+def test_compact_handles_hive_escaped_partition_values(spark):
+    """r11 review finding: Hive %-escapes special chars in k=v dir
+    names ('a:b' → 'a%3Ab'); the byte-budget mode's string join then
+    matched nothing and the overwrite would have silently dropped
+    those partitions (now also guarded by a pre-overwrite row-count
+    check)."""
+    from nineinfra_spark.sources.writers import compact_partitioned_table
+
+    spark.sql("DROP TABLE IF EXISTS esc_compact")
+    df = spark.createDataFrame(
+        [(i, "a:b" if i % 2 else "c d") for i in range(40)], "id int, k string"
+    ).repartition(8)
+    df.write.partitionBy("k").saveAsTable("esc_compact")
+    try:
+        compact_partitioned_table(
+            spark, "esc_compact", ["k"], target_file_bytes=10 * 1024 * 1024
+        )
+        got = spark.table("esc_compact")
+        assert got.count() == 40
+        assert sorted(
+            r["k"] for r in got.select("k").distinct().collect()
+        ) == ["a:b", "c d"]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS esc_compact")
