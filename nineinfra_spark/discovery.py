@@ -137,12 +137,7 @@ class ServiceRegistry:
                     continue
                 with open(path, encoding="utf-8") as f:
                     body = json.load(f)
-            except (FileNotFoundError, json.JSONDecodeError, OSError):
-                # deleted/replaced mid-listing, or a crashed writer's
-                # leftover — equivalent to "not registered"
-                continue
-            out.append(
-                EngineInfo(
+                info = EngineInfo(
                     engine_id=str(body.get("engine_id", name[:-5])),
                     endpoint=str(body.get("endpoint", "")),
                     load=int(body.get("load", 0)),
@@ -150,7 +145,15 @@ class ServiceRegistry:
                     registered_at=float(body.get("registered_at", 0.0)),
                     age_s=age,
                 )
-            )
+            except Exception:
+                # deleted/replaced mid-listing, a crashed writer's
+                # leftover, OR well-formed-JSON-of-the-wrong-shape /
+                # non-UTF-8 garbage (r11 review finding: a single
+                # `5`-bodied file raised AttributeError out of
+                # list_live and bricked pick() for every client) —
+                # ALL equivalent to "not registered"
+                continue
+            out.append(info)
         out.sort(key=lambda e: (e.load, e.engine_id))
         return out
 

@@ -156,6 +156,31 @@ class EngineConfig:
             return 32
 
 
+def merge_required_conf(
+    extra_conf: dict, required: dict[str, str]
+) -> dict[str, str]:
+    """User ``extra_conf`` merged with platform-REQUIRED confs (the
+    thrift-auth classpath/options): a user value naming the same key
+    MERGES with — never replaces — the required one. A plain override
+    of ``extraClassPath``/``extraJavaOptions`` silently dropped the
+    auth jar / ``-Dnineinfra.auth.file`` and every thrift login failed
+    with nothing pointing at the conf collision (r11 review finding).
+    Required values lead (classpath order decides class resolution);
+    non-mergeable keys resolve to the required value."""
+    merged = dict(extra_conf)
+    for k, v in required.items():
+        if k in merged:
+            if k.endswith(".extraClassPath"):
+                merged[k] = f"{v}{os.pathsep}{merged[k]}"
+            elif k.endswith(".extraJavaOptions"):
+                merged[k] = f"{v} {merged[k]}"
+            else:
+                merged[k] = v
+        else:
+            merged[k] = v
+    return merged
+
+
 class Engine:
     """In-process analytics engine: session + warehouse + table registry."""
 
@@ -199,6 +224,7 @@ class Engine:
             )
         for k, v in cfg.s3a.items():
             builder = builder.config(f"spark.hadoop.fs.s3a.{k}", v)
+        auth_conf: dict[str, str] = {}
         if cfg.thrift_port is not None:
             if cfg.thrift_transport == "http":
                 builder = (
@@ -233,11 +259,8 @@ class Engine:
                     import tempfile
 
                     workdir = tempfile.mkdtemp(prefix="nineinfra_thrift_auth_")
-                for k, v in prepare_thrift_auth(
-                    workdir, cfg.thrift_auth_users
-                ).items():
-                    builder = builder.config(k, v)
-        for k, v in cfg.extra_conf.items():
+                auth_conf = prepare_thrift_auth(workdir, cfg.thrift_auth_users)
+        for k, v in merge_required_conf(cfg.extra_conf, auth_conf).items():
             builder = builder.config(k, v)
         self._spark = builder.getOrCreate()
         self._spark.sparkContext.setLogLevel("WARN")

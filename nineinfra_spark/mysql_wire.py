@@ -95,12 +95,24 @@ class _Conn:
         spark: SparkSession,
         conn_id: int,
         auth=None,
+        conns: set | None = None,
     ):
         self._sock = sock
+        # USER-share by default: every connection plans on the shared
+        # session (its temp views ARE the served tables — same model
+        # as headerless REST). A connection only gets its own
+        # newSession() clone the moment it issues USE/COM_INIT_DB —
+        # setCurrentDatabase on the shared session changed name
+        # resolution for every other connection and the REST clients
+        # mid-query (r11 review finding); the lazy clone isolates the
+        # mutation without breaking shared-view serving for everyone
+        # else.
+        self._shared = spark
         self._spark = spark
         self._conn_id = conn_id
         self._auth = auth  # (username, password) -> bool, or None = open
         self._seq = 0
+        self._conns = conns  # gateway's live-socket registry (for stop)
 
     # -- framing -----------------------------------------------------------
     def _recv_exact(self, n: int) -> bytes:
@@ -112,16 +124,38 @@ class _Conn:
             buf += chunk
         return buf
 
+    #: protocol max payload per frame; >= this length means
+    #: "continued in the next packet"
+    _MAX_FRAME = 0xFFFFFF
+
     def _read_packet(self) -> bytes:
-        header = self._recv_exact(4)
-        (length,) = struct.unpack("<I", header[:3] + b"\x00")
-        self._seq = header[3] + 1
-        return self._recv_exact(length)
+        # reassemble split packets: a frame of exactly 0xFFFFFF bytes
+        # continues in the next frame (r11 review finding: without the
+        # splitting rule a >=16 MB payload desyncs the stream)
+        payload = b""
+        while True:
+            header = self._recv_exact(4)
+            (length,) = struct.unpack("<I", header[:3] + b"\x00")
+            self._seq = header[3] + 1
+            payload += self._recv_exact(length)
+            if length < self._MAX_FRAME:
+                return payload
 
     def _send_packet(self, payload: bytes) -> None:
-        header = struct.pack("<I", len(payload))[:3] + bytes([self._seq & 0xFF])
-        self._sock.sendall(header + payload)
-        self._seq += 1
+        # split per protocol: every frame < 0xFFFFFF except
+        # continuations; an exact-multiple payload ends with an empty
+        # terminating frame
+        off = 0
+        while True:
+            chunk = payload[off : off + self._MAX_FRAME]
+            header = struct.pack("<I", len(chunk))[:3] + bytes(
+                [self._seq & 0xFF]
+            )
+            self._sock.sendall(header + chunk)
+            self._seq += 1
+            off += len(chunk)
+            if len(chunk) < self._MAX_FRAME:
+                return
 
     # -- protocol messages -------------------------------------------------
     def _send_handshake(self) -> None:
@@ -150,9 +184,11 @@ class _Conn:
             + struct.pack("<H", _STATUS_AUTOCOMMIT) + struct.pack("<H", 0)
         )
 
-    def _send_eof(self) -> None:
+    def _send_eof(self, warnings: int = 0) -> None:
         self._send_packet(
-            b"\xfe" + struct.pack("<H", 0) + struct.pack("<H", _STATUS_AUTOCOMMIT)
+            b"\xfe"
+            + struct.pack("<H", warnings)
+            + struct.pack("<H", _STATUS_AUTOCOMMIT)
         )
 
     def _send_err(
@@ -216,10 +252,19 @@ class _Conn:
         try:
             df = self._spark.sql(sql)
             limit = min(DEFAULT_FETCH_LIMIT, MAX_FETCH_LIMIT)
-            rows = df.limit(limit + 1).collect()[:limit]
+            fetched = df.limit(limit + 1).collect()
+            rows = fetched[:limit]
+            truncated = len(fetched) > limit
             cols = df.columns
         except Exception as exc:  # engine error → ERR packet, connection lives
             self._send_err(str(exc)[:900])
+            return
+        if not cols:
+            # DDL/DML/SET return no result schema: the protocol answer
+            # is an OK packet — a 0-column resultset would read as a
+            # truncated OK followed by two stray EOFs, desyncing every
+            # later command on the connection (r11 review finding)
+            self._send_ok()
             return
         self._send_packet(_lenenc_int(len(cols)))
         for c in cols:
@@ -230,7 +275,11 @@ class _Conn:
             for v in row:
                 payload += b"\xfb" if v is None else _lenenc_str(str(v).encode())
             self._send_packet(payload)
-        self._send_eof()
+        # a capped resultset signals the drop in the closing EOF's
+        # warning count — the only in-protocol channel a plain
+        # resultset has (r11 review finding: the probe row was
+        # collected and discarded with no signal at all)
+        self._send_eof(warnings=1 if truncated else 0)
 
     def serve(self) -> None:
         try:
@@ -245,8 +294,13 @@ class _Conn:
                 if packet[0] == COM_PING:
                     self._send_ok()
                 elif packet[0] == COM_INIT_DB:
-                    # connectors send USE <db> right after connecting
+                    # connectors send USE <db> right after connecting;
+                    # the database switch happens on THIS connection's
+                    # lazy clone, never the shared session (see
+                    # __init__)
                     try:
+                        if self._spark is self._shared:
+                            self._spark = self._shared.newSession()
                         self._spark.catalog.setCurrentDatabase(
                             packet[1:].decode("utf-8", "replace")
                         )
@@ -260,27 +314,47 @@ class _Conn:
         except (ConnectionError, OSError):
             pass  # client went away — normal teardown
         finally:
+            if self._conns is not None:
+                self._conns.discard(self._sock)
             self._sock.close()
 
 
 class MySqlGateway:
     """Handle for a running MySQL-protocol endpoint."""
 
-    def __init__(self, server: socket.socket, thread: threading.Thread):
+    def __init__(
+        self,
+        server: socket.socket,
+        thread: threading.Thread,
+        conns: set | None = None,
+    ):
         self._server = server
         self._thread = thread
-        self._closing = False
+        self._conns = conns if conns is not None else set()
 
     @property
     def port(self) -> int:
         return self._server.getsockname()[1]
 
     def stop(self) -> None:
-        self._closing = True
         try:
             self._server.close()
         except OSError:
             pass
+        # close established connections too — a stopped gateway used
+        # to leave connection threads serving queries against a
+        # soon-to-be-stopped SparkContext (r11 review finding); the
+        # socket close makes their next recv/send raise and the
+        # thread tear down cleanly
+        for sock in list(self._conns):
+            try:
+                sock.shutdown(socket.SHUT_RDWR)
+            except OSError:
+                pass
+            try:
+                sock.close()
+            except OSError:
+                pass
         self._thread.join(timeout=10)
 
 
@@ -289,7 +363,10 @@ def start_mysql_gateway(
 ) -> MySqlGateway:
     """Serve the MySQL-protocol frontend on ``port`` (0 = OS-assigned).
     Accept loop on a daemon thread; one daemon thread per connection,
-    all planning on the shared session (same model as rest.py).
+    planning on the shared session (USER-share, same as headerless
+    REST) until the connection issues USE — from then on it runs on
+    its own ``newSession()`` clone so the database switch never
+    changes name resolution for anyone else.
     ``auth``: optional ``(username, password) -> bool`` validator
     (typically :class:`nineinfra_spark.auth.UserStore`) enforced via
     AuthSwitch to ``mysql_clear_password``; ``None`` = the open
@@ -300,6 +377,7 @@ def start_mysql_gateway(
     server.listen(16)
     conn_counter = threading.Lock()
     state = {"next_id": 1}
+    conns: set = set()
 
     def _accept_loop() -> None:
         while True:
@@ -310,10 +388,12 @@ def start_mysql_gateway(
             with conn_counter:
                 cid = state["next_id"]
                 state["next_id"] += 1
+            conns.add(sock)
             threading.Thread(
-                target=_Conn(sock, spark, cid, auth=auth).serve, daemon=True
+                target=_Conn(sock, spark, cid, auth=auth, conns=conns).serve,
+                daemon=True,
             ).start()
 
     thread = threading.Thread(target=_accept_loop, daemon=True)
     thread.start()
-    return MySqlGateway(server, thread)
+    return MySqlGateway(server, thread, conns)

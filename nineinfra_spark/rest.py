@@ -190,21 +190,35 @@ class _Handler(BaseHTTPRequestHandler):
     def log_message(self, *args) -> None:  # silence per-request stderr noise
         pass
 
-    def _session(self, effective: str | None = None) -> SparkSession:
+    def _session(
+        self, effective: str | None = None, authed: str = ""
+    ) -> SparkSession:
         """The SparkSession this request runs on: the shared session,
         or (with ``X-Session-Id``) a per-id ``newSession()`` clone —
         own temp views/conf, shared context+catalog. With an
         ``effective`` (impersonated) user the clone is keyed by
-        (user, session-id) — one user's temp state is never visible
-        through another user's sessions — and carries the identity in
+        (user, session-id); on an AUTHENTICATED frontend a plain
+        session id is likewise scoped to the authenticated principal
+        (r11 review finding: keying by the client-supplied sid alone
+        let two different authenticated users sending the same
+        X-Session-Id share one clone — cross-user temp-view/conf
+        exposure). One user's temp state is never visible through
+        another user's sessions; doAs clones carry the identity in
         ``spark.nineinfra.effective.user`` for audit/policy reads."""
         sid = self.headers.get("X-Session-Id")
         if effective is None and not sid:
             return self.spark
-        # legacy plain-string key for anonymous sessions; a TUPLE key
-        # for user-scoped ones — a client-controlled sid can never
-        # collide with (i.e. hijack) another user's session entry
-        key = sid if effective is None else ("doas", effective, sid or "")
+        # legacy plain-string key only on the OPEN frontend; TUPLE
+        # keys everywhere a principal exists — a client-controlled sid
+        # can never collide with (i.e. hijack) another user's entry,
+        # and the "user"/"doas" prefixes keep alice-doas-bob distinct
+        # from bob's own sessions
+        if effective is not None:
+            key: object = ("doas", effective, sid or "")
+        elif authed:
+            key = ("user", authed, sid or "")
+        else:
+            key = sid
         with self.sessions_lock:
             sess = self.sessions.get(key)
             if sess is None:
@@ -218,13 +232,28 @@ class _Handler(BaseHTTPRequestHandler):
                 self.sessions.move_to_end(key)
         return sess
 
-    def _reply(self, code: int, payload: dict) -> None:
+    def _reply(
+        self, code: int, payload: dict, headers: dict | None = None
+    ) -> None:
         body = json.dumps(payload, default=_json_default).encode()
         self.send_response(code)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(body)))
+        for k, v in (headers or {}).items():
+            self.send_header(k, v)
         self.end_headers()
         self.wfile.write(body)
+
+    def _reply_unauthorized(self) -> None:
+        """Every 401 carries the RFC 7235 challenge — clients that
+        only send credentials after a challenge (non-preemptive basic
+        auth) would otherwise fail on fetch/DELETE even though
+        /api/v1/sql worked (r11 review finding)."""
+        self._reply(
+            401,
+            {"error": "unauthorized"},
+            headers={"WWW-Authenticate": 'Basic realm="nineinfra"'},
+        )
 
     def do_GET(self) -> None:  # noqa: N802 — http.server API
         if self.path == "/api/v1/ping":
@@ -294,7 +323,7 @@ class _Handler(BaseHTTPRequestHandler):
         if len(parts) == 4 and parts[:3] == ["api", "v1", "statements"]:
             authed = self._authenticate()
             if authed is None:
-                self._reply(401, {"error": "unauthorized"})
+                self._reply_unauthorized()
                 return
             st = self._statement_for(parts[3], authed)
             if st is None:
@@ -308,7 +337,7 @@ class _Handler(BaseHTTPRequestHandler):
     def _handle_fetch(self, stmt_id: str) -> None:
         authed = self._authenticate()
         if authed is None:
-            self._reply(401, {"error": "unauthorized"})
+            self._reply_unauthorized()
             return
         try:
             length = int(self.headers.get("Content-Length", "0"))
@@ -363,13 +392,7 @@ class _Handler(BaseHTTPRequestHandler):
             return
         authed = self._authenticate()
         if authed is None:
-            self.send_response(401)
-            self.send_header("WWW-Authenticate", 'Basic realm="nineinfra"')
-            body = json.dumps({"error": "unauthorized"}).encode()
-            self.send_header("Content-Type", "application/json")
-            self.send_header("Content-Length", str(len(body)))
-            self.end_headers()
-            self.wfile.write(body)
+            self._reply_unauthorized()
             return
         effective, deny = self._resolve_proxy_user(authed)
         if deny is not None:
@@ -397,7 +420,7 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(400, {"error": f"bad request: {exc}"})
             return
         try:
-            df = self._session(effective).sql(sql)
+            df = self._session(effective, authed).sql(sql)
             if explain:
                 # plan-only mode: nothing executes, nothing fetches —
                 # the gateway answers "what would this cost" questions

@@ -110,11 +110,18 @@ def build_auth_jar(workdir: str) -> str:
         check=True,
         capture_output=True,
     )
+    # build to a tmp name and publish with an atomic rename: `jar cf`
+    # writing the FINAL path directly meant a crash mid-write (or a
+    # second engine racing the build in a shared warehouse workdir)
+    # left a truncated jar the exists-check then returned from cache
+    # forever (r11 review finding; same idiom as discovery.py)
+    tmp = f"{jar}.tmp-{os.getpid()}"
     subprocess.run(
-        [os.path.join(jh, "bin", "jar"), "cf", jar, "-C", classes, "."],
+        [os.path.join(jh, "bin", "jar"), "cf", tmp, "-C", classes, "."],
         check=True,
         capture_output=True,
     )
+    os.replace(tmp, jar)
     return jar
 
 

@@ -213,3 +213,52 @@ def test_engine_open_registers_close_deregisters(tmp_path):
         if child.poll() is None:
             child.kill()
             child.wait()
+
+
+def test_garbage_entries_are_skipped_not_fatal(tmp_path):
+    """r11 review finding: valid-JSON-of-the-wrong-shape (`5`,
+    `{"load": "high"}`) or non-UTF-8 bytes in the registry raised
+    AttributeError/ValueError/UnicodeDecodeError OUT of list_live,
+    bricking pick() for every client even with live engines
+    registered. Crash garbage of ANY shape is 'not registered'."""
+    reg = ServiceRegistry(str(tmp_path), ttl_s=30)
+    reg.register("good", "host:1")
+    (tmp_path / "int.json").write_text("5")
+    (tmp_path / "badload.json").write_text('{"load": "high"}')
+    (tmp_path / "latin1.json").write_bytes(b'{"engine_id": "\xe9"}'[:-2] + b"\xe9")
+    live = reg.list_live()
+    assert [e.engine_id for e in live] == ["good"]
+    assert reg.pick().endpoint == "host:1"
+
+
+def test_merge_required_conf_preserves_auth_values():
+    """r11 review finding (engine.py): user extra_conf naming
+    spark.driver.extraClassPath/extraJavaOptions silently REPLACED the
+    thrift-auth values — the JVM started without the auth jar and
+    every login failed. Same-key values merge, auth leading."""
+    from nineinfra_spark.engine import merge_required_conf
+
+    required = {
+        "spark.driver.extraClassPath": "/auth/nineauth.jar:/auth/conf",
+        "spark.driver.extraJavaOptions": "-Dnineinfra.auth.file=/auth/users",
+        "spark.hadoop.hive.server2.authentication": "CUSTOM",
+    }
+    user = {
+        "spark.driver.extraClassPath": "/opt/jars/s3-extra.jar",
+        "spark.driver.extraJavaOptions": "-Xss4m",
+        "spark.hadoop.hive.server2.authentication": "NONE",
+        "spark.sql.shuffle.partitions": "7",
+    }
+    merged = merge_required_conf(user, required)
+    assert merged["spark.driver.extraClassPath"] == (
+        "/auth/nineauth.jar:/auth/conf" + os.pathsep + "/opt/jars/s3-extra.jar"
+    )
+    assert merged["spark.driver.extraJavaOptions"] == (
+        "-Dnineinfra.auth.file=/auth/users -Xss4m"
+    )
+    # non-mergeable auth-required key: the required value wins
+    assert merged["spark.hadoop.hive.server2.authentication"] == "CUSTOM"
+    # unrelated user confs pass through
+    assert merged["spark.sql.shuffle.partitions"] == "7"
+    # no auth confs at all → extra_conf untouched
+    assert merge_required_conf(user, {}) == user

@@ -37,10 +37,15 @@ class Client:
         self.sock.close()
 
     def read_packet(self) -> bytes:
-        header = self._exact(4)
-        (length,) = struct.unpack("<I", header[:3] + b"\x00")
-        self.seq = header[3] + 1
-        return self._exact(length)
+        # split-aware: a 0xFFFFFF frame continues in the next one
+        payload = b""
+        while True:
+            header = self._exact(4)
+            (length,) = struct.unpack("<I", header[:3] + b"\x00")
+            self.seq = header[3] + 1
+            payload += self._exact(length)
+            if length < 0xFFFFFF:
+                return payload
 
     def _exact(self, n: int) -> bytes:
         buf = b""
@@ -315,3 +320,111 @@ class TestMySqlAuth:
 
         cfg = EngineConfig(mysql_port=0, mysql_auth_table="nine_auth.users_my")
         assert cfg.mysql_auth_table == "nine_auth.users_my"
+
+
+class TestR11ProtocolFindings:
+    """r11 review findings on the MySQL frontend: DDL responses,
+    cross-connection USE leakage, silent truncation, >=16 MB packet
+    splitting."""
+
+    def test_ddl_returns_ok_and_connection_stays_usable(self, gw):
+        c = Client(gw.port)
+        c.handshake()
+        # empty-schema statement → a REAL OK packet (>=7 bytes), not a
+        # truncated 0-column resultset + stray EOFs
+        c.seq = 0
+        c.send_packet(
+            bytes([0x03])
+            + b"CREATE OR REPLACE TEMPORARY VIEW mw_ddl_probe AS SELECT 7 AS x"
+        )
+        ok = c.read_packet()
+        assert ok[0] == 0x00 and len(ok) >= 7
+        # no desync: the next query parses cleanly on the same conn
+        _, rows = c.query("SELECT x FROM mw_ddl_probe")
+        assert rows == [["7"]]
+        c.seq = 0
+        c.send_packet(bytes([0x03]) + b"DROP VIEW IF EXISTS mw_never_created")
+        ok2 = c.read_packet()
+        assert ok2[0] == 0x00 and len(ok2) >= 7
+        _, rows2 = c.query("SELECT 1 AS one")
+        assert rows2 == [["1"]]
+        # shared-session hygiene: drop the probe view
+        c.seq = 0
+        c.send_packet(bytes([0x03]) + b"DROP VIEW IF EXISTS mw_ddl_probe")
+        assert c.read_packet()[0] == 0x00
+        c.close()
+
+    def test_use_does_not_leak_across_connections(self, spark, gw):
+        spark.sql("CREATE DATABASE IF NOT EXISTS mw_isolated")
+        a, b = Client(gw.port), Client(gw.port)
+        try:
+            a.handshake()
+            b.handshake()
+            a.seq = 0
+            a.send_packet(bytes([0x02]) + b"mw_isolated")
+            assert a.read_packet()[0] == 0x00
+            _, rows_a = a.query("SELECT current_database() AS db")
+            assert rows_a == [["mw_isolated"]]
+            # the OTHER connection (and the shared session) still
+            # resolve against default — USE used to mutate the one
+            # shared session for everyone
+            _, rows_b = b.query("SELECT current_database() AS db")
+            assert rows_b == [["default"]]
+            assert spark.catalog.currentDatabase() == "default"
+        finally:
+            a.close()
+            b.close()
+            spark.sql("DROP DATABASE IF EXISTS mw_isolated")
+
+    def test_truncated_resultset_signals_warning(self, gw):
+        c = Client(gw.port)
+        c.handshake()
+        c.seq = 0
+        c.send_packet(bytes([0x03]) + b"SELECT id FROM range(2000)")
+        first = c.read_packet()
+        n_cols, _ = c.read_lenenc(first, 0)
+        assert n_cols == 1
+        c.read_packet()  # column def
+        eof1 = c.read_packet()
+        assert eof1[0] == 0xFE
+        n_rows = 0
+        while True:
+            pkt = c.read_packet()
+            if pkt[0] == 0xFE and len(pkt) < 9:
+                # closing EOF: warning count = 1 flags the server-side
+                # cap (the only in-protocol channel a resultset has)
+                assert struct.unpack("<H", pkt[1:3])[0] == 1
+                break
+            n_rows += 1
+        assert n_rows == 1000  # capped at DEFAULT_FETCH_LIMIT
+        # an uncapped result reports zero warnings
+        c.seq = 0
+        c.send_packet(bytes([0x03]) + b"SELECT id FROM range(3)")
+        c.read_packet()
+        c.read_packet()
+        c.read_packet()
+        seen = 0
+        while True:
+            pkt = c.read_packet()
+            if pkt[0] == 0xFE and len(pkt) < 9:
+                assert struct.unpack("<H", pkt[1:3])[0] == 0
+                break
+            seen += 1
+        assert seen == 3
+        c.close()
+
+    def test_large_value_splits_and_reassembles(self, gw):
+        """A >=16 MB row payload must be framed with the protocol's
+        packet-splitting rule — the 3-byte length used to silently
+        wrap and corrupt the stream."""
+        c = Client(gw.port)
+        c.handshake()
+        n = 17_000_000
+        _, rows = c.query(f"SELECT repeat('x', {n}) AS s")
+        assert len(rows) == 1
+        assert len(rows[0][0]) == n
+        assert set(rows[0][0]) == {"x"}
+        # connection still aligned afterwards
+        _, rows2 = c.query("SELECT 5 AS v")
+        assert rows2 == [["5"]]
+        c.close()

@@ -714,3 +714,57 @@ def test_statement_fetch_after_close_raises_not_truncates():
     with pytest.raises(StatementClosedError):
         with st.lock:
             st.fetch(10)
+
+
+class TestAuthSessionIsolation:
+    """r11 review finding: with auth enabled, session clones were
+    keyed by the client-supplied X-Session-Id ALONE — two different
+    authenticated users sending the same sid shared one clone
+    (cross-user temp-view/conf exposure). Plain sids are now scoped to
+    the authenticated principal."""
+
+    auth_rest = TestAuth.__dict__["auth_rest"]
+    _basic = staticmethod(TestAuth._basic)
+    _post = TestAuth._post
+
+    def test_same_sid_different_users_do_not_share_state(self, auth_rest):
+        h_a = {**self._basic("admin", "s3cret"), "X-Session-Id": "shared-sid"}
+        h_b = {**self._basic("bi_user", "pw2"), "X-Session-Id": "shared-sid"}
+        with self._post(
+            auth_rest,
+            {"sql": "CREATE OR REPLACE TEMPORARY VIEW leak_probe AS SELECT 42 AS v"},
+            h_a,
+        ) as r:
+            assert r.status == 200
+        # admin sees their own view through the same sid…
+        with self._post(
+            auth_rest, {"sql": "SELECT v FROM leak_probe"}, h_a
+        ) as r:
+            assert json.loads(r.read())["rows"] == [[42]]
+        # …but bi_user with the SAME sid must NOT
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            self._post(auth_rest, {"sql": "SELECT v FROM leak_probe"}, h_b)
+        assert ei.value.code == 400
+        assert "leak_probe" in json.loads(ei.value.read())["error"]
+
+    def test_fetch_401_carries_challenge(self, auth_rest):
+        """r11 review finding: statements fetch/DELETE 401s omitted
+        the RFC 7235 WWW-Authenticate challenge that /api/v1/sql
+        sends — non-preemptive clients could never authenticate."""
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{auth_rest.port}/api/v1/statements/nope/fetch",
+            data=b"{}",
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req)
+        assert ei.value.code == 401
+        assert ei.value.headers["WWW-Authenticate"].startswith("Basic")
+        req2 = urllib.request.Request(
+            f"http://127.0.0.1:{auth_rest.port}/api/v1/statements/nope",
+            method="DELETE",
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei2:
+            urllib.request.urlopen(req2)
+        assert ei2.value.code == 401
+        assert ei2.value.headers["WWW-Authenticate"].startswith("Basic")
