@@ -212,6 +212,37 @@ class _Conn:
             + b"\x00\x00"
         )
 
+    def _clone_session(self) -> SparkSession:
+        """``newSession()`` clone that still SERVES: the shared
+        session's local temp views ARE the served tables (the module
+        docstring's USER-share model), but ``newSession()`` starts
+        with an empty temp-view registry — so the common connector
+        flow (``mysql -D db``, a JDBC URL with a database) used to get
+        a gateway where every served table resolved to
+        TABLE_OR_VIEW_NOT_FOUND (r11 ADVICE finding). Re-register each
+        local temp view on the clone through a global-temp-view bridge
+        (public API only): DataFrame-created temp views store the
+        ANALYZED plan, so the bridge can be dropped immediately and
+        the clone's view keeps resolving. Global temp views need no
+        copy — the ``global_temp`` registry is shared across sessions.
+        Snapshot semantics: views (un)registered on the shared session
+        AFTER the USE are deliberately not tracked — same contract as
+        any session fork."""
+        clone = self._shared.newSession()
+        bridge = f"__nine_use_bridge_{self._conn_id}"
+        for t in self._shared.catalog.listTables():
+            if not t.isTemporary or list(t.namespace or []):
+                continue  # not a LOCAL temp view
+            name = t.name.replace("`", "``")
+            self._shared.table(f"`{name}`").createOrReplaceGlobalTempView(
+                bridge
+            )
+            clone.table(f"global_temp.{bridge}").createOrReplaceTempView(
+                f"`{name}`"
+            )
+        self._shared.catalog.dropGlobalTempView(bridge)
+        return clone
+
     # -- lifecycle ---------------------------------------------------------
     def _handshake(self) -> bool:
         self._send_handshake()
@@ -300,7 +331,7 @@ class _Conn:
                     # __init__)
                     try:
                         if self._spark is self._shared:
-                            self._spark = self._shared.newSession()
+                            self._spark = self._clone_session()
                         self._spark.catalog.setCurrentDatabase(
                             packet[1:].decode("utf-8", "replace")
                         )

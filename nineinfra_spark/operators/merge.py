@@ -74,7 +74,21 @@ def _is_concurrent_scan_race(exc: BaseException) -> bool:
     return "FileNotFoundException" in s or "FILE_NOT_EXIST" in s
 
 
-_FNF_PATH = re.compile(r"(?:file:)?(/[^\s'\"]+)")
+#: Extraction is ANCHORED to the FileNotFound clause itself — the
+#: message can carry OTHER stable paths first (table root in a
+#: location clause, warehouse dir), and taking the first path-like
+#: match made two genuinely distinct rename races extract the same
+#: prefix path, escalating a retryable race into a hard raise
+#: (r11 ADVICE finding). Patterns cover the two real signatures:
+#: Spark 4's FAILED_READ_FILE ("Encountered error while reading file
+#: <p>.") and java.io FileNotFoundException ("File <p> does not
+#: exist" / "File not found: <p>").
+_FNF_ANCHORED = (
+    re.compile(r"while reading file\s+(?:file:)?(/[^\s'\"]+?)\.?(?:\s|$)"),
+    re.compile(r"FileNotFoundException:\s*(?:File\s+)?(?:file:)?(/[^\s'\"]+?)\.?(?:\s|$)"),
+    re.compile(r"(?:file:)?(/[^\s'\"]+?)\s+does not exist"),
+    re.compile(r"File not found:?\s*(?:file:)?(/[^\s'\"]+?)\.?(?:\s|$)"),
+)
 
 
 def _missing_path(exc: BaseException) -> str | None:
@@ -85,9 +99,18 @@ def _missing_path(exc: BaseException) -> str | None:
     row means the file is gone for good (deleted out-of-band), and
     re-running the full staged merge max_retries more times would
     burn compute and then misreport the cause as a CAS conflict
-    (r11 review finding)."""
-    m = _FNF_PATH.search(str(exc))
-    return m.group(1) if m else None
+    (r11 review finding). Returns None when no ANCHORED clause
+    matches — unextractable messages stay on the retry path (bounded
+    by max_retries) rather than risking a false same-path
+    escalation."""
+    msg = str(exc)
+    for pat in _FNF_ANCHORED:
+        m = pat.search(msg)
+        if m:
+            # normalize file:// URI slash runs so file:/p and
+            # file:///p extract the identical token
+            return "/" + m.group(1).lstrip("/")
+    return None
 
 
 def _backoff(attempt: int) -> None:

@@ -49,7 +49,7 @@ _load_all()
 #: (d) the two rows whose executed plans the r11 review fixes changed
 #: (same re-stamp rule: the split-expression dedup refactor and the
 #: pagerank degree checkpoint). 39+1+8+2 = 50. After this round the
-#: oldest latest-stamp is r7 (47 rows; they plus 3 slots for
+#: oldest latest-stamp is r7 (48 rows; they plus 2 slots for
 #: r12-new/changed queries are the r12 window), and the one retired
 #: name `sim_join_threshold` still carries its old r2 stamp
 #: unexported.
@@ -113,7 +113,7 @@ _VERIFY_FIRST = [
     # power-iteration round
     "split_train_valid_test",
     "graph_pagerank_fixed",
-    # deferred to r12 (latest stamp r7 — the 47 remaining rows of the
+    # deferred to r12 (latest stamp r7 — the 48 remaining rows of the
     # r7 cohort; after this round's window lands, no registered
     # query's latest stamp is older than r7):
     # agg_histogram_bins

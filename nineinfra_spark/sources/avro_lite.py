@@ -407,8 +407,17 @@ def write_avro_dataframe(df, out_dir: str, codec: str = "deflate") -> list[str]:
     ``*.avro.staged`` names the directory reader never lists; only
     after the WHOLE job succeeds does the driver replace the old
     files. A failed job leaves the previous output untouched (plus
-    ignorable staging debris); a crash mid-swap leaves a readable mix
-    that a re-run converges."""
+    staging debris the NEXT successful run sweeps); a crash mid-swap
+    leaves a readable mix that a re-run converges.
+
+    FILESYSTEM ASSUMPTION: the driver-side ``os.replace`` of
+    executor-written staged files requires ``out_dir`` to be on a
+    filesystem shared between driver and executors (local mode, NFS,
+    a fuse mount). On a real cluster with executor-local disks this
+    sink does not apply — use the engine's parquet/ORC sinks (Spark's
+    own committers) and treat this as the reference's
+    avro-interchange leg (nineinfra ships spark-avro on a shared
+    warehouse; ``internal/controller/kyuubi.go:100-106``)."""
     schema = avro_schema_for(df)
     os.makedirs(out_dir, exist_ok=True)
 
@@ -430,7 +439,15 @@ def write_avro_dataframe(df, out_dir: str, codec: str = "deflate") -> list[str]:
         finals.append(final)
     keep = {os.path.basename(f) for f in finals}
     for old in os.listdir(out_dir):
-        if old.endswith(".avro") and old not in keep:
+        # sweep (a) superseded finals from a previously WIDER write and
+        # (b) orphaned ``.avro.staged`` debris from earlier FAILED jobs
+        # — this run's own staged files were all renamed above, so any
+        # survivor is debris; without the sweep a failed wide run
+        # followed by successful narrower runs left orphans forever
+        # (r11 ADVICE finding)
+        if (old.endswith(".avro") and old not in keep) or old.endswith(
+            ".avro.staged"
+        ):
             os.remove(os.path.join(out_dir, old))
     return sorted(finals)
 

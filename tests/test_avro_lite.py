@@ -240,6 +240,35 @@ class TestR11ReviewFindings:
         assert sorted(r[0] for r in rows) == [0, 1, 2, 3, 4]
         assert all(r[1] == "keep" for r in rows)
 
+    def test_successful_write_sweeps_stale_staged_debris(
+        self, spark, tmp_path
+    ):
+        """r12 ADVICE fix: the post-swap sweep only deleted un-kept
+        ``.avro`` files, so ``.avro.staged`` debris from a FAILED wide
+        run survived every later (narrower) successful run forever."""
+        import pyspark.sql.functions as F
+
+        out = str(tmp_path / "sweep")
+        os.makedirs(out)
+        # simulate a failed 6-wide run's orphans, beyond this run's
+        # 2-partition index range
+        for i in (4, 5):
+            with open(
+                os.path.join(out, f"part-{i:05d}.avro.staged"), "wb"
+            ) as f:
+                f.write(b"debris")
+        ok = spark.range(10).repartition(2).select(
+            F.col("id"), F.lit("v").alias("tag")
+        )
+        finals = A.write_avro_dataframe(ok, out)
+        listing = sorted(os.listdir(out))
+        assert not any(n.endswith(".staged") for n in listing)
+        assert listing == sorted(os.path.basename(f) for f in finals)
+        rows = []
+        for f in finals:
+            rows += list(A.read_avro(f))
+        assert sorted(r[0] for r in rows) == list(range(10))
+
     def test_mixed_schema_directory_raises_not_misaligns(
         self, spark, tmp_path
     ):

@@ -861,3 +861,51 @@ class TestPermanentFileLossEscalates:
             assert calls["n"] == 2  # one race-benefit retry, then surface
         finally:
             spark.sql("DROP TABLE IF EXISTS fnf_t")
+
+
+class TestMissingPathAnchored:
+    """r12 ADVICE fix: _missing_path must anchor to the FileNotFound
+    clause — a stable prefix path earlier in the message (table root,
+    warehouse dir) used to be extracted for BOTH of two genuinely
+    distinct rename races, escalating a retryable race into a hard
+    raise on attempt 2."""
+
+    def test_prefix_path_does_not_shadow_missing_file(self):
+        from nineinfra_spark.operators.merge import _missing_path
+
+        a = RuntimeError(
+            "Scan failed for table at location file:/warehouse/t. "
+            "java.io.FileNotFoundException: File "
+            "file:/warehouse/t/part-00001.parquet does not exist"
+        )
+        b = RuntimeError(
+            "Scan failed for table at location file:/warehouse/t. "
+            "java.io.FileNotFoundException: File "
+            "file:/warehouse/t/part-00007.parquet does not exist"
+        )
+        pa, pb = _missing_path(a), _missing_path(b)
+        assert pa == "/warehouse/t/part-00001.parquet"
+        assert pb == "/warehouse/t/part-00007.parquet"
+        assert pa != pb  # two distinct races never compare equal
+
+    def test_failed_read_file_and_uri_slashes_normalize(self):
+        from nineinfra_spark.operators.merge import _missing_path
+
+        m = _missing_path(
+            RuntimeError(
+                "[FAILED_READ_FILE.FILE_NOT_EXIST] Encountered error "
+                "while reading file file:///warehouse/t/part-0.parquet. "
+                "It is possible the underlying files have been updated."
+            )
+        )
+        assert m == "/warehouse/t/part-0.parquet"
+
+    def test_unanchored_message_stays_retryable(self):
+        from nineinfra_spark.operators.merge import _missing_path
+
+        assert (
+            _missing_path(
+                RuntimeError("error mentioning /warehouse/root only")
+            )
+            is None
+        )

@@ -376,6 +376,42 @@ class TestR11ProtocolFindings:
             b.close()
             spark.sql("DROP DATABASE IF EXISTS mw_isolated")
 
+    def test_served_views_survive_use(self, spark, gw):
+        """r12 ADVICE fix: COM_INIT_DB's lazy ``newSession()`` clone
+        must re-register the shared session's local temp views — they
+        ARE the served tables, and connectors send USE right after
+        connecting (``mysql -D db``, JDBC URLs with a database), so a
+        clone with an empty temp-view registry made every served
+        table TABLE_OR_VIEW_NOT_FOUND for the most common client
+        flow."""
+        spark.sql("CREATE DATABASE IF NOT EXISTS mw_use_views")
+        c = Client(gw.port)
+        try:
+            c.handshake()
+            c.seq = 0
+            c.send_packet(bytes([0x02]) + b"mw_use_views")
+            assert c.read_packet()[0] == 0x00
+            # the database switch took on this connection...
+            _, rows_db = c.query("SELECT current_database() AS db")
+            assert rows_db == [["mw_use_views"]]
+            # ...and the served temp views still resolve
+            cols, rows = c.query("SELECT COUNT(*) AS n FROM nation")
+            assert cols == ["n"] and rows == [["25"]]
+            _, rows2 = c.query(
+                "SELECT COUNT(*) AS n FROM lineitem WHERE l_quantity > 0"
+            )
+            assert int(rows2[0][0]) > 0
+            # bridge hygiene: no __nine_use_bridge_* left in global_temp
+            leftovers = [
+                t.name
+                for t in spark.catalog.listTables("global_temp")
+                if t.name.startswith("__nine_use_bridge_")
+            ]
+            assert leftovers == []
+        finally:
+            c.close()
+            spark.sql("DROP DATABASE IF EXISTS mw_use_views")
+
     def test_truncated_resultset_signals_warning(self, gw):
         c = Client(gw.port)
         c.handshake()
