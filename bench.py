@@ -169,6 +169,14 @@ def main() -> int:
     except ValueError:
         sf = None
 
+    # Host-band audit fields (r11 verdict): this VM's wall times swing
+    # up to ~1.6× with host contention, and the diagnosis ("uniform
+    # per-query inflation = host band, not plan regression") was only
+    # recorded in prose. Stamp the 1-min load average at start AND end
+    # of the run so a slow stamp is mechanically attributable.
+    started_utc = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    load_start = round(os.getloadavg()[0], 2)
+
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from nineinfra_spark.engine import Engine
 
@@ -209,6 +217,11 @@ def main() -> int:
         "timing": f"median_of_{n_runs}",
         "queries": timings,
         "sf": sf,
+        "started_utc": started_utc,
+        "host_load_1m": {
+            "start": load_start,
+            "end": round(os.getloadavg()[0], 2),
+        },
     }
     # Full per-query map: one JSON line for humans + a file copy
     # (the driver's artifact keeps only a bounded tail of stdout, and

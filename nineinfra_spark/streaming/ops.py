@@ -96,10 +96,31 @@ def _staged_table_dir(sf_dir: str, table: str) -> str:
         if os.path.isdir(src)
         else [None]
     )
+    # Idempotent AND self-healing (r12 review finding): a regenerated
+    # source (the sf1 tiling is rewritten by scripts/make_sf1.py) can
+    # leave the staged dir with DANGLING symlinks — and
+    # ``os.path.exists`` is False on a dangling link, so the old
+    # "create if not exists" crashed with FileExistsError; a source
+    # that SHRANK left extra stale links that fail (or worse, replay
+    # deleted data into) every later stream. Re-point wrong/dead
+    # links, drop links beyond the current leaf count.
+    expected = set()
     for i, leaf in enumerate(leaves):
+        target = src if leaf is None else os.path.join(src, leaf)
         link = os.path.join(staged, f"{table}-{i:03d}.parquet")
-        if not os.path.exists(link):
-            os.symlink(src if leaf is None else os.path.join(src, leaf), link)
+        expected.add(os.path.basename(link))
+        if (
+            os.path.islink(link)
+            and os.readlink(link) == target
+            and os.path.exists(target)
+        ):
+            continue
+        if os.path.lexists(link):
+            os.remove(link)
+        os.symlink(target, link)
+    for name in os.listdir(staged):
+        if name not in expected:
+            os.remove(os.path.join(staged, name))
     return staged
 
 

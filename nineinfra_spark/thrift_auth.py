@@ -96,7 +96,12 @@ def build_auth_jar(workdir: str) -> str:
     jar = os.path.join(workdir, f"nineauth-{src_hash}.jar")
     if os.path.exists(jar):
         return jar
-    classes = os.path.join(workdir, f"classes-{src_hash}")
+    # per-pid scratch dir: two engines racing the build in a shared
+    # workdir must not share class output — `jar cf` could pack a
+    # half-written .class the other's javac is still emitting (the
+    # PUBLISH below is already atomic; this makes the build inputs
+    # race-free too)
+    classes = os.path.join(workdir, f"classes-{src_hash}-{os.getpid()}")
     jh = _java_home()
     subprocess.run(
         [
@@ -130,13 +135,27 @@ def write_users_file(path: str, users: Mapping[str, str]) -> str:
     one ``username:md5(salt||password)`` line per user (the
     reference's stored form; plaintext never touches disk). 0600
     permissions — it is a credential store."""
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    with open(path, "w") as f:
+    parent = os.path.dirname(path)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
+    # validate BEFORE creating the file, and refuse any separator or
+    # control character — a username containing '\n' would inject an
+    # attacker-chosen extra credential line into the store (':' alone
+    # was rejected; the newline class is the dangerous one)
+    for user in users:
+        if ":" in user or any(ch.isspace() or ord(ch) < 0x20 for ch in user):
+            raise ValueError(
+                f"username may not contain ':', whitespace, or control "
+                f"characters: {user!r}"
+            )
+    # 0600 from the first byte: create-with-mode, never write-then-chmod
+    # — under umask 022 the old order left the hashes world-readable
+    # until the chmod landed
+    fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o600)
+    with os.fdopen(fd, "w") as f:
         for user, pw in users.items():
-            if ":" in user:
-                raise ValueError(f"username may not contain ':': {user!r}")
             f.write(f"{user}:{hash_password(pw)}\n")
-    os.chmod(path, 0o600)
+    os.chmod(path, 0o600)  # pre-existing file: tighten regardless
     return path
 
 

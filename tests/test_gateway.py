@@ -340,6 +340,36 @@ def test_secure_workdir_rejects_unsafe_dirs(tmp_path):
         secure_workdir(str(gw))
 
 
+def test_users_file_created_0600_and_rejects_injection(tmp_path):
+    """r12 review findings: the credential file must carry 0600 from
+    its FIRST byte (write-then-chmod left the hashes world-readable
+    under umask 022 until the chmod landed), and a username with a
+    newline must be refused — it would inject an attacker-chosen extra
+    credential line into the store (only ':' was rejected)."""
+    import os
+
+    import pytest
+
+    from nineinfra_spark.auth import hash_password
+    from nineinfra_spark.thrift_auth import write_users_file
+
+    path = str(tmp_path / "users.txt")
+    old_umask = os.umask(0o022)  # the permissive-default scenario
+    try:
+        write_users_file(path, {"admin": "pw"})
+    finally:
+        os.umask(old_umask)
+    assert (os.stat(path).st_mode & 0o777) == 0o600
+    with open(path) as f:
+        assert f.read() == f"admin:{hash_password('pw')}\n"
+
+    for bad in ("a:b", "a\nevil", "a b", "a\tb", "a\rb"):
+        with pytest.raises(ValueError, match="username"):
+            write_users_file(str(tmp_path / "u2.txt"), {bad: "pw"})
+    # a rejected store never leaves a partial file behind
+    assert not os.path.exists(tmp_path / "u2.txt")
+
+
 _CONCURRENT_DDL = """
 import json, os, sys, threading, urllib.request
 from nineinfra_spark.engine import Engine, EngineConfig

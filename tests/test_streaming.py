@@ -332,3 +332,40 @@ def test_stream_stream_join_state_cleanup(spark):
     # the joins themselves all landed before eviction
     ks = sorted(r["k"] for r in spark.table("mem_ssj_cleanup").collect())
     assert ks == [1, 2, 3], ks
+
+
+def test_staged_dir_heals_dangling_and_stale_links(tmp_path, monkeypatch):
+    """r12 review finding: the stream-source stager created links only
+    when ``os.path.exists(link)`` was False — but exists() is False on
+    a DANGLING symlink too, so a regenerated source (the sf1 tiling is
+    rewritten in place) crashed staging with FileExistsError; a source
+    that SHRANK left extra stale links poisoning every later replay."""
+    from nineinfra_spark.streaming import ops
+
+    monkeypatch.setattr(ops, "STREAM_SRC_ROOT", str(tmp_path / "staged"))
+    sf = tmp_path / "sfx"
+    src = sf / "events.parquet"
+    src.mkdir(parents=True)
+    for i in range(3):
+        (src / f"part-{i}.parquet").write_bytes(b"p%d" % i)
+
+    staged = ops._staged_table_dir(str(sf), "events")
+    assert sorted(os.listdir(staged)) == [
+        "events-000.parquet", "events-001.parquet", "events-002.parquet"
+    ]
+
+    # regenerate the source: fewer, differently-named leaves
+    shutil.rmtree(src)
+    src.mkdir()
+    (src / "part-new.parquet").write_bytes(b"new")
+
+    staged2 = ops._staged_table_dir(str(sf), "events")
+    assert staged2 == staged
+    assert sorted(os.listdir(staged)) == ["events-000.parquet"]
+    link = os.path.join(staged, "events-000.parquet")
+    assert os.readlink(link) == str(src / "part-new.parquet")
+    with open(link, "rb") as f:
+        assert f.read() == b"new"
+    # idempotent when nothing changed
+    assert ops._staged_table_dir(str(sf), "events") == staged
+    assert sorted(os.listdir(staged)) == ["events-000.parquet"]
