@@ -154,6 +154,9 @@ HEADLINE = [
     "split_leakage_guard",
     "agg_weighted_median",
     "events_path_3gram",
+    # r12: z-layout file-skipping read proof, corpus mixture drift gate
+    "zorder_skipping_read",
+    "text_snapshot_drift",
 ]
 
 

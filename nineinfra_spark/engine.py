@@ -193,6 +193,43 @@ class Engine:
 
     # -- lifecycle ---------------------------------------------------------
     def open(self) -> "Engine":
+        """Build the session and start the configured frontends.
+
+        Failure-atomic (r12 review finding): a frontend failing
+        mid-open (bad port, auth table missing) used to leak every
+        frontend started before it — a running REST gateway serving a
+        session its owner believes never opened. On any error the
+        already-started gateways and the discovery registration are
+        stopped before the exception propagates; the Spark session is
+        stopped only if THIS open created it (``getOrCreate`` may have
+        returned a pre-existing session that other code owns)."""
+        pre_existing = SparkSession.getActiveSession() is not None
+        try:
+            return self._open_inner()
+        except BaseException:
+            if self.registration is not None:
+                try:
+                    self.registration.deregister()
+                except Exception:
+                    pass
+                self.registration = None
+            for gw_attr in ("rest_gateway", "mysql_gateway"):
+                gw = getattr(self, gw_attr)
+                if gw is not None:
+                    try:
+                        gw.stop()
+                    except Exception:
+                        pass
+                    setattr(self, gw_attr, None)
+            if self._spark is not None and not pre_existing:
+                try:
+                    self._spark.stop()
+                except Exception:
+                    pass
+                self._spark = None
+            raise
+
+    def _open_inner(self) -> "Engine":
         cfg = self.config
         builder = (
             SparkSession.builder.master(cfg.resolved_master())

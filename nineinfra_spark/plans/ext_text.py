@@ -1497,3 +1497,117 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(10000 * n_bpe_tokens div n_alpha_chars as bigint)"
         ).alias("compression_bps"),
     )
+
+
+@query(
+    "text_snapshot_drift",
+    oracle="""
+    WITH h AS (
+        SELECT lang, source,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 3)
+                    AS BIGINT) AS hb
+        FROM documents
+    ),
+    grid AS (
+        SELECT lang, source,
+            CAST(SUM(CASE WHEN hb % 10 < 8
+                           AND NOT (lang = 'fr' AND hb % 3 = 0)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+            CAST(SUM(CASE WHEN hb % 10 >= 2
+                           AND NOT (lang = 'de' AND hb % 2 = 0)
+                           AND NOT (lang = 'zh' AND source = 'src0')
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+        FROM h
+        GROUP BY lang, source
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_old) AS BIGINT) AS t_old,
+               CAST(SUM(n_new) AS BIGINT) AS t_new
+        FROM grid
+    )
+    SELECT lang, source, n_old, n_new,
+        CASE
+            WHEN n_old + n_new < 20 THEN 'low_support'
+            WHEN n_old = 0 AND n_new > 0 THEN 'new'
+            WHEN n_old > 0 AND n_new = 0 THEN 'gone'
+            WHEN 100 * n_new * t_old > 125 * n_old * t_new THEN 'drift_up'
+            WHEN 100 * n_new * t_old < 80 * n_old * t_new THEN 'drift_down'
+            ELSE 'stable'
+        END AS status
+    FROM grid CROSS JOIN tot
+    WHERE n_old + n_new > 0
+    """,
+    tags=("ext", "text", "drift", "dq", "bounded-nlj"),
+)
+def text_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot drift monitor — the "did my pipeline silently
+    change the mixture" gate a training-data refresh needs (the text
+    twin of ``emb_centroid_drift``): compare the per-(lang, source)
+    cell distribution between two corpus snapshots and classify each
+    cell as stable / drift_up / drift_down / new / gone /
+    low_support. Snapshots are deterministic md5-hash-keyed views of
+    the corpus simulating an upstream change: the new snapshot loses
+    half of 'de' (ingestion regression → drift_down), the old one
+    lacked a third of 'fr' (its share RISES in the new snapshot →
+    drift_up), and (zh, src0) disappears entirely (gone). Membership
+    is keyed on the md5 3-hex-digit bucket of doc_id, NOT doc_id
+    modulo — the testdata assigns ``source = src(doc_id % 20)``, so
+    any modulo split is CONFOUNDED with source and fabricates
+    wholesale new/gone cells (found while calibrating this query).
+
+    Drift is decided in EXACT INTEGERS — a cell's share ratio
+    (n_new/t_new)/(n_old/t_old) is outside [0.80, 1.25] iff
+    ``100·n_new·t_old <> {80,125}·n_old·t_new`` — no float division,
+    so the boundary cell never flips between engines. Cells with
+    fewer than 20 docs across both snapshots report ``low_support``
+    instead of a noise-driven verdict (the standard monitor guard).
+    At trillion-doc scale route the two cross-products through
+    DECIMAL(38,0); the shape is unchanged.
+
+    Scale posture: ONE corpus scan → map-side-combined hash agg on the
+    (lang, source) grid (thousands of cells, never rows); totals are
+    an agg OF THE GRID, broadcast back as a 1-row frame (bounded-nlj).
+    At 100 TB this runs at scan speed with a cells-sized shuffle.
+    Reference scope: corpus governance is engine-delegated
+    (``internal/controller/kyuubi.go:189-203``)."""
+    d = t(spark, sf_dir, "documents").withColumn(
+        "hb",
+        F.expr(
+            "cast(conv(substr(md5(cast(doc_id as string)), 1, 3), 16, 10)"
+            " as bigint)"
+        ),
+    )
+    is_old = (F.col("hb") % 10 < 8) & ~(
+        (F.col("lang") == "fr") & (F.col("hb") % 3 == 0)
+    )
+    is_new = (
+        (F.col("hb") % 10 >= 2)
+        & ~((F.col("lang") == "de") & (F.col("hb") % 2 == 0))
+        & ~((F.col("lang") == "zh") & (F.col("source") == "src0"))
+    )
+    grid = d.groupBy("lang", "source").agg(
+        F.sum(is_old.cast("bigint")).alias("n_old"),
+        F.sum(is_new.cast("bigint")).alias("n_new"),
+    )
+    tot = grid.agg(
+        F.sum("n_old").alias("t_old"), F.sum("n_new").alias("t_new")
+    )
+    up = F.lit(100) * F.col("n_new") * F.col("t_old") > F.lit(125) * F.col(
+        "n_old"
+    ) * F.col("t_new")
+    down = F.lit(100) * F.col("n_new") * F.col("t_old") < F.lit(80) * F.col(
+        "n_old"
+    ) * F.col("t_new")
+    status = (
+        F.when(F.col("n_old") + F.col("n_new") < 20, "low_support")
+        .when((F.col("n_old") == 0) & (F.col("n_new") > 0), "new")
+        .when((F.col("n_old") > 0) & (F.col("n_new") == 0), "gone")
+        .when(up, "drift_up")
+        .when(down, "drift_down")
+        .otherwise("stable")
+    )
+    return (
+        grid.crossJoin(F.broadcast(tot))
+        .filter(F.col("n_old") + F.col("n_new") > 0)
+        .select("lang", "source", "n_old", "n_new", status.alias("status"))
+    )

@@ -1788,3 +1788,172 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(
         "o_orderkey long, o_custkey long, o_orderpriority string"
     ).json(pyds.manifested_files(out))
+
+
+def _zorder_skip_oracle() -> str:
+    """DuckDB mirror of ``zorder_skipping_read``: the same 8-bit
+    ``operators/zorder.zvalue_column`` arithmetic (IEEE-double scaling,
+    integer bit interleave — the proven ``fn_zorder_values`` idiom),
+    bucketed by the top 5 z-bits. One file per bucket (pytest-pinned in
+    tests/test_zorder.py), so per-FILE envelopes on the Spark side
+    equal per-BUCKET envelopes here."""
+    bits, k, grid, zb_shift = 8, 2, 255, 11
+    cells = []
+    for c in ("user_id", "value"):
+        cells.append(
+            f"GREATEST(0, LEAST({grid}, CAST(FLOOR("
+            f"(CAST({c} AS DOUBLE) - lo_{c}) / span_{c} * {grid}) AS BIGINT)))"
+        )
+    z = " | ".join(
+        f"((((c{i} >> {b}) & 1)) << {b * k + i})"
+        for b in range(bits)
+        for i in range(k)
+    )
+    return f"""
+    WITH stats AS (
+        SELECT CAST(MIN(CAST(user_id AS DOUBLE)) AS DOUBLE) AS lo_user_id,
+               CAST(MAX(CAST(user_id AS DOUBLE)) - MIN(CAST(user_id AS DOUBLE)) AS DOUBLE) AS span_user_id,
+               CAST(MIN(CAST(value AS DOUBLE)) AS DOUBLE) AS lo_value,
+               CAST(MAX(CAST(value AS DOUBLE)) - MIN(CAST(value AS DOUBLE)) AS DOUBLE) AS span_value
+        FROM events
+    ),
+    bounds AS (
+        SELECT lo_user_id + span_user_id * 0.25 AS au,
+               lo_user_id + span_user_id * 0.55 AS bu,
+               lo_value + span_value * 0.25 AS av,
+               lo_value + span_value * 0.55 AS bv
+        FROM stats
+    ),
+    cells AS (
+        SELECT user_id, value, {cells[0]} AS c0, {cells[1]} AS c1
+        FROM events CROSS JOIN stats
+    ),
+    zb AS (
+        SELECT user_id, value, ({z}) >> {zb_shift} AS bucket
+        FROM cells
+    ),
+    env AS (
+        SELECT bucket,
+               MIN(user_id) AS mnu, MAX(user_id) AS mxu,
+               MIN(value) AS mnv, MAX(value) AS mxv
+        FROM zb GROUP BY bucket
+    ),
+    fagg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS files_total,
+               CAST(SUM(CASE WHEN NOT (CAST(mxu AS DOUBLE) < au
+                                       OR CAST(mnu AS DOUBLE) > bu
+                                       OR mxv < av OR mnv > bv)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS files_hit
+        FROM env CROSS JOIN bounds
+    ),
+    bagg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COALESCE(SUM(CAST(ROUND(value * 1000000000.0) AS BIGINT)), -1) AS BIGINT) AS sum_value_nanos
+        FROM zb CROSS JOIN bounds
+        WHERE CAST(user_id AS DOUBLE) >= au AND CAST(user_id AS DOUBLE) <= bu
+          AND value >= av AND value <= bv
+    )
+    SELECT files_total, files_hit, files_total - files_hit AS files_skipped,
+           n_rows, sum_value_nanos
+    FROM fagg CROSS JOIN bagg
+    """
+
+
+@query(
+    "zorder_skipping_read",
+    oracle=_zorder_skip_oracle(),
+    tags=("sink", "layout", "zorder", "skipping", "bounded-nlj"),
+)
+def zorder_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order data-skipping READ proof — the payoff half of the
+    ``operators/zorder.py`` layout clustering (``fn_zorder_values``
+    proves the kernel; this query proves files are actually SKIPPED):
+    write events as one parquet file per z-bucket (8-bit Morton code
+    over (user_id, value), top 5 bits → ≤32 buckets, each bucket
+    wholly in one task so each directory holds exactly ONE file), then
+    answer a 2-D box query and report, from the files' OWN min-max
+    envelopes (grouped by ``_metadata.file_path`` — the physical
+    layout, not the bucket column), how many files a min-max-pruning
+    reader must open: ``files_hit`` vs ``files_total``. The oracle
+    recomputes the identical z-bucketing arithmetically, so the
+    physical file envelopes are pinned to the mathematical layout.
+
+    Scale posture: the layout job is one hash exchange + write (same
+    as any clustered rewrite); the envelope audit is a scan-shaped
+    agg keyed by file (#files groups); the box answer is a pushdown
+    filter + agg. At 100 TB the envelope table IS the skipping index
+    (Delta/Iceberg keep exactly these per-file min/max stats); the
+    pigeonhole here — a 30%×30% box hits a small fraction of z-laid
+    files, asserted ``files_hit < files_total`` in tests/test_zorder.py
+    — is what turns a full scan into a few-file read. Reference scope:
+    table layout/compaction is the reference's storage-tier concern
+    (``internal/controller/minio.go:286-319`` provisions the object
+    store; layout policy is delegated to the engine — implemented
+    natively here)."""
+    from nineinfra_spark.operators.zorder import zvalue_column
+
+    ev = t(spark, sf_dir, "events").select("user_id", "value")
+    st = ev.agg(
+        F.min(F.col("user_id").cast("double")).alias("lo_u"),
+        F.max(F.col("user_id").cast("double")).alias("hi_u"),
+        F.min(F.col("value").cast("double")).alias("lo_v"),
+        F.max(F.col("value").cast("double")).alias("hi_v"),
+    ).first()
+    # box bounds: identical IEEE expression tree to the oracle's
+    # bounds CTE (lo + span * frac, evaluated left-to-right)
+    span_u, span_v = st["hi_u"] - st["lo_u"], st["hi_v"] - st["lo_v"]
+    au, bu = st["lo_u"] + span_u * 0.25, st["lo_u"] + span_u * 0.55
+    av, bv = st["lo_v"] + span_v * 0.25, st["lo_v"] + span_v * 0.55
+
+    zb = F.shiftright(zvalue_column(ev, ["user_id", "value"], bits=8), 11)
+    path = _out("zorder_skip", os.path.basename(sf_dir), "events_z")
+    writers.write_parquet(
+        ev.withColumn("zb", zb).repartition(32, "zb"),
+        path,
+        mode="overwrite",
+        partition_by=["zb"],
+    )
+    back = spark.read.parquet(path).select(
+        F.col("_metadata.file_path").alias("fp"), "user_id", "value"
+    )
+    env = back.groupBy("fp").agg(
+        F.min("user_id").alias("mnu"),
+        F.max("user_id").alias("mxu"),
+        F.min("value").alias("mnv"),
+        F.max("value").alias("mxv"),
+    )
+    hit = ~(
+        (F.col("mxu").cast("double") < F.lit(au))
+        | (F.col("mnu").cast("double") > F.lit(bu))
+        | (F.col("mxv") < F.lit(av))
+        | (F.col("mnv") > F.lit(bv))
+    )
+    fagg = env.agg(
+        F.count(F.lit(1)).alias("files_total"),
+        F.sum(hit.cast("bigint")).alias("files_hit"),
+    )
+    bagg = (
+        back.filter(
+            (F.col("user_id").cast("double") >= F.lit(au))
+            & (F.col("user_id").cast("double") <= F.lit(bu))
+            & (F.col("value") >= F.lit(av))
+            & (F.col("value") <= F.lit(bv))
+        ).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.coalesce(
+                F.sum(
+                    F.round(F.col("value") * F.lit(1000000000.0)).cast(
+                        "bigint"
+                    )
+                ),
+                F.lit(-1).cast("bigint"),
+            ).alias("sum_value_nanos"),
+        )
+    )
+    return fagg.crossJoin(bagg).select(
+        "files_total",
+        "files_hit",
+        (F.col("files_total") - F.col("files_hit")).alias("files_skipped"),
+        "n_rows",
+        "sum_value_nanos",
+    )

@@ -768,3 +768,22 @@ class TestAuthSessionIsolation:
             urllib.request.urlopen(req2)
         assert ei2.value.code == 401
         assert ei2.value.headers["WWW-Authenticate"].startswith("Basic")
+
+
+def test_failed_open_unwinds_started_frontends(spark):
+    """r12 review finding: a frontend failing mid-Engine.open() (here:
+    an invalid MySQL port, configured AFTER the REST frontend starts)
+    used to leak the already-running REST gateway — a live endpoint
+    serving a session its owner believes never opened. open() must
+    stop what it started and re-raise; the pre-existing shared Spark
+    session must survive."""
+    from nineinfra_spark.engine import Engine, EngineConfig
+
+    eng = Engine(EngineConfig(rest_port=0, mysql_port=-5))
+    with pytest.raises(Exception):
+        eng.open()
+    assert eng.rest_gateway is None
+    assert eng.mysql_gateway is None
+    assert eng.registration is None
+    # the shared session this test runs on is untouched
+    assert spark.sql("SELECT 1 AS x").collect()[0]["x"] == 1

@@ -134,3 +134,90 @@ def test_empty_and_all_null_inputs_do_not_crash(spark, tmp_path):
     out = nulls.withColumn("z", zvalue_column(nulls, ["x", "y"])).collect()
     assert len(out) == 2
     zorder_write(empty, str(tmp_path / "zempty"), ["x", "y"], 1)
+
+
+class TestSkippingRead:
+    """r12: the READ-side proof behind the `zorder_skipping_read`
+    registered query — files are physically one-per-bucket, the box
+    query's envelope audit actually skips most files, and reading ONLY
+    the envelope-hit files reproduces the full box answer (i.e. the
+    min-max skip is sound, not just small)."""
+
+    @pytest.fixture(scope="class")
+    def run(self, spark):
+        from nineinfra_spark.plans import registry
+
+        row = registry.get("zorder_skipping_read").fn(spark, SF).collect()[0]
+        path = "/tmp/nineinfra_spark_io/zorder_skip/sf0.001/events_z"
+        return row, path
+
+    def test_one_file_per_bucket(self, spark, run):
+        _, path = run
+        back = spark.read.parquet(path)
+        n_files = back.select(
+            F.col("_metadata.file_path")
+        ).distinct().count()
+        n_buckets = back.select("zb").distinct().count()
+        assert n_files == n_buckets  # envelope-per-file == per-bucket
+
+    def test_most_files_skipped(self, run):
+        row, _ = run
+        assert row["files_total"] >= 16
+        assert row["files_hit"] * 2 < row["files_total"]  # >50% skipped
+        assert row["files_skipped"] == row["files_total"] - row["files_hit"]
+
+    def test_hit_files_alone_answer_the_box(self, spark, run):
+        """Soundness: a reader that opens ONLY the envelope-hit files
+        gets the exact same box rows as a full scan — no in-box row
+        hides in a skipped file."""
+        row, path = run
+        ev = read_table(spark, SF, "events").select("user_id", "value")
+        st = ev.agg(
+            F.min(F.col("user_id").cast("double")).alias("lo_u"),
+            F.max(F.col("user_id").cast("double")).alias("hi_u"),
+            F.min(F.col("value").cast("double")).alias("lo_v"),
+            F.max(F.col("value").cast("double")).alias("hi_v"),
+        ).first()
+        span_u, span_v = st["hi_u"] - st["lo_u"], st["hi_v"] - st["lo_v"]
+        au, bu = st["lo_u"] + span_u * 0.25, st["lo_u"] + span_u * 0.55
+        av, bv = st["lo_v"] + span_v * 0.25, st["lo_v"] + span_v * 0.55
+        box = (
+            (F.col("user_id").cast("double") >= F.lit(au))
+            & (F.col("user_id").cast("double") <= F.lit(bu))
+            & (F.col("value") >= F.lit(av))
+            & (F.col("value") <= F.lit(bv))
+        )
+        back = spark.read.parquet(path).select(
+            F.col("_metadata.file_path").alias("fp"), "user_id", "value"
+        )
+        env = back.groupBy("fp").agg(
+            F.min("user_id").alias("mnu"), F.max("user_id").alias("mxu"),
+            F.min("value").alias("mnv"), F.max("value").alias("mxv"),
+        )
+        hit_files = [
+            r["fp"]
+            for r in env.filter(
+                ~(
+                    (F.col("mxu").cast("double") < F.lit(au))
+                    | (F.col("mnu").cast("double") > F.lit(bu))
+                    | (F.col("mxv") < F.lit(av))
+                    | (F.col("mnv") > F.lit(bv))
+                )
+            ).collect()
+        ]
+        assert len(hit_files) == row["files_hit"]
+        # strip file: URI prefix for the reader
+        paths = [f.replace("file:", "") for f in hit_files]
+        from_hits = sorted(
+            tuple(r)
+            for r in spark.read.parquet(*paths)
+            .select("user_id", "value")
+            .filter(box)
+            .collect()
+        )
+        from_all = sorted(
+            tuple(r)
+            for r in back.select("user_id", "value").filter(box).collect()
+        )
+        assert from_hits == from_all
+        assert len(from_all) == row["n_rows"]
