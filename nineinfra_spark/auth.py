@@ -32,6 +32,7 @@ after user changes.
 from __future__ import annotations
 
 import hashlib
+import hmac
 from collections.abc import Mapping
 
 from pyspark.sql import SparkSession
@@ -91,7 +92,12 @@ class UserStore:
 
     def authenticate(self, username: str, password: str) -> bool:
         stored = self._users.get(username)
-        return stored is not None and stored == hash_password(password)
+        # constant-time digest comparison: an in-process `==` on hex
+        # digests leaks a prefix-length timing signal to whoever drives
+        # the gateway loop (r12 review hardening)
+        return stored is not None and hmac.compare_digest(
+            stored, hash_password(password)
+        )
 
     def __call__(self, username: str, password: str) -> bool:
         return self.authenticate(username, password)

@@ -1818,8 +1818,8 @@ def _zorder_skip_oracle() -> str:
         FROM events
     ),
     bounds AS (
-        SELECT lo_user_id + span_user_id * 0.25 AS au,
-               lo_user_id + span_user_id * 0.55 AS bu,
+        SELECT CAST(CEIL(lo_user_id + span_user_id * 0.25) AS BIGINT) AS au,
+               CAST(FLOOR(lo_user_id + span_user_id * 0.55) AS BIGINT) AS bu,
                lo_value + span_value * 0.25 AS av,
                lo_value + span_value * 0.55 AS bv
         FROM stats
@@ -1840,8 +1840,7 @@ def _zorder_skip_oracle() -> str:
     ),
     fagg AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS files_total,
-               CAST(SUM(CASE WHEN NOT (CAST(mxu AS DOUBLE) < au
-                                       OR CAST(mnu AS DOUBLE) > bu
+               CAST(SUM(CASE WHEN NOT (mxu < au OR mnu > bu
                                        OR mxv < av OR mnv > bv)
                              THEN 1 ELSE 0 END) AS BIGINT) AS files_hit
         FROM env CROSS JOIN bounds
@@ -1850,7 +1849,7 @@ def _zorder_skip_oracle() -> str:
         SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
                CAST(COALESCE(SUM(CAST(ROUND(value * 1000000000.0) AS BIGINT)), -1) AS BIGINT) AS sum_value_nanos
         FROM zb CROSS JOIN bounds
-        WHERE CAST(user_id AS DOUBLE) >= au AND CAST(user_id AS DOUBLE) <= bu
+        WHERE user_id >= au AND user_id <= bu
           AND value >= av AND value <= bv
     )
     SELECT files_total, files_hit, files_total - files_hit AS files_skipped,
@@ -1900,9 +1899,18 @@ def zorder_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.col("value").cast("double")).alias("hi_v"),
     ).first()
     # box bounds: identical IEEE expression tree to the oracle's
-    # bounds CTE (lo + span * frac, evaluated left-to-right)
+    # bounds CTE (lo + span * frac, evaluated left-to-right). The
+    # user_id bounds are INTEGERS (ceil/floor) so the box predicate
+    # compares the bigint column against bigint literals — a
+    # double-cast on the column side would block parquet filter
+    # pushdown, and the whole point of the layout is that the
+    # physical scan's PushedFilters skip row groups by the same
+    # min-max logic the envelope audit reports (pytest-asserted).
+    import math
+
     span_u, span_v = st["hi_u"] - st["lo_u"], st["hi_v"] - st["lo_v"]
-    au, bu = st["lo_u"] + span_u * 0.25, st["lo_u"] + span_u * 0.55
+    au = math.ceil(st["lo_u"] + span_u * 0.25)
+    bu = math.floor(st["lo_u"] + span_u * 0.55)
     av, bv = st["lo_v"] + span_v * 0.25, st["lo_v"] + span_v * 0.55
 
     zb = F.shiftright(zvalue_column(ev, ["user_id", "value"], bits=8), 11)
@@ -1923,8 +1931,8 @@ def zorder_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("value").alias("mxv"),
     )
     hit = ~(
-        (F.col("mxu").cast("double") < F.lit(au))
-        | (F.col("mnu").cast("double") > F.lit(bu))
+        (F.col("mxu") < F.lit(au))
+        | (F.col("mnu") > F.lit(bu))
         | (F.col("mxv") < F.lit(av))
         | (F.col("mnv") > F.lit(bv))
     )
@@ -1934,8 +1942,8 @@ def zorder_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bagg = (
         back.filter(
-            (F.col("user_id").cast("double") >= F.lit(au))
-            & (F.col("user_id").cast("double") <= F.lit(bu))
+            (F.col("user_id") >= F.lit(au))
+            & (F.col("user_id") <= F.lit(bu))
             & (F.col("value") >= F.lit(av))
             & (F.col("value") <= F.lit(bv))
         ).agg(

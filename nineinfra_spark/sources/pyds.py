@@ -400,6 +400,20 @@ class _JsonlWriter(DataSourceWriter):
                     and name not in keep
                 ):
                     _os.remove(_os.path.join(self.path, name))
+            # also sweep orphaned .staging-* debris from earlier jobs
+            # whose DRIVER died before commit/abort (r12 review
+            # finding, the avro-sink sweep's twin). Overwrite mode
+            # only: its contract already destroys concurrent state;
+            # an append commit must not delete a concurrent writer's
+            # live stagings, so append leaves them (readers never see
+            # dot-files either way).
+            ours = {_os.path.basename(m.staged) for m in messages}
+            for name in _os.listdir(self.path):
+                if name.startswith(".staging-") and name not in ours:
+                    try:
+                        _os.remove(_os.path.join(self.path, name))
+                    except FileNotFoundError:
+                        pass
 
     # driver-side: some task failed — drop every acknowledged staging
     def abort(self, messages) -> None:

@@ -329,6 +329,51 @@ class TestJsonlSink:
         got = sorted((r["id"], r["s"]) for r in back.collect())
         assert got == [(i, "new") for i in range(5)]
 
+    def test_overwrite_sweeps_orphan_staging_debris(self, spark, tmp_path):
+        """r12 review finding (the avro-sink sweep's twin): a driver
+        that died before commit/abort leaves .staging-*.jsonl orphans
+        forever — dot-files no reader sees, but unbounded disk debris.
+        An overwrite commit (whose contract already destroys
+        concurrent state) must sweep them; the committed data is
+        unaffected."""
+        import os
+
+        from nineinfra_spark.sources import pyds
+
+        pyds.register(spark)
+        out = tmp_path / "sweep"
+        out.mkdir()
+        for i in range(3):  # a dead job's acknowledged-but-uncommitted tasks
+            (out / f".staging-dead{i}.jsonl").write_text('{"id": 999}\n')
+        df = spark.range(4).selectExpr("id", "'v' AS s").repartition(2)
+        df.write.format("nine_jsonl").option("path", str(out)).mode(
+            "overwrite"
+        ).save()
+        names = sorted(os.listdir(out))
+        assert not any(n.startswith(".staging-") for n in names)
+        back = spark.read.schema("id long, s string").json(
+            pyds.manifested_files(str(out))
+        )
+        assert sorted(r["id"] for r in back.collect()) == [0, 1, 2, 3]
+
+    def test_append_leaves_foreign_stagings_alone(self, spark, tmp_path):
+        """Append must NOT sweep stagings — a concurrent writer's
+        acknowledged-but-not-yet-committed staging files are live
+        state, and deleting them would crash its commit rename."""
+        import os
+
+        from nineinfra_spark.sources import pyds
+
+        pyds.register(spark)
+        out = tmp_path / "app"
+        out.mkdir()
+        (out / ".staging-concurrent.jsonl").write_text('{"id": 7}\n')
+        df = spark.range(2).selectExpr("id", "'v' AS s").repartition(1)
+        df.write.format("nine_jsonl").option("path", str(out)).mode(
+            "append"
+        ).save()
+        assert ".staging-concurrent.jsonl" in os.listdir(out)
+
     def test_overwrite_crash_mid_cleanup_keeps_manifest_consistent(
         self, spark, tmp_path, monkeypatch
     ):

@@ -178,12 +178,15 @@ class TestSkippingRead:
             F.min(F.col("value").cast("double")).alias("lo_v"),
             F.max(F.col("value").cast("double")).alias("hi_v"),
         ).first()
+        import math
+
         span_u, span_v = st["hi_u"] - st["lo_u"], st["hi_v"] - st["lo_v"]
-        au, bu = st["lo_u"] + span_u * 0.25, st["lo_u"] + span_u * 0.55
+        au = math.ceil(st["lo_u"] + span_u * 0.25)
+        bu = math.floor(st["lo_u"] + span_u * 0.55)
         av, bv = st["lo_v"] + span_v * 0.25, st["lo_v"] + span_v * 0.55
         box = (
-            (F.col("user_id").cast("double") >= F.lit(au))
-            & (F.col("user_id").cast("double") <= F.lit(bu))
+            (F.col("user_id") >= F.lit(au))
+            & (F.col("user_id") <= F.lit(bu))
             & (F.col("value") >= F.lit(av))
             & (F.col("value") <= F.lit(bv))
         )
@@ -198,8 +201,8 @@ class TestSkippingRead:
             r["fp"]
             for r in env.filter(
                 ~(
-                    (F.col("mxu").cast("double") < F.lit(au))
-                    | (F.col("mnu").cast("double") > F.lit(bu))
+                    (F.col("mxu") < F.lit(au))
+                    | (F.col("mnu") > F.lit(bu))
                     | (F.col("mxv") < F.lit(av))
                     | (F.col("mnv") > F.lit(bv))
                 )
@@ -221,3 +224,30 @@ class TestSkippingRead:
         )
         assert from_hits == from_all
         assert len(from_all) == row["n_rows"]
+
+    def test_box_predicate_reaches_pushed_filters(self, spark, run):
+        """The box predicate must reach the parquet scan's
+        PushedFilters on BOTH clustered columns — a double-cast on the
+        bigint column side silently blocks pushdown, turning the
+        layout's row-group skipping into a full decode (the r12 plan
+        review caught exactly that in the first draft of this
+        query)."""
+        _, path = run
+        back = spark.read.parquet(path).select("user_id", "value")
+        boxed = back.filter(
+            (F.col("user_id") >= F.lit(5))
+            & (F.col("user_id") <= F.lit(9))
+            & (F.col("value") >= F.lit(10.0))
+            & (F.col("value") <= F.lit(100.0))
+        )
+        from nineinfra_spark.doctor import full_plan
+
+        plan = full_plan(boxed)  # untruncated metadata render
+        pushed = [
+            ln for ln in plan.splitlines() if "PushedFilters:" in ln
+        ][0]
+        for token in (
+            "GreaterThanOrEqual(user_id", "LessThanOrEqual(user_id",
+            "GreaterThanOrEqual(value", "LessThanOrEqual(value",
+        ):
+            assert token in pushed, (token, pushed)
