@@ -125,8 +125,15 @@ def _struct_field_names(schema: str) -> set[str] | None:
     inner = schema.partition("<")[2]
     names, depth, start, expect_name = set(), 0, 0, True
     for i, ch in enumerate(inner):
-        if ch == "<":
+        if ch in "<(":
+            # '(' counts like '<': decimal(p,s) carries a comma at
+            # struct depth, and ignoring parens made a TRAILING
+            # decimal field add a phantom name "s)" (caught by
+            # tests/test_doctor_parsers_property.py — mid-struct
+            # decimals happened to self-heal at the next real comma)
             depth += 1
+        elif ch == ")":
+            depth -= 1
         elif ch == ">":
             if depth == 0:
                 if expect_name and inner[start:i].strip():
