@@ -171,7 +171,14 @@ class ServiceRegistry:
         concurrent heartbeat could delete a JUST-refreshed file, but
         only for an owner that was silent a full ttl and revived at
         that exact instant — and it self-heals: the owner's next
-        heartbeat rewrites the complete entry unconditionally."""
+        heartbeat rewrites the complete entry unconditionally.
+
+        Also sweeps ``*.json.tmp.*`` debris left by a writer that
+        crashed between creating its tmp file and the atomic replace —
+        without this, the "crash garbage never accumulates" contract
+        held for entries but not for the staging files themselves. The
+        same TTL applies: a tmp younger than ``ttl_s`` may belong to a
+        writer mid-replace and is left alone."""
         now = time.time()
         evicted: list[str] = []
         try:
@@ -179,13 +186,16 @@ class ServiceRegistry:
         except FileNotFoundError:
             return []
         for name in names:
-            if not name.endswith(".json"):
+            is_entry = name.endswith(".json")
+            is_tmp = ".json.tmp." in name
+            if not (is_entry or is_tmp):
                 continue
             path = os.path.join(self.root, name)
             try:
                 if now - os.stat(path).st_mtime > self.ttl_s:
                     os.remove(path)
-                    evicted.append(name[:-5])
+                    if is_entry:
+                        evicted.append(name[:-5])
             except (FileNotFoundError, OSError):
                 continue
         return evicted

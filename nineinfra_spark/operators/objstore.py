@@ -106,6 +106,16 @@ def rename_prefix(
     string (renaming ``warehouse/orders`` must not relocate and delete
     ``warehouse/orders_v2/...``; r11 review finding).
     """
+    if src_prefix.endswith("/") != dst_prefix.endswith("/"):
+        # dst_key below is dst_prefix + key[len(src_prefix):]; with
+        # mismatched trailing-slash styles that concatenation silently
+        # relocates every object to a mangled key ("a/"→"b" maps
+        # "a/x" to "bx"; "a"→"b/" maps it to "b//x") and then DELETES
+        # the source — a lossy rename. Refuse up front.
+        raise ValueError(
+            f"rename_prefix: src {src_prefix!r} and dst {dst_prefix!r} "
+            "must use the same trailing-slash style"
+        )
     keys = [
         k
         for k in list_prefix(s3, bucket, src_prefix)

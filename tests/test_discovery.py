@@ -262,3 +262,28 @@ def test_merge_required_conf_preserves_auth_values():
     assert merged["spark.sql.shuffle.partitions"] == "7"
     # no auth confs at all → extra_conf untouched
     assert merge_required_conf(user, {}) == user
+
+
+def test_evict_stale_sweeps_crashed_writer_tmp_debris(tmp_path):
+    """r12 continuation review finding: a writer crashing between
+    creating its tmp file and the atomic replace left
+    '<id>.json.tmp.<hex>' debris forever — evict_stale only removed
+    '.json' entries, contradicting the 'crash garbage never
+    accumulates' contract. Stale tmp files are now swept on the same
+    TTL; fresh ones (a writer mid-replace) are left alone."""
+    reg = ServiceRegistry(str(tmp_path), ttl_s=5)
+    reg.register("live", "sts://l:1")
+
+    stale_tmp = tmp_path / "crashed.json.tmp.deadbeef"
+    stale_tmp.write_text('{"engine_id": "crashed"}')
+    old = time.time() - 60
+    os.utime(stale_tmp, (old, old))
+
+    fresh_tmp = tmp_path / "racing.json.tmp.cafe0001"
+    fresh_tmp.write_text('{"engine_id": "racing"}')
+
+    evicted = reg.evict_stale()
+    assert evicted == []  # debris is not an entry — no id reported
+    assert not stale_tmp.exists()
+    assert fresh_tmp.exists()
+    assert [e.engine_id for e in reg.list_live()] == ["live"]

@@ -240,3 +240,20 @@ def test_rename_without_trailing_slash_spares_sibling_prefixes(s3):
     assert sorted(list_prefix(s3, BUCKET, "t3/archive/orders/")) == sorted(
         "t3/archive/orders/" + k for k in target
     )
+
+
+def test_rename_rejects_mismatched_slash_styles(s3):
+    """r12 continuation review finding: dst_key is dst_prefix +
+    key[len(src_prefix):], so 'a/'→'b' would map 'a/x' to 'bx' and
+    'a'→'b/' would map it to 'b//x' — then DELETE the source. The
+    mismatch is refused before any object moves."""
+    data = _stage(s3, "t6/live/", 2)
+    import pytest
+
+    with pytest.raises(ValueError, match="trailing-slash style"):
+        rename_prefix(s3, BUCKET, "t6/live/", "t6/archive")
+    with pytest.raises(ValueError, match="trailing-slash style"):
+        rename_prefix(s3, BUCKET, "t6/live", "t6/archive/")
+    # nothing moved, nothing deleted
+    assert _read_all(s3, "t6/live/") == data
+    assert list_prefix(s3, BUCKET, "t6/archive") == []
