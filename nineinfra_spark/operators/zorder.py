@@ -36,34 +36,38 @@ from pyspark.sql import functions as F
 ZBITS = 16
 
 
-def zvalue_column(
-    df: DataFrame, cols: Sequence[str], bits: int | None = None
-) -> Column:
-    """Morton code over ``cols``: each column is min-max scaled to an
-    unsigned ``bits``-bit integer grid, then the columns' bits are
-    interleaved (column i contributes bit b to z-bit ``b*k + i``).
-    Pure integer/bit arithmetic after the scaling divide — the
-    rounding to grid cells uses floor on a non-negative ratio, so the
-    same row always lands in the same cell.
-
-    The min/max normalization constants come from one global aggregate
-    over ``df`` — a broadcast-sized side input, computed once per
-    layout job (at 100 TB: one column-pruned scan-speed agg)."""
-    k = len(cols)
+def _resolve_bits(k: int, bits: int | None) -> int:
     if not 1 <= k <= 4:
         raise ValueError(f"zorder supports 1..4 columns, got {k}")
     if bits is None:
         bits = min(ZBITS, 62 // k)
     if bits * k > 62:
         raise ValueError(f"bits={bits} × {k} cols exceeds a signed long")
-    stats = df.agg(
-        *[F.min(F.col(c).cast("double")).alias(f"_lo_{c}") for c in cols],
-        *[F.max(F.col(c).cast("double")).alias(f"_hi_{c}") for c in cols],
-    ).first()
+    return bits
+
+
+def zvalue_expr(
+    cols: Sequence[str],
+    bounds: dict[str, tuple[float | None, float | None]],
+    bits: int | None = None,
+) -> Column:
+    """Morton code over ``cols`` with CALLER-SUPPLIED normalization
+    bounds — the frozen-bounds form incremental layout maintenance
+    needs (new batches must land in the SAME cells as the original
+    layout job, so the bounds are persisted, not recomputed). Values
+    outside ``[lo, hi]`` clamp to the edge cells (the least/greatest
+    pair) — correct for skipping because file envelopes are always
+    computed from the actual data at read time, never from the grid.
+
+    ``bounds[c] = (lo, hi)``; a ``(None, None)`` entry means the
+    layout job saw no data for the column (empty frame / all-NULL) —
+    any constants work, so 0-span constants are used."""
+    k = len(cols)
+    bits = _resolve_bits(k, bits)
     grid = (1 << bits) - 1
     cells = []
     for c in cols:
-        lo, hi = stats[f"_lo_{c}"], stats[f"_hi_{c}"]
+        lo, hi = bounds[c]
         if lo is None or hi is None:
             # empty frame or all-NULL column: no data to scale; any
             # constants work (NULL inputs fall through least/greatest
@@ -87,6 +91,34 @@ def zvalue_column(
     return z
 
 
+def column_bounds(
+    df: DataFrame, cols: Sequence[str]
+) -> dict[str, tuple[float | None, float | None]]:
+    """Min/max normalization constants for ``cols`` — one global
+    aggregate over ``df``, a broadcast-sized side input (at 100 TB:
+    one column-pruned scan-speed agg)."""
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"_lo_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"_hi_{c}") for c in cols],
+    ).first()
+    return {c: (stats[f"_lo_{c}"], stats[f"_hi_{c}"]) for c in cols}
+
+
+def zvalue_column(
+    df: DataFrame, cols: Sequence[str], bits: int | None = None
+) -> Column:
+    """Morton code over ``cols``: each column is min-max scaled to an
+    unsigned ``bits``-bit integer grid, then the columns' bits are
+    interleaved (column i contributes bit b to z-bit ``b*k + i``).
+    Pure integer/bit arithmetic after the scaling divide — the
+    rounding to grid cells uses floor on a non-negative ratio, so the
+    same row always lands in the same cell. Bounds come from one
+    global aggregate over ``df`` (see :func:`column_bounds`); for
+    frozen caller-supplied bounds use :func:`zvalue_expr`."""
+    _resolve_bits(len(cols), bits)
+    return zvalue_expr(cols, column_bounds(df, cols), bits=bits)
+
+
 def zorder_write(
     df: DataFrame,
     path: str,
@@ -108,3 +140,177 @@ def zorder_write(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+# ------------------------------------------ incremental layout maintenance
+
+#: sidecar filename; the leading underscore makes Spark's parquet
+#: reader skip it as a non-data file.
+_LAYOUT_SIDECAR = "_zlayout.json"
+
+
+def _write_sidecar(path: str, meta: dict) -> None:
+    import json
+    import os
+    import uuid
+
+    target = os.path.join(path, _LAYOUT_SIDECAR)
+    tmp = target + f".tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(meta, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, target)
+
+
+def read_layout_meta(path: str) -> dict:
+    """The frozen layout contract of a :func:`zorder_layout_write`
+    directory: z columns, bit widths, and the normalization bounds
+    every later append must reuse."""
+    import json
+    import os
+
+    with open(os.path.join(path, _LAYOUT_SIDECAR), encoding="utf-8") as f:
+        return json.load(f)
+
+
+def zorder_layout_write(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    bits: int = 8,
+    bucket_bits: int = 5,
+    mode: str = "error",
+) -> dict:
+    """Write ``df`` as a z-BUCKETED parquet directory: Morton code
+    over ``cols``, top ``bucket_bits`` bits → partition column ``zb``
+    (≤ ``2**bucket_bits`` directories, each holding one z-contiguous
+    file), plus a ``_zlayout.json`` sidecar freezing the layout
+    contract (columns, bits, normalization bounds). This is the
+    OPTIMIZE-style full layout job; :func:`zorder_layout_append` is
+    its incremental maintenance loop.
+
+    The frozen bounds are what make increments possible: a later
+    batch normalized against ITS OWN min/max would scatter into
+    different cells than the original layout, dirtying every bucket.
+    Values beyond the frozen range clamp into the edge buckets —
+    envelope-based skipping stays SOUND (envelopes are computed from
+    actual file contents at read time); it merely degrades toward a
+    fat edge bucket under heavy drift, which a periodic full
+    re-layout (re-running this function) re-freezes away.
+
+    Returns the sidecar dict. Scale posture: one bounds aggregate +
+    one hash exchange on ``zb`` + the write — identical cost to any
+    clustered rewrite of the same data."""
+    k = len(cols)
+    rbits = _resolve_bits(k, bits)
+    if not 1 <= bucket_bits <= rbits * k:
+        raise ValueError(
+            f"bucket_bits={bucket_bits} outside 1..{rbits * k} (= bits*k)"
+        )
+    bounds = column_bounds(df, cols)
+    z = zvalue_expr(cols, bounds, bits=rbits)
+    zb = F.shiftright(z, rbits * k - bucket_bits)
+    n_buckets = 1 << bucket_bits
+    (
+        df.withColumn("zb", zb)
+        .repartition(n_buckets, "zb")
+        .write.mode(mode)
+        .partitionBy("zb")
+        .parquet(path)
+    )
+    meta = {
+        "cols": list(cols),
+        "bits": rbits,
+        "bucket_bits": bucket_bits,
+        "bounds": {c: list(bounds[c]) for c in cols},
+        "data_columns": [c for c in df.columns],
+    }
+    _write_sidecar(path, meta)
+    return meta
+
+
+def zorder_layout_append(spark, path: str, delta: DataFrame) -> dict:
+    """Incremental z-order maintenance: merge ``delta`` into an
+    existing :func:`zorder_layout_write` directory, rewriting ONLY the
+    buckets the delta touches. The cost is proportional to the dirty
+    buckets' data, not the table — the OPTIMIZE loop a continuously-
+    ingesting 100 TB table needs (a full re-layout per batch would be
+    a full table rewrite per batch).
+
+    Mechanics: the delta's ``zb`` is computed with the sidecar's
+    FROZEN bounds (same cells as the original job); its distinct
+    bucket ids (≤ ``2**bucket_bits`` — driver-bounded by construction)
+    select the dirty partitions; those partitions' current rows union
+    the delta and are rewritten via dynamic-partition overwrite, so
+    untouched buckets' files are never opened, and each dirty bucket
+    ends as ONE z-bucketed file again. The combined dirty rows are
+    localCheckpoint-ed first — the lineage break Spark requires to
+    overwrite a path it is reading — sized to the dirty buckets, not
+    the table. Readers racing the append see each bucket either whole
+    old or whole new (parquet dynamic-overwrite commits per
+    partition).
+
+    Returns ``{"rows_appended", "buckets_dirty", "buckets_total"}``.
+    """
+    import os
+
+    meta = read_layout_meta(path)
+    cols, bits, bucket_bits = meta["cols"], meta["bits"], meta["bucket_bits"]
+    data_columns = meta["data_columns"]
+    if sorted(delta.columns) != sorted(data_columns):
+        raise ValueError(
+            f"zorder_layout_append: delta columns {sorted(delta.columns)} "
+            f"!= layout columns {sorted(data_columns)}"
+        )
+    bounds = {c: tuple(v) for c, v in meta["bounds"].items()}
+    z = zvalue_expr(cols, bounds, bits=bits)
+    zb = F.shiftright(z, bits * len(cols) - bucket_bits)
+    # pin the delta ONCE: the dirty-bucket discovery, the row count,
+    # and the rewrite below are separate actions — a non-deterministic
+    # delta (a sample, a changing view) recomputed between them could
+    # surface NEW buckets at write time whose old rows were never read
+    # into `existing_dirty`, silently dropping them in the overwrite.
+    delta_b = (
+        delta.select(*data_columns).withColumn("zb", zb)
+        .localCheckpoint(eager=True)
+    )
+    dirty = [r["zb"] for r in delta_b.select("zb").distinct().collect()]
+    n_total = sum(
+        1
+        for d in os.listdir(path)
+        if d.startswith("zb=") and os.path.isdir(os.path.join(path, d))
+    )
+    if not dirty:
+        return {
+            "rows_appended": 0,
+            "buckets_dirty": 0,
+            "buckets_total": n_total,
+        }
+    existing_dirty = (
+        spark.read.parquet(path)
+        .filter(F.col("zb").isin(dirty))
+        .select(*data_columns, "zb")
+    )
+    rows_appended = delta_b.count()
+    combined = (
+        existing_dirty.unionByName(delta_b)
+        .repartition(max(len(dirty), 1), "zb")
+        .localCheckpoint(eager=True)
+    )
+    (
+        combined.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("zb")
+        .parquet(path)
+    )
+    new_ids = {
+        int(d.split("=", 1)[1])
+        for d in os.listdir(path)
+        if d.startswith("zb=") and os.path.isdir(os.path.join(path, d))
+    }
+    return {
+        "rows_appended": rows_appended,
+        "buckets_dirty": len(dirty),
+        "buckets_total": len(new_ids),
+    }

@@ -1,0 +1,171 @@
+"""Snapshot diff (operators/diff.py): keyed insert/delete/update
+classification, null-safe keys and payloads, multiset exactness under
+duplicates, and the versioned-table wrapper over the merge protocol's
+``__v{n}`` archives."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nineinfra_spark.operators.diff import (
+    snapshot_diff,
+    snapshot_diff_counts,
+    snapshot_diff_versions,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, seg string, bal long")
+
+
+@pytest.fixture(scope="module")
+def pair(spark):
+    old = _df(
+        spark,
+        [
+            (1, "A", 100),  # unchanged
+            (2, "A", 200),  # updated (bal)
+            (3, "B", 300),  # deleted
+            (None, "B", 400),  # NULL key, unchanged
+            (5, None, 500),  # NULL payload → non-null (update)
+        ],
+    )
+    new = _df(
+        spark,
+        [
+            (1, "A", 100),
+            (2, "A", 250),
+            (None, "B", 400),
+            (5, "C", 500),
+            (6, "D", 600),  # inserted
+        ],
+    )
+    return old, new
+
+
+def test_keyed_classification(pair):
+    old, new = pair
+    got = {
+        r["k"]: (r["change_type"], r["old_bal"], r["new_bal"])
+        for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    assert got == {
+        2: ("update", 200, 250),
+        3: ("delete", 300, None),
+        5: ("update", 500, 500),  # seg NULL → 'C' is a payload change
+        6: ("insert", None, 600),
+    }
+
+
+def test_null_key_matches_null_key(pair):
+    """eqNullSafe join keys: the NULL-keyed unchanged row must NOT
+    appear as a delete+insert pair."""
+    old, new = pair
+    ks = [r["k"] for r in snapshot_diff(old, new, ["k"]).collect()]
+    assert None not in ks
+
+
+def test_unchanged_rows_never_emitted(pair):
+    old, new = pair
+    out = snapshot_diff(old, new, ["k"])
+    assert out.filter(F.col("k") == 1).count() == 0
+
+
+def test_delete_carries_old_key_and_payload(pair):
+    old, new = pair
+    row = snapshot_diff(old, new, ["k"]).filter(F.col("k") == 3).first()
+    assert (row["old_seg"], row["new_seg"]) == ("B", None)
+
+
+def test_composite_key(spark):
+    old = _df(spark, [(1, "A", 10), (1, "B", 20)])
+    new = _df(spark, [(1, "A", 11), (1, "B", 20), (2, "B", 30)])
+    got = {
+        (r["k"], r["seg"]): r["change_type"]
+        for r in snapshot_diff(old, new, ["k", "seg"]).collect()
+    }
+    assert got == {(1, "A"): "update", (2, "B"): "insert"}
+
+
+def test_validation(spark, pair):
+    old, new = pair
+    with pytest.raises(ValueError, match="non-empty"):
+        snapshot_diff(old, new, [])
+    with pytest.raises(ValueError, match="not in table"):
+        snapshot_diff(old, new, ["nope"])
+    with pytest.raises(ValueError, match="column sets differ"):
+        snapshot_diff(old, new.withColumnRenamed("bal", "balance"), ["k"])
+    with pytest.raises(ValueError, match="column sets differ"):
+        snapshot_diff_counts(old, new.drop("bal"))
+
+
+def test_multiset_diff_exact_under_duplicates(spark):
+    """The keyed form cannot express multiplicity; the ±1-weighted
+    groupBy must: one copy of a duplicated row removed → row_delta -1,
+    a new row added twice → +2, same-multiplicity rows absent."""
+    old = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 1), ("b", 2)], "s string, v long"
+    )
+    new = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("b", 2), ("c", 3), ("c", 3)], "s string, v long"
+    )
+    got = {
+        (r["s"], r["v"]): r["row_delta"]
+        for r in snapshot_diff_counts(old, new).collect()
+    }
+    assert got == {("a", 1): -1, ("c", 3): 2}
+
+
+def test_multiset_diff_groups_nulls_as_values(spark):
+    old = spark.createDataFrame([(None, 1)], "s string, v long")
+    new = spark.createDataFrame([(None, 1), (None, 1)], "s string, v long")
+    got = snapshot_diff_counts(old, new).collect()
+    assert len(got) == 1 and got[0]["row_delta"] == 1
+
+
+def test_key_only_table_never_updates(spark):
+    old = spark.createDataFrame([(1,), (2,)], "k long")
+    new = spark.createDataFrame([(2,), (3,)], "k long")
+    got = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    assert got == {1: "delete", 3: "insert"}
+
+
+def test_versioned_wrapper_against_merge_archives(spark, tmp_path):
+    """End-to-end with the real merge protocol: publish v0, merge an
+    upsert (archives v0 as __v0), diff v0 → live."""
+    from nineinfra_spark.operators.merge import merge_into_table_versioned
+
+    spark.sql("DROP TABLE IF EXISTS sdiff_t")
+    spark.sql("DROP TABLE IF EXISTS sdiff_t__v0")
+    _df(spark, [(1, "A", 100), (2, "B", 200)]).write.saveAsTable("sdiff_t")
+    try:
+        delta = _df(spark, [(2, "B", 999), (3, "C", 300)])
+        merge_into_table_versioned(spark, "sdiff_t", delta, keys=["k"])
+        got = {
+            r["k"]: r["change_type"]
+            for r in snapshot_diff_versions(
+                spark, "sdiff_t", 0, key_cols=["k"]
+            ).collect()
+        }
+        assert got == {2: "update", 3: "insert"}
+        counts = {
+            (r["k"], r["bal"]): r["row_delta"]
+            for r in snapshot_diff_versions(spark, "sdiff_t", 0).collect()
+        }
+        assert counts == {(2, 200): -1, (2, 999): 1, (3, 300): 1}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS sdiff_t")
+        spark.sql("DROP TABLE IF EXISTS sdiff_t__v0")
+
+
+def test_reserved_columns_rejected(spark):
+    old = spark.createDataFrame([(1, True)], "k long, _o_present boolean")
+    with pytest.raises(ValueError, match="collide"):
+        snapshot_diff(old, old, ["k"])
+    old2 = spark.createDataFrame([(1, "x")], "k long, change_type string")
+    with pytest.raises(ValueError, match="collide"):
+        snapshot_diff(old2, old2, ["k"])
