@@ -150,6 +150,48 @@ def snapshot_diff_counts(old: DataFrame, new: DataFrame) -> DataFrame:
     )
 
 
+def table_changes(
+    spark: SparkSession,
+    table: str,
+    key_cols: Sequence[str],
+    from_version: int = 0,
+) -> DataFrame:
+    """CDC-style changelog: the keyed diffs of every CONSECUTIVE
+    snapshot pair from ``from_version`` through the live table, each
+    row tagged ``(v_from, v_to)`` — the Delta ``table_changes`` /
+    Iceberg changelog-scan shape, over the merge protocol's ``__v{n}``
+    archives. The live state is tagged ``v_to = max(archives) + 1``
+    (the number the NEXT merge will archive the current live under).
+
+    Gaps from :func:`merge.vacuum_versions` are handled by diffing
+    ADJACENT SURVIVING versions — the changelog then reports the NET
+    change across the vacuumed span (exactly what the surviving
+    snapshots can witness), never an error.
+
+    Scale posture: one keyed diff per consecutive pair — the version
+    count is retention-bounded (single digits in practice), each diff
+    two key-keyed exchanges; the union is plan-level only."""
+    from nineinfra_spark.operators.merge import list_versions
+
+    versions = [v for v in list_versions(spark, table) if v >= from_version]
+    if not versions:
+        raise ValueError(
+            f"table_changes({table!r}): no archived version ≥ "
+            f"{from_version} to diff from"
+        )
+    live_tag = max(versions) + 1
+    states = [(v, spark.table(f"{table}__v{v}")) for v in versions]
+    states.append((live_tag, spark.table(table)))
+    parts = []
+    for (v0, df0), (v1, df1) in zip(states, states[1:]):
+        parts.append(
+            snapshot_diff(df0, df1, key_cols)
+            .withColumn("v_from", F.lit(v0).cast("bigint"))
+            .withColumn("v_to", F.lit(v1).cast("bigint"))
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
 def snapshot_diff_versions(
     spark: SparkSession,
     table: str,

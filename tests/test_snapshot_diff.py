@@ -169,3 +169,51 @@ def test_reserved_columns_rejected(spark):
     old2 = spark.createDataFrame([(1, "x")], "k long, change_type string")
     with pytest.raises(ValueError, match="collide"):
         snapshot_diff(old2, old2, ["k"])
+
+
+def test_table_changes_across_versions(spark):
+    """Three merges → changelog over every consecutive pair, live
+    tagged max+1; a vacuumed middle version collapses to the NET
+    change across the gap."""
+    from nineinfra_spark.operators.diff import table_changes
+    from nineinfra_spark.operators.merge import (
+        merge_into_table_versioned,
+        vacuum_versions,
+    )
+
+    for t in ("tc_t", "tc_t__v0", "tc_t__v1", "tc_t__v2"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    _df(spark, [(1, "A", 100)]).write.saveAsTable("tc_t")
+    try:
+        merge_into_table_versioned(
+            spark, "tc_t", _df(spark, [(2, "B", 200)]), keys=["k"]
+        )  # archives v0: {1}
+        merge_into_table_versioned(
+            spark, "tc_t", _df(spark, [(1, "A", 111)]), keys=["k"]
+        )  # archives v1: {1,2}
+        merge_into_table_versioned(
+            spark, "tc_t", _df(spark, [(3, "C", 300)]), keys=["k"]
+        )  # archives v2: {1',2}; live = {1',2,3}
+        log = {
+            (r["v_from"], r["v_to"], r["k"]): r["change_type"]
+            for r in table_changes(spark, "tc_t", ["k"]).collect()
+        }
+        assert log == {
+            (0, 1, 2): "insert",
+            (1, 2, 1): "update",
+            (2, 3, 3): "insert",
+        }
+        # vacuum v0 and v1 → only v2 survives; changelog = v2 → live
+        vacuum_versions(spark, "tc_t", keep=1)
+        log2 = {
+            (r["v_from"], r["v_to"], r["k"]): r["change_type"]
+            for r in table_changes(spark, "tc_t", ["k"]).collect()
+        }
+        assert log2 == {(2, 3, 3): "insert"}
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="no archived version"):
+            table_changes(spark, "tc_t", ["k"], from_version=99)
+    finally:
+        for t in ("tc_t", "tc_t__v0", "tc_t__v1", "tc_t__v2"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
