@@ -230,7 +230,13 @@ def zorder_layout_write(
     return meta
 
 
-def zorder_layout_append(spark, path: str, delta: DataFrame) -> dict:
+def zorder_layout_append(
+    spark,
+    path: str,
+    delta: DataFrame,
+    batch_id: int | None = None,
+    key_cols: Sequence[str] | None = None,
+) -> dict:
     """Incremental z-order maintenance: merge ``delta`` into an
     existing :func:`zorder_layout_write` directory, rewriting ONLY the
     buckets the delta touches. The cost is proportional to the dirty
@@ -251,11 +257,39 @@ def zorder_layout_append(spark, path: str, delta: DataFrame) -> dict:
     old or whole new (parquet dynamic-overwrite commits per
     partition).
 
-    Returns ``{"rows_appended", "buckets_dirty", "buckets_total"}``.
+    Streaming/replay semantics (the :func:`maintain_layout_stream`
+    sink contract): with ``batch_id`` set, a batch id ≤ the sidecar's
+    ``last_batch_id`` is SKIPPED — foreachBatch re-delivers the last
+    batch after a restart, and a blind re-append would duplicate it.
+    The sidecar marker is written after the partition-overwrite
+    commits, so one crash window remains (data committed, marker not);
+    ``key_cols`` closes it: existing rows whose key appears in the
+    delta are dropped before the union (delta wins), so REPLAYING a
+    batch converges — a re-delivered row has the same z-cell as the
+    copy it supersedes, so the stale copy is always inside the dirty
+    set. As a GENERAL upsert the same mechanism is exact only while
+    an update doesn't move the row's z-cell (z columns part of the
+    key, or unchanged by updates); an update that changes a z column
+    leaves the superseded copy in a non-dirty bucket this function
+    deliberately never opens — route such updates through a full
+    re-layout or the merge protocol. Without ``key_cols`` the marker
+    alone still dedups every non-crash replay.
+
+    Returns ``{"rows_appended", "buckets_dirty", "buckets_total"}``
+    (``"skipped_replay": True`` added when the marker short-circuits).
     """
     import os
 
     meta = read_layout_meta(path)
+    if batch_id is not None:
+        last = meta.get("last_batch_id")
+        if last is not None and batch_id <= last:
+            return {
+                "rows_appended": 0,
+                "buckets_dirty": 0,
+                "buckets_total": -1,
+                "skipped_replay": True,
+            }
     cols, bits, bucket_bits = meta["cols"], meta["bits"], meta["bucket_bits"]
     data_columns = meta["data_columns"]
     if sorted(delta.columns) != sorted(data_columns):
@@ -292,6 +326,19 @@ def zorder_layout_append(spark, path: str, delta: DataFrame) -> dict:
         .filter(F.col("zb").isin(dirty))
         .select(*data_columns, "zb")
     )
+    if key_cols:
+        bad = [c for c in key_cols if c not in data_columns]
+        if bad:
+            raise ValueError(
+                f"zorder_layout_append: key columns {bad} not in layout"
+            )
+        # upsert: rows whose key the delta carries are superseded —
+        # the delta-keys side is delta-sized, broadcast by Catalyst
+        existing_dirty = existing_dirty.join(
+            F.broadcast(delta_b.select(*key_cols).distinct()),
+            list(key_cols),
+            "left_anti",
+        )
     rows_appended = delta_b.count()
     combined = (
         existing_dirty.unionByName(delta_b)
@@ -304,6 +351,9 @@ def zorder_layout_append(spark, path: str, delta: DataFrame) -> dict:
         .partitionBy("zb")
         .parquet(path)
     )
+    if batch_id is not None:
+        meta["last_batch_id"] = batch_id
+        _write_sidecar(path, meta)
     new_ids = {
         int(d.split("=", 1)[1])
         for d in os.listdir(path)
@@ -314,3 +364,44 @@ def zorder_layout_append(spark, path: str, delta: DataFrame) -> dict:
         "buckets_dirty": len(dirty),
         "buckets_total": len(new_ids),
     }
+
+
+def maintain_layout_stream(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    key_cols: Sequence[str] | None = None,
+    trigger_available_now: bool = False,
+):
+    """Continuous-ingestion layout maintenance: a Structured Streaming
+    sink that merges every micro-batch into a
+    :func:`zorder_layout_write` directory through
+    :func:`zorder_layout_append` — the table stays z-clustered WHILE
+    it ingests, instead of degrading until a nightly OPTIMIZE.
+
+    Exactly-once: Spark's checkpoint replays the last batch after a
+    restart; the append's ``batch_id`` marker skips batches the layout
+    already holds, and ``key_cols`` (recommended — any natural unique
+    id) additionally dedups the one crash window between the data
+    commit and the marker write (see :func:`zorder_layout_append`).
+
+    Returns the started ``StreamingQuery``. Scale posture: per batch,
+    cost tracks the batch's dirty buckets (measured flat for 10×
+    table size at fixed batch size); the stream's own state is
+    nothing but Spark's source offsets."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        zorder_layout_append(
+            batch_df.sparkSession,
+            path,
+            batch_df,
+            batch_id=batch_id,
+            key_cols=key_cols,
+        )
+
+    writer = stream_df.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -430,3 +430,112 @@ class TestIncrementalMaintain:
             .collect()
         )
         assert got == [(-5_000, -1), (10_000, 99_999)]
+
+
+class TestStreamingMaintain:
+    """Batch-replay idempotence and the foreachBatch streaming sink."""
+
+    def _layout(self, spark, tmp_path):
+        from nineinfra_spark.operators.zorder import zorder_layout_write
+
+        out = str(tmp_path / "layout")
+        base = spark.range(0, 200).select(
+            F.col("id").alias("event_id"),
+            (F.col("id") % 50).alias("user_id"),
+            (F.col("id") % 17).cast("double").alias("value"),
+        )
+        zorder_layout_write(base, out, ["user_id", "value"], bits=8, bucket_bits=4)
+        return out, base
+
+    def test_batch_marker_skips_replay(self, spark, tmp_path):
+        from nineinfra_spark.operators.zorder import zorder_layout_append
+
+        out, base = self._layout(spark, tmp_path)
+        delta = spark.createDataFrame(
+            [(1000, 3, 5.0)], "event_id long, user_id long, value double"
+        )
+        s1 = zorder_layout_append(spark, out, delta, batch_id=7)
+        assert s1["rows_appended"] == 1
+        s2 = zorder_layout_append(spark, out, delta, batch_id=7)
+        assert s2.get("skipped_replay") is True and s2["rows_appended"] == 0
+        assert spark.read.parquet(out).filter("event_id = 1000").count() == 1
+        # a NEWER batch still lands
+        s3 = zorder_layout_append(
+            spark, out,
+            spark.createDataFrame(
+                [(1001, 3, 5.0)], "event_id long, user_id long, value double"
+            ),
+            batch_id=8,
+        )
+        assert s3["rows_appended"] == 1
+
+    def test_key_dedup_closes_the_crash_window(self, spark, tmp_path):
+        """Replay WITHOUT the marker (the crash-between-commit-and-
+        marker shape): key_cols dedups the re-delivered rows."""
+        from nineinfra_spark.operators.zorder import zorder_layout_append
+
+        out, base = self._layout(spark, tmp_path)
+        delta = spark.createDataFrame(
+            [(2000, 10, 3.0), (2001, 11, 4.0)],
+            "event_id long, user_id long, value double",
+        )
+        zorder_layout_append(spark, out, delta, key_cols=["event_id"])
+        zorder_layout_append(spark, out, delta, key_cols=["event_id"])
+        got = spark.read.parquet(out).filter("event_id >= 2000")
+        assert got.count() == 2
+
+    def test_in_bucket_upsert_replaces(self, spark, tmp_path):
+        from nineinfra_spark.operators.zorder import zorder_layout_append
+
+        out, base = self._layout(spark, tmp_path)
+        # event_id 0: user_id 0, value 0.0 — re-deliver with the SAME
+        # z columns (in-bucket update is the supported shape)
+        upd = spark.createDataFrame(
+            [(0, 0, 0.0)], "event_id long, user_id long, value double"
+        )
+        zorder_layout_append(spark, out, upd, key_cols=["event_id"])
+        assert spark.read.parquet(out).filter("event_id = 0").count() == 1
+
+    def test_streaming_sink_end_to_end(self, spark, tmp_path):
+        from nineinfra_spark.operators.zorder import maintain_layout_stream
+
+        out, base = self._layout(spark, tmp_path)
+        src = str(tmp_path / "src")
+        ckpt = str(tmp_path / "ckpt")
+        spark.createDataFrame(
+            [(3000, 5, 2.0), (3001, 6, 3.0)],
+            "event_id long, user_id long, value double",
+        ).coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(
+            "event_id long, user_id long, value double"
+        ).parquet(src)
+        q = maintain_layout_stream(
+            stream, out, ckpt, key_cols=["event_id"],
+            trigger_available_now=True,
+        )
+        q.awaitTermination(120)
+        assert (
+            spark.read.parquet(out).filter("event_id >= 3000").count() == 2
+        )
+        # restart with one NEW source file: only the new batch lands,
+        # the old one is not re-appended (checkpoint + marker)
+        spark.createDataFrame(
+            [(3002, 7, 4.0)], "event_id long, user_id long, value double"
+        ).coalesce(1).write.mode("append").parquet(src)
+        q2 = maintain_layout_stream(
+            stream, out, ckpt, key_cols=["event_id"],
+            trigger_available_now=True,
+        )
+        q2.awaitTermination(120)
+        got = spark.read.parquet(out).filter("event_id >= 3000")
+        assert got.count() == 3
+        # layout invariant held through streaming: one file per bucket
+        n_multi = 0
+        for d in os.listdir(out):
+            if d.startswith("zb="):
+                files = [
+                    f for f in os.listdir(os.path.join(out, d))
+                    if f.endswith(".parquet")
+                ]
+                n_multi += len(files) != 1
+        assert n_multi == 0
