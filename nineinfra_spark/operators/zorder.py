@@ -385,6 +385,12 @@ def maintain_layout_stream(
     id) additionally dedups the one crash window between the data
     commit and the marker write (see :func:`zorder_layout_append`).
 
+    ONE stream per layout: the sidecar holds a single
+    ``last_batch_id``, so a second concurrent stream (its own
+    checkpoint, its own batch-id sequence) would skip batches the
+    FIRST stream's marker happens to dominate. Fan multiple sources
+    into one stream (union) instead of running parallel writers.
+
     Returns the started ``StreamingQuery``. Scale posture: per batch,
     cost tracks the batch's dirty buckets (measured flat for 10×
     table size at fixed batch size); the stream's own state is
