@@ -13,8 +13,20 @@ from nineinfra_spark.operators.merge import (
     recover_published_table,
     update_where,
 )
+from nineinfra_spark.operators.diff import (
+    snapshot_diff,
+    snapshot_diff_counts,
+    snapshot_diff_versions,
+    table_changes,
+)
 from nineinfra_spark.operators.skew import salted_join
-from nineinfra_spark.operators.zorder import zorder_write, zvalue_column
+from nineinfra_spark.operators.zorder import (
+    maintain_layout_stream,
+    zorder_layout_append,
+    zorder_layout_write,
+    zorder_write,
+    zvalue_column,
+)
 
 __all__ = [
     "asof_join",
@@ -32,6 +44,13 @@ __all__ = [
     "delete_where",
     "update_where",
     "salted_join",
+    "snapshot_diff",
+    "snapshot_diff_counts",
+    "snapshot_diff_versions",
+    "table_changes",
+    "maintain_layout_stream",
+    "zorder_layout_append",
+    "zorder_layout_write",
     "zorder_write",
     "zvalue_column",
 ]

@@ -539,3 +539,54 @@ class TestStreamingMaintain:
                 ]
                 n_multi += len(files) != 1
         assert n_multi == 0
+
+
+def test_append_reads_only_dirty_buckets(spark, tmp_path):
+    """The read-side bound of the increment: the existing-rows scan
+    must PARTITION-PRUNE to the dirty buckets — inputFiles() of the
+    pruned read equals the dirty directories' files, never the whole
+    layout. (This is the property that makes the append
+    delta-proportional at 100 TB.)"""
+    from nineinfra_spark.operators.zorder import (
+        read_layout_meta,
+        zorder_layout_write,
+        zvalue_expr,
+    )
+
+    out = str(tmp_path / "prune")
+    base = spark.range(0, 1000).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 97).alias("user_id"),
+        (F.col("id") % 31).cast("double").alias("value"),
+    )
+    zorder_layout_write(base, out, ["user_id", "value"], bits=8, bucket_bits=5)
+    meta = read_layout_meta(out)
+    bounds = {c: tuple(v) for c, v in meta["bounds"].items()}
+    z = zvalue_expr(["user_id", "value"], bounds, bits=8)
+    delta = spark.createDataFrame(
+        [(9001, 3, 1.0), (9002, 90, 30.0)],
+        "event_id long, user_id long, value double",
+    )
+    dirty = [
+        r["zb"]
+        for r in delta.withColumn("zb", F.shiftright(z, 11))
+        .select("zb").distinct().collect()
+    ]
+    import re
+
+    from nineinfra_spark.doctor import full_plan
+
+    pruned = spark.read.parquet(out).filter(F.col("zb").isin(dirty))
+    plan = full_plan(pruned)
+    # the dirty-bucket predicate must land in the scan's
+    # PartitionFilters (directory-level pruning — non-dirty files are
+    # never OPENED), not merely in a post-scan Filter. NB
+    # inputFiles() can't witness this: it reports the relation's file
+    # index BEFORE partition-filter application.
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, plan
+    assert re.search(r"zb#\d+ IN \(", m.group(1)), m.group(1)
+    for b in dirty:
+        assert str(b) in m.group(1), (dirty, m.group(1))
+    # and the pruned relation is a strict minority of the layout
+    assert len(dirty) < len(set(spark.read.parquet(out).inputFiles())) / 2
