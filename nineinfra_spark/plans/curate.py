@@ -108,13 +108,17 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     plans as one execution — no intermediate tables, no
     materialization barriers.
 
-    Scale posture: stage 1 is scan-shaped (tokens/features projected
-    once, integer-compared); stage 2 is one window keyed on the
-    uniform content md5; stage 3 broadcasts the fixed-size eval
-    shingle set and semi-joins at scan speed, anti-joining only
-    doc_ids. Total: ONE corpus-sized shuffle (the dedup window) for
-    the whole pipeline — the same bound as dedup alone, so the
-    composition is free."""
+    Scale posture: stage 1 is scan-shaped (tokens/features projected,
+    integer-compared); stage 2 is one window keyed on the uniform
+    content md5; stage 3 broadcasts the fixed-size eval shingle set
+    and semi-joins at scan speed, anti-joining only doc_ids. The
+    dedup subtree is consumed twice (contamination probe + final
+    anti-join) and deliberately RECOMPUTES rather than materializes —
+    measured faster both ways at sf1 because the checkpoint would
+    persist the wide token arrays while the recompute path stays
+    inside whole-stage codegen with per-branch column pruning (see
+    the in-body comment). Shuffle bound: two corpus-keyed window
+    exchanges, both on the same uniform md5 key."""
     docs = t(spark, sf_dir, "documents")
     # corpus side: spread the CPU-heavy tokenize (see ext_dedup
     # _cpu_spread); eval side below reads the raw table so its
@@ -142,6 +146,15 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "source", "toks", "n_tokens", "q_int")
     )
     w = Window.partitionBy(F.expr("md5(array_join(toks, ' '))")).orderBy("doc_id")
+    # `deduped` has TWO consumers (the contamination probe and the
+    # final anti-join) and no ReusedExchange reaches across the
+    # explode branch, so the tokenize→gate→window chain PLANS TWICE —
+    # deliberate, measured (r12-continuation audit): a
+    # localCheckpoint materialization of `deduped` must persist the
+    # wide toks array and lost to the codegen'd, column-pruned
+    # recompute at sf1 (2.96 s vs 2.32 s median); recompute also
+    # keeps each branch's pruning independent. Revisit only if the
+    # tokenize kernel grows much heavier than array storage.
     deduped = gated.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") == 1
     )
