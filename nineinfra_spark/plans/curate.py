@@ -180,3 +180,92 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("q_int") / 10000.0).alias("quality_score"),
         )
     )
+
+
+def curate_rejection_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation AUDIT twin of :func:`pipeline_curate_corpus`:
+    where did the corpus go? One row per stage with the docs REJECTED
+    there — ``quality_gate`` (including unscoreable zero-token docs,
+    which the pipeline rejects by construction), ``exact_duplicate``,
+    ``contaminated`` — plus the final ``kept`` row. Stage counts are
+    computed with the IDENTICAL expressions as the pipeline (same
+    gate integers, same md5 dedup key, same eval shingle set), so
+    ledger rows sum exactly to the corpus size — pinned in
+    tests/test_ext_pipeline.py against the pipeline's own output.
+
+    Not yet registered (r12-continuation: the verify window had no
+    free slot); the oracle for r13/r14 registration is the pipeline
+    oracle's CTE chain with per-stage counts. Scale posture: the same
+    plan as the pipeline with 1-row count aggregates instead of row
+    output — no new shuffle shape.
+    """
+    docs = t(spark, sf_dir, "documents")
+    tok = _cpu_spread(docs).select(
+        "doc_id", F.expr(TOKS_SPARK).alias("toks")
+    )
+    corpus = tok.filter(F.col("doc_id") >= N_EVAL_DOCS)
+    feat = corpus.filter(F.size("toks") > 0).select(
+        "doc_id",
+        "toks",
+        F.size("toks").alias("n_tokens"),
+        F.expr("aggregate(toks, 0L, (acc, x) -> acc + length(x))").alias("sum_len"),
+        F.expr(f"size(filter(toks, x -> array_contains(array({_STOP}), x)))").alias(
+            "n_stop"
+        ),
+    )
+    gated = feat.withColumn("q_int", F.expr(_QINT_SPARK)).filter(
+        F.col("q_int") >= QUALITY_MIN_INT
+    )
+    w = Window.partitionBy(F.expr("md5(array_join(toks, ' '))")).orderBy("doc_id")
+    deduped = gated.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    eval_sh = (
+        tok.filter(F.col("doc_id") < N_EVAL_DOCS)
+        .select(F.explode(F.expr(SH_SPARK)).alias("s"))
+        .distinct()
+    )
+    contaminated = (
+        deduped.select("doc_id", F.explode(F.expr(SH_SPARK)).alias("s"))
+        .join(F.broadcast(eval_sh), "s", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+
+    def cnt(df, name):
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs")).select(
+            F.lit(name).alias("stage"), "n_docs"
+        )
+
+    n_corpus = cnt(corpus, "corpus")
+    n_quality = (
+        corpus.agg(F.count(F.lit(1)).alias("a"))
+        .crossJoin(gated.agg(F.count(F.lit(1)).alias("b")))
+        .select(
+            F.lit("quality_gate").alias("stage"),
+            (F.col("a") - F.col("b")).cast("bigint").alias("n_docs"),
+        )
+    )
+    n_dup = (
+        gated.agg(F.count(F.lit(1)).alias("a"))
+        .crossJoin(deduped.agg(F.count(F.lit(1)).alias("b")))
+        .select(
+            F.lit("exact_duplicate").alias("stage"),
+            (F.col("a") - F.col("b")).cast("bigint").alias("n_docs"),
+        )
+    )
+    n_contam = cnt(contaminated, "contaminated")
+    n_kept = (
+        deduped.agg(F.count(F.lit(1)).alias("a"))
+        .crossJoin(contaminated.agg(F.count(F.lit(1)).alias("b")))
+        .select(
+            F.lit("kept").alias("stage"),
+            (F.col("a") - F.col("b")).cast("bigint").alias("n_docs"),
+        )
+    )
+    return (
+        n_corpus.unionByName(n_quality)
+        .unionByName(n_dup)
+        .unionByName(n_contam)
+        .unionByName(n_kept)
+    )
