@@ -170,6 +170,15 @@ def run_available_now(
     Memory sinks are driver-resident — replay/test scale only. The
     file-sink path (checkpointed, executor-parallel, the production
     shape) is exercised in tests/test_streaming.py.
+
+    UPDATE-mode caveat: the memory sink APPENDS each batch's updated
+    rows (it does not update in place), so an update-mode query whose
+    drain splits into multiple batches would surface one cumulative
+    row PER BATCH per key. Safe here because the default file-source
+    options drain everything available in one batch (verified at sf1:
+    15,000 rows, zero duplicate keys) — do NOT pass
+    ``maxFilesPerTrigger`` into an update-mode memory-sink query; the
+    foreachBatch-table queries are the multi-batch shape instead.
     """
     spark = df.sparkSession
     q = (
