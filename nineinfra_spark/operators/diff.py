@@ -33,8 +33,23 @@ from pyspark.sql import functions as F
 CHANGE_COL = "change_type"
 
 
+def _null_extend(df: DataFrame, other: DataFrame) -> DataFrame:
+    """NULL-extend ``df`` with columns only ``other`` has — the
+    parquet ``mergeSchema`` semantic (additive evolution: an old
+    snapshot simply has NULL for columns added later). Typed from the
+    other side's schema so the extended column compares exactly."""
+    mine = set(df.columns)
+    added = [f for f in other.schema.fields if f.name not in mine]
+    for f in added:
+        df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return df
+
+
 def snapshot_diff(
-    old: DataFrame, new: DataFrame, key_cols: Sequence[str]
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    allow_schema_evolution: bool = False,
 ) -> DataFrame:
     """Keyed row-level diff ``old → new``.
 
@@ -50,6 +65,14 @@ def snapshot_diff(
     comparison is struct ``<=>`` — elementwise null-safe, exact for
     nested/array columns too.
 
+    ``allow_schema_evolution=True`` diffs across an ADDITIVE schema
+    change (the `src_parquet_schema_merge` semantic): columns missing
+    on one side NULL-extend with the other side's type, so a row
+    whose added column is NULL on both sides is still 'unchanged',
+    and one that gained a value classifies as 'update'. Renames and
+    type changes are NOT reconciled — they are a rewrite, not an
+    evolution.
+
     Scale posture: one hash exchange per side on ``key_cols``; the
     payload-equality filter runs join-side so the (usually dominant)
     unchanged mass never reaches the output projection. If both
@@ -59,11 +82,16 @@ def snapshot_diff(
     if not key_cols:
         raise ValueError("snapshot_diff: key_cols must be non-empty")
     if sorted(old.columns) != sorted(new.columns):
-        raise ValueError(
-            f"snapshot_diff: column sets differ — old={sorted(old.columns)} "
-            f"new={sorted(new.columns)} (schema evolution between the two "
-            "versions must be reconciled by the caller)"
-        )
+        if not allow_schema_evolution:
+            raise ValueError(
+                f"snapshot_diff: column sets differ — "
+                f"old={sorted(old.columns)} new={sorted(new.columns)} "
+                "(pass allow_schema_evolution=True to diff across an "
+                "additive schema change: missing columns NULL-extend, "
+                "so a row whose added column is NULL on both sides "
+                "stays 'unchanged')"
+            )
+        old, new = _null_extend(old, new), _null_extend(new, old)
     missing = [c for c in key_cols if c not in old.columns]
     if missing:
         raise ValueError(f"snapshot_diff: key columns {missing} not in table")

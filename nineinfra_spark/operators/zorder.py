@@ -277,6 +277,19 @@ def zorder_layout_append(
 
     Returns ``{"rows_appended", "buckets_dirty", "buckets_total"}``
     (``"skipped_replay": True`` added when the marker short-circuits).
+
+    SINGLE WRITER: like every OPTIMIZE-style maintenance job on plain
+    parquet, concurrent appends to one layout are not coordinated —
+    two racing appends that share a dirty bucket each read the
+    pre-race rows and the last partition commit wins, dropping the
+    loser's rows. Schedule one maintenance job per layout (the
+    streaming sink enforces this shape naturally); tables needing
+    multi-writer semantics belong in the versioned-merge protocol. A
+    CRASHED append, by contrast, converges: dynamic overwrite commits
+    per partition, so re-running the same delta with ``key_cols``
+    anti-joins away whichever buckets already carry it and rewrites
+    the dirty set whole (the algebra `test_key_dedup_closes_the_crash_
+    window` pins).
     """
     import os
 

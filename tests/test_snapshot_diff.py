@@ -217,3 +217,37 @@ def test_table_changes_across_versions(spark):
     finally:
         for t in ("tc_t", "tc_t__v0", "tc_t__v1", "tc_t__v2"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_schema_evolution_diff(spark):
+    """Diff across an ALTER ADD COLUMNS boundary: the old snapshot
+    NULL-extends (mergeSchema semantics), so rows whose added column
+    is NULL on both sides stay unchanged and rows that gained a value
+    classify as updates."""
+    old = spark.createDataFrame([(1, "A"), (2, "B")], "k long, seg string")
+    new = spark.createDataFrame(
+        [(1, "A", None), (2, "B", 250), (3, "C", 300)],
+        "k long, seg string, bal long",
+    )
+    with pytest.raises(ValueError, match="column sets differ"):
+        snapshot_diff(old, new, ["k"])
+    got = {
+        r["k"]: (r["change_type"], r["old_bal"], r["new_bal"])
+        for r in snapshot_diff(
+            old, new, ["k"], allow_schema_evolution=True
+        ).collect()
+    }
+    # k=1: bal NULL on both sides after extension → unchanged, absent
+    assert got == {
+        2: ("update", None, 250),
+        3: ("insert", None, 300),
+    }
+    # symmetric: diffing new → old classifies the gained value as an
+    # update back to NULL and the extra row as a delete
+    rev = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff(
+            new, old, ["k"], allow_schema_evolution=True
+        ).collect()
+    }
+    assert rev == {2: "update", 3: "delete"}
