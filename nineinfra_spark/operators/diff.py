@@ -183,6 +183,7 @@ def table_changes(
     table: str,
     key_cols: Sequence[str],
     from_version: int = 0,
+    allow_schema_evolution: bool = False,
 ) -> DataFrame:
     """CDC-style changelog: the keyed diffs of every CONSECUTIVE
     snapshot pair from ``from_version`` through the live table, each
@@ -213,7 +214,10 @@ def table_changes(
     parts = []
     for (v0, df0), (v1, df1) in zip(states, states[1:]):
         parts.append(
-            snapshot_diff(df0, df1, key_cols)
+            snapshot_diff(
+                df0, df1, key_cols,
+                allow_schema_evolution=allow_schema_evolution,
+            )
             .withColumn("v_from", F.lit(v0).cast("bigint"))
             .withColumn("v_to", F.lit(v1).cast("bigint"))
         )
@@ -226,6 +230,7 @@ def snapshot_diff_versions(
     v_old: int,
     v_new: int | None = None,
     key_cols: Sequence[str] | None = None,
+    allow_schema_evolution: bool = False,
 ) -> DataFrame:
     """Diff two snapshots of a versioned table (``operators/merge.py``
     archive naming): ``v_old`` is an archived ``{table}__v{n}``;
@@ -239,5 +244,8 @@ def snapshot_diff_versions(
         else spark.table(f"{table}__v{v_new}")
     )
     if key_cols:
-        return snapshot_diff(old, new, key_cols)
+        return snapshot_diff(
+            old, new, key_cols,
+            allow_schema_evolution=allow_schema_evolution,
+        )
     return snapshot_diff_counts(old, new)

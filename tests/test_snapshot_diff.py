@@ -251,3 +251,30 @@ def test_schema_evolution_diff(spark):
         ).collect()
     }
     assert rev == {2: "update", 3: "delete"}
+
+
+def test_versioned_wrapper_schema_evolution(spark):
+    """A versioned table that gained a column between the archive and
+    live diffs through the wrapper with allow_schema_evolution."""
+    spark.sql("DROP TABLE IF EXISTS sev_t")
+    spark.sql("DROP TABLE IF EXISTS sev_t__v0")
+    spark.createDataFrame([(1, "A")], "k long, seg string").write.saveAsTable(
+        "sev_t"
+    )
+    try:
+        spark.sql("ALTER TABLE sev_t RENAME TO sev_t__v0")
+        spark.createDataFrame(
+            [(1, "A", 100)], "k long, seg string, bal long"
+        ).write.saveAsTable("sev_t")
+        with pytest.raises(ValueError, match="column sets differ"):
+            snapshot_diff_versions(spark, "sev_t", 0, key_cols=["k"])
+        got = snapshot_diff_versions(
+            spark, "sev_t", 0, key_cols=["k"], allow_schema_evolution=True
+        ).collect()
+        assert len(got) == 1
+        assert (got[0]["change_type"], got[0]["old_bal"], got[0]["new_bal"]) == (
+            "update", None, 100,
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS sev_t")
+        spark.sql("DROP TABLE IF EXISTS sev_t__v0")
