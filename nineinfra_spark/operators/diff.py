@@ -81,6 +81,15 @@ def snapshot_diff(
     key_cols = list(key_cols)
     if not key_cols:
         raise ValueError("snapshot_diff: key_cols must be non-empty")
+    # key columns must exist on BOTH sides BEFORE any NULL-extension:
+    # a NULL-extended key would null-safe-match every other NULL key
+    # and turn the diff into a degenerate all-delete/all-insert.
+    for side, df in (("old", old), ("new", new)):
+        missing = [c for c in key_cols if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"snapshot_diff: key columns {missing} not in {side} table"
+            )
     if sorted(old.columns) != sorted(new.columns):
         if not allow_schema_evolution:
             raise ValueError(
@@ -92,9 +101,6 @@ def snapshot_diff(
                 "stays 'unchanged')"
             )
         old, new = _null_extend(old, new), _null_extend(new, old)
-    missing = [c for c in key_cols if c not in old.columns]
-    if missing:
-        raise ValueError(f"snapshot_diff: key columns {missing} not in table")
     reserved = {"_o_present", "_n_present", CHANGE_COL} & set(old.columns)
     if reserved:
         raise ValueError(
@@ -102,6 +108,16 @@ def snapshot_diff(
             "diff's presence/verdict columns — rename them first"
         )
     payload = [c for c in old.columns if c not in key_cols]
+    # old_/new_ output names must not collide with real input columns
+    # (a payload column literally named 'old_x' next to payload 'x'
+    # would emit duplicate output names and break select-by-name).
+    out_names = {f"{p}{c}" for c in payload for p in ("old_", "new_")}
+    clash = sorted(out_names & set(old.columns))
+    if clash:
+        raise ValueError(
+            f"snapshot_diff: input columns {clash} collide with the "
+            "diff's old_/new_ prefixed output names — rename them first"
+        )
 
     # presence tags: a key column can be legitimately NULL on a
     # present row, and full-outer emits NULL for EVERY column of the
@@ -221,7 +237,15 @@ def table_changes(
             .withColumn("v_from", F.lit(v0).cast("bigint"))
             .withColumn("v_to", F.lit(v1).cast("bigint"))
         )
-    return reduce(lambda a, b: a.unionByName(b), parts)
+    # Under schema evolution, pairs that predate an added column lack
+    # its old_/new_ output columns — allowMissingColumns NULL-fills
+    # them, matching the NULL-extend semantics of the diff itself.
+    return reduce(
+        lambda a, b: a.unionByName(
+            b, allowMissingColumns=allow_schema_evolution
+        ),
+        parts,
+    )
 
 
 def snapshot_diff_versions(

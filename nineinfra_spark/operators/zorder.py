@@ -131,6 +131,11 @@ def zorder_write(
     Z-order curve over ``cols`` — after this, a min-max-pruning reader
     skips most files for a selective filter on ANY of ``cols``.
     One range exchange + per-task sort; no driver materialization."""
+    if "_z" in df.columns:
+        raise ValueError(
+            "zorder_write: column '_z' is reserved for the z-value — "
+            "rename it first (withColumn would silently replace it)"
+        )
     z = zvalue_column(df, cols, bits=bits)
     (
         df.withColumn("_z", z)
@@ -207,6 +212,12 @@ def zorder_layout_write(
     if not 1 <= bucket_bits <= rbits * k:
         raise ValueError(
             f"bucket_bits={bucket_bits} outside 1..{rbits * k} (= bits*k)"
+        )
+    if "zb" in df.columns:
+        raise ValueError(
+            "zorder_layout_write: column 'zb' is reserved for the z-bucket "
+            "partition column — rename it first (withColumn would silently "
+            "replace it and corrupt the layout's data_columns contract)"
         )
     bounds = column_bounds(df, cols)
     z = zvalue_expr(cols, bounds, bits=rbits)

@@ -92,7 +92,7 @@ def test_validation(spark, pair):
     old, new = pair
     with pytest.raises(ValueError, match="non-empty"):
         snapshot_diff(old, new, [])
-    with pytest.raises(ValueError, match="not in table"):
+    with pytest.raises(ValueError, match="not in old table"):
         snapshot_diff(old, new, ["nope"])
     with pytest.raises(ValueError, match="column sets differ"):
         snapshot_diff(old, new.withColumnRenamed("bal", "balance"), ["k"])
@@ -278,3 +278,75 @@ def test_versioned_wrapper_schema_evolution(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS sev_t")
         spark.sql("DROP TABLE IF EXISTS sev_t__v0")
+
+
+def test_key_column_missing_on_one_side_rejected(spark):
+    """A key column absent from one side must raise — even under
+    allow_schema_evolution. NULL-extending a key would null-safe-match
+    every other NULL key and degenerate into all-delete/all-insert
+    (r12 advice finding)."""
+    old = spark.createDataFrame([(1, "A")], "k long, seg string")
+    new = spark.createDataFrame([("A", 100)], "seg string, bal long")
+    with pytest.raises(ValueError, match="key columns.*not in new"):
+        snapshot_diff(old, new, ["k"], allow_schema_evolution=True)
+    with pytest.raises(ValueError, match="key columns.*not in old"):
+        snapshot_diff(old, new, ["bal"], allow_schema_evolution=True)
+
+
+def test_old_new_prefix_collision_rejected(spark):
+    """A real input column named like an old_/new_ output (payload 'x'
+    next to a column literally named 'old_x') would duplicate output
+    names — refused up front (r12 advice finding)."""
+    df = spark.createDataFrame([(1, 2, 3)], "k long, x long, old_x long")
+    with pytest.raises(ValueError, match="old_/new_"):
+        snapshot_diff(df, df, ["k"])
+    df2 = spark.createDataFrame([(1, 2, 3)], "k long, x long, new_x long")
+    with pytest.raises(ValueError, match="old_/new_"):
+        snapshot_diff(df2, df2, ["k"])
+    # prefixed names with no matching payload base are fine
+    ok = spark.createDataFrame([(1, 5)], "k long, old_gone long")
+    assert snapshot_diff(ok, ok, ["k"]).count() == 0
+
+
+def test_table_changes_three_state_evolution(spark):
+    """CDC across 3+ states spanning an ADDITIVE schema change: the
+    pre-evolution pair lacks the added column's old_/new_ columns, so
+    the changelog union must NULL-fill (allowMissingColumns) instead
+    of raising — exactly the scenario allow_schema_evolution exists
+    for (r12 advice finding, medium)."""
+    from nineinfra_spark.operators.diff import table_changes
+
+    for t in ("tc3_t", "tc3_t__v0", "tc3_t__v1"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    spark.createDataFrame([(1, "A")], "k long, seg string").write.saveAsTable(
+        "tc3_t__v0"
+    )
+    spark.createDataFrame(
+        [(1, "A"), (2, "B")], "k long, seg string"
+    ).write.saveAsTable("tc3_t__v1")
+    spark.createDataFrame(
+        [(1, "A", 100), (2, "B", None)], "k long, seg string, bal long"
+    ).write.saveAsTable("tc3_t")
+    try:
+        log = {
+            (r["v_from"], r["v_to"], r["k"]): (
+                r["change_type"],
+                r["old_bal"],
+                r["new_bal"],
+            )
+            for r in table_changes(
+                spark, "tc3_t", ["k"], allow_schema_evolution=True
+            ).collect()
+        }
+        # pair (0,1): pre-evolution — bal columns NULL-filled by union
+        # pair (1,2): k=1 gained bal=100 (update); k=2 bal NULL→NULL
+        assert log == {
+            (0, 1, 2): ("insert", None, None),
+            (1, 2, 1): ("update", None, 100),
+        }
+        # without the flag the width mismatch is still an error
+        with pytest.raises(ValueError, match="column sets differ"):
+            table_changes(spark, "tc3_t", ["k"]).collect()
+    finally:
+        for t in ("tc3_t", "tc3_t__v0", "tc3_t__v1"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -590,3 +590,21 @@ def test_append_reads_only_dirty_buckets(spark, tmp_path):
         assert str(b) in m.group(1), (dirty, m.group(1))
     # and the pruned relation is a strict minority of the layout
     assert len(dirty) < len(set(spark.read.parquet(out).inputFiles())) / 2
+
+
+def test_reserved_layout_columns_rejected(spark, tmp_path):
+    """A user data column named 'zb' (layout write) or '_z' (plain
+    zorder_write) would be silently clobbered by withColumn and
+    corrupt the layout's data_columns round-trip — refused up front
+    (r12 advice finding)."""
+    from nineinfra_spark.operators.zorder import (
+        zorder_layout_write,
+        zorder_write,
+    )
+
+    df = spark.createDataFrame([(1, 2, 3)], "x long, y long, zb long")
+    with pytest.raises(ValueError, match="'zb' is reserved"):
+        zorder_layout_write(df, str(tmp_path / "l"), ["x", "y"], bits=8)
+    df2 = spark.createDataFrame([(1, 2, 3)], "x long, y long, _z long")
+    with pytest.raises(ValueError, match="'_z' is reserved"):
+        zorder_write(df2, str(tmp_path / "w"), ["x", "y"], n_files=2)
