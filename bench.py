@@ -157,6 +157,8 @@ HEADLINE = [
     # r12: z-layout file-skipping read proof, corpus mixture drift gate
     "zorder_skipping_read",
     "text_snapshot_drift",
+    # r13: versioned-table CDC audit diff
+    "catalog_snapshot_diff",
 ]
 
 

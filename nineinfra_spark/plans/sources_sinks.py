@@ -1965,3 +1965,101 @@ def zorder_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         "sum_value_nanos",
     )
+
+
+@query(
+    "catalog_snapshot_diff",
+    oracle="""
+    WITH cust AS (
+        SELECT c_custkey, c_mktsegment, c_acctbal,
+               substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) AS hx
+        FROM customer
+    ),
+    o AS (
+        SELECT c_custkey, c_mktsegment, c_acctbal FROM cust
+        WHERE hx NOT IN ('c', 'd', 'e', 'f')
+    ),
+    n AS (
+        SELECT c_custkey, c_mktsegment,
+               CASE WHEN hx IN ('2', '3') THEN c_acctbal * 2
+                    ELSE c_acctbal END AS c_acctbal
+        FROM cust WHERE hx NOT IN ('0', '1')
+    )
+    SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+           CASE WHEN o.c_custkey IS NULL THEN 'insert'
+                WHEN n.c_custkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           o.c_mktsegment AS old_seg,
+           n.c_mktsegment AS new_seg,
+           CAST(o.c_acctbal AS DOUBLE) AS old_bal,
+           CAST(n.c_acctbal AS DOUBLE) AS new_bal
+    FROM o FULL OUTER JOIN n ON o.c_custkey = n.c_custkey
+    WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+       OR o.c_mktsegment IS DISTINCT FROM n.c_mktsegment
+       OR o.c_acctbal IS DISTINCT FROM n.c_acctbal
+    """,
+    tags=("catalog", "diff", "cdc"),
+)
+def catalog_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level snapshot diff over the versioned-table protocol —
+    "what exactly changed between the archived ``__v0`` snapshot and
+    live?": the audit query that pairs with `catalog_merge_timetravel`
+    (Delta's CDC view / Iceberg's changelog scan over the warehouse
+    the reference provisions, ``internal/controller/metastore.go:
+    105-114``). Two deterministic customer slices are materialized as
+    ``{table}__v0`` and the live table (md5-hex membership: deletes =
+    hex 0-1, inserts = hex c-f, updates = hex 2-3 with the balance
+    doubled — IEEE-exact on both engines), then
+    ``snapshot_diff_versions`` classifies insert/delete/update with
+    old_/new_ payloads. The oracle derives the identical delta
+    relationally (FULL OUTER JOIN; ``IS DISTINCT FROM`` mirrors the
+    Spark-side null-safe struct ``<=>`` negation). A doubled balance
+    of 0.00 stays 'unchanged' on BOTH engines — same membership, no
+    boundary drift.
+
+    Scale posture: one hash exchange per side keyed on c_custkey; the
+    payload-equality filter runs join-side, so the unchanged mass
+    (most of a real table between snapshots) never reaches the output
+    projection. Bucketed snapshots would drop even those exchanges.
+    Archive reads are plain scans — no delta-chain replay
+    (operators/diff.py)."""
+    from nineinfra_spark.operators.diff import snapshot_diff_versions
+
+    sfx = os.path.basename(sf_dir).replace(".", "_")
+    db = f"nine_wh_{sfx}"
+    is_hive = (
+        spark.conf.get("spark.sql.catalogImplementation", "in-memory") == "hive"
+    )
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{WAREHOUSE}/{db}'")
+    for tbl in ("customer_sd", "customer_sd__v0"):
+        owned = spark.catalog.tableExists(f"{db}.{tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {db}.{tbl}")
+        loc = f"{WAREHOUSE}/{db}/{tbl}"
+        if os.path.exists(loc) and (not is_hive or not owned):
+            import shutil
+
+            shutil.rmtree(loc, ignore_errors=True)
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    hx = F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 1)
+    old = cust.filter(~hx.isin(*"cdef"))
+    new = cust.filter(~hx.isin("0", "1")).withColumn(
+        "c_acctbal",
+        F.when(hx.isin("2", "3"), F.col("c_acctbal") * 2).otherwise(
+            F.col("c_acctbal")
+        ),
+    )
+    writers.save_as_table(old, f"{db}.customer_sd__v0", mode="overwrite")
+    writers.save_as_table(new, f"{db}.customer_sd", mode="overwrite")
+    d = snapshot_diff_versions(
+        spark, f"{db}.customer_sd", 0, key_cols=["c_custkey"]
+    )
+    return d.select(
+        "c_custkey",
+        "change_type",
+        F.col("old_c_mktsegment").alias("old_seg"),
+        F.col("new_c_mktsegment").alias("new_seg"),
+        F.col("old_c_acctbal").cast("double").alias("old_bal"),
+        F.col("new_c_acctbal").cast("double").alias("new_bal"),
+    )
