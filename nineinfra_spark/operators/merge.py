@@ -670,7 +670,12 @@ def update_where_partitioned(
         affected_df.unpersist()
 
 
-def publish_snapshot(spark: SparkSession, table: str, snapshot: DataFrame) -> None:
+def publish_snapshot(
+    spark: SparkSession,
+    table: str,
+    snapshot: DataFrame,
+    properties: dict[str, str] | None = None,
+) -> None:
     """Replace ``table`` with ``snapshot`` via the rename-first swap:
     write to a stage table, rename live → ``__old``, stage → live,
     drop ``__old``. A brief window remains where the live NAME does
@@ -681,16 +686,40 @@ def publish_snapshot(spark: SparkSession, table: str, snapshot: DataFrame) -> No
     name :func:`recover_published_table` knows (``__old`` or the
     stage), so no crash can lose the data.
 
+    ``properties`` are set as TBLPROPERTIES on the STAGE table before
+    the swap, so they commit ATOMICALLY with the data (the stage →
+    live rename carries both or neither) — this is what lets a
+    foreachBatch maintainer record its ``last_batch_id`` with no
+    data-committed/marker-unwritten crash window at all (contrast the
+    sidecar-after-write pattern in ``operators/zorder.py``, which
+    needs a key-dedup to close that window).
+
     This is the publish primitive the streaming snapshot/index
     maintainers share with :func:`merge_into_table`."""
     stage = f"{table}__merge_stage"
     spark.sql(f"DROP TABLE IF EXISTS {stage}")
     snapshot.write.saveAsTable(stage)
+    if properties:
+        kv = ", ".join(f"'{k}'='{v}'" for k, v in properties.items())
+        spark.sql(f"ALTER TABLE {stage} SET TBLPROPERTIES ({kv})")
     old = f"{table}__merge_old"
     spark.sql(f"DROP TABLE IF EXISTS {old}")
     spark.sql(f"ALTER TABLE {table} RENAME TO {old}")
     spark.sql(f"ALTER TABLE {stage} RENAME TO {table}")
     spark.sql(f"DROP TABLE {old}")
+
+
+def read_table_property(
+    spark: SparkSession, table: str, key: str
+) -> str | None:
+    """One table property, or None when unset — the read side of
+    :func:`publish_snapshot`'s atomic ``properties``. (Iterates SHOW
+    TBLPROPERTIES rather than the ``table('key')`` form, whose
+    missing-key behavior is an engine-version-dependent message row.)"""
+    for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect():
+        if r["key"] == key:
+            return r["value"]
+    return None
 
 
 def recover_published_table(spark: SparkSession, table: str) -> str:

@@ -16,7 +16,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nineinfra_spark.operators.merge import publish_snapshot
+from nineinfra_spark.operators.merge import (
+    publish_snapshot,
+    read_table_property,
+)
 from nineinfra_spark.plans._util import t
 from nineinfra_spark.plans.ext_text import TOKS_DUCK, TOKS_SPARK
 from nineinfra_spark.plans.registry import query
@@ -390,6 +393,115 @@ def stream_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(snap).select(*cols)
 
 
+#: table property recording the last folded micro-batch id for the
+#: ADDITIVE foreachBatch maintainers. Written atomically with each
+#: publish (publish_snapshot sets it on the stage table BEFORE the
+#: rename swap), so replay detection has NO data-committed/marker-
+#: unwritten crash window: a crash before the stage→live rename
+#: commits neither data nor marker (the batch replays and recomputes
+#: from the old state); after, both. Within the registered queries
+#: each invocation resets its tables, so the marker is belt-and-
+#: braces there — it exists for a persistent-checkpoint deployment,
+#: where foreachBatch re-delivers the last batch after a restart and
+#: a blind re-fold would double-count (min/+ are idempotent only per
+#: key-presence, not per delivery).
+LAST_BATCH_PROP = "nine.last_batch_id"
+
+
+def _replayed_batch(spark: SparkSession, table: str, batch_id) -> bool:
+    if batch_id is None:
+        return False
+    last = read_table_property(spark, table, LAST_BATCH_PROP)
+    return last is not None and int(batch_id) <= int(last)
+
+
+def _marker_props(batch_id) -> dict[str, str] | None:
+    return None if batch_id is None else {LAST_BATCH_PROP: str(batch_id)}
+
+
+def apply_dedup_index_batch(
+    spark: SparkSession, idx: str, batch_df: DataFrame, batch_id=None
+) -> bool:
+    """Fold one micro-batch of documents into the content-signature
+    index ``idx`` with MONOTONE resolution (least canonical id,
+    additive copy count). With ``batch_id`` set, a re-delivered batch
+    (id ≤ the index's ``nine.last_batch_id`` property) is SKIPPED —
+    returns False — and each publish records the id atomically with
+    the data (see :data:`LAST_BATCH_PROP`)."""
+    if _replayed_batch(spark, idx, batch_id):
+        return False
+    delta = (
+        batch_df.select(
+            "doc_id",
+            F.md5(F.expr(f"array_join({TOKS_SPARK}, ' ')")).alias(
+                "content_hash"
+            ),
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("new_id"),
+            F.count(F.lit(1)).alias("new_n"),
+        )
+    )
+    base = spark.table(idx).select(
+        "content_hash",
+        F.col("canonical_doc_id").alias("old_id"),
+        F.col("n_copies").alias("old_n"),
+    )
+    merged = base.join(delta, "content_hash", "full_outer").select(
+        "content_hash",
+        F.least(
+            F.coalesce("old_id", F.col("new_id")),
+            F.coalesce("new_id", F.col("old_id")),
+        ).alias("canonical_doc_id"),
+        (F.coalesce("old_n", F.lit(0)) + F.coalesce("new_n", F.lit(0))).alias(
+            "n_copies"
+        ),
+    )
+    publish_snapshot(spark, idx, merged, properties=_marker_props(batch_id))
+    return True
+
+
+def apply_rollup_batch(
+    spark: SparkSession, tbl: str, batch_df: DataFrame, batch_id=None
+) -> bool:
+    """Fold one micro-batch of orders into the (month × status)
+    serving rollup ``tbl`` by ADDITION. Same replay contract as
+    :func:`apply_dedup_index_batch`: with ``batch_id`` set, a
+    re-delivered batch is skipped (returns False) and each publish
+    records the id atomically with the data."""
+    if _replayed_batch(spark, tbl, batch_id):
+        return False
+    delta = (
+        batch_df.select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("m"),
+            "o_orderstatus",
+            F.round("o_totalprice", 2).cast("decimal(18,2)").alias("p"),
+        )
+        .groupBy("m", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("d_n"),
+            F.sum("p").cast("decimal(18,2)").alias("d_sum"),
+        )
+    )
+    base = spark.table(tbl)
+    merged = base.join(delta, ["m", "o_orderstatus"], "full_outer").select(
+        "m",
+        "o_orderstatus",
+        (
+            F.coalesce("n_orders", F.lit(0)) + F.coalesce("d_n", F.lit(0))
+        ).alias("n_orders"),
+        (
+            F.coalesce(F.col("total_price"), F.lit(0).cast("decimal(18,2)"))
+            + F.coalesce(F.col("d_sum"), F.lit(0).cast("decimal(18,2)"))
+        )
+        .cast("decimal(18,2)")
+        .alias("total_price"),
+    )
+    publish_snapshot(spark, tbl, merged, properties=_marker_props(batch_id))
+    return True
+
+
 @query(
     "stream_dedup_index",
     oracle=f"""
@@ -419,7 +531,10 @@ def stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     a half-merged index. The index row is ~50 bytes/distinct doc —
     the narrow table that makes 100 TB ingest dedup affordable.
     Batch-boundary independence is pytest-proven on an adversarial
-    3-file round-robin split (tests/test_stream_dedup_index.py)."""
+    3-file round-robin split (tests/test_stream_dedup_index.py);
+    restart-replay safety comes from the ``nine.last_batch_id``
+    marker each publish commits atomically with the data (see
+    :func:`apply_dedup_index_batch`; replay test in the same suite)."""
     import os as _os
 
     from nineinfra_spark.plans.sources_sinks import WAREHOUSE
@@ -447,35 +562,7 @@ def stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     empty.write.saveAsTable(idx)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        delta = (
-            batch_df.select(
-                "doc_id",
-                F.md5(F.expr(f"array_join({TOKS_SPARK}, ' ')")).alias(
-                    "content_hash"
-                ),
-            )
-            .groupBy("content_hash")
-            .agg(
-                F.min("doc_id").alias("new_id"),
-                F.count(F.lit(1)).alias("new_n"),
-            )
-        )
-        base = spark.table(idx).select(
-            "content_hash",
-            F.col("canonical_doc_id").alias("old_id"),
-            F.col("n_copies").alias("old_n"),
-        )
-        merged = base.join(delta, "content_hash", "full_outer").select(
-            "content_hash",
-            F.least(
-                F.coalesce("old_id", F.col("new_id")),
-                F.coalesce("new_id", F.col("old_id")),
-            ).alias("canonical_doc_id"),
-            (F.coalesce("old_n", F.lit(0)) + F.coalesce("new_n", F.lit(0))).alias(
-                "n_copies"
-            ),
-        )
-        publish_snapshot(spark, idx, merged)
+        apply_dedup_index_batch(spark, idx, batch_df, batch_id=batch_id)
 
     docs = read_table_stream(spark, sf_dir, "documents", maxFilesPerTrigger="1")
     q = (
@@ -516,7 +603,10 @@ def stream_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     DELTA only (cells out ≤ |months×statuses|), a cell-keyed merge
     join against the rollup (broadcast — the rollup is
     dimension-sized), stage-and-swap publication. The fact's history
-    is never re-read."""
+    is never re-read. Restart-replay safety: the ``nine.last_batch_id``
+    marker each publish commits atomically with the data (see
+    :func:`apply_rollup_batch`; replay test in
+    tests/test_stream_rollup.py)."""
     import os as _os
 
     from nineinfra_spark.plans.sources_sinks import WAREHOUSE
@@ -544,33 +634,7 @@ def stream_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     empty.write.saveAsTable(tbl)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        delta = (
-            batch_df.select(
-                F.date_format("o_orderdate", "yyyy-MM").alias("m"),
-                "o_orderstatus",
-                F.round("o_totalprice", 2).cast("decimal(18,2)").alias("p"),
-            )
-            .groupBy("m", "o_orderstatus")
-            .agg(
-                F.count(F.lit(1)).alias("d_n"),
-                F.sum("p").cast("decimal(18,2)").alias("d_sum"),
-            )
-        )
-        base = spark.table(tbl)
-        merged = base.join(delta, ["m", "o_orderstatus"], "full_outer").select(
-            "m",
-            "o_orderstatus",
-            (
-                F.coalesce("n_orders", F.lit(0)) + F.coalesce("d_n", F.lit(0))
-            ).alias("n_orders"),
-            (
-                F.coalesce(F.col("total_price"), F.lit(0).cast("decimal(18,2)"))
-                + F.coalesce(F.col("d_sum"), F.lit(0).cast("decimal(18,2)"))
-            )
-            .cast("decimal(18,2)")
-            .alias("total_price"),
-        )
-        publish_snapshot(spark, tbl, merged)
+        apply_rollup_batch(spark, tbl, batch_df, batch_id=batch_id)
 
     orders = read_table_stream(spark, sf_dir, "orders", maxFilesPerTrigger="1")
     q = (

@@ -80,3 +80,51 @@ def test_index_matches_batch_groupby_across_batches(spark, multifile_sf):
     # real assertion; this guards the harness.)
     staged = "/tmp/nineinfra_stream_src/nineinfra_dedupidx_multifile_sf/documents"
     assert len([f for f in os.listdir(staged) if f.endswith(".parquet")]) == 3
+
+
+def test_replay_marker_prevents_double_count(spark):
+    """A re-delivered micro-batch must not inflate n_copies: the
+    ``nine.last_batch_id`` marker commits atomically with each index
+    publish and the guard skips any batch id ≤ it."""
+    from nineinfra_spark.operators.merge import read_table_property
+    from nineinfra_spark.plans.streaming_queries import (
+        LAST_BATCH_PROP,
+        apply_dedup_index_batch,
+    )
+
+    idx = "dedupidx_replay_t"
+    for n in (idx, f"{idx}__merge_stage", f"{idx}__merge_old"):
+        spark.sql(f"DROP TABLE IF EXISTS {n}")
+    spark.createDataFrame(
+        [], "content_hash string, canonical_doc_id long, n_copies long"
+    ).write.saveAsTable(idx)
+    try:
+        b0 = spark.createDataFrame(
+            [(10, ["same", "text"]), (7, ["same", "text"]), (3, ["other"])],
+            "doc_id long, toks array<string>",
+        ).select("doc_id", F.array_join("toks", " ").alias("text"))
+        b1 = spark.createDataFrame(
+            [(1, ["same", "text"])], "doc_id long, toks array<string>"
+        ).select("doc_id", F.array_join("toks", " ").alias("text"))
+
+        def state():
+            return {
+                r["content_hash"]: (r["canonical_doc_id"], r["n_copies"])
+                for r in spark.table(idx).collect()
+            }
+
+        assert apply_dedup_index_batch(spark, idx, b0, batch_id=0) is True
+        after_b0 = state()
+        dup_hash = next(h for h, v in after_b0.items() if v[1] == 2)
+        assert after_b0[dup_hash] == (7, 2)
+        assert read_table_property(spark, idx, LAST_BATCH_PROP) == "0"
+        # restart re-delivery: skipped, counts NOT inflated
+        assert apply_dedup_index_batch(spark, idx, b0, batch_id=0) is False
+        assert state() == after_b0
+        # fresh batch: canonical id drops to 1, count rises to 3
+        assert apply_dedup_index_batch(spark, idx, b1, batch_id=1) is True
+        assert state()[dup_hash] == (1, 3)
+        assert read_table_property(spark, idx, LAST_BATCH_PROP) == "1"
+    finally:
+        for n in (idx, f"{idx}__merge_stage", f"{idx}__merge_old"):
+            spark.sql(f"DROP TABLE IF EXISTS {n}")

@@ -68,3 +68,71 @@ def test_rollup_converges_across_batches(spark, multifile_sf):
     assert got == want
     staged = "/tmp/nineinfra_stream_src/nineinfra_rollup_multifile_sf/orders"
     assert len([f for f in os.listdir(staged) if f.endswith(".parquet")]) == 3
+
+
+def test_replay_marker_prevents_double_count(spark):
+    """Persistent-checkpoint deployment semantics: foreachBatch
+    re-delivers the last committed batch after a restart; the
+    ``nine.last_batch_id`` marker (committed ATOMICALLY with each
+    publish via stage-table TBLPROPERTIES riding the rename swap)
+    must skip the re-fold, or every restart double-counts one batch."""
+    from nineinfra_spark.operators.merge import read_table_property
+    from nineinfra_spark.plans.streaming_queries import (
+        LAST_BATCH_PROP,
+        apply_rollup_batch,
+    )
+
+    tbl = "rollup_replay_t"
+    for n in (tbl, f"{tbl}__merge_stage", f"{tbl}__merge_old"):
+        spark.sql(f"DROP TABLE IF EXISTS {n}")
+    spark.createDataFrame(
+        [],
+        "m string, o_orderstatus string, n_orders long, "
+        "total_price decimal(18,2)",
+    ).write.saveAsTable(tbl)
+    try:
+        b0 = spark.createDataFrame(
+            [("1995-03-05", "O", 100.0), ("1995-03-07", "F", 50.0)],
+            "o_orderdate string, o_orderstatus string, o_totalprice double",
+        ).withColumn("o_orderdate", F.to_date("o_orderdate"))
+        b1 = spark.createDataFrame(
+            [("1995-03-09", "O", 25.0)],
+            "o_orderdate string, o_orderstatus string, o_totalprice double",
+        ).withColumn("o_orderdate", F.to_date("o_orderdate"))
+
+        def state():
+            return {
+                (r["m"], r["o_orderstatus"]): (
+                    r["n_orders"],
+                    float(r["total_price"]),
+                )
+                for r in spark.table(tbl).collect()
+            }
+
+        assert apply_rollup_batch(spark, tbl, b0, batch_id=0) is True
+        after_b0 = state()
+        assert after_b0 == {
+            ("1995-03", "O"): (1, 100.0),
+            ("1995-03", "F"): (1, 50.0),
+        }
+        # marker committed atomically with the publish
+        assert read_table_property(spark, tbl, LAST_BATCH_PROP) == "0"
+        # restart: batch 0 re-delivered → skipped, state unchanged
+        assert apply_rollup_batch(spark, tbl, b0, batch_id=0) is False
+        assert state() == after_b0
+        # fresh batch folds normally and advances the marker
+        assert apply_rollup_batch(spark, tbl, b1, batch_id=1) is True
+        assert state() == {
+            ("1995-03", "O"): (2, 125.0),
+            ("1995-03", "F"): (1, 50.0),
+        }
+        assert read_table_property(spark, tbl, LAST_BATCH_PROP) == "1"
+        # stale id below the marker is also skipped (checkpoint can
+        # only re-deliver the LAST batch, but the guard is monotone)
+        assert apply_rollup_batch(spark, tbl, b0, batch_id=0) is False
+        # batch_id=None (direct batch use) bypasses the guard
+        assert apply_rollup_batch(spark, tbl, b1, batch_id=None) is True
+        assert state()[("1995-03", "O")] == (3, 150.0)
+    finally:
+        for n in (tbl, f"{tbl}__merge_stage", f"{tbl}__merge_old"):
+            spark.sql(f"DROP TABLE IF EXISTS {n}")
