@@ -304,7 +304,15 @@ class _Conn:
         for row in rows:
             payload = b""
             for v in row:
-                payload += b"\xfb" if v is None else _lenenc_str(str(v).encode())
+                if v is None:
+                    payload += b"\xfb"
+                elif isinstance(v, (bytes, bytearray)):
+                    # binary columns ship their RAW bytes, as a real
+                    # server does for BLOB — str() would serve the
+                    # Python repr b'...' on the wire (r13 review pass)
+                    payload += _lenenc_str(bytes(v))
+                else:
+                    payload += _lenenc_str(str(v).encode())
             self._send_packet(payload)
         # a capped resultset signals the drop in the closing EOF's
         # warning count — the only in-protocol channel a plain

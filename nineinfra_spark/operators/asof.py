@@ -78,6 +78,30 @@ def asof_join(
         raise ValueError(f"tolerance_s must be >= 0, got {tolerance_s}")
     if payload is None:
         payload = [c for c in right.columns if c not in (on, ts)]
+    # reserved working columns / output-name collisions are refused up
+    # front — withColumn/select would otherwise silently duplicate or
+    # clobber them (same guard class as snapshot_diff's old_/new_ and
+    # zorder's 'zb' checks, r13 review pass):
+    reserved = {"__is_left", "__r"} & (set(left.columns) | set(right.columns))
+    if reserved:
+        raise ValueError(
+            f"asof_join: columns {sorted(reserved)} collide with the "
+            "join's internal working columns — rename them first"
+        )
+    if "__ts" in payload:
+        raise ValueError(
+            "asof_join: payload column '__ts' collides with the matched "
+            "right-row timestamp field — rename it first"
+        )
+    out_clash = sorted(
+        {f"{c}{suffix}" for c in [*payload, ts]} & set(left.columns)
+    )
+    if out_clash:
+        raise ValueError(
+            f"asof_join: left columns {out_clash} collide with the "
+            f"suffixed right-payload output names (suffix={suffix!r}) — "
+            "rename them or pass a different suffix"
+        )
     unorderable = [c for c in payload if _has_map_type(right.schema[c].dataType)]
     if unorderable:
         raise TypeError(

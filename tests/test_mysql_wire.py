@@ -464,3 +464,15 @@ class TestR11ProtocolFindings:
         _, rows2 = c.query("SELECT 5 AS v")
         assert rows2 == [["5"]]
         c.close()
+
+
+def test_binary_values_ship_raw_bytes(client):
+    """A binary column must carry its RAW bytes on the wire (as a real
+    server does for BLOB), never the Python repr b'...' (r13 review)."""
+    cols, rows = client.query(
+        "SELECT CAST('ABC' AS BINARY) AS b, unhex('414243') AS b2"
+    )
+    assert cols == ["b", "b2"]
+    # raw bytes decode to the literal payload; the old str() rendering
+    # shipped the Python repr "b'ABC'"
+    assert rows[0] == ["ABC", "ABC"]

@@ -525,3 +525,30 @@ def test_asof_ntz_gap_is_dst_free(spark):
         assert out2[0]["tag_right"] is None  # 90-min wall gap > 80 min
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_asof_join_rejects_reserved_and_colliding_columns(spark):
+    """Internal working columns (__is_left, __r), the struct's __ts
+    field, and suffixed output names that shadow left columns are
+    refused up front instead of silently duplicating (r13 review)."""
+    import pytest as _pytest
+
+    from nineinfra_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 1.0, 5.0)], "k long, ts double, __r double")
+    right = spark.createDataFrame([(1, 1.0, 2.0)], "k long, ts double, px double")
+    with _pytest.raises(ValueError, match="internal working columns"):
+        asof_join(left, right, on="k", ts="ts")
+    l2 = spark.createDataFrame([(1, 1.0)], "k long, ts double")
+    r2 = spark.createDataFrame([(1, 1.0, 2.0)], "k long, ts double, __ts double")
+    with _pytest.raises(ValueError, match="__ts"):
+        asof_join(l2, r2, on="k", ts="ts")
+    l3 = spark.createDataFrame(
+        [(1, 1.0, 9.9)], "k long, ts double, px_right double"
+    )
+    r3 = spark.createDataFrame([(1, 1.0, 2.0)], "k long, ts double, px double")
+    with _pytest.raises(ValueError, match="suffixed right-payload"):
+        asof_join(l3, r3, on="k", ts="ts")
+    # a different suffix resolves the clash
+    out = asof_join(l3, r3, on="k", ts="ts", suffix="_r")
+    assert out.columns == ["k", "ts", "px_right", "px_r", "ts_r"]
