@@ -46,6 +46,19 @@ Endpoints:
   per-gateway LRU-bounded (``MAX_STATEMENTS``) and owner-scoped when
   the frontend is authenticated.
 - ``DELETE /api/v1/statements/<id>`` → close early → ``{"closed"}``.
+- ``POST /api/v1/ops/table-changes`` → body ``{"table": "db.t",
+  "keyCols": [...], "fromVersion": 0, "limit": 100}``; responds the
+  same bounded resultset shape as ``/sql`` over the CDC changelog of
+  the versioned-merge archives (``operators/diff.py:table_changes``)
+  — the audit loop, reachable from the SQL-frontend tier instead of
+  Python-only.
+- ``POST /api/v1/ops/zorder-append`` → body ``{"path": "...",
+  "deltaSql": "SELECT ...", "keyCols": [...]?, "batchId": N?}``;
+  merges the delta into a z-ordered layout directory
+  (``operators/zorder.py:zorder_layout_append``) and responds its
+  stats dict (``rows_appended`` / ``buckets_dirty`` /
+  ``buckets_total``) — the OPTIMIZE maintenance loop from the same
+  tier. Both ops endpoints authenticate exactly like ``/sql``.
 
 Session isolation: a request carrying an ``X-Session-Id`` header runs
 on a dedicated ``spark.newSession()`` keyed by that id — own temp
@@ -378,6 +391,87 @@ class _Handler(BaseHTTPRequestHandler):
             },
         )
 
+    def _handle_op(self, op: str) -> None:
+        """Operator endpoints: the audit (table-changes) and OPTIMIZE
+        (zorder-append) loops the Python API exposes, served from the
+        gateway tier. Same auth/session semantics as ``/sql``; results
+        are bounded fetches (table-changes) or small stats dicts
+        (zorder-append)."""
+        authed = self._authenticate()
+        if authed is None:
+            self._reply_unauthorized()
+            return
+        effective, deny = self._resolve_proxy_user(authed)
+        if deny is not None:
+            self._reply(403, {"error": deny})
+            return
+        try:
+            length = int(self.headers.get("Content-Length", "0"))
+            req = json.loads(self.rfile.read(length) or b"{}")
+            if not isinstance(req, dict):
+                raise TypeError(
+                    f"body must be a JSON object, got {type(req).__name__}"
+                )
+        except (TypeError, ValueError, json.JSONDecodeError) as exc:
+            self._reply(400, {"error": f"bad request: {exc}"})
+            return
+        sess = self._session(effective, authed)
+        try:
+            if op == "table-changes":
+                from nineinfra_spark.operators.diff import table_changes
+
+                table = req["table"]
+                key_cols = list(req["keyCols"])
+                limit = int(req.get("limit", DEFAULT_FETCH_LIMIT))
+                if limit < 0 or limit > MAX_FETCH_LIMIT:
+                    raise ValueError(
+                        f"limit must be in [0, {MAX_FETCH_LIMIT}], got {limit}"
+                    )
+                df = table_changes(
+                    sess,
+                    table,
+                    key_cols,
+                    from_version=int(req.get("fromVersion", 0)),
+                    allow_schema_evolution=bool(
+                        req.get("allowSchemaEvolution", False)
+                    ),
+                )
+                rows = df.limit(limit + 1).collect()
+                truncated = len(rows) > limit
+                rows = rows[:limit]
+                self._reply(
+                    200,
+                    {
+                        "columns": df.columns,
+                        "rows": [list(r) for r in rows],
+                        "rowCount": len(rows),
+                        "truncated": truncated,
+                    },
+                )
+            elif op == "zorder-append":
+                from nineinfra_spark.operators.zorder import (
+                    zorder_layout_append,
+                )
+
+                delta = sess.sql(req["deltaSql"])
+                key_cols = req.get("keyCols")
+                stats = zorder_layout_append(
+                    sess,
+                    req["path"],
+                    delta,
+                    batch_id=(
+                        int(req["batchId"]) if "batchId" in req else None
+                    ),
+                    key_cols=list(key_cols) if key_cols else None,
+                )
+                self._reply(200, stats)
+            else:
+                self._reply(404, {"error": f"unknown op {op!r}"})
+        except KeyError as exc:
+            self._reply(400, {"error": f"bad request: missing field {exc}"})
+        except Exception as exc:
+            self._reply(400, {"error": str(exc)[:4000]})
+
     def do_POST(self) -> None:  # noqa: N802 — http.server API
         parts = self.path.strip("/").split("/")
         if (
@@ -386,6 +480,9 @@ class _Handler(BaseHTTPRequestHandler):
             and parts[4] == "fetch"
         ):
             self._handle_fetch(parts[3])
+            return
+        if len(parts) == 4 and parts[:3] == ["api", "v1", "ops"]:
+            self._handle_op(parts[3])
             return
         if self.path != "/api/v1/sql":
             self._reply(404, {"error": f"unknown path {self.path}"})

@@ -787,3 +787,85 @@ def test_failed_open_unwinds_started_frontends(spark):
     assert eng.registration is None
     # the shared session this test runs on is untouched
     assert spark.sql("SELECT 1 AS x").collect()[0]["x"] == 1
+
+
+class TestOpsEndpoints:
+    """operators/diff.py + operators/zorder.py reachable from the
+    gateway tier (r12 verdict item 7): the audit loop
+    (/ops/table-changes) and the OPTIMIZE loop (/ops/zorder-append)."""
+
+    def _post_op(self, gw, op, payload):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{gw.port}/api/v1/ops/{op}",
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            return json.loads(r.read())
+
+    def test_table_changes_over_http(self, spark, rest):
+        for t in ("rest_tc", "rest_tc__v0"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        spark.createDataFrame(
+            [(1, "A"), (2, "B")], "k long, seg string"
+        ).write.saveAsTable("rest_tc__v0")
+        spark.createDataFrame(
+            [(1, "A"), (3, "C")], "k long, seg string"
+        ).write.saveAsTable("rest_tc")
+        try:
+            out = self._post_op(
+                rest, "table-changes", {"table": "rest_tc", "keyCols": ["k"]}
+            )
+            assert out["columns"] == [
+                "k", "change_type", "old_seg", "new_seg", "v_from", "v_to",
+            ]
+            got = {(r[0], r[1]) for r in out["rows"]}
+            assert got == {(2, "delete"), (3, "insert")}
+            assert out["truncated"] is False
+        finally:
+            for t in ("rest_tc", "rest_tc__v0"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    def test_zorder_append_over_http(self, spark, rest, tmp_path):
+        from nineinfra_spark.operators.zorder import zorder_layout_write
+
+        base = spark.range(0, 400).selectExpr(
+            "id AS x", "(id * 7) % 400 AS y"
+        )
+        path = str(tmp_path / "layout")
+        zorder_layout_write(base, path, ["x", "y"], bits=8, bucket_bits=4)
+        out = self._post_op(
+            rest,
+            "zorder-append",
+            {
+                "path": path,
+                "deltaSql": (
+                    "SELECT id + 400 AS x, (id * 7) % 400 AS y "
+                    "FROM range(0, 50)"
+                ),
+            },
+        )
+        assert out["rows_appended"] == 50
+        assert 1 <= out["buckets_dirty"] <= out["buckets_total"]
+        assert spark.read.parquet(path).count() == 450
+
+    def test_unknown_op_404(self, rest):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{rest.port}/api/v1/ops/nope",
+            data=b"{}",
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req)
+        assert e.value.code == 404
+
+    def test_missing_field_400(self, rest):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{rest.port}/api/v1/ops/table-changes",
+            data=json.dumps({"keyCols": ["k"]}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req)
+        assert e.value.code == 400
+        assert "missing field" in json.loads(e.value.read())["error"]
