@@ -143,6 +143,12 @@ def _parse_topics(options) -> dict[str, int]:
             topics[name.strip()] = int(cnt)
     if not topics:
         raise ValueError("nine_topics: 'topics' option required (name:count,...)")
+    negative = sorted(t for t, n in topics.items() if n < 0)
+    if negative:
+        # a negative count would silently drive the streaming offset
+        # math BACKWARDS (negative remaining → negative shares) instead
+        # of failing at plan time (r13 review pass)
+        raise ValueError(f"nine_topics: negative row counts for {negative}")
     return topics
 
 

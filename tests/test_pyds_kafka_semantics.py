@@ -173,3 +173,11 @@ def test_stream_restart_under_pattern_and_cap_is_exactly_once(spark):
     }
     # the audit topic never leaked past the pattern subscription
     assert all(t.startswith("orders.") for t, _ in got)
+
+
+def test_negative_topic_count_rejected():
+    """A negative row count would drive offset math backwards
+    (negative remaining → negative shares) — refused at plan time."""
+    o = _Opts({"topics": "good:5,bad:-3", "subscribe": "good"})
+    with pytest.raises(ValueError, match="negative row counts.*bad"):
+        _TopicsStreamReader(o)
