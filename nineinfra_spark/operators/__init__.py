@@ -1,6 +1,11 @@
 """Composite operators Spark lacks natively (SURVEY.md §2.3)."""
 
 from nineinfra_spark.operators.asof import asof_join
+from nineinfra_spark.operators.bloomindex import (
+    bloom_index_write,
+    bloom_probe_files,
+    bloom_skipping_read,
+)
 from nineinfra_spark.operators.components import star_components, star_contract
 from nineinfra_spark.operators.ivf import IvfTrainResult, assign_cells, refine_centroids
 from nineinfra_spark.operators.ivf import train as ivf_train
@@ -30,6 +35,9 @@ from nineinfra_spark.operators.zorder import (
 
 __all__ = [
     "asof_join",
+    "bloom_index_write",
+    "bloom_probe_files",
+    "bloom_skipping_read",
     "assign_cells",
     "refine_centroids",
     "ivf_train",

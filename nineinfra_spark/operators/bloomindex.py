@@ -1,0 +1,256 @@
+"""Per-file Bloom index: point-lookup file skipping on a secondary key.
+
+Min-max envelopes (``operators/zorder.py``) skip files for RANGE
+predicates on the clustered columns; they are useless for a point
+lookup on a HIGH-CARDINALITY column the layout wasn't built on (a
+``doc_id``/``content_hash`` probe against a date-laid-out table reads
+every file — each file's [min, max] spans the whole key space). The
+lakehouse answer is a per-file Bloom filter (Delta's ``BLOOM FILTER
+INDEX``, parquet's own column bloom filters): a few bytes of bitmap
+per file that answer "might this file contain key X?" with no false
+NEGATIVES — so skipping stays exact — and a bounded false-positive
+rate that only costs extra file reads. The reference platform
+provisions the object store these tables live on
+(``internal/controller/minio.go:286-319``); the index semantics are
+native here, over plain parquet + a ``_bloomindex.json`` sidecar.
+
+Determinism contract: the bit positions derive from the md5-based
+``stable_hash64`` family (``nineinfra_spark.functions``) — engine-
+portable integer arithmetic, so an external engine (or the DuckDB
+oracle) recomputes the same bitmaps from the data alone, and a
+rebuilt index over the same rows is byte-identical.
+
+Scale posture:
+
+- **build**: one bounds aggregate on the layout column + one hash
+  exchange on the file id + the write; the bitmap aggregation is one
+  map-side-combined ``(fid, bit)`` distinct — output bounded by
+  ``n_files × m_bits``, sidecar-sized metadata (the same "bytes per
+  file" budget real bloom indexes spend). Nothing corpus-sized
+  reaches the driver.
+- **probe**: the sidecar consult is driver-side over ``n_files``
+  bitmaps × len(keys) probes — file-count-sized, never data-sized.
+  Surviving files are read via PARTITION PRUNING (``fid`` is a
+  partition column), so skipped files are never opened, and the
+  residual exact filter runs only over the hit files.
+
+NULL keys are never indexed and never probe-able (SQL equality on
+NULL matches nothing) — same semantics as a filter, not a gap.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_SIDECAR = "_bloomindex.json"
+
+#: default bits per file bitmap (2^13 = 8192 bits ≈ 1 KiB/file) and
+#: hash-function count — ~1% false positives at ~850 keys/file; tune
+#: m_bits up for denser files (the sidecar grows linearly with it).
+M_BITS = 8192
+K_HASHES = 4
+
+
+def _hash_expr(col, salt: str):
+    """60-bit non-negative md5 hash — the engine-portable family of
+    ``functions.stable_hash64``, inlined so the salt composes with the
+    Bloom hash index."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def _positions(col, m_bits: int, k: int):
+    """The k bit positions of one key value (array<bigint>)."""
+    return F.array(
+        *[_hash_expr(col, f"bloom{j}/") % m_bits for j in range(k)]
+    )
+
+
+def _positions_py(value, m_bits: int, k: int) -> list[int]:
+    """Driver-side twin of :func:`_positions` for probe keys — must
+    stay bit-identical to the column expression (pinned by
+    tests/test_bloomindex.py::test_probe_positions_match_column_expr)."""
+    import hashlib
+
+    out = []
+    for j in range(k):
+        h = hashlib.md5(f"bloom{j}/{value}".encode()).hexdigest()[:15]
+        out.append(int(h, 16) % m_bits)
+    return out
+
+
+def _write_sidecar(path: str, meta: dict) -> None:
+    target = os.path.join(path, _SIDECAR)
+    tmp = target + f".tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(meta, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, target)
+
+
+def read_index_meta(path: str) -> dict:
+    """The index contract of a :func:`bloom_index_write` directory."""
+    with open(os.path.join(path, _SIDECAR), encoding="utf-8") as f:
+        return json.load(f)
+
+
+def bloom_index_write(
+    df: DataFrame,
+    path: str,
+    layout_col: str,
+    key_col: str,
+    n_files: int,
+    m_bits: int = M_BITS,
+    k: int = K_HASHES,
+    mode: str = "error",
+) -> dict:
+    """Write ``df`` as ``n_files`` range-bucketed parquet files on
+    ``layout_col`` (partition column ``fid``), plus a per-file Bloom
+    bitmap over ``key_col`` in the ``_bloomindex.json`` sidecar.
+
+    The file id is ``floor((layout − lo) / span · n_files)`` against
+    the frozen [lo, hi] bounds — deterministic (an oracle recomputes
+    the same assignment; same device as the z-order grid), clamped at
+    the edges so out-of-range values land in the boundary files. Rows
+    with a NULL ``layout_col`` go to file 0 (they must live
+    somewhere deterministic; their keys are still indexed).
+
+    Returns the sidecar dict. ``bits`` in the sidecar maps each fid
+    (as a string — JSON object keys) to the SORTED list of set bit
+    positions — positions-list encoding, compact while bitmaps are
+    sparse and trivially portable."""
+    if not 1 <= n_files <= 4096:
+        raise ValueError(f"n_files must be in 1..4096, got {n_files}")
+    if m_bits < 8 or k < 1:
+        raise ValueError(f"need m_bits >= 8 and k >= 1, got {m_bits}/{k}")
+    for c in (layout_col, key_col):
+        if c not in df.columns:
+            raise ValueError(f"bloom_index_write: column {c!r} not in frame")
+    if "fid" in df.columns:
+        raise ValueError(
+            "bloom_index_write: column 'fid' is reserved for the file-id "
+            "partition column — rename it first"
+        )
+    stats = df.agg(
+        F.min(F.col(layout_col).cast("double")).alias("lo"),
+        F.max(F.col(layout_col).cast("double")).alias("hi"),
+    ).first()
+    lo, hi = stats["lo"], stats["hi"]
+    if lo is None or hi is None:
+        lo, hi = 0.0, 0.0  # empty / all-NULL layout: single-cell grid
+    span = (hi - lo) or 1.0
+    fid = F.coalesce(
+        F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(n_files - 1),
+                F.floor(
+                    (F.col(layout_col).cast("double") - F.lit(lo))
+                    / F.lit(span)
+                    * n_files
+                ).cast("int"),
+            ),
+        ),
+        F.lit(0),  # NULL layout values: deterministic home in file 0
+    )
+    tagged = df.withColumn("fid", fid)
+    (
+        tagged.repartition(n_files, "fid")
+        .write.mode(mode)
+        .partitionBy("fid")
+        .parquet(path)
+    )
+    # bitmap build: (fid, bit) distinct → group — map-side combined,
+    # ≤ n_files × m_bits rows ever shuffle. NULL keys produce a NULL
+    # position array; explode drops them (never indexed).
+    bits_rows = (
+        tagged.select(
+            "fid", F.explode(_positions(F.col(key_col), m_bits, k)).alias("bit")
+        )
+        .distinct()
+        .groupBy("fid")
+        .agg(F.sort_array(F.collect_set("bit")).alias("bits"))
+        .collect()
+    )
+    meta = {
+        "layout_col": layout_col,
+        "key_col": key_col,
+        "n_files": n_files,
+        "m_bits": m_bits,
+        "k": k,
+        "bounds": [lo, hi],
+        "bits": {str(r["fid"]): [int(b) for b in r["bits"]] for r in bits_rows},
+        # data schema (sans fid): an EMPTY table writes no parquet
+        # files at all, so the probe path needs a schema source that
+        # is not the files
+        "schema": df.schema.json(),
+    }
+    _write_sidecar(path, meta)
+    return meta
+
+
+def bloom_probe_files(meta: dict, keys: Sequence) -> list[int]:
+    """File ids that MIGHT contain any of ``keys`` (no false
+    negatives; false positives bounded by the bitmap geometry).
+    Driver-side: ``n_files × len(keys)`` set probes over the sidecar."""
+    m_bits, k = meta["m_bits"], meta["k"]
+    bitsets = {int(f): set(b) for f, b in meta["bits"].items()}
+    hits: set[int] = set()
+    for key in keys:
+        if key is None:
+            continue  # NULL probes match nothing, like SQL equality
+        pos = _positions_py(key, m_bits, k)
+        for f, bs in bitsets.items():
+            if f not in hits and all(p in bs for p in pos):
+                hits.add(f)
+    return sorted(hits)
+
+
+def bloom_skipping_read(
+    spark: SparkSession, path: str, keys: Sequence
+) -> tuple[DataFrame, dict]:
+    """Point-lookup over a :func:`bloom_index_write` directory: consult
+    the sidecar, read ONLY the files whose bitmap admits some probe
+    key (partition pruning on ``fid`` — skipped files are never
+    opened), then apply the exact ``key IN (...)`` filter over the
+    survivors. Returns ``(rows_df, stats)`` with
+    ``stats = {"files_total", "files_hit", "files_skipped"}``.
+
+    Exactness: the bitmap has no false negatives, so the pruned read
+    returns exactly the rows a full-table filter would — pinned by
+    tests/test_bloomindex.py against the unpruned scan."""
+    from pyspark.sql import types as T
+
+    meta = read_index_meta(path)
+    present = sorted(int(f) for f in meta["bits"])
+    hit = bloom_probe_files(meta, keys)
+    stats = {
+        "files_total": len(present),
+        "files_hit": len(hit),
+        "files_skipped": len(present) - len(hit),
+    }
+    key_col = meta["key_col"]
+    probe = [k for k in keys if k is not None]
+    if not hit or not probe:
+        # schema from the sidecar, never the files: an empty table
+        # wrote no parquet at all, and a skipped read must not even
+        # list the directory
+        schema = T.StructType.fromJson(json.loads(meta["schema"]))
+        return spark.createDataFrame([], schema), stats
+    df = spark.read.parquet(path)
+    out = (
+        df.filter(F.col("fid").isin(hit))
+        .filter(F.col(key_col).isin(probe))
+        .drop("fid")
+    )
+    return out, stats

@@ -1,0 +1,154 @@
+"""Per-file Bloom index (operators/bloomindex.py): deterministic
+bitmaps, no false NEGATIVES (the exactness contract), real file
+skipping via partition pruning, and the guard rails."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nineinfra_spark.operators.bloomindex import (
+    _positions,
+    _positions_py,
+    bloom_index_write,
+    bloom_probe_files,
+    bloom_skipping_read,
+    read_index_meta,
+)
+
+N = 2000
+N_FILES = 16
+
+
+def _frame(spark):
+    # layout column `day` (what the table is organized by), probe
+    # column `key` (high-cardinality, uncorrelated with layout)
+    return spark.range(0, N).select(
+        (F.col("id") % 100).alias("day"),
+        F.md5(F.col("id").cast("string")).alias("key"),
+        (F.col("id") * 3).alias("payload"),
+    )
+
+
+@pytest.fixture(scope="module")
+def indexed(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("bloom") / "t")
+    df = _frame(spark)
+    meta = bloom_index_write(df, path, "day", "key", N_FILES)
+    return path, meta, df
+
+
+def test_probe_positions_match_column_expr(spark):
+    """Driver-side probe hashing must be bit-identical to the build's
+    column expression — a drift here turns into false negatives."""
+    vals = ["abc", "0", "x y z", "4d3", ""]
+    df = spark.createDataFrame([(v,) for v in vals], "v string").select(
+        "v", _positions(F.col("v"), 8192, 4).alias("pos")
+    )
+    got = {r["v"]: list(r["pos"]) for r in df.collect()}
+    for v in vals:
+        assert got[v] == _positions_py(v, 8192, 4)
+
+
+def test_no_false_negatives_every_key(spark, indexed):
+    """EVERY indexed key must probe to a file set containing its file
+    — the exactness contract of Bloom skipping."""
+    path, meta, df = indexed
+    back = spark.read.parquet(path)
+    rows = back.select("key", "fid").collect()
+    bitsets = {int(f): set(b) for f, b in meta["bits"].items()}
+    for r in rows:
+        pos = _positions_py(r["key"], meta["m_bits"], meta["k"])
+        assert all(p in bitsets[r["fid"]] for p in pos), r["key"]
+
+
+def test_skipping_read_equals_full_filter(spark, indexed):
+    path, meta, df = indexed
+    import hashlib
+
+    probe = [hashlib.md5(str(i).encode()).hexdigest() for i in (3, 500, 1777)]
+    out, stats = bloom_skipping_read(spark, path, probe)
+    got = sorted((r["key"], r["payload"]) for r in out.collect())
+    want = sorted(
+        (r["key"], r["payload"])
+        for r in df.filter(F.col("key").isin(probe)).collect()
+    )
+    assert got == want and len(got) == 3
+    assert stats["files_total"] == N_FILES
+    # 3 probe keys live in <= 3 files; false positives may add a few,
+    # but skipping must be REAL (not a read-everything degenerate)
+    assert stats["files_hit"] <= 6
+    assert stats["files_skipped"] >= N_FILES - 6
+
+    # absent keys: whatever survives the bloom, the exact filter
+    # returns nothing
+    out2, stats2 = bloom_skipping_read(spark, path, ["nope1", "nope2"])
+    assert out2.count() == 0
+
+
+def test_partition_pruning_reaches_the_scan(spark, indexed):
+    """Skipped files must never be OPENED: the fid filter compiles to
+    PartitionFilters on the scan."""
+    path, meta, df = indexed
+    import hashlib
+
+    probe = [hashlib.md5(b"42").hexdigest()]
+    out, stats = bloom_skipping_read(spark, path, probe)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    import re
+
+    pf = re.search(r"PartitionFilters: \[(.*?)\]", plan)
+    assert pf and "fid" in pf.group(1)
+
+
+def test_rebuild_is_deterministic(spark, tmp_path):
+    df = _frame(spark)
+    m1 = bloom_index_write(df, str(tmp_path / "a"), "day", "key", N_FILES)
+    m2 = bloom_index_write(df, str(tmp_path / "b"), "day", "key", N_FILES)
+    assert m1 == m2
+    assert m2 == read_index_meta(str(tmp_path / "b"))
+
+
+def test_null_layout_and_null_keys(spark, tmp_path):
+    """NULL layout rows land deterministically in file 0 and their
+    keys stay probe-able; NULL keys are never indexed and a NULL probe
+    matches nothing."""
+    df = spark.createDataFrame(
+        [(None, "nk", 1), (5, None, 2), (9, "ok", 3)],
+        "day int, key string, payload int",
+    )
+    path = str(tmp_path / "n")
+    meta = bloom_index_write(df, path, "day", "key", 4)
+    out, _ = bloom_skipping_read(spark, path, ["nk"])
+    assert [r["payload"] for r in out.collect()] == [1]
+    out2, stats2 = bloom_skipping_read(spark, path, [None])
+    assert out2.count() == 0
+    out3, _ = bloom_skipping_read(spark, path, ["ok", None])
+    assert [r["payload"] for r in out3.collect()] == [3]
+
+
+def test_empty_frame_and_empty_probe(spark, tmp_path):
+    empty = spark.createDataFrame([], "day int, key string")
+    path = str(tmp_path / "e")
+    bloom_index_write(empty, path, "day", "key", 4)
+    out, stats = bloom_skipping_read(spark, path, ["x"])
+    assert out.count() == 0 and stats["files_hit"] == 0
+    df = _frame(spark)
+    path2 = str(tmp_path / "e2")
+    bloom_index_write(df, path2, "day", "key", 4)
+    out2, stats2 = bloom_skipping_read(spark, path2, [])
+    assert out2.count() == 0 and stats2["files_hit"] == 0
+
+
+def test_guards(spark, tmp_path):
+    df = _frame(spark)
+    with pytest.raises(ValueError, match="n_files"):
+        bloom_index_write(df, str(tmp_path / "g"), "day", "key", 0)
+    with pytest.raises(ValueError, match="not in frame"):
+        bloom_index_write(df, str(tmp_path / "g"), "nope", "key", 4)
+    with pytest.raises(ValueError, match="'fid' is reserved"):
+        bloom_index_write(
+            df.withColumn("fid", F.lit(1)), str(tmp_path / "g"), "day", "key", 4
+        )
