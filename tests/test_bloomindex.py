@@ -152,3 +152,112 @@ def test_guards(spark, tmp_path):
         bloom_index_write(
             df.withColumn("fid", F.lit(1)), str(tmp_path / "g"), "day", "key", 4
         )
+
+
+def test_bloom_skipping_matches_draft_duckdb_oracle(spark, tmp_path):
+    """De-risk the r14 registration of a `bloom_skipping_read` registry
+    query: DuckDB recomputes the ENTIRE contract from the raw table —
+    fid assignment (frozen-bounds grid), per-file bitmaps (md5 hash
+    family), probe admission (all-k-positions containment), and the
+    final stats+aggregate row — and must agree with the operator
+    exactly. Same draft-oracle device as the rejection ledger."""
+    import duckdb
+
+    from nineinfra_spark.plans._util import t
+
+    SF = "/root/testdata/sf0.01"
+    N_FILES, M, K = 24, 8192, 4
+    orders = t(spark, SF, "orders")
+    df = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.datediff("o_orderdate", F.lit("1970-01-01")).alias("lay"),
+    )
+    path = str(tmp_path / "orders_bloom")
+    meta = bloom_index_write(df, path, "lay", "o_orderkey", N_FILES, M, K)
+    probe = [
+        r["o_orderkey"]
+        for r in orders.filter(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2) == "00"
+        )
+        .select("o_orderkey")
+        .collect()
+    ]
+    assert probe  # sf0.01 always has ~1/256 of the keys
+    out, stats = bloom_skipping_read(spark, path, probe)
+    got = out.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    ).first()
+
+    def hash60(expr, salt):
+        return (
+            f"CAST(CONCAT('0x', SUBSTR(md5(CONCAT('{salt}', "
+            f"CAST({expr} AS VARCHAR))), 1, 15)) AS BIGINT)"
+        )
+
+    pos_union = " UNION ALL ".join(
+        f"SELECT o_orderkey AS pkey, {j} AS j, "
+        f"{hash60('o_orderkey', f'bloom{j}/')} % {M} AS pos FROM probes"
+        for j in range(K)
+    )
+    bit_union = " UNION ALL ".join(
+        f"SELECT fid, {hash60('o_orderkey', f'bloom{j}/')} % {M} AS bit "
+        f"FROM assigned"
+        for j in range(K)
+    )
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW orders AS SELECT * FROM read_parquet('{SF}/orders.parquet')"
+        )
+        want = con.execute(f"""
+        WITH base AS (
+            SELECT o_orderkey, o_totalprice,
+                   date_diff('day', DATE '1970-01-01', o_orderdate) AS lay
+            FROM orders
+        ),
+        bounds AS (
+            SELECT MIN(CAST(lay AS DOUBLE)) AS lo,
+                   MAX(CAST(lay AS DOUBLE)) AS hi
+            FROM base
+        ),
+        assigned AS (
+            SELECT base.*,
+                   GREATEST(0, LEAST({N_FILES - 1},
+                       CAST(FLOOR((CAST(lay AS DOUBLE) - lo)
+                            / (CASE WHEN hi - lo = 0 THEN 1.0 ELSE hi - lo END)
+                            * {N_FILES}) AS INT))) AS fid
+            FROM base, bounds
+        ),
+        probes AS (
+            SELECT o_orderkey FROM orders
+            WHERE SUBSTR(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) = '00'
+        ),
+        pos AS ({pos_union}),
+        bits AS (SELECT DISTINCT * FROM ({bit_union})),
+        hits AS (
+            SELECT b.fid
+            FROM pos p JOIN bits b ON b.bit = p.pos
+            GROUP BY b.fid, p.pkey
+            HAVING COUNT(DISTINCT p.j) = {K}
+        )
+        SELECT
+            (SELECT COUNT(DISTINCT fid) FROM assigned) AS files_total,
+            (SELECT COUNT(DISTINCT fid) FROM hits) AS files_hit,
+            (SELECT COUNT(*) FROM assigned
+             WHERE o_orderkey IN (SELECT o_orderkey FROM probes)) AS n_rows,
+            (SELECT CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2)))
+                    AS DOUBLE) FROM assigned
+             WHERE o_orderkey IN (SELECT o_orderkey FROM probes)) AS sum_price
+        """).fetchone()
+    finally:
+        con.close()
+    assert stats["files_total"] == want[0]
+    assert stats["files_hit"] == want[1]
+    assert got["n_rows"] == want[2]
+    assert got["sum_price"] == want[3]
+    # and the skipping is real on this geometry
+    assert stats["files_hit"] < stats["files_total"] or len(probe) > 50

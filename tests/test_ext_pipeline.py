@@ -830,3 +830,76 @@ def test_rejection_ledger_reconciles_with_pipeline(spark):
     for stage in ("quality_gate", "contaminated"):
         assert ledger[stage] > 0, stage
     assert ledger["exact_duplicate"] >= 0
+
+
+def test_rejection_ledger_matches_draft_oracle(spark):
+    """De-risk the queued r14 registration of curate_rejection_ledger:
+    the CTE-chain oracle (the pipeline oracle with per-stage counts)
+    is pinned differentially NOW, so registration is a copy-paste of
+    an already-green pair (r12 verdict item 5)."""
+    from nineinfra_spark.plans.curate import (
+        _QINT_DUCK,
+        N_EVAL_DOCS,
+        QUALITY_MIN_INT,
+        curate_rejection_ledger,
+    )
+    from nineinfra_spark.plans.ext_dedup import SH_DUCK
+    from nineinfra_spark.plans.ext_text import TOKS_DUCK, _STOP
+    from tests.conftest import assert_matches_oracle
+
+    oracle = f"""
+    WITH tok AS (
+        SELECT doc_id, {TOKS_DUCK} AS toks FROM documents
+    ),
+    corpus AS (
+        SELECT * FROM tok WHERE doc_id >= {N_EVAL_DOCS}
+    ),
+    feat AS (
+        SELECT doc_id, toks,
+               len(toks) AS n_tokens,
+               list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+                   AS sum_len,
+               len(list_filter(toks, x -> list_contains([{_STOP}], x)))
+                   AS n_stop
+        FROM corpus WHERE len(toks) > 0
+    ),
+    gated AS (
+        SELECT doc_id, toks FROM feat
+        WHERE {_QINT_DUCK} >= {QUALITY_MIN_INT}
+    ),
+    deduped AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY md5(array_to_string(toks, ' '))
+                ORDER BY doc_id
+            ) AS rn
+            FROM gated
+        ) WHERE rn = 1
+    ),
+    eval_sh AS (
+        SELECT DISTINCT unnest({SH_DUCK}) AS s
+        FROM tok WHERE doc_id < {N_EVAL_DOCS}
+    ),
+    contaminated AS (
+        SELECT DISTINCT doc_id FROM (
+            SELECT doc_id, unnest({SH_DUCK}) AS s FROM deduped
+        ) c WHERE c.s IN (SELECT s FROM eval_sh)
+    ),
+    counts AS (
+        SELECT 'corpus' AS stage,
+               (SELECT COUNT(*) FROM corpus) AS n_docs
+        UNION ALL SELECT 'quality_gate',
+               (SELECT COUNT(*) FROM corpus) - (SELECT COUNT(*) FROM gated)
+        UNION ALL SELECT 'exact_duplicate',
+               (SELECT COUNT(*) FROM gated) - (SELECT COUNT(*) FROM deduped)
+        UNION ALL SELECT 'contaminated',
+               (SELECT COUNT(*) FROM contaminated)
+        UNION ALL SELECT 'kept',
+               (SELECT COUNT(*) FROM deduped)
+               - (SELECT COUNT(*) FROM contaminated)
+    )
+    SELECT stage, CAST(n_docs AS BIGINT) AS n_docs FROM counts
+    """
+    assert_matches_oracle(
+        spark, "curate_rejection_ledger", curate_rejection_ledger, oracle
+    )
