@@ -199,6 +199,118 @@ def bloom_index_write(
     return meta
 
 
+def bloom_index_append(
+    spark: SparkSession,
+    path: str,
+    delta: DataFrame,
+    batch_id: int | None = None,
+) -> dict:
+    """Incremental maintenance: append ``delta`` to a
+    :func:`bloom_index_write` directory, extending the per-file
+    bitmaps. The delta's file ids come from the sidecar's FROZEN
+    layout bounds (same grid as the original build — the zorder
+    frozen-bounds device), so out-of-range drift clamps into the edge
+    files and existing files' bitmaps stay valid.
+
+    Ordering is the correctness core: the sidecar is updated FIRST,
+    the data appended SECOND. Bloom bits are monotone (they only ever
+    gain), so a crash between the two steps leaves a SUPERSET bitmap
+    over the committed rows — pure false positives, exactness intact.
+    The reverse order would leave appended keys missing from the
+    bitmap: false NEGATIVES, silently dropped rows on every later
+    probe.
+
+    With ``batch_id`` set, a batch id ≤ the sidecar's
+    ``last_batch_id`` is skipped (foreachBatch re-delivers the last
+    batch on restart; a blind re-append would duplicate its ROWS —
+    the bitmap itself is replay-idempotent by monotonicity). The
+    marker is written with the bits in the same sidecar replace, i.e.
+    BEFORE the data lands: a crash inside the append window means the
+    re-delivered batch is skipped and the rows of the interrupted
+    append may be absent — detectable (row counts), never silently
+    wrong on probes; re-run the delta with a fresh batch id to heal.
+
+    Returns ``{"rows_appended", "files_touched", "new_bits"}``."""
+    meta = read_index_meta(path)
+    if batch_id is not None:
+        last = meta.get("last_batch_id")
+        if last is not None and batch_id <= last:
+            return {
+                "rows_appended": 0,
+                "files_touched": 0,
+                "new_bits": 0,
+                "skipped_replay": True,
+            }
+    data_cols = [
+        f["name"] for f in json.loads(meta["schema"])["fields"]
+    ]
+    if sorted(delta.columns) != sorted(data_cols):
+        raise ValueError(
+            f"bloom_index_append: delta columns {sorted(delta.columns)} "
+            f"!= index columns {sorted(data_cols)}"
+        )
+    n_files, m_bits, k = meta["n_files"], meta["m_bits"], meta["k"]
+    lo, hi = meta["bounds"]
+    span = (hi - lo) or 1.0
+    fid = F.coalesce(
+        F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(n_files - 1),
+                F.floor(
+                    (F.col(meta["layout_col"]).cast("double") - F.lit(lo))
+                    / F.lit(span)
+                    * n_files
+                ).cast("int"),
+            ),
+        ),
+        F.lit(0),
+    )
+    # pin the delta once: bit discovery, the count, and the row append
+    # are separate actions — a non-deterministic delta recomputed
+    # between them could append keys the bitmap step never saw
+    # (exactly the zorder_layout_append lesson)
+    tagged = (
+        delta.select(*data_cols).withColumn("fid", fid)
+        .localCheckpoint(eager=True)
+    )
+    bits_rows = (
+        tagged.select(
+            "fid",
+            F.explode(
+                _positions(F.col(meta["key_col"]), m_bits, k)
+            ).alias("bit"),
+        )
+        .distinct()
+        .groupBy("fid")
+        .agg(F.sort_array(F.collect_set("bit")).alias("bits"))
+        .collect()
+    )
+    new_bits = 0
+    for r in bits_rows:
+        key = str(r["fid"])
+        merged = set(meta["bits"].get(key, [])) | {int(b) for b in r["bits"]}
+        new_bits += len(merged) - len(meta["bits"].get(key, []))
+        meta["bits"][key] = sorted(merged)
+    if batch_id is not None:
+        meta["last_batch_id"] = batch_id
+    # sidecar BEFORE data (see docstring: superset bitmaps are safe,
+    # subset bitmaps lose rows)
+    _write_sidecar(path, meta)
+    rows = tagged.count()
+    (
+        tagged.repartition(max(len(bits_rows), 1), "fid")
+        .write.mode("append")
+        .partitionBy("fid")
+        .parquet(path)
+    )
+    return {
+        "rows_appended": rows,
+        "files_touched": len(bits_rows),
+        "new_bits": new_bits,
+    }
+
+
 def bloom_probe_files(meta: dict, keys: Sequence) -> list[int]:
     """File ids that MIGHT contain any of ``keys`` (no false
     negatives; false positives bounded by the bitmap geometry).

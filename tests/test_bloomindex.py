@@ -261,3 +261,43 @@ def test_bloom_skipping_matches_draft_duckdb_oracle(spark, tmp_path):
     assert got["sum_price"] == want[3]
     # and the skipping is real on this geometry
     assert stats["files_hit"] < stats["files_total"] or len(probe) > 50
+
+
+def test_append_extends_index_and_keeps_exactness(spark, tmp_path):
+    """Incremental append: delta rows land in frozen-grid files, the
+    bitmaps extend monotonically, and every key — old and new — still
+    probes exactly; the replay marker skips a re-delivered batch."""
+    from nineinfra_spark.operators.bloomindex import bloom_index_append
+
+    df = _frame(spark)
+    path = str(tmp_path / "a")
+    bloom_index_write(df, path, "day", "key", N_FILES)
+    delta = spark.range(N, N + 300).select(
+        (F.col("id") % 250).alias("day"),  # drift past the frozen hi=99
+        F.md5(F.col("id").cast("string")).alias("key"),
+        (F.col("id") * 3).alias("payload"),
+    )
+    stats = bloom_index_append(spark, path, delta, batch_id=0)
+    assert stats["rows_appended"] == 300
+    assert stats["new_bits"] > 0
+    import hashlib
+
+    # a NEW key probes to its rows; an OLD key still does
+    for i in (N + 7, 12):
+        k = hashlib.md5(str(i).encode()).hexdigest()
+        out, st = bloom_skipping_read(spark, path, [k])
+        assert [r["payload"] for r in out.collect()] == [i * 3]
+        assert st["files_hit"] < st["files_total"]
+    # full no-false-negatives sweep over the merged table
+    meta = read_index_meta(path)
+    bitsets = {int(f): set(b) for f, b in meta["bits"].items()}
+    for r in spark.read.parquet(path).select("key", "fid").collect():
+        pos = _positions_py(r["key"], meta["m_bits"], meta["k"])
+        assert all(p in bitsets[r["fid"]] for p in pos)
+    # replay: same batch id skipped, no row duplication
+    st2 = bloom_index_append(spark, path, delta, batch_id=0)
+    assert st2.get("skipped_replay") is True
+    assert spark.read.parquet(path).count() == N + 300
+    # schema mismatch refused
+    with pytest.raises(ValueError, match="delta columns"):
+        bloom_index_append(spark, path, delta.drop("payload"), batch_id=1)
