@@ -50,11 +50,79 @@ from pyspark.sql import functions as F
 
 _SIDECAR = "_bloomindex.json"
 
-#: default bits per file bitmap (2^13 = 8192 bits ≈ 1 KiB/file) and
-#: hash-function count — ~1% false positives at ~850 keys/file; tune
-#: m_bits up for denser files (the sidecar grows linearly with it).
+#: default bits per file bitmap (2^13 = 8192 bits = 1 KiB packed) and
+#: hash-function count. With k=4 the false-positive rate is
+#: ``fill_ratio^4``, and ~1% FP needs ≈ 10.5 bits/key — so the
+#: default suits ≤ ~800 keys/file. Size real tables with
+#: :func:`m_bits_for`; an undersized bitmap SATURATES (fill → 1.0,
+#: every file hits, skipping degrades to a full scan — still exact,
+#: never wrong) and :func:`bloom_index_write` warns when it happens.
 M_BITS = 8192
 K_HASHES = 4
+
+
+def m_bits_for(keys_per_file: int, fp: float = 0.01) -> int:
+    """Bitmap size for a target false-positive rate at ``k=4`` hashes:
+    solve ``fp = fill^4`` with ``fill = 1 − e^(−k·n/m)``. Rounded up
+    to a multiple of 64. At the 1% default this is ≈ 10.5 bits/key —
+    a 1M-key file costs ~1.3 MB of packed bitmap."""
+    import math
+
+    if keys_per_file < 1:
+        return M_BITS
+    if not 0 < fp < 1:
+        raise ValueError(f"fp must be in (0, 1), got {fp}")
+    fill = fp ** (1.0 / K_HASHES)
+    m = math.ceil(-K_HASHES * keys_per_file / math.log(1.0 - fill))
+    return ((m + 63) // 64) * 64
+
+
+def _pack_bits(positions) -> str:
+    """Sorted bit positions → base64 little-endian packed bitmap.
+    Packed encoding is DENSITY-PROOF: m/8 bytes whatever the fill
+    (a positions list grows with the key count and explodes exactly
+    when files are dense)."""
+    import base64
+
+    if not positions:
+        return ""
+    size = (max(positions) // 8) + 1
+    buf = bytearray(size)
+    for p in positions:
+        buf[p >> 3] |= 1 << (p & 7)
+    return base64.b64encode(bytes(buf)).decode("ascii")
+
+
+def _unpack_bits(b64: str) -> set[int]:
+    import base64
+
+    if not b64:
+        return set()
+    raw = base64.b64decode(b64)
+    out = set()
+    for i, byte in enumerate(raw):
+        while byte:
+            low = byte & -byte
+            out.add((i << 3) + low.bit_length() - 1)
+            byte ^= low
+    return out
+
+
+def _decode_bits(meta: dict) -> dict[int, set[int]]:
+    """fid → set(bit) from either sidecar encoding (packed base64
+    under ``enc: "b64"``, or the legacy positions-list)."""
+    if meta.get("enc") == "b64":
+        return {int(f): _unpack_bits(b) for f, b in meta["bits"].items()}
+    return {int(f): set(b) for f, b in meta["bits"].items()}
+
+
+def bloom_fill_ratios(meta: dict) -> dict[int, float]:
+    """Per-file bitmap fill ratio (set bits / m_bits). The expected
+    false-positive rate per file is ``fill^k`` — fills past ~0.5 mean
+    the bitmap is undersized for the file's key count (resize with
+    :func:`m_bits_for` and rebuild)."""
+    m = meta["m_bits"]
+    return {f: len(b) / m for f, b in _decode_bits(meta).items()}
 
 
 def _hash_expr(col, salt: str):
@@ -188,14 +256,31 @@ def bloom_index_write(
         "n_files": n_files,
         "m_bits": m_bits,
         "k": k,
+        "enc": "b64",
         "bounds": [lo, hi],
-        "bits": {str(r["fid"]): [int(b) for b in r["bits"]] for r in bits_rows},
+        "bits": {
+            str(r["fid"]): _pack_bits([int(b) for b in r["bits"]])
+            for r in bits_rows
+        },
         # data schema (sans fid): an EMPTY table writes no parquet
         # files at all, so the probe path needs a schema source that
         # is not the files
         "schema": df.schema.json(),
     }
     _write_sidecar(path, meta)
+    worst = max(bloom_fill_ratios(meta).values(), default=0.0)
+    if worst > 0.5:
+        import warnings
+
+        warnings.warn(
+            f"bloom_index_write({path!r}): worst bitmap fill ratio is "
+            f"{worst:.2f} — expected false-positive rate "
+            f"{worst ** k:.0%} per file; skipping will degrade toward a "
+            f"full scan (still exact). Resize with m_bits_for(keys_per_"
+            f"file) and rebuild.",
+            UserWarning,
+            stacklevel=2,
+        )
     return meta
 
 
@@ -286,12 +371,15 @@ def bloom_index_append(
         .agg(F.sort_array(F.collect_set("bit")).alias("bits"))
         .collect()
     )
+    decoded = _decode_bits(meta)
     new_bits = 0
     for r in bits_rows:
-        key = str(r["fid"])
-        merged = set(meta["bits"].get(key, [])) | {int(b) for b in r["bits"]}
-        new_bits += len(merged) - len(meta["bits"].get(key, []))
-        meta["bits"][key] = sorted(merged)
+        f = int(r["fid"])
+        merged = decoded.get(f, set()) | {int(b) for b in r["bits"]}
+        new_bits += len(merged) - len(decoded.get(f, set()))
+        decoded[f] = merged
+    meta["enc"] = "b64"
+    meta["bits"] = {str(f): _pack_bits(sorted(b)) for f, b in decoded.items()}
     if batch_id is not None:
         meta["last_batch_id"] = batch_id
     # sidecar BEFORE data (see docstring: superset bitmaps are safe,
@@ -316,7 +404,7 @@ def bloom_probe_files(meta: dict, keys: Sequence) -> list[int]:
     negatives; false positives bounded by the bitmap geometry).
     Driver-side: ``n_files × len(keys)`` set probes over the sidecar."""
     m_bits, k = meta["m_bits"], meta["k"]
-    bitsets = {int(f): set(b) for f, b in meta["bits"].items()}
+    bitsets = _decode_bits(meta)
     hits: set[int] = set()
     for key in keys:
         if key is None:

@@ -56,7 +56,9 @@ def test_no_false_negatives_every_key(spark, indexed):
     path, meta, df = indexed
     back = spark.read.parquet(path)
     rows = back.select("key", "fid").collect()
-    bitsets = {int(f): set(b) for f, b in meta["bits"].items()}
+    from nineinfra_spark.operators.bloomindex import _decode_bits
+
+    bitsets = _decode_bits(meta)
     for r in rows:
         pos = _positions_py(r["key"], meta["m_bits"], meta["k"])
         assert all(p in bitsets[r["fid"]] for p in pos), r["key"]
@@ -290,7 +292,9 @@ def test_append_extends_index_and_keeps_exactness(spark, tmp_path):
         assert st["files_hit"] < st["files_total"]
     # full no-false-negatives sweep over the merged table
     meta = read_index_meta(path)
-    bitsets = {int(f): set(b) for f, b in meta["bits"].items()}
+    from nineinfra_spark.operators.bloomindex import _decode_bits
+
+    bitsets = _decode_bits(meta)
     for r in spark.read.parquet(path).select("key", "fid").collect():
         pos = _positions_py(r["key"], meta["m_bits"], meta["k"])
         assert all(p in bitsets[r["fid"]] for p in pos)
@@ -301,3 +305,64 @@ def test_append_extends_index_and_keeps_exactness(spark, tmp_path):
     # schema mismatch refused
     with pytest.raises(ValueError, match="delta columns"):
         bloom_index_append(spark, path, delta.drop("payload"), batch_id=1)
+
+
+def test_packed_encoding_roundtrip_and_fill():
+    """base64-packed bitmaps (density-proof sidecar encoding) must
+    roundtrip exactly; fill ratios and the sizing helper follow the
+    fill^k false-positive model."""
+    from nineinfra_spark.operators.bloomindex import (
+        _pack_bits,
+        _unpack_bits,
+        bloom_fill_ratios,
+        m_bits_for,
+    )
+
+    for pos in ([], [0], [7], [8], [63, 64, 65], list(range(0, 500, 7))):
+        assert _unpack_bits(_pack_bits(sorted(pos))) == set(pos)
+    meta = {"m_bits": 64, "enc": "b64", "bits": {"0": _pack_bits([1, 2, 3, 40])}}
+    assert bloom_fill_ratios(meta) == {0: 4 / 64}
+    # legacy positions-list sidecars still decode
+    meta_legacy = {"m_bits": 64, "bits": {"0": [1, 2, 3, 40]}}
+    assert bloom_fill_ratios(meta_legacy) == {0: 4 / 64}
+    # ~10.5 bits/key at 1% FP, k=4
+    m = m_bits_for(1000, fp=0.01)
+    assert 9_000 <= m <= 12_000 and m % 64 == 0
+    assert m_bits_for(0) > 0
+    with pytest.raises(ValueError, match="fp"):
+        m_bits_for(100, fp=1.5)
+
+
+def test_saturation_warns_and_right_sizing_restores_skipping(spark, tmp_path):
+    """An undersized bitmap saturates (every file hits — exact but
+    unskipping) and must WARN; resizing via m_bits_for restores real
+    skipping on the same data."""
+    import warnings
+
+    from nineinfra_spark.operators.bloomindex import m_bits_for
+
+    df = spark.range(0, 20_000).select(
+        (F.col("id") % 64).alias("day"),
+        F.md5(F.col("id").cast("string")).alias("key"),
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        bloom_index_write(
+            df, str(tmp_path / "sat"), "day", "key", 8, m_bits=512
+        )
+    assert any("fill ratio" in str(x.message) for x in w)
+    # right-sized: 20k rows / 8 files = 2.5k keys/file
+    m = m_bits_for(2500)
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        bloom_index_write(
+            df, str(tmp_path / "ok"), "day", "key", 8, m_bits=m
+        )
+    assert not any("fill ratio" in str(x.message) for x in w2)
+    import hashlib
+
+    out, stats = bloom_skipping_read(
+        spark, str(tmp_path / "ok"), [hashlib.md5(b"77").hexdigest()]
+    )
+    assert out.count() == 1
+    assert stats["files_hit"] < stats["files_total"]

@@ -1,0 +1,93 @@
+"""Property suite for the Bloom-index kernels (the r12 lesson:
+parsers and codecs get hypothesis suites). Pure-python properties run
+example-per-call; the Spark↔driver hash parity batches each example
+into ONE job."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from nineinfra_spark.operators.bloomindex import (
+    _pack_bits,
+    _positions,
+    _positions_py,
+    _unpack_bits,
+    bloom_probe_files,
+)
+
+
+@given(st.sets(st.integers(min_value=0, max_value=1 << 16)))
+@settings(max_examples=200, deadline=None)
+def test_pack_unpack_roundtrip(positions):
+    assert _unpack_bits(_pack_bits(sorted(positions))) == positions
+
+
+@given(
+    st.text(min_size=0, max_size=40),
+    st.sampled_from([64, 512, 8192]),
+    st.integers(min_value=1, max_value=6),
+)
+@settings(max_examples=200, deadline=None)
+def test_positions_in_range_and_deterministic(value, m, k):
+    pos = _positions_py(value, m, k)
+    assert len(pos) == k
+    assert all(0 <= p < m for p in pos)
+    assert pos == _positions_py(value, m, k)
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.text(min_size=0, max_size=24),
+            st.integers(min_value=-(10**12), max_value=10**12),
+        ),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_probe_admits_every_indexed_key(keys):
+    """Build a one-file index bitmap in pure python; every indexed key
+    must be admitted by bloom_probe_files (no false negatives, for
+    unicode, empty-string, and integer keys alike)."""
+    m, k = 4096, 4
+    bits = sorted({p for key in keys for p in _positions_py(key, m, k)})
+    meta = {
+        "m_bits": m,
+        "k": k,
+        "enc": "b64",
+        "bits": {"0": _pack_bits(bits)},
+    }
+    for key in keys:
+        assert bloom_probe_files(meta, [key]) == [0]
+    assert bloom_probe_files(meta, [None]) == []
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)),
+            min_size=0,
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=50,
+        unique=True,
+    )
+)
+@settings(max_examples=5, deadline=None)
+def test_spark_and_driver_hashing_agree_on_generated_values(spark, keys):
+    """The build-side column expression and the driver-side probe
+    hashing must agree on ARBITRARY unicode — a divergence (encoding,
+    normalization) would be a silent false-negative factory. One
+    Spark job per example."""
+    m, k = 8192, 4
+    df = spark.createDataFrame([(v,) for v in keys], "v string").select(
+        "v", _positions(F.col("v"), m, k).alias("pos")
+    )
+    got = {r["v"]: list(r["pos"]) for r in df.collect()}
+    for v in keys:
+        assert got[v] == _positions_py(v, m, k), repr(v)
