@@ -103,30 +103,42 @@ def build_auth_jar(workdir: str) -> str:
     # race-free too)
     classes = os.path.join(workdir, f"classes-{src_hash}-{os.getpid()}")
     jh = _java_home()
-    subprocess.run(
-        [
-            os.path.join(jh, "bin", "javac"),
-            "-cp",
-            _thriftserver_jar(),
-            "-d",
-            classes,
-            _JAVA_SRC,
-        ],
-        check=True,
-        capture_output=True,
-    )
-    # build to a tmp name and publish with an atomic rename: `jar cf`
-    # writing the FINAL path directly meant a crash mid-write (or a
-    # second engine racing the build in a shared warehouse workdir)
-    # left a truncated jar the exists-check then returned from cache
-    # forever (r11 review finding; same idiom as discovery.py)
-    tmp = f"{jar}.tmp-{os.getpid()}"
-    subprocess.run(
-        [os.path.join(jh, "bin", "jar"), "cf", tmp, "-C", classes, "."],
-        check=True,
-        capture_output=True,
-    )
-    os.replace(tmp, jar)
+    try:
+        subprocess.run(
+            [
+                os.path.join(jh, "bin", "javac"),
+                "-cp",
+                _thriftserver_jar(),
+                "-d",
+                classes,
+                _JAVA_SRC,
+            ],
+            check=True,
+            capture_output=True,
+        )
+        # build to a tmp name and publish with an atomic rename: `jar cf`
+        # writing the FINAL path directly meant a crash mid-write (or a
+        # second engine racing the build in a shared warehouse workdir)
+        # left a truncated jar the exists-check then returned from cache
+        # forever (r11 review finding; same idiom as discovery.py)
+        tmp = f"{jar}.tmp-{os.getpid()}"
+        subprocess.run(
+            [os.path.join(jh, "bin", "jar"), "cf", tmp, "-C", classes, "."],
+            check=True,
+            capture_output=True,
+        )
+        os.replace(tmp, jar)
+    finally:
+        # the scratch classes dir (and a tmp jar a failed publish left)
+        # must not accumulate per pid in a long-lived warehouse workdir
+        # (r13 review pass — the avro/discovery staging-debris class)
+        import shutil
+
+        shutil.rmtree(classes, ignore_errors=True)
+        try:
+            os.remove(f"{jar}.tmp-{os.getpid()}")
+        except FileNotFoundError:
+            pass
     return jar
 
 
