@@ -399,6 +399,64 @@ def bloom_index_append(
     }
 
 
+def bloom_index_compact(spark: SparkSession, path: str) -> dict:
+    """Post-append maintenance: each :func:`bloom_index_append` adds
+    one file per touched ``fid`` partition, so a long-running ingest
+    degrades a fid into many small files (the classic small-files
+    tax). Rewrite every MULTI-file fid back to one file — the row set
+    is identical, so the bitmaps need no change and probes stay exact
+    throughout.
+
+    Cost tracks the fragmented fids only (untouched partitions are
+    never opened — dynamic-partition overwrite); the combined rows
+    are localCheckpoint-pinned first, the lineage break Spark needs
+    to overwrite a path it is reading (the zorder-append device).
+    Returns ``{"fids_compacted", "files_before", "files_after"}``."""
+    frag = []
+    files_before = 0
+    for d in os.listdir(path):
+        if not d.startswith("fid=") or not os.path.isdir(os.path.join(path, d)):
+            continue
+        n = sum(
+            1
+            for f in os.listdir(os.path.join(path, d))
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        files_before += n
+        if n > 1:
+            frag.append(int(d.split("=", 1)[1]))
+    if not frag:
+        return {
+            "fids_compacted": 0,
+            "files_before": files_before,
+            "files_after": files_before,
+        }
+    combined = (
+        spark.read.parquet(path)
+        .filter(F.col("fid").isin(frag))
+        .repartition(len(frag), "fid")
+        .localCheckpoint(eager=True)
+    )
+    (
+        combined.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("fid")
+        .parquet(path)
+    )
+    files_after = sum(
+        1
+        for d in os.listdir(path)
+        if d.startswith("fid=") and os.path.isdir(os.path.join(path, d))
+        for f in os.listdir(os.path.join(path, d))
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+    return {
+        "fids_compacted": len(frag),
+        "files_before": files_before,
+        "files_after": files_after,
+    }
+
+
 def bloom_probe_files(meta: dict, keys: Sequence) -> list[int]:
     """File ids that MIGHT contain any of ``keys`` (no false
     negatives; false positives bounded by the bitmap geometry).

@@ -58,7 +58,13 @@ Endpoints:
   (``operators/zorder.py:zorder_layout_append``) and responds its
   stats dict (``rows_appended`` / ``buckets_dirty`` /
   ``buckets_total``) — the OPTIMIZE maintenance loop from the same
-  tier. Both ops endpoints authenticate exactly like ``/sql``.
+  tier.
+- ``POST /api/v1/ops/bloom-probe`` → body ``{"path": "...",
+  "keys": [...], "limit": 100}``; point-lookup over a
+  ``bloom_index_write`` directory (``operators/bloomindex.py``):
+  the bounded ``/sql`` resultset shape plus the skipping stats
+  (``filesTotal`` / ``filesHit`` / ``filesSkipped``). All ops
+  endpoints authenticate exactly like ``/sql``.
 
 Session isolation: a request carrying an ``X-Session-Id`` header runs
 on a dedicated ``spark.newSession()`` keyed by that id — own temp
@@ -446,6 +452,35 @@ class _Handler(BaseHTTPRequestHandler):
                         "rows": [list(r) for r in rows],
                         "rowCount": len(rows),
                         "truncated": truncated,
+                    },
+                )
+            elif op == "bloom-probe":
+                from nineinfra_spark.operators.bloomindex import (
+                    bloom_skipping_read,
+                )
+
+                keys = req["keys"]
+                if not isinstance(keys, list):
+                    raise TypeError("keys must be a JSON array")
+                limit = int(req.get("limit", DEFAULT_FETCH_LIMIT))
+                if limit < 0 or limit > MAX_FETCH_LIMIT:
+                    raise ValueError(
+                        f"limit must be in [0, {MAX_FETCH_LIMIT}], got {limit}"
+                    )
+                out, bstats = bloom_skipping_read(sess, req["path"], keys)
+                rows = out.limit(limit + 1).collect()
+                truncated = len(rows) > limit
+                rows = rows[:limit]
+                self._reply(
+                    200,
+                    {
+                        "columns": out.columns,
+                        "rows": [list(r) for r in rows],
+                        "rowCount": len(rows),
+                        "truncated": truncated,
+                        "filesTotal": bstats["files_total"],
+                        "filesHit": bstats["files_hit"],
+                        "filesSkipped": bstats["files_skipped"],
                     },
                 )
             elif op == "zorder-append":

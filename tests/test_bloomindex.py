@@ -366,3 +366,52 @@ def test_saturation_warns_and_right_sizing_restores_skipping(spark, tmp_path):
     )
     assert out.count() == 1
     assert stats["files_hit"] < stats["files_total"]
+
+
+def test_compact_restores_one_file_per_fid(spark, tmp_path):
+    """Repeated appends fragment fid partitions into many small files;
+    compact rewrites only the fragmented fids back to one file each —
+    rows, bitmaps, and probes unchanged throughout."""
+    from nineinfra_spark.operators.bloomindex import (
+        bloom_index_append,
+        bloom_index_compact,
+    )
+
+    path = str(tmp_path / "c")
+    df = _frame(spark)
+    bloom_index_write(df, path, "day", "key", 8)
+    for i in range(3):
+        delta = spark.range(N + i * 500, N + (i + 1) * 500).select(
+            (F.col("id") % 100).alias("day"),
+            F.md5(F.col("id").cast("string")).alias("key"),
+            (F.col("id") * 3).alias("payload"),
+        )
+        bloom_index_append(spark, path, delta, batch_id=i)
+    before = spark.read.parquet(path)
+    rows_before = before.count()
+    stats = bloom_index_compact(spark, path)
+    assert stats["fids_compacted"] >= 1
+    assert stats["files_after"] < stats["files_before"]
+    # one file per fid now
+    import os as _os
+
+    for d in _os.listdir(path):
+        if d.startswith("fid="):
+            n = sum(
+                1
+                for f in _os.listdir(_os.path.join(path, d))
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            )
+            assert n == 1, d
+    after = spark.read.parquet(path)
+    assert after.count() == rows_before
+    # probes still exact post-compact
+    import hashlib
+
+    k = hashlib.md5(str(N + 1_100).encode()).hexdigest()
+    out, st = bloom_skipping_read(spark, path, [k])
+    assert [r["payload"] for r in out.collect()] == [(N + 1_100) * 3]
+    # idempotent: second compact is a no-op
+    stats2 = bloom_index_compact(spark, path)
+    assert stats2["fids_compacted"] == 0
+    assert stats2["files_before"] == stats2["files_after"] == stats["files_after"]

@@ -869,3 +869,46 @@ class TestOpsEndpoints:
             urllib.request.urlopen(req)
         assert e.value.code == 400
         assert "missing field" in json.loads(e.value.read())["error"]
+
+
+class TestBloomProbeEndpoint:
+    """operators/bloomindex.py reachable from the gateway tier: the
+    point-lookup loop with skipping stats."""
+
+    def test_bloom_probe_over_http(self, spark, rest, tmp_path):
+        import hashlib
+
+        from nineinfra_spark.operators.bloomindex import bloom_index_write
+        from pyspark.sql import functions as F
+
+        df = spark.range(0, 3000).select(
+            (F.col("id") % 60).alias("day"),
+            F.md5(F.col("id").cast("string")).alias("key"),
+            (F.col("id") * 2).alias("payload"),
+        )
+        path = str(tmp_path / "bp")
+        bloom_index_write(df, path, "day", "key", 16)
+        keys = [hashlib.md5(str(i).encode()).hexdigest() for i in (5, 2999)]
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{rest.port}/api/v1/ops/bloom-probe",
+            data=json.dumps({"path": path, "keys": keys}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            out = json.loads(r.read())
+        assert out["columns"] == ["day", "key", "payload"]
+        assert sorted(x[2] for x in out["rows"]) == [10, 5998]
+        assert out["filesTotal"] == 16
+        assert out["filesHit"] < out["filesTotal"]
+        assert out["filesSkipped"] == out["filesTotal"] - out["filesHit"]
+        assert out["truncated"] is False
+
+    def test_bad_keys_type_400(self, rest):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{rest.port}/api/v1/ops/bloom-probe",
+            data=json.dumps({"path": "/nope", "keys": "abc"}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req)
+        assert e.value.code == 400
