@@ -128,3 +128,93 @@ def test_replay_marker_prevents_double_count(spark):
     finally:
         for n in (idx, f"{idx}__merge_stage", f"{idx}__merge_old"):
             spark.sql(f"DROP TABLE IF EXISTS {n}")
+
+
+def test_real_checkpoint_redelivery_is_skipped(spark, tmp_path):
+    """END-TO-END replay through Spark's own recovery path: run the
+    maintainer with a persistent checkpoint, then delete the LAST
+    commits/ entry (the exact crash window foreachBatch documents —
+    batch ran, commit marker unwritten) and restart. Spark re-delivers
+    the final batch with the same batch_id; the table-property marker
+    must skip the re-fold or every restart double-counts."""
+    import json as _json
+
+    from pyspark.sql import functions as F  # noqa: F401 (parity with module)
+
+    from nineinfra_spark.plans.streaming_queries import (
+        apply_dedup_index_batch,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    docs = spark.createDataFrame(
+        [(i, f"text {'x' * (i % 3)}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    for s in range(3):
+        (
+            docs.filter(F.col("doc_id") % 3 == s)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(str(src))
+        )
+    idx = "dedupidx_ckpt_replay_t"
+    for n in (idx, f"{idx}__merge_stage", f"{idx}__merge_old"):
+        spark.sql(f"DROP TABLE IF EXISTS {n}")
+    spark.createDataFrame(
+        [], "content_hash string, canonical_doc_id long, n_copies long"
+    ).write.saveAsTable(idx)
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        schema = spark.read.parquet(str(src)).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda b, bid: apply_dedup_index_batch(
+                    spark, idx, b, batch_id=bid
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        run()
+        state = {
+            r["content_hash"]: (r["canonical_doc_id"], r["n_copies"])
+            for r in spark.table(idx).collect()
+        }
+        assert sum(n for _, n in state.values()) == 30
+        # simulate the crash window: last batch ran (its effects are in
+        # the table + marker), but Spark's commit log never recorded it
+        import os as _os
+
+        commits = sorted(
+            f
+            for f in _os.listdir(_os.path.join(ckpt, "commits"))
+            if f.isdigit()
+        )
+        assert len(commits) >= 2  # multi-batch replay, or the test is vacuous
+        _os.remove(_os.path.join(ckpt, "commits", commits[-1]))
+        # the local-FS checkpoint writes a .crc checksum sidecar per
+        # commit entry; leaving it orphaned blocks the restarted
+        # query's commit rewrite with FileAlreadyExists
+        crc = _os.path.join(ckpt, "commits", f".{commits[-1]}.crc")
+        if _os.path.exists(crc):
+            _os.remove(crc)
+        run()  # restart: Spark re-delivers the last batch, same batch_id
+        state2 = {
+            r["content_hash"]: (r["canonical_doc_id"], r["n_copies"])
+            for r in spark.table(idx).collect()
+        }
+        assert state2 == state, "re-delivered batch was folded twice"
+    finally:
+        for n in (idx, f"{idx}__merge_stage", f"{idx}__merge_old"):
+            spark.sql(f"DROP TABLE IF EXISTS {n}")
