@@ -136,3 +136,82 @@ def test_replay_marker_prevents_double_count(spark):
     finally:
         for n in (tbl, f"{tbl}__merge_stage", f"{tbl}__merge_old"):
             spark.sql(f"DROP TABLE IF EXISTS {n}")
+
+
+def test_real_checkpoint_redelivery_is_skipped(spark, tmp_path):
+    """End-to-end replay through Spark's own recovery path for the
+    ADDITIVE rollup (the maintainer where a double-fold is most
+    visible: counts inflate): delete the last commits/ entry (+ .crc)
+    and restart — the re-delivered batch must be skipped by the
+    nine.last_batch_id marker."""
+    from nineinfra_spark.plans.streaming_queries import apply_rollup_batch
+
+    src = tmp_path / "src"
+    src.mkdir()
+    orders = spark.createDataFrame(
+        [(f"1995-0{1 + i % 3}-15", "O" if i % 2 else "F", float(i))
+         for i in range(30)],
+        "o_orderdate string, o_orderstatus string, o_totalprice double",
+    ).withColumn("o_orderdate", F.to_date("o_orderdate"))
+    for s in range(3):
+        (
+            orders.filter(F.col("o_totalprice").cast("long") % 3 == s)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(str(src))
+        )
+    tbl = "rollup_ckpt_replay_t"
+    for n in (tbl, f"{tbl}__merge_stage", f"{tbl}__merge_old"):
+        spark.sql(f"DROP TABLE IF EXISTS {n}")
+    spark.createDataFrame(
+        [],
+        "m string, o_orderstatus string, n_orders long, "
+        "total_price decimal(18,2)",
+    ).write.saveAsTable(tbl)
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        schema = spark.read.parquet(str(src)).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda b, bid: apply_rollup_batch(spark, tbl, b, batch_id=bid)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        run()
+        state = {
+            (r["m"], r["o_orderstatus"]): (r["n_orders"], r["total_price"])
+            for r in spark.table(tbl).collect()
+        }
+        assert sum(n for n, _ in state.values()) == 30
+        import os as _os
+
+        commits = sorted(
+            f
+            for f in _os.listdir(_os.path.join(ckpt, "commits"))
+            if f.isdigit()
+        )
+        assert len(commits) >= 2
+        _os.remove(_os.path.join(ckpt, "commits", commits[-1]))
+        crc = _os.path.join(ckpt, "commits", f".{commits[-1]}.crc")
+        if _os.path.exists(crc):
+            _os.remove(crc)
+        run()
+        state2 = {
+            (r["m"], r["o_orderstatus"]): (r["n_orders"], r["total_price"])
+            for r in spark.table(tbl).collect()
+        }
+        assert state2 == state, "re-delivered batch double-counted"
+    finally:
+        for n in (tbl, f"{tbl}__merge_stage", f"{tbl}__merge_old"):
+            spark.sql(f"DROP TABLE IF EXISTS {n}")
