@@ -25,14 +25,27 @@ Scale posture:
 - **build**: one bounds aggregate on the layout column + one hash
   exchange on the file id + the write; the bitmap aggregation is one
   map-side-combined ``(fid, bit)`` distinct — output bounded by
-  ``n_files × m_bits``, sidecar-sized metadata (the same "bytes per
-  file" budget real bloom indexes spend). Nothing corpus-sized
-  reaches the driver.
-- **probe**: the sidecar consult is driver-side over ``n_files``
-  bitmaps × len(keys) probes — file-count-sized, never data-sized.
-  Surviving files are read via PARTITION PRUNING (``fid`` is a
-  partition column), so skipped files are never opened, and the
-  residual exact filter runs only over the hit files.
+  ``n_files × m_bits``, index-sized (the same "bytes per file" budget
+  real bloom indexes spend). Nothing corpus-sized reaches the driver.
+- **bitmap storage** (default ``bits_storage="table"``): the bitmaps
+  live as a parquet ``(fid, word-index, 63-bit word)`` INDEX TABLE
+  under the data directory — the same shape as the dedup band index —
+  built and merged entirely Spark-side, so at 10⁵–10⁶ files the
+  multi-GB bitmap set never becomes a driver-resident object. The
+  tiny JSON sidecar holds only the grid contract (bounds, sizes,
+  schema, replay marker) plus a pointer to the current bits table.
+  ``bits_storage="json"`` keeps the original all-in-sidecar form for
+  SMALL indexes probed driver-side (gateway point-lookup caches);
+  legacy sidecars stay read-compatible.
+- **probe**: for table storage, a BROADCAST JOIN — the probe keys'
+  ``(position → word, mask)`` pairs (len(keys) × k rows, tiny)
+  broadcast against the bits table, admission = all-k distinct hash
+  matches per (fid, key); output is fid ids, file-count-bounded. For
+  JSON storage the consult is driver-side over ``n_files`` bitmaps ×
+  len(keys) probes. Either way surviving files are read via
+  PARTITION PRUNING (``fid`` is a partition column), so skipped
+  files are never opened, and the residual exact filter runs only
+  over the hit files.
 
 NULL keys are never indexed and never probe-able (SQL equality on
 NULL matches nothing) — same semantics as a filter, not a gap.
@@ -49,6 +62,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _SIDECAR = "_bloomindex.json"
+
+#: key-column types whose Spark ``cast('string')`` rendering is
+#: IDENTICAL to Python's ``str()`` — the property that keeps the
+#: driver-side probe hashing (:func:`_positions_py`) bit-compatible
+#: with the build's column expression (:func:`_positions`). Boolean
+#: (``true`` vs ``True``), floating point (``1.0E10`` vs
+#: ``10000000000.0``), decimal, and date/timestamp renderings all
+#: diverge between the engines, which would turn into Bloom false
+#: NEGATIVES (silently dropped probe rows) — so they are refused at
+#: build time; cast such keys to string explicitly first.
+_KEY_TYPE_NAMES = ("string", "tinyint", "smallint", "int", "bigint")
 
 #: default bits per file bitmap (2^13 = 8192 bits = 1 KiB packed) and
 #: hash-function count. With k=4 the false-positive rate is
@@ -116,11 +140,77 @@ def _decode_bits(meta: dict) -> dict[int, set[int]]:
     return {int(f): set(b) for f, b in meta["bits"].items()}
 
 
+#: usable bits per signed-long word in the table-backed bitmap
+#: encoding — 63 keeps every shift amount ≤ 62, portable to engines
+#: that refuse ``1 << 63`` (the DuckDB convention the repo's bitmap
+#: operators share).
+WORD_BITS = 63
+
+_BITS_TABLE = "_bloomindex_bits"  # initial bits-table dir (appends version it)
+
+
+def _words_df(pairs: DataFrame, word_bits: int = WORD_BITS) -> DataFrame:
+    """Distinct ``(fid, bit)`` pairs → the ``(fid, w, word)`` bitmap
+    words of the table-backed encoding. Map-side-combined ``bit_or``
+    aggregation; output ≤ n_files × ceil(m_bits / word_bits) rows —
+    index-sized, fully distributed."""
+    return (
+        pairs.select(
+            "fid",
+            F.floor(F.col("bit") / word_bits).cast("int").alias("w"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(bit % {word_bits} AS INT))"
+            ).alias("m"),
+        )
+        .groupBy("fid", "w")
+        .agg(F.bit_or("m").alias("word"))
+    )
+
+
+def load_bits(spark: SparkSession, path: str) -> dict[int, set[int]]:
+    """fid → set(bit) for EITHER storage — a driver-side materializer
+    for tests and small-index introspection only (it is exactly the
+    driver-resident object the table storage exists to avoid; never
+    call it on a production-sized index)."""
+    meta = read_index_meta(path)
+    if meta.get("bits_storage") != "table":
+        return _decode_bits(meta)
+    wb = meta.get("word_bits", WORD_BITS)
+    out: dict[int, set[int]] = {}
+    rows = spark.read.parquet(os.path.join(path, meta["bits_dir"])).collect()
+    for r in rows:
+        s = out.setdefault(r["fid"], set())
+        word, base = r["word"], r["w"] * wb
+        for b in range(wb):
+            if (word >> b) & 1:
+                s.add(base + b)
+    return out
+
+
+def bloom_fill_ratios_table(spark: SparkSession, path: str) -> dict[int, float]:
+    """Per-file fill ratio for a table-backed index — one popcount
+    aggregation over the bits table (never materializes bitmaps on
+    the driver); same fill^k reading as :func:`bloom_fill_ratios`."""
+    meta = read_index_meta(path)
+    m = meta["m_bits"]
+    bits = spark.read.parquet(os.path.join(path, meta["bits_dir"]))
+    return {
+        r["fid"]: r["nb"] / m
+        for r in bits.groupBy("fid")
+        .agg(F.sum(F.bit_count("word")).alias("nb"))
+        .collect()
+    }
+
+
 def bloom_fill_ratios(meta: dict) -> dict[int, float]:
     """Per-file bitmap fill ratio (set bits / m_bits). The expected
     false-positive rate per file is ``fill^k`` — fills past ~0.5 mean
     the bitmap is undersized for the file's key count (resize with
     :func:`m_bits_for` and rebuild)."""
+    if meta.get("bits_storage") == "table":
+        raise ValueError(
+            "table-backed index: use bloom_fill_ratios_table(spark, path)"
+        )
     m = meta["m_bits"]
     return {f: len(b) / m for f, b in _decode_bits(meta).items()}
 
@@ -143,15 +233,48 @@ def _positions(col, m_bits: int, k: int):
     )
 
 
+def _render_key(value) -> str:
+    """Canonical probe-key rendering — the driver-side twin of the
+    build's ``cast('string')``. Only ``str`` and ``int`` render
+    identically on both sides (see ``_KEY_TYPE_NAMES``); anything else
+    — including ``bool``, whose Python rendering is ``True`` where
+    Spark says ``true`` — is refused rather than silently hashed to a
+    divergent bit position (a false NEGATIVE, breaking exactness)."""
+    if isinstance(value, str):
+        return value
+    if isinstance(value, int) and not isinstance(value, bool):
+        return str(value)
+    raise TypeError(
+        f"bloom probe keys must be str or int (got {type(value).__name__}"
+        f" {value!r}); other types render differently in Spark's "
+        f"cast('string') vs Python str() and would produce false "
+        f"negatives — cast the key column and the probe to string"
+    )
+
+
+def _check_key_type(df: DataFrame, key_col: str) -> None:
+    dt = df.schema[key_col].dataType.simpleString()
+    if dt not in _KEY_TYPE_NAMES:
+        raise ValueError(
+            f"bloom index key column {key_col!r} has type {dt}; only "
+            f"{_KEY_TYPE_NAMES} render identically in Spark and on the "
+            f"driver (boolean/double/decimal/timestamp renderings "
+            f"diverge → false negatives) — cast it to string first"
+        )
+
+
 def _positions_py(value, m_bits: int, k: int) -> list[int]:
     """Driver-side twin of :func:`_positions` for probe keys — must
     stay bit-identical to the column expression (pinned by
-    tests/test_bloomindex.py::test_probe_positions_match_column_expr)."""
+    tests/test_bloomindex.py::test_probe_positions_match_column_expr).
+    Keys go through :func:`_render_key`, which refuses any type whose
+    Python rendering diverges from Spark's ``cast('string')``."""
     import hashlib
 
+    rendered = _render_key(value)
     out = []
     for j in range(k):
-        h = hashlib.md5(f"bloom{j}/{value}".encode()).hexdigest()[:15]
+        h = hashlib.md5(f"bloom{j}/{rendered}".encode()).hexdigest()[:15]
         out.append(int(h, 16) % m_bits)
     return out
 
@@ -181,10 +304,11 @@ def bloom_index_write(
     m_bits: int = M_BITS,
     k: int = K_HASHES,
     mode: str = "error",
+    bits_storage: str = "table",
 ) -> dict:
     """Write ``df`` as ``n_files`` range-bucketed parquet files on
     ``layout_col`` (partition column ``fid``), plus a per-file Bloom
-    bitmap over ``key_col`` in the ``_bloomindex.json`` sidecar.
+    bitmap over ``key_col``.
 
     The file id is ``floor((layout − lo) / span · n_files)`` against
     the frozen [lo, hi] bounds — deterministic (an oracle recomputes
@@ -193,10 +317,18 @@ def bloom_index_write(
     with a NULL ``layout_col`` go to file 0 (they must live
     somewhere deterministic; their keys are still indexed).
 
-    Returns the sidecar dict. ``bits`` in the sidecar maps each fid
-    (as a string — JSON object keys) to the SORTED list of set bit
-    positions — positions-list encoding, compact while bitmaps are
-    sparse and trivially portable."""
+    ``bits_storage="table"`` (default, the 100 TB form) stores the
+    bitmaps as a parquet ``(fid, w, word)`` table under
+    ``_bloomindex_bits`` — built, merged, and probed Spark-side; the
+    JSON sidecar carries only the grid contract and the table
+    pointer. ``bits_storage="json"`` inlines the bitmaps in the
+    sidecar as base64-encoded PACKED bitmaps (``enc: "b64"``,
+    little-endian, m/8 bytes whatever the fill) for small indexes
+    probed entirely on the driver (gateway point-lookup caches);
+    legacy positions-list sidecars remain READ-compatible
+    (:func:`_decode_bits`), nothing writes them anymore.
+
+    Returns the sidecar dict."""
     if not 1 <= n_files <= 4096:
         raise ValueError(f"n_files must be in 1..4096, got {n_files}")
     if m_bits < 8 or k < 1:
@@ -209,6 +341,18 @@ def bloom_index_write(
             "bloom_index_write: column 'fid' is reserved for the file-id "
             "partition column — rename it first"
         )
+    if bits_storage not in ("table", "json"):
+        raise ValueError(
+            f"bits_storage must be 'table' or 'json', got {bits_storage!r}"
+        )
+    _check_key_type(df, key_col)
+    # pin ONCE: the bounds aggregate, the parquet write, and the
+    # bitmap aggregation below are three separate actions — a
+    # non-deterministic source (a sample, a changing view) recomputed
+    # between them yields bitmaps missing keys the files hold: false
+    # NEGATIVES (the zorder_layout_append lesson, applied to the
+    # build path too)
+    df = df.localCheckpoint(eager=True)
     stats = df.agg(
         F.min(F.col(layout_col).cast("double")).alias("lo"),
         F.max(F.col(layout_col).cast("double")).alias("hi"),
@@ -238,17 +382,19 @@ def bloom_index_write(
         .partitionBy("fid")
         .parquet(path)
     )
-    # bitmap build: (fid, bit) distinct → group — map-side combined,
-    # ≤ n_files × m_bits rows ever shuffle. NULL keys produce a NULL
-    # position array; explode drops them (never indexed).
-    bits_rows = (
+    # bitmap build: (fid, bit) distinct → aggregate — map-side
+    # combined, ≤ n_files × m_bits rows ever shuffle. A NULL key
+    # hashes to an ARRAY OF NULLS (not a null array), so explode
+    # emits null bits — filtered here so null keys are never indexed
+    # under either storage (collect_set happened to drop them; the
+    # word aggregation would propagate them).
+    bits_pairs = (
         tagged.select(
-            "fid", F.explode(_positions(F.col(key_col), m_bits, k)).alias("bit")
+            "fid",
+            F.explode(_positions(F.col(key_col), m_bits, k)).alias("bit"),
         )
+        .filter(F.col("bit").isNotNull())
         .distinct()
-        .groupBy("fid")
-        .agg(F.sort_array(F.collect_set("bit")).alias("bits"))
-        .collect()
     )
     meta = {
         "layout_col": layout_col,
@@ -256,19 +402,40 @@ def bloom_index_write(
         "n_files": n_files,
         "m_bits": m_bits,
         "k": k,
-        "enc": "b64",
         "bounds": [lo, hi],
-        "bits": {
-            str(r["fid"]): _pack_bits([int(b) for b in r["bits"]])
-            for r in bits_rows
-        },
         # data schema (sans fid): an EMPTY table writes no parquet
         # files at all, so the probe path needs a schema source that
         # is not the files
         "schema": df.schema.json(),
     }
-    _write_sidecar(path, meta)
-    worst = max(bloom_fill_ratios(meta).values(), default=0.0)
+    if bits_storage == "table":
+        # the bitmaps never leave the cluster: words written directly
+        # as the parquet index table, sized ~one file per 64 fids
+        (
+            _words_df(bits_pairs)
+            .repartition(max(1, n_files // 64), "fid")
+            .write.mode("overwrite" if mode == "overwrite" else "error")
+            .parquet(os.path.join(path, _BITS_TABLE))
+        )
+        meta["bits_storage"] = "table"
+        meta["bits_dir"] = _BITS_TABLE
+        meta["word_bits"] = WORD_BITS
+        _write_sidecar(path, meta)
+        spark = df.sparkSession
+        worst = max(bloom_fill_ratios_table(spark, path).values(), default=0.0)
+    else:
+        bits_rows = (
+            bits_pairs.groupBy("fid")
+            .agg(F.sort_array(F.collect_set("bit")).alias("bits"))
+            .collect()
+        )
+        meta["enc"] = "b64"
+        meta["bits"] = {
+            str(r["fid"]): _pack_bits([int(b) for b in r["bits"]])
+            for r in bits_rows
+        }
+        _write_sidecar(path, meta)
+        worst = max(bloom_fill_ratios(meta).values(), default=0.0)
     if worst > 0.5:
         import warnings
 
@@ -289,6 +456,7 @@ def bloom_index_append(
     path: str,
     delta: DataFrame,
     batch_id: int | None = None,
+    key_cols: Sequence[str] | None = None,
 ) -> dict:
     """Incremental maintenance: append ``delta`` to a
     :func:`bloom_index_write` directory, extending the per-file
@@ -297,25 +465,36 @@ def bloom_index_append(
     frozen-bounds device), so out-of-range drift clamps into the edge
     files and existing files' bitmaps stay valid.
 
-    Ordering is the correctness core: the sidecar is updated FIRST,
-    the data appended SECOND. Bloom bits are monotone (they only ever
-    gain), so a crash between the two steps leaves a SUPERSET bitmap
-    over the committed rows — pure false positives, exactness intact.
-    The reverse order would leave appended keys missing from the
-    bitmap: false NEGATIVES, silently dropped rows on every later
-    probe.
+    Ordering is the correctness core, in three steps:
 
-    With ``batch_id`` set, a batch id ≤ the sidecar's
-    ``last_batch_id`` is skipped (foreachBatch re-delivers the last
-    batch on restart; a blind re-append would duplicate its ROWS —
-    the bitmap itself is replay-idempotent by monotonicity). The
-    marker is written with the bits in the same sidecar replace, i.e.
-    BEFORE the data lands: a crash inside the append window means the
-    re-delivered batch is skipped and the rows of the interrupted
-    append may be absent — detectable (row counts), never silently
-    wrong on probes; re-run the delta with a fresh batch id to heal.
+    1. **bits sidecar first** (marker untouched). Bloom bits are
+       monotone (they only ever gain), so a crash after this step
+       leaves a SUPERSET bitmap over the committed rows — pure false
+       positives, exactness intact; the reverse order would leave
+       appended keys missing from the bitmap: false NEGATIVES,
+       silently dropped rows on every later probe.
+    2. **data second** — a blind append, or with ``key_cols`` an
+       upsert: the touched fid partitions are rewritten via
+       dynamic-partition overwrite with existing rows whose key the
+       delta carries dropped first (delta wins). A re-delivered row
+       has the same fid as the copy it supersedes (frozen grid), so
+       the stale copy is always inside the rewritten set — the same
+       algebra as ``zorder_layout_append``.
+    3. **replay marker last**: ``last_batch_id`` commits only AFTER
+       the data, so a crash anywhere inside the append re-delivers
+       the batch on restart (foreachBatch semantics) and the re-run
+       CONVERGES — the bits re-merge is a monotone no-op and
+       ``key_cols`` dedups the rows. Without ``key_cols`` the marker
+       still dedups every non-crash replay, but a crash between data
+       and marker duplicates the batch's rows on replay (document
+       your key or accept at-least-once, exactly as with
+       ``zorder_layout_append``).
 
-    Returns ``{"rows_appended", "files_touched", "new_bits"}``."""
+    SINGLE WRITER, like every sidecar-coordinated maintenance job —
+    fan sources into one stream rather than racing appends.
+
+    Returns ``{"rows_appended", "files_touched", "new_bits"}``
+    (``"skipped_replay": True`` when the marker short-circuits)."""
     meta = read_index_meta(path)
     if batch_id is not None:
         last = meta.get("last_batch_id")
@@ -334,6 +513,13 @@ def bloom_index_append(
             f"bloom_index_append: delta columns {sorted(delta.columns)} "
             f"!= index columns {sorted(data_cols)}"
         )
+    _check_key_type(delta, meta["key_col"])
+    if key_cols:
+        bad = [c for c in key_cols if c not in data_cols]
+        if bad:
+            raise ValueError(
+                f"bloom_index_append: key columns {bad} not in index"
+            )
     n_files, m_bits, k = meta["n_files"], meta["m_bits"], meta["k"]
     lo, hi = meta["bounds"]
     span = (hi - lo) or 1.0
@@ -359,42 +545,127 @@ def bloom_index_append(
         delta.select(*data_cols).withColumn("fid", fid)
         .localCheckpoint(eager=True)
     )
-    bits_rows = (
+    # dirty fids from the ROWS, not the bits — NULL-key rows carry no
+    # bits but still land in (and, under key_cols, must rewrite) files
+    dirty = [r["fid"] for r in tagged.select("fid").distinct().collect()]
+    delta_pairs = (
         tagged.select(
             "fid",
             F.explode(
                 _positions(F.col(meta["key_col"]), m_bits, k)
             ).alias("bit"),
         )
+        .filter(F.col("bit").isNotNull())  # null keys are never indexed
         .distinct()
-        .groupBy("fid")
-        .agg(F.sort_array(F.collect_set("bit")).alias("bits"))
-        .collect()
     )
-    decoded = _decode_bits(meta)
-    new_bits = 0
-    for r in bits_rows:
-        f = int(r["fid"])
-        merged = decoded.get(f, set()) | {int(b) for b in r["bits"]}
-        new_bits += len(merged) - len(decoded.get(f, set()))
-        decoded[f] = merged
-    meta["enc"] = "b64"
-    meta["bits"] = {str(f): _pack_bits(sorted(b)) for f, b in decoded.items()}
-    if batch_id is not None:
-        meta["last_batch_id"] = batch_id
-    # sidecar BEFORE data (see docstring: superset bitmaps are safe,
-    # subset bitmaps lose rows)
+    if meta.get("bits_storage") == "table":
+        # Spark-side merge: old words ∪ delta words, bit_or per
+        # (fid, w) — index-sized, nothing bitmap-shaped on the driver.
+        # The merged table lands under a FRESH versioned dir; the
+        # sidecar replace below is the atomic commit point (stale
+        # versions are vacuumed by bloom_index_compact, not here — an
+        # in-flight probe may still hold the old pointer).
+        wb = meta.get("word_bits", WORD_BITS)
+        old_dir = meta["bits_dir"]
+        old_words = spark.read.parquet(os.path.join(path, old_dir))
+        merged = (
+            old_words.unionByName(_words_df(delta_pairs, wb))
+            .groupBy("fid", "w")
+            .agg(F.bit_or("word").alias("word"))
+        )
+        new_dir = f"{_BITS_TABLE}_{uuid.uuid4().hex[:8]}"
+        (
+            merged.repartition(max(1, n_files // 64), "fid")
+            .write.parquet(os.path.join(path, new_dir))
+        )
+
+        def _pop(d: str) -> int:
+            return (
+                spark.read.parquet(os.path.join(path, d))
+                .agg(F.sum(F.bit_count("word")))
+                .first()[0]
+                or 0
+            )
+
+        new_bits = _pop(new_dir) - _pop(old_dir)
+        meta["bits_dir"] = new_dir
+    else:
+        bits_rows = (
+            delta_pairs.groupBy("fid")
+            .agg(F.sort_array(F.collect_set("bit")).alias("bits"))
+            .collect()
+        )
+        decoded = _decode_bits(meta)
+        new_bits = 0
+        for r in bits_rows:
+            f = int(r["fid"])
+            merged_set = decoded.get(f, set()) | {int(b) for b in r["bits"]}
+            new_bits += len(merged_set) - len(decoded.get(f, set()))
+            decoded[f] = merged_set
+        meta["enc"] = "b64"
+        meta["bits"] = {
+            str(f): _pack_bits(sorted(b)) for f, b in decoded.items()
+        }
+    # step 1: bits BEFORE data (superset bitmaps are safe, subset
+    # bitmaps lose rows) — the marker is deliberately NOT in this write
     _write_sidecar(path, meta)
     rows = tagged.count()
-    (
-        tagged.repartition(max(len(bits_rows), 1), "fid")
-        .write.mode("append")
-        .partitionBy("fid")
-        .parquet(path)
-    )
+    if not dirty:
+        if batch_id is not None:
+            meta["last_batch_id"] = batch_id
+            _write_sidecar(path, meta)
+        return {"rows_appended": 0, "files_touched": 0, "new_bits": new_bits}
+    # step 2: the data
+    if key_cols:
+        from pyspark.sql import types as T
+
+        have_files = any(
+            d.startswith("fid=") and os.path.isdir(os.path.join(path, d))
+            for d in os.listdir(path)
+        )
+        if have_files:
+            existing_dirty = (
+                spark.read.parquet(path)
+                .filter(F.col("fid").isin(dirty))
+                .select(*data_cols, "fid")
+            )
+        else:  # empty index wrote no parquet at all
+            schema = T.StructType.fromJson(json.loads(meta["schema"])).add(
+                "fid", T.IntegerType()
+            )
+            existing_dirty = spark.createDataFrame([], schema)
+        # rows whose key the delta carries are superseded — the
+        # delta-keys side is delta-sized, broadcast explicitly
+        existing_dirty = existing_dirty.join(
+            F.broadcast(tagged.select(*key_cols).distinct()),
+            list(key_cols),
+            "left_anti",
+        )
+        combined = (
+            existing_dirty.unionByName(tagged)
+            .repartition(len(dirty), "fid")
+            .localCheckpoint(eager=True)  # lineage break: overwriting a read path
+        )
+        (
+            combined.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("fid")
+            .parquet(path)
+        )
+    else:
+        (
+            tagged.repartition(len(dirty), "fid")
+            .write.mode("append")
+            .partitionBy("fid")
+            .parquet(path)
+        )
+    # step 3: replay marker AFTER the data
+    if batch_id is not None:
+        meta["last_batch_id"] = batch_id
+        _write_sidecar(path, meta)
     return {
         "rows_appended": rows,
-        "files_touched": len(bits_rows),
+        "files_touched": len(dirty),
         "new_bits": new_bits,
     }
 
@@ -411,7 +682,25 @@ def bloom_index_compact(spark: SparkSession, path: str) -> dict:
     never opened — dynamic-partition overwrite); the combined rows
     are localCheckpoint-pinned first, the lineage break Spark needs
     to overwrite a path it is reading (the zorder-append device).
-    Returns ``{"fids_compacted", "files_before", "files_after"}``."""
+
+    Compaction is also the VACUUM point for table-backed bitmaps:
+    each append commits a fresh versioned bits table and leaves the
+    prior version on disk (an in-flight probe may still hold the old
+    pointer — the same reader-race posture as the merge archives), so
+    stale versions accumulate until this maintenance pass removes
+    every bits dir the sidecar no longer references.
+
+    Returns ``{"fids_compacted", "files_before", "files_after",
+    "bits_dirs_vacuumed"}``."""
+    import shutil
+
+    ref = read_index_meta(path).get("bits_dir")
+    vacuumed = 0
+    for d in os.listdir(path):
+        full = os.path.join(path, d)
+        if d.startswith(_BITS_TABLE) and d != ref and os.path.isdir(full):
+            shutil.rmtree(full, ignore_errors=True)
+            vacuumed += 1
     frag = []
     files_before = 0
     for d in os.listdir(path):
@@ -430,6 +719,7 @@ def bloom_index_compact(spark: SparkSession, path: str) -> dict:
             "fids_compacted": 0,
             "files_before": files_before,
             "files_after": files_before,
+            "bits_dirs_vacuumed": vacuumed,
         }
     combined = (
         spark.read.parquet(path)
@@ -454,6 +744,7 @@ def bloom_index_compact(spark: SparkSession, path: str) -> dict:
         "fids_compacted": len(frag),
         "files_before": files_before,
         "files_after": files_after,
+        "bits_dirs_vacuumed": vacuumed,
     }
 
 
@@ -503,12 +794,52 @@ def bloom_probe_files(meta: dict, keys: Sequence) -> list[int]:
     return sorted(hits)
 
 
+def bloom_probe_files_table(
+    spark: SparkSession, path: str, keys: Sequence, meta: dict | None = None
+) -> list[int]:
+    """Table-backed twin of :func:`bloom_probe_files`: the probe keys'
+    ``(word, mask)`` pairs (len(keys) × k rows — probe-sized, tiny)
+    BROADCAST against the parquet bits table; admission = all k hash
+    functions matched per (fid, key). The bits table — the side that
+    is 10⁵–10⁶ rows × ~1 MB bitmaps at 100 TB — never moves and never
+    reaches the driver; the output is fid ids, file-count-bounded."""
+    if meta is None:
+        meta = read_index_meta(path)
+    m_bits, k = meta["m_bits"], meta["k"]
+    wb = meta.get("word_bits", WORD_BITS)
+    rows = []
+    for key in keys:
+        if key is None:
+            continue  # NULL probes match nothing, like SQL equality
+        rk = _render_key(key)
+        for j, p in enumerate(_positions_py(rk, m_bits, k)):
+            rows.append((rk, j, p // wb, 1 << (p % wb)))
+    if not rows:
+        return []
+    probe_df = spark.createDataFrame(
+        rows, "pkey string, j int, w int, m bigint"
+    )
+    bits = spark.read.parquet(os.path.join(path, meta["bits_dir"]))
+    hits = (
+        bits.join(F.broadcast(probe_df), "w")
+        .filter(F.col("word").bitwiseAND(F.col("m")) != 0)
+        .groupBy("fid", "pkey")
+        .agg(F.count_distinct("j").alias("nj"))
+        .filter(F.col("nj") == F.lit(k))
+        .select("fid")
+        .distinct()
+        .collect()
+    )
+    return sorted(r["fid"] for r in hits)
+
+
 def bloom_skipping_read(
     spark: SparkSession, path: str, keys: Sequence
 ) -> tuple[DataFrame, dict]:
     """Point-lookup over a :func:`bloom_index_write` directory: consult
-    the sidecar, read ONLY the files whose bitmap admits some probe
-    key (partition pruning on ``fid`` — skipped files are never
+    the bitmaps (broadcast-join probe for table storage, driver-side
+    for JSON sidecars), read ONLY the files whose bitmap admits some
+    probe key (partition pruning on ``fid`` — skipped files are never
     opened), then apply the exact ``key IN (...)`` filter over the
     survivors. Returns ``(rows_df, stats)`` with
     ``stats = {"files_total", "files_hit", "files_skipped"}``.
@@ -519,12 +850,17 @@ def bloom_skipping_read(
     from pyspark.sql import types as T
 
     meta = read_index_meta(path)
-    present = sorted(int(f) for f in meta["bits"])
-    hit = bloom_probe_files(meta, keys)
+    if meta.get("bits_storage") == "table":
+        bits = spark.read.parquet(os.path.join(path, meta["bits_dir"]))
+        n_present = bits.select("fid").distinct().count()
+        hit = bloom_probe_files_table(spark, path, keys, meta)
+    else:
+        n_present = len(meta["bits"])
+        hit = bloom_probe_files(meta, keys)
     stats = {
-        "files_total": len(present),
+        "files_total": n_present,
         "files_hit": len(hit),
-        "files_skipped": len(present) - len(hit),
+        "files_skipped": n_present - len(hit),
     }
     key_col = meta["key_col"]
     probe = [k for k in keys if k is not None]

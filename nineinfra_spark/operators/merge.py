@@ -700,7 +700,13 @@ def publish_snapshot(
     spark.sql(f"DROP TABLE IF EXISTS {stage}")
     snapshot.write.saveAsTable(stage)
     if properties:
-        kv = ", ".join(f"'{k}'='{v}'" for k, v in properties.items())
+
+        def esc(s) -> str:
+            # public API parameter: a quote/backslash in a key or value
+            # must not break (or inject into) the ALTER TABLE statement
+            return str(s).replace("\\", "\\\\").replace("'", "\\'")
+
+        kv = ", ".join(f"'{esc(k)}'='{esc(v)}'" for k, v in properties.items())
         spark.sql(f"ALTER TABLE {stage} SET TBLPROPERTIES ({kv})")
     old = f"{table}__merge_old"
     spark.sql(f"DROP TABLE IF EXISTS {old}")

@@ -56,9 +56,9 @@ def test_no_false_negatives_every_key(spark, indexed):
     path, meta, df = indexed
     back = spark.read.parquet(path)
     rows = back.select("key", "fid").collect()
-    from nineinfra_spark.operators.bloomindex import _decode_bits
+    from nineinfra_spark.operators.bloomindex import load_bits
 
-    bitsets = _decode_bits(meta)
+    bitsets = load_bits(spark, path)
     for r in rows:
         pos = _positions_py(r["key"], meta["m_bits"], meta["k"])
         assert all(p in bitsets[r["fid"]] for p in pos), r["key"]
@@ -292,9 +292,9 @@ def test_append_extends_index_and_keeps_exactness(spark, tmp_path):
         assert st["files_hit"] < st["files_total"]
     # full no-false-negatives sweep over the merged table
     meta = read_index_meta(path)
-    from nineinfra_spark.operators.bloomindex import _decode_bits
+    from nineinfra_spark.operators.bloomindex import load_bits
 
-    bitsets = _decode_bits(meta)
+    bitsets = load_bits(spark, path)
     for r in spark.read.parquet(path).select("key", "fid").collect():
         pos = _positions_py(r["key"], meta["m_bits"], meta["k"])
         assert all(p in bitsets[r["fid"]] for p in pos)
@@ -415,3 +415,180 @@ def test_compact_restores_one_file_per_fid(spark, tmp_path):
     stats2 = bloom_index_compact(spark, path)
     assert stats2["fids_compacted"] == 0
     assert stats2["files_before"] == stats2["files_after"] == stats["files_after"]
+
+
+def test_key_type_guard(spark, tmp_path):
+    """Key types whose Spark cast('string') rendering diverges from
+    Python str() (double, boolean, ...) are refused at build time —
+    they would hash to different bit positions on the two sides and
+    produce false NEGATIVES; probe keys of such types are refused
+    too. Integer keys (identical renderings) work end-to-end."""
+    dfd = spark.range(0, 50).select(
+        (F.col("id") % 5).alias("day"), (F.col("id") * 1.5).alias("key")
+    )
+    with pytest.raises(ValueError, match="cast it to string"):
+        bloom_index_write(dfd, str(tmp_path / "d"), "day", "key", 4)
+    dfb = spark.range(0, 50).select(
+        (F.col("id") % 5).alias("day"), (F.col("id") % 2 == 0).alias("key")
+    )
+    with pytest.raises(ValueError, match="cast it to string"):
+        bloom_index_write(dfb, str(tmp_path / "b"), "day", "key", 4)
+    dfi = spark.range(0, 500).select(
+        (F.col("id") % 20).alias("day"),
+        (F.col("id") * 7 + 1).alias("key"),
+        (F.col("id") + 100).alias("payload"),
+    )
+    path = str(tmp_path / "i")
+    meta = bloom_index_write(dfi, path, "day", "key", 8)
+    out, st = bloom_skipping_read(spark, path, [7 * 123 + 1])
+    assert [r["payload"] for r in out.collect()] == [223]
+    assert st["files_hit"] < st["files_total"]
+    from nineinfra_spark.operators.bloomindex import bloom_probe_files_table
+
+    with pytest.raises(TypeError, match="str or int"):
+        bloom_probe_files_table(spark, path, [True])
+    with pytest.raises(TypeError, match="str or int"):
+        bloom_probe_files_table(spark, path, [1.5])
+    # the driver-side JSON probe applies the same rendering guard
+    mj = bloom_index_write(
+        dfi, str(tmp_path / "ij"), "day", "key", 8, bits_storage="json"
+    )
+    with pytest.raises(TypeError, match="str or int"):
+        bloom_probe_files(mj, [True])
+
+
+def test_nondeterministic_source_is_pinned(spark, tmp_path):
+    """The build pins its input ONCE: a genuinely non-deterministic
+    source (random-filter UDF — different rows per action) must still
+    yield bitmaps covering exactly the rows the parquet files hold;
+    without the pin the bounds agg, the write, and the bitmap agg
+    would each see a different subset → false negatives."""
+    import random
+
+    from pyspark.sql.functions import udf
+
+    flaky = udf(lambda: random.random() < 0.5, "boolean").asNondeterministic()
+    df = _frame(spark).filter(flaky())
+    path = str(tmp_path / "nd")
+    meta = bloom_index_write(df, path, "day", "key", 8)
+    from nineinfra_spark.operators.bloomindex import load_bits
+
+    bitsets = load_bits(spark, path)
+    rows = spark.read.parquet(path).select("key", "fid").collect()
+    assert rows  # the random filter kept something (p≈1 at N=2000)
+    for r in rows:
+        pos = _positions_py(r["key"], meta["m_bits"], meta["k"])
+        assert all(p in bitsets[r["fid"]] for p in pos), r["key"]
+
+
+def test_crash_window_key_dedup_converges(spark, tmp_path):
+    """marker-AFTER-data ordering: simulate the one remaining crash
+    window (bits + data committed, marker unwritten) and prove that a
+    key_cols replay CONVERGES — no duplicate rows, probes exact."""
+    from nineinfra_spark.operators.bloomindex import (
+        _write_sidecar,
+        bloom_index_append,
+    )
+
+    df = _frame(spark)
+    path = str(tmp_path / "cw")
+    bloom_index_write(df, path, "day", "key", 8)
+    delta = spark.range(N, N + 200).select(
+        (F.col("id") % 100).alias("day"),
+        F.md5(F.col("id").cast("string")).alias("key"),
+        (F.col("id") * 3).alias("payload"),
+    )
+    st = bloom_index_append(spark, path, delta, batch_id=0, key_cols=["key"])
+    assert st["rows_appended"] == 200
+    total = spark.read.parquet(path).count()
+    assert total == N + 200
+    # crash simulation: rewind the marker the append wrote LAST
+    meta = read_index_meta(path)
+    assert meta["last_batch_id"] == 0
+    del meta["last_batch_id"]
+    _write_sidecar(path, meta)
+    # foreachBatch re-delivers batch 0 → the upsert dedups, converged
+    st2 = bloom_index_append(spark, path, delta, batch_id=0, key_cols=["key"])
+    assert st2.get("skipped_replay") is None
+    assert spark.read.parquet(path).count() == total
+    assert read_index_meta(path)["last_batch_id"] == 0
+    import hashlib
+
+    k = hashlib.md5(str(N + 7).encode()).hexdigest()
+    out, _ = bloom_skipping_read(spark, path, [k])
+    assert [r["payload"] for r in out.collect()] == [(N + 7) * 3]
+    # and a marker-committed replay short-circuits as before
+    st3 = bloom_index_append(spark, path, delta, batch_id=0, key_cols=["key"])
+    assert st3.get("skipped_replay") is True
+
+
+def test_table_storage_matches_json_storage(spark, tmp_path):
+    """Default table-backed bitmaps and the JSON sidecar encode the
+    SAME bit sets and probe to the same fid set — sharding the
+    sidecar is a storage change, not a semantics change."""
+    import hashlib
+
+    from nineinfra_spark.operators.bloomindex import (
+        bloom_probe_files_table,
+        load_bits,
+    )
+
+    df = _frame(spark)
+    pt, pj = str(tmp_path / "t"), str(tmp_path / "j")
+    mt = bloom_index_write(df, pt, "day", "key", N_FILES)
+    mj = bloom_index_write(df, pj, "day", "key", N_FILES, bits_storage="json")
+    assert mt["bits_storage"] == "table" and "bits" not in mt
+    assert load_bits(spark, pt) == load_bits(spark, pj)
+    probe = [
+        hashlib.md5(str(i).encode()).hexdigest() for i in (1, 42, 999)
+    ] + ["absent-key"]
+    assert bloom_probe_files_table(spark, pt, probe) == bloom_probe_files(
+        mj, probe
+    )
+    ot, st_t = bloom_skipping_read(spark, pt, probe)
+    oj, st_j = bloom_skipping_read(spark, pj, probe)
+    assert st_t == st_j
+    assert sorted(map(tuple, ot.collect())) == sorted(map(tuple, oj.collect()))
+
+
+def test_table_append_merges_sparkside_and_compact_vacuums(spark, tmp_path):
+    """Table-backed append merges words Spark-side into a FRESH
+    versioned bits dir (the old version stays for in-flight probes);
+    compact vacuums every version the sidecar no longer references."""
+    import hashlib
+    import os as _os
+
+    from nineinfra_spark.operators.bloomindex import (
+        bloom_index_append,
+        bloom_index_compact,
+    )
+
+    path = str(tmp_path / "ta")
+    bloom_index_write(_frame(spark), path, "day", "key", 8)
+    delta = spark.range(N, N + 200).select(
+        (F.col("id") % 100).alias("day"),
+        F.md5(F.col("id").cast("string")).alias("key"),
+        (F.col("id") * 3).alias("payload"),
+    )
+    st = bloom_index_append(spark, path, delta, batch_id=0)
+    assert st["rows_appended"] == 200 and st["new_bits"] > 0
+    meta = read_index_meta(path)
+    assert meta["bits_storage"] == "table"
+    assert meta["bits_dir"] != "_bloomindex_bits"
+    dirs = sorted(
+        d for d in _os.listdir(path) if d.startswith("_bloomindex_bits")
+    )
+    assert len(dirs) == 2  # old version retained for racing readers
+    # probes exact for a new and an old key through the new bits table
+    for i in (N + 13, 5):
+        k = hashlib.md5(str(i).encode()).hexdigest()
+        out, s = bloom_skipping_read(spark, path, [k])
+        assert [r["payload"] for r in out.collect()] == [i * 3]
+        assert s["files_hit"] < s["files_total"]
+    cst = bloom_index_compact(spark, path)
+    assert cst["bits_dirs_vacuumed"] == 1
+    left = [d for d in _os.listdir(path) if d.startswith("_bloomindex_bits")]
+    assert left == [meta["bits_dir"]]
+    k = hashlib.md5(str(N + 13).encode()).hexdigest()
+    out, s = bloom_skipping_read(spark, path, [k])
+    assert [r["payload"] for r in out.collect()] == [(N + 13) * 3]

@@ -909,3 +909,31 @@ class TestMissingPathAnchored:
             )
             is None
         )
+
+
+def test_publish_snapshot_properties_with_quotes(spark):
+    """TBLPROPERTIES keys/values are interpolated into SQL — a quote or
+    backslash in a PUBLIC-API property must roundtrip, not break the
+    ALTER TABLE statement (or inject into it)."""
+    from nineinfra_spark.operators.merge import (
+        publish_snapshot,
+        read_table_property,
+    )
+
+    _cleanup_prefix(spark, "prop_q")
+    spark.createDataFrame([(1, "live")], "id long, tag string").write.mode(
+        "overwrite"
+    ).saveAsTable("prop_q")
+    snap = spark.createDataFrame([(2, "new")], "id long, tag string")
+    publish_snapshot(
+        spark,
+        "prop_q",
+        snap,
+        properties={"nine.note": "it's a 'quoted' value \\ with backslash"},
+    )
+    assert (
+        read_table_property(spark, "prop_q", "nine.note")
+        == "it's a 'quoted' value \\ with backslash"
+    )
+    assert {r["tag"] for r in spark.table("prop_q").collect()} == {"new"}
+    _cleanup_prefix(spark, "prop_q")
