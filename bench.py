@@ -159,6 +159,12 @@ HEADLINE = [
     "text_snapshot_drift",
     # r13: versioned-table CDC audit diff
     "catalog_snapshot_diff",
+    # r14: bloom point-lookup skipping + index-health gate, curation
+    # audit ledger, streaming z-layout maintainer
+    "bloom_skipping_read",
+    "dq_bloom_fill_audit",
+    "curate_rejection_ledger",
+    "stream_zorder_maintenance",
 ]
 
 

@@ -382,20 +382,18 @@ def bloom_index_write(
         .partitionBy("fid")
         .parquet(path)
     )
-    # bitmap build: (fid, bit) distinct → aggregate — map-side
-    # combined, ≤ n_files × m_bits rows ever shuffle. A NULL key
-    # hashes to an ARRAY OF NULLS (not a null array), so explode
-    # emits null bits — filtered here so null keys are never indexed
-    # under either storage (collect_set happened to drop them; the
-    # word aggregation would propagate them).
-    bits_pairs = (
-        tagged.select(
-            "fid",
-            F.explode(_positions(F.col(key_col), m_bits, k)).alias("bit"),
-        )
-        .filter(F.col("bit").isNotNull())
-        .distinct()
-    )
+    # bitmap build: (fid, bit) pairs → one map-side-combined aggregate
+    # (bit_or / collect_set dedup on their own — an explicit distinct
+    # would add a second full exchange for nothing); ≤ n_files ×
+    # m_bits rows ever shuffle. A NULL key hashes to an ARRAY OF
+    # NULLS (not a null array), so explode emits null bits — filtered
+    # here so null keys are never indexed under either storage
+    # (collect_set happened to drop them; the word aggregation would
+    # propagate them).
+    bits_pairs = tagged.select(
+        "fid",
+        F.explode(_positions(F.col(key_col), m_bits, k)).alias("bit"),
+    ).filter(F.col("bit").isNotNull())
     meta = {
         "layout_col": layout_col,
         "key_col": key_col,
@@ -548,16 +546,12 @@ def bloom_index_append(
     # dirty fids from the ROWS, not the bits — NULL-key rows carry no
     # bits but still land in (and, under key_cols, must rewrite) files
     dirty = [r["fid"] for r in tagged.select("fid").distinct().collect()]
-    delta_pairs = (
-        tagged.select(
-            "fid",
-            F.explode(
-                _positions(F.col(meta["key_col"]), m_bits, k)
-            ).alias("bit"),
-        )
-        .filter(F.col("bit").isNotNull())  # null keys are never indexed
-        .distinct()
-    )
+    delta_pairs = tagged.select(
+        "fid",
+        F.explode(
+            _positions(F.col(meta["key_col"]), m_bits, k)
+        ).alias("bit"),
+    ).filter(F.col("bit").isNotNull())  # null keys are never indexed
     if meta.get("bits_storage") == "table":
         # Spark-side merge: old words ∪ delta words, bit_or per
         # (fid, w) — index-sized, nothing bitmap-shaped on the driver.
@@ -850,12 +844,18 @@ def bloom_skipping_read(
     from pyspark.sql import types as T
 
     meta = read_index_meta(path)
+    # files_total is the PHYSICAL file count — the denominator a naive
+    # reader would open; a free directory listing, not a Spark job
+    # (and unlike the bits table it also counts files holding only
+    # NULL keys, which carry no bitmap yet still exist on disk)
+    n_present = sum(
+        1
+        for d in os.listdir(path)
+        if d.startswith("fid=") and os.path.isdir(os.path.join(path, d))
+    )
     if meta.get("bits_storage") == "table":
-        bits = spark.read.parquet(os.path.join(path, meta["bits_dir"]))
-        n_present = bits.select("fid").distinct().count()
         hit = bloom_probe_files_table(spark, path, keys, meta)
     else:
-        n_present = len(meta["bits"])
         hit = bloom_probe_files(meta, keys)
     stats = {
         "files_total": n_present,

@@ -116,6 +116,15 @@ def rename_prefix(
             f"rename_prefix: src {src_prefix!r} and dst {dst_prefix!r} "
             "must use the same trailing-slash style"
         )
+    if src_prefix == dst_prefix:
+        # the copy phase would no-op (every object copied onto itself)
+        # and the delete phase would then REMOVE THE ENTIRE PREFIX —
+        # a "rename to itself" must not be a data-loss path (r14
+        # review finding).
+        raise ValueError(
+            f"rename_prefix: src and dst are the same prefix "
+            f"{src_prefix!r} — a self-rename would delete the data"
+        )
     keys = [
         k
         for k in list_prefix(s3, bucket, src_prefix)

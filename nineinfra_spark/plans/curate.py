@@ -182,6 +182,65 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "curate_rejection_ledger",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, {TOKS_DUCK} AS toks FROM documents
+    ),
+    corpus AS (
+        SELECT * FROM tok WHERE doc_id >= {N_EVAL_DOCS}
+    ),
+    feat AS (
+        SELECT doc_id, toks,
+               len(toks) AS n_tokens,
+               list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+                   AS sum_len,
+               len(list_filter(toks, x -> list_contains([{_STOP}], x)))
+                   AS n_stop
+        FROM corpus WHERE len(toks) > 0
+    ),
+    gated AS (
+        SELECT doc_id, toks FROM feat
+        WHERE {_QINT_DUCK} >= {QUALITY_MIN_INT}
+    ),
+    deduped AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY md5(array_to_string(toks, ' '))
+                ORDER BY doc_id
+            ) AS rn
+            FROM gated
+        ) WHERE rn = 1
+    ),
+    eval_sh AS (
+        SELECT DISTINCT unnest({SH_DUCK}) AS s
+        FROM tok WHERE doc_id < {N_EVAL_DOCS}
+    ),
+    contaminated AS (
+        SELECT DISTINCT doc_id FROM (
+            SELECT doc_id, unnest({SH_DUCK}) AS s FROM deduped
+        ) c WHERE c.s IN (SELECT s FROM eval_sh)
+    ),
+    counts AS (
+        SELECT 'corpus' AS stage,
+               (SELECT COUNT(*) FROM corpus) AS n_docs
+        UNION ALL SELECT 'quality_gate',
+               (SELECT COUNT(*) FROM corpus) - (SELECT COUNT(*) FROM gated)
+        UNION ALL SELECT 'exact_duplicate',
+               (SELECT COUNT(*) FROM gated) - (SELECT COUNT(*) FROM deduped)
+        UNION ALL SELECT 'contaminated',
+               (SELECT COUNT(*) FROM contaminated)
+        UNION ALL SELECT 'kept',
+               (SELECT COUNT(*) FROM deduped)
+               - (SELECT COUNT(*) FROM contaminated)
+    )
+    SELECT stage, CAST(n_docs AS BIGINT) AS n_docs FROM counts
+    """,
+    # bounded-nlj: the stage-count crossJoins pair 1-ROW aggregate
+    # frames (count × count) — constant-size broadcast NLJ by design
+    tags=("curate", "audit", "ledger", "bounded-nlj"),
+)
 def curate_rejection_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curation AUDIT twin of :func:`pipeline_curate_corpus`:
     where did the corpus go? One row per stage with the docs REJECTED
@@ -193,11 +252,10 @@ def curate_rejection_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     ledger rows sum exactly to the corpus size — pinned in
     tests/test_ext_pipeline.py against the pipeline's own output.
 
-    Not yet registered (r12-continuation: the verify window had no
-    free slot); the oracle for r13/r14 registration is the pipeline
-    oracle's CTE chain with per-stage counts. Scale posture: the same
-    plan as the pipeline with 1-row count aggregates instead of row
-    output — no new shuffle shape.
+    Registered r14 (draft oracle pinned green in r13 —
+    tests/test_ext_pipeline.py::test_rejection_ledger_matches_draft_oracle).
+    Scale posture: the same plan as the pipeline with 1-row count
+    aggregates instead of row output — no new shuffle shape.
     """
     docs = t(spark, sf_dir, "documents")
     tok = _cpu_spread(docs).select(

@@ -202,3 +202,128 @@ def dq_volume_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("h") <= 48).alias("ok"),
     )
     return vol.unionByName(fresh)
+
+
+#: dq_bloom_fill_audit geometry — static because the oracle SQL must
+#: state the same constants. customer sf0.1 = 15k rows / 8 files ≈
+#: 1.9k keys/file; m = 32768 keeps fill ≈ 0.2 (healthy), smaller SFs
+#: run sparser still.
+_AUD_NF, _AUD_M, _AUD_K = 8, 32768, 4
+
+
+def _bloom_audit_oracle() -> str:
+    """DuckDB recomputes the per-file audit from raw customer rows:
+    grid assignment, the DISTINCT hash-position count per file (which
+    must equal the popcount of the Spark-side packed words — an
+    independent pin on the bitmap word encoding), and the saturation
+    verdict as an integer comparison."""
+    NF, M, K = _AUD_NF, _AUD_M, _AUD_K
+
+    def hash60(expr: str, salt: str) -> str:
+        return (
+            f"CAST(CONCAT('0x', SUBSTR(md5(CONCAT('{salt}', "
+            f"CAST({expr} AS VARCHAR))), 1, 15)) AS BIGINT)"
+        )
+
+    bit_union = " UNION ALL ".join(
+        f"SELECT fid, {hash60('c_name', f'bloom{j}/')} % {M} AS bit "
+        f"FROM assigned"
+        for j in range(K)
+    )
+    return f"""
+    WITH base AS (
+        SELECT c_custkey, c_name FROM customer
+    ),
+    bounds AS (
+        SELECT MIN(CAST(c_custkey AS DOUBLE)) AS lo,
+               MAX(CAST(c_custkey AS DOUBLE)) AS hi
+        FROM base
+    ),
+    assigned AS (
+        SELECT c_custkey, c_name,
+               GREATEST(0, LEAST({NF - 1},
+                   CAST(FLOOR((CAST(c_custkey AS DOUBLE) - lo)
+                        / (CASE WHEN hi - lo = 0 THEN 1.0 ELSE hi - lo END)
+                        * {NF}) AS INT))) AS fid
+        FROM base, bounds
+    ),
+    bits AS (SELECT DISTINCT fid, bit FROM ({bit_union})),
+    per AS (
+        SELECT fid, COUNT(*) AS n_rows,
+               COUNT(DISTINCT c_name) AS n_keys
+        FROM assigned GROUP BY fid
+    ),
+    sb AS (SELECT fid, COUNT(*) AS set_bits FROM bits GROUP BY fid)
+    SELECT CAST(per.fid AS BIGINT) AS fid,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_keys AS BIGINT) AS n_keys,
+           CAST(set_bits AS BIGINT) AS set_bits,
+           set_bits * 2 > {M} AS saturated
+    FROM per JOIN sb ON per.fid = sb.fid
+    """
+
+
+@query(
+    "dq_bloom_fill_audit",
+    oracle=_bloom_audit_oracle(),
+    tags=("dq", "bloom", "index", "audit"),
+)
+def dq_bloom_fill_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-health expectation over a per-file Bloom index
+    (``operators/bloomindex.py``): one row per file with its row
+    count, distinct key count, bitmap POPCOUNT, and the saturation
+    verdict (``set_bits * 2 > m_bits`` — fill past 0.5 means the
+    fill^k false-positive model has degraded and the index needs a
+    resize, the check `bloom_index_write` warns on). This is the
+    dq-gate form of that warning: an orchestration sensor runs it
+    after every maintenance window the way `dq_expectations` gates
+    table constraints.
+
+    The oracle recomputes the per-file DISTINCT hash-position count
+    from the raw rows, which must equal the popcount of the packed
+    63-bit words in the parquet bits table — so this query also pins
+    the table-backed word encoding end-to-end against an independent
+    engine (build one way, audit the other). All comparisons are
+    integer-exact.
+
+    Scale posture: the audit is two index-sized aggregates — a
+    popcount scan of the bits table (n_files × m/63 rows) and one
+    count/distinct pass over the data grouped by the fid partition
+    column — joined on fid; nothing row-sized reaches the driver."""
+    import os as _os
+    import shutil as _shutil
+
+    from nineinfra_spark.operators.bloomindex import (
+        bloom_index_write,
+        read_index_meta,
+    )
+    from nineinfra_spark.plans.sources_sinks import _out
+
+    sfx = _os.path.basename(sf_dir)
+    path = _out("bloom_audit", sfx, "customer_bloom")
+    _shutil.rmtree(path, ignore_errors=True)  # idempotent re-runs
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    bloom_index_write(
+        cust, path, "c_custkey", "c_name", _AUD_NF, _AUD_M, _AUD_K
+    )
+    meta = read_index_meta(path)
+    set_bits = (
+        spark.read.parquet(_os.path.join(path, meta["bits_dir"]))
+        .groupBy("fid")
+        .agg(F.sum(F.bit_count("word")).alias("set_bits"))
+    )
+    per = (
+        spark.read.parquet(path)
+        .groupBy("fid")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("c_name").alias("n_keys"),
+        )
+    )
+    return per.join(set_bits, "fid").select(
+        F.col("fid").cast("bigint").alias("fid"),
+        "n_rows",
+        "n_keys",
+        "set_bits",
+        (F.col("set_bits") * 2 > F.lit(_AUD_M)).alias("saturated"),
+    )

@@ -1967,6 +1967,165 @@ def zorder_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: bloom_skipping_read geometry — static because the oracle SQL must
+#: state the same constants. m_bits sized for the LARGEST bench SF
+#: (sf0.1: 150k orders / 24 files ≈ 6.3k keys/file → fill ≈ 0.32,
+#: fp ≈ 1% — m_bits_for(6250) ≈ 66k); smaller SFs just run sparser.
+_BLOOM_NF, _BLOOM_M, _BLOOM_K = 24, 65536, 4
+
+
+def _bloom_skip_oracle() -> str:
+    """DuckDB recomputes the ENTIRE bloom-skipping contract from raw
+    orders: fid assignment (frozen-bounds grid), per-file bit sets
+    (the md5 ``stable_hash64`` family — engine-portable integer
+    arithmetic), probe admission (all-k-positions containment), and
+    the final stats + filtered aggregate row. Any drift in the grid,
+    the hashing, or the admission logic breaks the hash match."""
+    M, K, NF = _BLOOM_M, _BLOOM_K, _BLOOM_NF
+
+    def hash60(expr: str, salt: str) -> str:
+        return (
+            f"CAST(CONCAT('0x', SUBSTR(md5(CONCAT('{salt}', "
+            f"CAST({expr} AS VARCHAR))), 1, 15)) AS BIGINT)"
+        )
+
+    pos_union = " UNION ALL ".join(
+        f"SELECT o_orderkey AS pkey, {j} AS j, "
+        f"{hash60('o_orderkey', f'bloom{j}/')} % {M} AS pos FROM probes"
+        for j in range(K)
+    )
+    bit_union = " UNION ALL ".join(
+        f"SELECT fid, {hash60('o_orderkey', f'bloom{j}/')} % {M} AS bit "
+        f"FROM assigned"
+        for j in range(K)
+    )
+    return f"""
+    WITH base AS (
+        SELECT o_orderkey, o_totalprice,
+               date_diff('day', DATE '1970-01-01', o_orderdate) AS lay
+        FROM orders
+    ),
+    bounds AS (
+        SELECT MIN(CAST(lay AS DOUBLE)) AS lo,
+               MAX(CAST(lay AS DOUBLE)) AS hi
+        FROM base
+    ),
+    assigned AS (
+        SELECT base.*,
+               GREATEST(0, LEAST({NF - 1},
+                   CAST(FLOOR((CAST(lay AS DOUBLE) - lo)
+                        / (CASE WHEN hi - lo = 0 THEN 1.0 ELSE hi - lo END)
+                        * {NF}) AS INT))) AS fid
+        FROM base, bounds
+    ),
+    probes AS (
+        SELECT o_orderkey FROM orders
+        ORDER BY md5(CAST(o_orderkey AS VARCHAR)) LIMIT 5
+    ),
+    pos AS ({pos_union}),
+    bits AS (SELECT DISTINCT * FROM ({bit_union})),
+    hits AS (
+        SELECT b.fid
+        FROM pos p JOIN bits b ON b.bit = p.pos
+        GROUP BY b.fid, p.pkey
+        HAVING COUNT(DISTINCT p.j) = {K}
+    ),
+    fstats AS (
+        SELECT (SELECT COUNT(DISTINCT fid) FROM assigned) AS files_total,
+               (SELECT COUNT(DISTINCT fid) FROM hits) AS files_hit
+    )
+    SELECT CAST(files_total AS BIGINT) AS files_total,
+           CAST(files_hit AS BIGINT) AS files_hit,
+           CAST(files_total - files_hit AS BIGINT) AS files_skipped,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM assigned
+            WHERE o_orderkey IN (SELECT o_orderkey FROM probes)) AS n_rows,
+           (SELECT CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2)))
+                   AS DOUBLE) FROM assigned
+            WHERE o_orderkey IN (SELECT o_orderkey FROM probes)) AS sum_price
+    FROM fstats
+    """
+
+
+@query(
+    "bloom_skipping_read",
+    oracle=_bloom_skip_oracle(),
+    tags=("sink", "layout", "bloom", "skipping"),
+)
+def bloom_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-index point-lookup READ proof — the payoff half of
+    ``operators/bloomindex.py`` (the complement of
+    `zorder_skipping_read`: min-max envelopes skip RANGE predicates on
+    the layout columns; the per-file Bloom bitmap skips POINT lookups
+    on a high-cardinality secondary key the layout was NOT built on).
+    Write orders date-laid-out into 24 fid-partitioned files with a
+    table-backed bitmap index over ``o_orderkey``, probe a
+    deterministic 5-key point-lookup set (the 5 smallest md5(key)
+    values — md5 is injective over distinct bigints for all practical
+    purposes, so the ORDER BY is total and both engines pick the same
+    keys), and report how many files the probe had to open
+    (``files_hit`` vs ``files_total`` — 5 keys hit ≤ 5-ish of 24
+    files, so the skipping is REAL, not a read-everything degenerate)
+    plus the exact count/decimal-sum over the rows the pruned read
+    returned.
+    The oracle recomputes grid, bitmaps, and admission arithmetically,
+    so the stats AND the row contents are both pinned.
+
+    Scale posture: the index build is one bounds agg + one hash
+    exchange + a map-side-combined (fid, bit) aggregate written as a
+    parquet bits TABLE (index-sized, never driver-resident — the r13
+    verdict's sharding fix); the probe is a broadcast join of the
+    probe keys' (word, mask) pairs against that table; the data read
+    is partition-pruned to the hit files (skipped files never open —
+    plan-asserted in tests/test_bloomindex.py). Reference scope:
+    storage-tier indexing over the object store the reference
+    provisions (``internal/controller/minio.go:286-319``); index
+    semantics are native here, Delta's BLOOM FILTER INDEX shape."""
+    import shutil
+
+    from nineinfra_spark.operators.bloomindex import (
+        bloom_index_write,
+    )
+    from nineinfra_spark.operators.bloomindex import (
+        bloom_skipping_read as _bloom_read,
+    )
+
+    orders = t(spark, sf_dir, "orders")
+    df = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.datediff("o_orderdate", F.lit("1970-01-01")).alias("lay"),
+    )
+    path = _out("bloom_skip", os.path.basename(sf_dir), "orders_bloom")
+    shutil.rmtree(path, ignore_errors=True)  # idempotent re-runs
+    bloom_index_write(
+        df, path, "lay", "o_orderkey", _BLOOM_NF, _BLOOM_M, _BLOOM_K
+    )
+    probe = [
+        r["o_orderkey"]
+        for r in orders.select(
+            "o_orderkey",
+            F.md5(F.col("o_orderkey").cast("string")).alias("h"),
+        )
+        .orderBy("h")
+        .limit(5)
+        .collect()
+    ]
+    out, stats = _bloom_read(spark, path, probe)
+    res = out.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+    return res.select(
+        F.lit(stats["files_total"]).cast("bigint").alias("files_total"),
+        F.lit(stats["files_hit"]).cast("bigint").alias("files_hit"),
+        F.lit(stats["files_skipped"]).cast("bigint").alias("files_skipped"),
+        F.col("n_rows"),
+        F.col("sum_price"),
+    )
+
+
 @query(
     "catalog_snapshot_diff",
     oracle="""

@@ -923,3 +923,127 @@ def stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit(-1).cast("bigint").alias("week"), "n_distinct")
     )
     return weekly.select("week", "n_distinct").unionByName(total)
+
+
+def _zstream_oracle() -> str:
+    """DuckDB mirror of ``stream_zorder_maintenance``: the final
+    layout's rows grouped by z-bucket. The seed slice freezes the
+    grid (bounds from ``event_id % 3 = 0`` rows only — the
+    ``zorder_layout_write`` contract), every event is then bucketed
+    by the identical clamped 8-bit Morton arithmetic as the proven
+    ``zorder_skipping_read`` oracle, so a batch dropped, duplicated,
+    or mis-bucketed anywhere in the streaming append loop breaks the
+    hash."""
+    bits, k, grid, zb_shift = 8, 2, 255, 11
+    cells = []
+    for c in ("user_id", "value"):
+        cells.append(
+            f"GREATEST(0, LEAST({grid}, CAST(FLOOR("
+            f"(CAST({c} AS DOUBLE) - lo_{c}) / span_{c} * {grid}) AS BIGINT)))"
+        )
+    z = " | ".join(
+        f"((((c{i} >> {b}) & 1)) << {b * k + i})"
+        for b in range(bits)
+        for i in range(k)
+    )
+    return f"""
+    WITH seed AS (
+        SELECT user_id, value FROM events WHERE event_id % 3 = 0
+    ),
+    stats AS (
+        SELECT CAST(MIN(CAST(user_id AS DOUBLE)) AS DOUBLE) AS lo_user_id,
+               CAST(MAX(CAST(user_id AS DOUBLE)) - MIN(CAST(user_id AS DOUBLE)) AS DOUBLE) AS span_user_id,
+               CAST(MIN(CAST(value AS DOUBLE)) AS DOUBLE) AS lo_value,
+               CAST(MAX(CAST(value AS DOUBLE)) - MIN(CAST(value AS DOUBLE)) AS DOUBLE) AS span_value
+        FROM seed
+    ),
+    cells AS (
+        SELECT value, {cells[0]} AS c0, {cells[1]} AS c1
+        FROM events CROSS JOIN stats
+    ),
+    zbt AS (
+        SELECT ({z}) >> {zb_shift} AS zb, value FROM cells
+    )
+    SELECT CAST(zb AS BIGINT) AS zb,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(value * 1000000000.0) AS BIGINT)) AS BIGINT)
+               AS sum_value_nanos
+    FROM zbt GROUP BY zb
+    """
+
+
+@query(
+    "stream_zorder_maintenance",
+    oracle=_zstream_oracle(),
+    tags=("streaming", "zorder", "layout", "foreachBatch"),
+)
+def stream_zorder_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous LAYOUT maintenance: the table stays z-clustered
+    WHILE it ingests. A deterministic seed slice (``event_id % 3 =
+    0``) is laid out with ``zorder_layout_write`` (freezing the grid
+    bounds); the remaining events arrive as a file-source stream and
+    ``maintain_layout_stream`` merges every micro-batch through
+    ``zorder_layout_append`` — per batch, ONLY the dirty z-buckets are
+    rewritten (dynamic-partition overwrite), so maintenance cost
+    tracks the batch, not the table. This registers the last shipped
+    maintainer that had no correctness-gate query (r12: operator +
+    pytest only); the dedup-index and rollup maintainers are its
+    siblings over managed tables.
+
+    Exactly-once: Spark's checkpoint replays the last batch after a
+    restart; the sidecar ``last_batch_id`` marker skips replayed
+    batches and ``key_cols=["event_id"]`` dedups the one crash window
+    between the partition-overwrite commit and the marker write
+    (tests/test_zorder.py pins the algebra; the checkpoint-recovery
+    replay is proven end-to-end for the sibling maintainers in
+    tests/test_stream_dedup_index.py / test_stream_rollup.py).
+
+    Scale posture: the stream's own state is nothing but source
+    offsets; each batch costs one z-value projection + the dirty
+    buckets' rewrite (measured flat for 10× table size at fixed batch
+    size, r12). Reference scope: continuous ingest+OPTIMIZE over the
+    provisioned object store (``internal/controller/minio.go:
+    286-319``); Delta's optimizeWrite/auto-compaction shape, native
+    here."""
+    import os as _os
+    import shutil as _shutil
+
+    from nineinfra_spark.operators.zorder import (
+        maintain_layout_stream,
+        zorder_layout_write,
+    )
+    from nineinfra_spark.plans.sources_sinks import _out
+
+    sfx = _os.path.basename(sf_dir)
+    root = _out("zorder_stream", sfx)
+    _shutil.rmtree(root, ignore_errors=True)
+    path = _os.path.join(root, "events_z")
+    ckpt = _os.path.join(root, "ckpt")
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    seed = ev.filter(F.col("event_id") % 3 == 0)
+    zorder_layout_write(seed, path, ["user_id", "value"], bits=8, bucket_bits=5)
+    delta = (
+        read_events_stream(spark, sf_dir, maxFilesPerTrigger="1")
+        .filter(F.col("event_id") % 3 != 0)
+        .select("event_id", "user_id", "value")
+    )
+    q = maintain_layout_stream(
+        delta, path, ckpt, key_cols=["event_id"], trigger_available_now=True
+    )
+    q.awaitTermination()
+    capture_microbatch_plan(q, "stream_zorder_maintenance")
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("zb")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.round(F.col("value") * F.lit(1000000000.0)).cast("bigint")
+            ).alias("sum_value_nanos"),
+        )
+        .select(
+            F.col("zb").cast("bigint").alias("zb"),
+            "n_rows",
+            "sum_value_nanos",
+        )
+    )

@@ -91,3 +91,67 @@ def test_spark_and_driver_hashing_agree_on_generated_values(spark, keys):
     got = {r["v"]: list(r["pos"]) for r in df.collect()}
     for v in keys:
         assert got[v] == _positions_py(v, m, k), repr(v)
+
+
+@given(st.sets(st.integers(min_value=0, max_value=1 << 14), max_size=300))
+@settings(max_examples=5, deadline=None)
+def test_words_df_roundtrips_positions(spark, bits):
+    """The table-backed 63-bit word encoding must reproduce exactly
+    the position set it was built from — the pack/unpack roundtrip
+    property, restated for the parquet words (one Spark job per
+    example)."""
+    from nineinfra_spark.operators.bloomindex import WORD_BITS, _words_df
+
+    rows = [(0, b) for b in sorted(bits)]
+    df = spark.createDataFrame(rows, "fid int, bit long")
+    got = set()
+    for r in _words_df(df).collect():
+        for i in range(WORD_BITS):
+            if (r["word"] >> i) & 1:
+                got.add(r["w"] * WORD_BITS + i)
+    assert got == bits
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)),
+            min_size=0,
+            max_size=20,
+        ),
+        min_size=2,
+        max_size=30,
+        unique=True,
+    )
+)
+@settings(max_examples=3, deadline=None)
+def test_table_and_json_probes_agree_on_generated_keys(
+    spark, tmp_path_factory, keys
+):
+    """Build the SAME generated corpus under both bitmap storages;
+    the broadcast-join probe and the driver-side probe must admit the
+    same fid sets, and every indexed key must be admitted (no false
+    negatives) under both."""
+    from nineinfra_spark.operators.bloomindex import (
+        bloom_index_write,
+        bloom_probe_files,
+        bloom_probe_files_table,
+    )
+
+    base = tmp_path_factory.mktemp("prop")
+    rows = [(i % 7, k_) for i, k_ in enumerate(keys)]
+    df = spark.createDataFrame(rows, "lay int, key string")
+    pt, pj = str(base / "t"), str(base / "j")
+    bloom_index_write(df, pt, "lay", "key", 4, m_bits=2048)
+    mj = bloom_index_write(
+        df, pj, "lay", "key", 4, m_bits=2048, bits_storage="json"
+    )
+    probe = keys[: len(keys) // 2] + ["@absent1", "@absent2"]
+    got_t = bloom_probe_files_table(spark, pt, probe)
+    got_j = bloom_probe_files(mj, probe)
+    assert got_t == got_j
+    for k_ in keys:
+        assert bloom_probe_files_table(spark, pt, [k_]) == bloom_probe_files(
+            mj, [k_]
+        )
+        assert bloom_probe_files(mj, [k_]), repr(k_)  # indexed ⇒ admitted

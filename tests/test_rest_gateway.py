@@ -903,6 +903,29 @@ class TestBloomProbeEndpoint:
         assert out["filesSkipped"] == out["filesTotal"] - out["filesHit"]
         assert out["truncated"] is False
 
+    def test_nonportable_probe_key_400(self, spark, rest, tmp_path):
+        """A probe key whose Python rendering diverges from Spark's
+        cast('string') (float, bool) must surface as a clean 400 —
+        never a silent false-negative probe (r14 key-type guard)."""
+        from nineinfra_spark.operators.bloomindex import bloom_index_write
+        from pyspark.sql import functions as F
+
+        df = spark.range(0, 100).select(
+            (F.col("id") % 5).alias("day"),
+            F.col("id").cast("string").alias("key"),
+        )
+        path = str(tmp_path / "bk")
+        bloom_index_write(df, path, "day", "key", 4)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{rest.port}/api/v1/ops/bloom-probe",
+            data=json.dumps({"path": path, "keys": [1.5]}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req)
+        assert e.value.code == 400
+        assert "str or int" in json.loads(e.value.read())["error"]
+
     def test_bad_keys_type_400(self, rest):
         req = urllib.request.Request(
             f"http://127.0.0.1:{rest.port}/api/v1/ops/bloom-probe",

@@ -257,3 +257,16 @@ def test_rename_rejects_mismatched_slash_styles(s3):
     # nothing moved, nothing deleted
     assert _read_all(s3, "t6/live/") == data
     assert list_prefix(s3, BUCKET, "t6/archive") == []
+
+
+def test_self_rename_refused(s3):
+    """rename_prefix(src == dst) would copy every object onto itself
+    and then DELETE the whole prefix — a self-rename must refuse, not
+    lose data (r14 review finding)."""
+    from nineinfra_spark.operators.objstore import rename_prefix
+
+    data = _stage(s3, "wh/selfsame/", 3)
+    with pytest.raises(ValueError, match="same prefix"):
+        rename_prefix(s3, BUCKET, "wh/selfsame/", "wh/selfsame/")
+    keys = list_prefix(s3, BUCKET, "wh/selfsame/")
+    assert sorted(keys) == sorted(f"wh/selfsame/{k}" for k in data)
