@@ -150,10 +150,11 @@ _BITS_TABLE = "_bloomindex_bits"  # initial bits-table dir (appends version it)
 
 
 def _words_df(pairs: DataFrame, word_bits: int = WORD_BITS) -> DataFrame:
-    """Distinct ``(fid, bit)`` pairs → the ``(fid, w, word)`` bitmap
-    words of the table-backed encoding. Map-side-combined ``bit_or``
-    aggregation; output ≤ n_files × ceil(m_bits / word_bits) rows —
-    index-sized, fully distributed."""
+    """``(fid, bit)`` pairs (duplicates welcome — ``bit_or`` dedups
+    for free, so callers skip the extra distinct exchange) → the
+    ``(fid, w, word)`` bitmap words of the table-backed encoding.
+    Map-side-combined aggregation; output ≤ n_files ×
+    ceil(m_bits / word_bits) rows — index-sized, fully distributed."""
     return (
         pairs.select(
             "fid",
