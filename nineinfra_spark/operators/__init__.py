@@ -2,9 +2,13 @@
 
 from nineinfra_spark.operators.asof import asof_join
 from nineinfra_spark.operators.bloomindex import (
+    bloom_index_append,
+    bloom_index_compact,
     bloom_index_write,
     bloom_probe_files,
+    bloom_probe_files_table,
     bloom_skipping_read,
+    maintain_bloom_stream,
 )
 from nineinfra_spark.operators.components import star_components, star_contract
 from nineinfra_spark.operators.ivf import IvfTrainResult, assign_cells, refine_centroids
@@ -35,9 +39,13 @@ from nineinfra_spark.operators.zorder import (
 
 __all__ = [
     "asof_join",
+    "bloom_index_append",
+    "bloom_index_compact",
     "bloom_index_write",
     "bloom_probe_files",
+    "bloom_probe_files_table",
     "bloom_skipping_read",
+    "maintain_bloom_stream",
     "assign_cells",
     "refine_centroids",
     "ivf_train",

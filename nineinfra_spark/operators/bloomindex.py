@@ -665,6 +665,49 @@ def bloom_index_append(
     }
 
 
+def maintain_bloom_stream(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    key_cols: Sequence[str] | None = None,
+    trigger_available_now: bool = False,
+):
+    """Continuous ingest for a bloom-indexed table: a Structured
+    Streaming sink that merges every micro-batch through
+    :func:`bloom_index_append` — the point-lookup index stays fresh
+    WHILE the table ingests, the sibling of
+    ``zorder.maintain_layout_stream`` (range skipping) and the
+    dedup-index/rollup maintainers (managed tables).
+
+    Exactly-once: Spark's checkpoint replays the last batch after a
+    restart; the append's ``last_batch_id`` marker (committed AFTER
+    the data) skips batches the index already holds, and ``key_cols``
+    (recommended) closes the one data-committed/marker-unwritten
+    crash window by upsert-dedup — proven through Spark's REAL
+    checkpoint recovery in tests/test_bloomindex.py (delete the last
+    ``commits/`` entry, restart, batch re-delivered, no duplication).
+
+    ONE stream per index (single ``last_batch_id``) — fan sources
+    into one stream rather than racing appenders. Returns the started
+    ``StreamingQuery``."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        bloom_index_append(
+            batch_df.sparkSession,
+            path,
+            batch_df,
+            batch_id=batch_id,
+            key_cols=key_cols,
+        )
+
+    writer = stream_df.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def bloom_index_compact(spark: SparkSession, path: str) -> dict:
     """Post-append maintenance: each :func:`bloom_index_append` adds
     one file per touched ``fid`` partition, so a long-running ingest
