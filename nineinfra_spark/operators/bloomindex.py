@@ -843,6 +843,19 @@ def bloom_probe_files_table(
     reaches the driver; the output is fid ids, file-count-bounded."""
     if meta is None:
         meta = read_index_meta(path)
+    hits = _probe_hits_df(spark, path, meta, keys)
+    if hits is None:
+        return []
+    return sorted(r["fid"] for r in hits.collect())
+
+
+def _probe_hits_df(
+    spark: SparkSession, path: str, meta: dict, keys: Sequence
+) -> DataFrame | None:
+    """The hit-fids plan of the table probe (None when no non-null
+    keys) — factored out so tests can pin its SHAPE: the probe side
+    broadcast (BroadcastHashJoin on ``w``, never a shuffle of the
+    bits table, never a cartesian)."""
     m_bits, k = meta["m_bits"], meta["k"]
     wb = meta.get("word_bits", WORD_BITS)
     rows = []
@@ -853,12 +866,12 @@ def bloom_probe_files_table(
         for j, p in enumerate(_positions_py(rk, m_bits, k)):
             rows.append((rk, j, p // wb, 1 << (p % wb)))
     if not rows:
-        return []
+        return None
     probe_df = spark.createDataFrame(
         rows, "pkey string, j int, w int, m bigint"
     )
     bits = spark.read.parquet(os.path.join(path, meta["bits_dir"]))
-    hits = (
+    return (
         bits.join(F.broadcast(probe_df), "w")
         .filter(F.col("word").bitwiseAND(F.col("m")) != 0)
         .groupBy("fid", "pkey")
@@ -866,9 +879,7 @@ def bloom_probe_files_table(
         .filter(F.col("nj") == F.lit(k))
         .select("fid")
         .distinct()
-        .collect()
     )
-    return sorted(r["fid"] for r in hits)
 
 
 def bloom_skipping_read(

@@ -652,3 +652,32 @@ def test_maintain_bloom_stream_checkpoint_recovery_replay(spark, tmp_path):
         k = hashlib.md5(str(i).encode()).hexdigest()
         out, st = bloom_skipping_read(spark, path, [k])
         assert [r["payload"] for r in out.collect()] == [i * 3]
+
+
+def test_table_probe_plan_broadcasts_probe_side(spark, indexed):
+    """The table probe's 100 TB posture, plan-asserted: the probe
+    keys' (word, mask) pairs BROADCAST against the bits table — a
+    BroadcastHashJoin on `w`, with no shuffle Exchange of the bits
+    side below the join and no cartesian anywhere."""
+    import hashlib
+    import re
+
+    from nineinfra_spark.operators.bloomindex import _probe_hits_df
+
+    path, meta, df = indexed
+    keys = [hashlib.md5(str(i).encode()).hexdigest() for i in range(9)]
+    hits = _probe_hits_df(spark, path, meta, keys)
+    hits.collect()
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("Initial Plan")[0]  # AQE prints both plans
+    assert "BroadcastHashJoin" in final
+    assert "CartesianProduct" not in final and "NestedLoop" not in final
+    # the bits-table scan feeds the join directly: between the join
+    # and the parquet scan there is a BroadcastExchange (probe side)
+    # but no shuffle Exchange of the scanned bits
+    join_to_scan = final[final.index("BroadcastHashJoin"):]
+    scan_pos = join_to_scan.index("Scan parquet")
+    assert "Exchange hashpartitioning" not in join_to_scan[:scan_pos], (
+        "bits table shuffled before the probe join"
+    )
+    assert re.search(r"BroadcastExchange", final)
