@@ -55,6 +55,11 @@ def route_aggregate(
     measures: Mapping[str, Measure],
 ) -> DataFrame | None:
     """The routed aggregate, or ``None`` if the rollup can't serve it."""
+    if not measures:
+        # a measureless request has nothing to route; falling through
+        # would reach Spark's agg() with zero expressions and raise a
+        # bare TypeError far from the caller's mistake
+        return None
     if not set(group_by) <= set(spec.dims):
         return None
     aggs = []

@@ -79,3 +79,11 @@ def test_derived_avg_not_reaveraged(spark):
     )
     want = {r["o_orderstatus"]: r["avg"] for r in fact}
     assert got == want
+
+
+def test_empty_measures_routes_none(spark):
+    """A measureless request returns None (fall back to the fact
+    table) instead of reaching Spark's agg() with zero expressions
+    and raising a bare TypeError far from the caller's mistake."""
+    spec = _spec(spark)
+    assert route_aggregate(spark, spec, ["o_orderstatus"], {}) is None
