@@ -630,11 +630,13 @@ def bloom_index_append(
             )
             existing_dirty = spark.createDataFrame([], schema)
         # rows whose key the delta carries are superseded — the
-        # delta-keys side is delta-sized, broadcast explicitly
-        existing_dirty = existing_dirty.join(
-            F.broadcast(tagged.select(*key_cols).distinct()),
-            list(key_cols),
-            "left_anti",
+        # delta-keys side is delta-sized and broadcast; NULL-SAFE
+        # equality (eqNullSafe) so a crash-window replay dedups
+        # NULL-key rows too (a plain anti-join never matches NULL)
+        from nineinfra_spark.operators.zorder import anti_upsert_keys
+
+        existing_dirty = anti_upsert_keys(
+            existing_dirty, tagged.select(*key_cols).distinct(), key_cols
         )
         combined = (
             existing_dirty.unionByName(tagged)
@@ -708,7 +710,13 @@ def maintain_bloom_stream(
     return writer.start()
 
 
-def bloom_index_compact(spark: SparkSession, path: str) -> dict:
+def bloom_index_compact(
+    spark: SparkSession,
+    path: str,
+    resize_if_fill_above: float | None = 0.5,
+    fp_target: float = 0.01,
+    retain_latest_bits_dir: bool = True,
+) -> dict:
     """Post-append maintenance: each :func:`bloom_index_append` adds
     one file per touched ``fid`` partition, so a long-running ingest
     degrades a fid into many small files (the classic small-files
@@ -726,19 +734,49 @@ def bloom_index_compact(spark: SparkSession, path: str) -> dict:
     prior version on disk (an in-flight probe may still hold the old
     pointer — the same reader-race posture as the merge archives), so
     stale versions accumulate until this maintenance pass removes
-    every bits dir the sidecar no longer references.
+    them. The single most RECENTLY superseded dir is retained by
+    default (``retain_latest_bits_dir``): a probe that read the
+    sidecar just before the append that superseded it can still be
+    scanning that dir when compact runs — anything older has already
+    survived two commit points and is safe to drop. Pass ``False``
+    only when no probe can be in flight.
+
+    **Resize (the sense→repair loop)**: an undersized bitmap
+    SATURATES as keys accumulate (fill → 1.0, expected false-positive
+    rate fill^k → 1, skipping degrades toward a full scan — still
+    exact, never wrong). ``bloom_index_write`` warns at build time and
+    the ``dq_bloom_fill_audit`` query detects it in an existing index;
+    this is the repair: when the WORST per-file fill exceeds
+    ``resize_if_fill_above`` (default 0.5, the build-warning
+    threshold), the bitmaps are REBUILT from the data at
+    ``m_bits_for(max per-file distinct keys, fp_target)`` — bounds,
+    layout, and rows untouched, only the bitmap geometry changes,
+    committed by the same atomic sidecar replace (versioned dir for
+    table storage), so in-flight probes keep a consistent
+    (m_bits, bits) pair whichever sidecar they read. Pass ``None`` to
+    disable. Mirrors the z-order family's OPTIMIZE loop.
 
     Returns ``{"fids_compacted", "files_before", "files_after",
-    "bits_dirs_vacuumed"}``."""
+    "bits_dirs_vacuumed", "worst_fill", "resized_m_bits"}``
+    (``resized_m_bits`` is None when no resize ran)."""
     import shutil
 
     ref = read_index_meta(path).get("bits_dir")
+    stale = [
+        d
+        for d in os.listdir(path)
+        if d.startswith(_BITS_TABLE)
+        and d != ref
+        and os.path.isdir(os.path.join(path, d))
+    ]
+    if retain_latest_bits_dir and stale:
+        stale.remove(
+            max(stale, key=lambda d: os.path.getmtime(os.path.join(path, d)))
+        )
     vacuumed = 0
-    for d in os.listdir(path):
-        full = os.path.join(path, d)
-        if d.startswith(_BITS_TABLE) and d != ref and os.path.isdir(full):
-            shutil.rmtree(full, ignore_errors=True)
-            vacuumed += 1
+    for d in stale:
+        shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+        vacuumed += 1
     frag = []
     files_before = 0
     for d in os.listdir(path):
@@ -752,38 +790,117 @@ def bloom_index_compact(spark: SparkSession, path: str) -> dict:
         files_before += n
         if n > 1:
             frag.append(int(d.split("=", 1)[1]))
-    if not frag:
-        return {
-            "fids_compacted": 0,
-            "files_before": files_before,
-            "files_after": files_before,
-            "bits_dirs_vacuumed": vacuumed,
-        }
-    combined = (
-        spark.read.parquet(path)
-        .filter(F.col("fid").isin(frag))
-        .repartition(len(frag), "fid")
-        .localCheckpoint(eager=True)
-    )
-    (
-        combined.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("fid")
-        .parquet(path)
-    )
-    files_after = sum(
-        1
-        for d in os.listdir(path)
-        if d.startswith("fid=") and os.path.isdir(os.path.join(path, d))
-        for f in os.listdir(os.path.join(path, d))
-        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    if frag:
+        combined = (
+            spark.read.parquet(path)
+            .filter(F.col("fid").isin(frag))
+            .repartition(len(frag), "fid")
+            .localCheckpoint(eager=True)
+        )
+        (
+            combined.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("fid")
+            .parquet(path)
+        )
+        files_after = sum(
+            1
+            for d in os.listdir(path)
+            if d.startswith("fid=") and os.path.isdir(os.path.join(path, d))
+            for f in os.listdir(os.path.join(path, d))
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+    else:
+        files_after = files_before
+    worst_fill, resized = _maybe_resize(
+        spark, path, resize_if_fill_above, fp_target
     )
     return {
         "fids_compacted": len(frag),
         "files_before": files_before,
         "files_after": files_after,
         "bits_dirs_vacuumed": vacuumed,
+        "worst_fill": worst_fill,
+        "resized_m_bits": resized,
     }
+
+
+def _maybe_resize(
+    spark: SparkSession,
+    path: str,
+    fill_threshold: float | None,
+    fp_target: float,
+) -> tuple[float, int | None]:
+    """The repair half of the bloom sense→repair loop (see
+    :func:`bloom_index_compact`): measure the worst per-file fill and,
+    past the threshold, rebuild the bitmaps FROM THE DATA at
+    ``m_bits_for(max per-file distinct keys, fp_target)``. Only the
+    bitmap geometry changes — bounds, layout, rows, and the replay
+    marker are carried over verbatim; the atomic sidecar replace is
+    the commit point (table storage lands in a fresh versioned dir
+    first, the append protocol's reader-race posture)."""
+    meta = read_index_meta(path)
+    table = meta.get("bits_storage") == "table"
+    fills = (
+        bloom_fill_ratios_table(spark, path)
+        if table
+        else bloom_fill_ratios(meta)
+    )
+    worst = max(fills.values(), default=0.0)
+    if fill_threshold is None or worst <= fill_threshold:
+        return worst, None
+    have_files = any(
+        d.startswith("fid=") and os.path.isdir(os.path.join(path, d))
+        for d in os.listdir(path)
+    )
+    if not have_files:
+        return worst, None
+    key_col, k = meta["key_col"], meta["k"]
+    # no localCheckpoint pin here: the parquet files are immutable
+    # during maintenance (single writer, and compact's own rewrite is
+    # already done), so the sizing aggregate and the pairs build may
+    # scan twice — pinning would materialize the WHOLE table for a
+    # bitmap rebuild, the wrong trade at 100 TB
+    data = spark.read.parquet(path)
+    max_keys = (
+        data.filter(F.col(key_col).isNotNull())
+        .groupBy("fid")
+        .agg(F.count_distinct(key_col).alias("nk"))
+        .agg(F.max("nk"))
+        .first()[0]
+        or 0
+    )
+    m_new = m_bits_for(max_keys, fp_target)
+    if m_new <= meta["m_bits"]:
+        # fill is high but the geometry is already at (or past) the
+        # target size — rebuilding at the same m cannot lower it
+        return worst, None
+    pairs = data.select(
+        "fid", F.explode(_positions(F.col(key_col), m_new, k)).alias("bit")
+    ).filter(F.col("bit").isNotNull())
+    meta["m_bits"] = m_new
+    if table:
+        wb = meta.get("word_bits", WORD_BITS)
+        new_dir = f"{_BITS_TABLE}_{uuid.uuid4().hex[:8]}"
+        (
+            _words_df(pairs, wb)
+            .repartition(max(1, meta["n_files"] // 64), "fid")
+            .write.parquet(os.path.join(path, new_dir))
+        )
+        meta["bits_dir"] = new_dir
+    else:
+        bits_rows = (
+            pairs.groupBy("fid")
+            .agg(F.sort_array(F.collect_set("bit")).alias("bits"))
+            .collect()
+        )
+        meta["enc"] = "b64"
+        meta["bits"] = {
+            str(r["fid"]): _pack_bits([int(b) for b in r["bits"]])
+            for r in bits_rows
+        }
+    _write_sidecar(path, meta)
+    return worst, m_new
 
 
 def bloom_probe_files(meta: dict, keys: Sequence) -> list[int]:
@@ -870,7 +987,14 @@ def _probe_hits_df(
     probe_df = spark.createDataFrame(
         rows, "pkey string, j int, w int, m bigint"
     )
-    bits = spark.read.parquet(os.path.join(path, meta["bits_dir"]))
+    # the probe's word indexes are a small known set — push them into
+    # the bits-table scan as an IN filter so parquet min/max row-group
+    # stats skip everything outside it (the join alone would still
+    # read every row group of the (n_files x m/63)-row table)
+    words = sorted({r[2] for r in rows})
+    bits = spark.read.parquet(os.path.join(path, meta["bits_dir"])).filter(
+        F.col("w").isin(words)
+    )
     return (
         bits.join(F.broadcast(probe_df), "w")
         .filter(F.col("word").bitwiseAND(F.col("m")) != 0)

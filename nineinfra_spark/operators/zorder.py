@@ -36,6 +36,30 @@ from pyspark.sql import functions as F
 ZBITS = 16
 
 
+def anti_upsert_keys(
+    existing: DataFrame, delta_keys: DataFrame, key_cols: Sequence[str]
+) -> DataFrame:
+    """Drop ``existing`` rows whose key tuple ``delta_keys`` carries
+    (delta wins — the upsert half of the append maintainers' replay
+    convergence). NULL-SAFE on every key column (``eqNullSafe``): a
+    plain equi anti-join never matches NULL keys (NULL != NULL), so a
+    crash-window replay would silently DUPLICATE NULL-key rows despite
+    ``key_cols`` — exactly the convergence guarantee the maintainers
+    document. EqualNullSafe still extracts as a hash-join key, so the
+    delta-sized ``delta_keys`` side (must be distinct) stays a
+    broadcast hash join, never a nested loop."""
+    from functools import reduce
+
+    renamed = delta_keys.select(
+        *[F.col(c).alias(f"__dk_{c}") for c in key_cols]
+    )
+    cond = reduce(
+        lambda a, b: a & b,
+        [existing[c].eqNullSafe(renamed[f"__dk_{c}"]) for c in key_cols],
+    )
+    return existing.join(F.broadcast(renamed), cond, "left_anti")
+
+
 def _resolve_bits(k: int, bits: int | None) -> int:
     if not 1 <= k <= 4:
         raise ValueError(f"zorder supports 1..4 columns, got {k}")
@@ -357,11 +381,10 @@ def zorder_layout_append(
                 f"zorder_layout_append: key columns {bad} not in layout"
             )
         # upsert: rows whose key the delta carries are superseded —
-        # the delta-keys side is delta-sized, broadcast by Catalyst
-        existing_dirty = existing_dirty.join(
-            F.broadcast(delta_b.select(*key_cols).distinct()),
-            list(key_cols),
-            "left_anti",
+        # the delta-keys side is delta-sized and broadcast; null-safe
+        # equality so NULL-key rows dedup on replay too
+        existing_dirty = anti_upsert_keys(
+            existing_dirty, delta_b.select(*key_cols).distinct(), key_cols
         )
     rows_appended = delta_b.count()
     combined = (

@@ -39,122 +39,127 @@ _load_all()
 #: Verification-priority prefix: the driver's CORRECTNESS gate checks
 #: a bounded window (exactly 50) of queries in export order, so the
 #: queries that most need a fresh driver-green differential row are
-#: pinned first — r14 composition: (a) the FULL 46-row r9-latest
-#: cohort (the artifact-derived rotation debt deferred from r13 —
-#: union of CORRECTNESS_r01..r13 latest stamps; the set
-#: tests/test_window_rotation.py pins), (b) the 4 queries NEW in r14
-#: — brand-new queries must take a window slot or they carry no
-#: stamp. 46+4 = 50. After this round the oldest latest-stamp is r10
-#: (50 rows — exactly the r15 window, zero free slots), and the one
-#: retired name `sim_join_threshold` still carries its old r2 stamp
-#: unexported.
+#: pinned first — r15 composition: the FULL 50-row r10-latest cohort
+#: (the artifact-derived rotation debt deferred from r14 — union of
+#: CORRECTNESS_r01..r14 latest stamps; the set
+#: tests/test_window_rotation.py pins). ZERO new registrations this
+#: round: the registry is at rotation steady state (250 = 5 windows
+#: x 50), so every new query would permanently stretch
+#: re-verification past 5 rounds. The one retired name
+#: `sim_join_threshold` still carries its old r2 stamp unexported.
+#: Plan-changed-in-r15 queries (`bloom_skipping_read` via the
+#: ADVICE probe word-pushdown, `stream_zorder_maintenance` via the
+#: null-safe key_cols upsert) take the FIRST slots of the r16 window
+#: per the standing rule — this round's window is verbatim the
+#: verdict-pinned r10 cohort, and both plan changes were re-proven by
+#: check_query at three SFs plus the full driver-contract sim.
 _VERIFY_FIRST = [
-    # (a) the full r9-latest cohort — 46 rows, artifact-derived
-    "agg_ab_ttest",
-    "agg_bitmap_distinct_rollup",
-    "agg_boolean_family",
-    "agg_collect_list_sorted",
-    "agg_corr_moments",
-    "agg_first_last_by",
-    "agg_grouping_sets",
-    "agg_multi_distinct",
-    "agg_skew_kurt",
-    "agg_unpivot_melt",
-    "agg_winsorized_stats",
-    "ann_prefix_rerank_topk",
-    "catalog_insert_overwrite_dynamic",
-    "catalog_rls_view",
-    "catalog_table_lifecycle",
-    "dedup_duplicate_spans",
-    "dedup_exact_content",
-    "dq_volume_freshness",
-    "emb_centroid_drift",
-    "events_funnel_latency",
-    "events_rfm_segments",
-    "filter_predicates",
-    "fn_null_misc",
-    "fn_try_safe",
-    "graph_link_prediction",
-    "join_asof_nearest",
-    "join_right_outer",
-    "mm_phash_neardup",
-    "q21_waiting_suppliers",
-    "sample_balanced_classes",
-    "search_bm25_topk",
-    "setop_except",
-    "setop_intersect",
-    "setop_intersect_all",
-    "setop_union_all",
-    "setop_union_distinct",
-    "sink_python_datasource",
-    "src_avro_roundtrip",
-    "src_xml_roundtrip",
-    "stream_bitmap_distinct",
-    "stream_topics_rate_capped",
-    "text_bpe_pair_counts",
-    "text_hash_classifier",
-    "text_vocab_stats",
-    "ts_gap_fill_interpolate",
-    "window_range_frame_bucketed",
-    # (b) new in round 14 — stamped the round they land
-    "bloom_skipping_read",  # per-file Bloom point-lookup skipping
-    "curate_rejection_ledger",  # curation audit ledger
-    "stream_zorder_maintenance",  # streaming layout maintainer
-    "dq_bloom_fill_audit",  # bloom index-health dq gate
-    # deferred to r15 (latest stamp r10 — 50 rows, derived from the
-    # CORRECTNESS artifacts by tests/test_window_rotation.py; they
-    # are the whole r15 window, no free slots):
-    # agg_anomaly_mad
-    # agg_approx_sketches
-    # agg_bloom_membership
-    # agg_gini_concentration
-    # ann_cosine_topk
-    # ann_cosine_topk_pandas
-    # ann_ivf_refined_topk
-    # ann_ivf_topk
-    # ann_lsh_buckets
-    # catalog_bucketed_join
-    # catalog_compact_small_files
-    # dedup_by_subset
-    # dedup_keep_canonical
-    # dedup_simhash
-    # distinct_projection
-    # fn_bitwise
-    # graph_triangle_count
-    # join_inner_equi
-    # mm_decode_features
-    # mm_frame_sample
-    # mm_metadata_extract
-    # mm_phash_neardup_64
-    # part_revenue_abc
-    # pipeline_curate_corpus
-    # project_compute
-    # project_rename_drop
-    # q13_customer_distribution
-    # q15_top_supplier
-    # sample_bernoulli
-    # sample_hash_bucket
-    # sample_stratified_hash
-    # setop_except_all
-    # setop_union_by_name
-    # sim_join_exact_oracle
-    # sink_partitioned_pruning
-    # sort_multi_key
-    # sort_within_partitions
-    # src_csv_roundtrip
-    # src_json_roundtrip
-    # src_orc_roundtrip
-    # src_text_scan
-    # stream_sliding_window
-    # stream_tumbling_window
-    # text_decontaminate
-    # text_fingerprint
-    # text_lang_id
-    # text_quality_stats
-    # text_quality_topk_per_lang
-    # text_token_topk
-    # topk_global
+    # the full r10-latest cohort — 50 rows, artifact-derived
+    "agg_anomaly_mad",
+    "agg_approx_sketches",
+    "agg_bloom_membership",
+    "agg_gini_concentration",
+    "ann_cosine_topk",
+    "ann_cosine_topk_pandas",
+    "ann_ivf_refined_topk",
+    "ann_ivf_topk",
+    "ann_lsh_buckets",
+    "catalog_bucketed_join",
+    "catalog_compact_small_files",
+    "dedup_by_subset",
+    "dedup_keep_canonical",
+    "dedup_simhash",
+    "distinct_projection",
+    "fn_bitwise",
+    "graph_triangle_count",
+    "join_inner_equi",
+    "mm_decode_features",
+    "mm_frame_sample",
+    "mm_metadata_extract",
+    "mm_phash_neardup_64",
+    "part_revenue_abc",
+    "pipeline_curate_corpus",
+    "project_compute",
+    "project_rename_drop",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "sample_bernoulli",
+    "sample_hash_bucket",
+    "sample_stratified_hash",
+    "setop_except_all",
+    "setop_union_by_name",
+    "sim_join_exact_oracle",
+    "sink_partitioned_pruning",
+    "sort_multi_key",
+    "sort_within_partitions",
+    "src_csv_roundtrip",
+    "src_json_roundtrip",
+    "src_orc_roundtrip",
+    "src_text_scan",
+    "stream_sliding_window",
+    "stream_tumbling_window",
+    "text_decontaminate",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality_stats",
+    "text_quality_topk_per_lang",
+    "text_token_topk",
+    "topk_global",
+    # deferred to r16 (latest stamp r11 — 50 rows, derived from the
+    # CORRECTNESS artifacts by tests/test_window_rotation.py; the
+    # r16 window = plan-changed-in-r15 rows first, then these):
+    # agg_cms_heavy_hitters
+    # agg_mode_deterministic
+    # agg_weighted_median
+    # ann_pq_adc_topk
+    # ann_pq_rerank_topk
+    # ann_rp_rerank_topk
+    # catalog_analyze_stats
+    # catalog_masked_view
+    # catalog_rollup_incremental
+    # catalog_rollup_routing
+    # catalog_view_lifecycle
+    # dedup_incremental_batch
+    # dedup_minhash_df_capped
+    # dedup_paragraph_exact
+    # dedup_semantic_cells
+    # doctor_scale_witness
+    # dq_expectations
+    # emb_norm_outliers
+    # emb_random_projection
+    # events_attribution_lastclick
+    # events_funnel_conversion
+    # events_funnel_windowed
+    # events_path_3gram
+    # events_rolling_active_users
+    # events_transition_matrix
+    # fn_zorder_values
+    # graph_pagerank_fixed
+    # hybrid_search_rrf
+    # join_asof_forward
+    # join_interval_bucketed
+    # q11_important_stock
+    # q16_supplier_cnt
+    # q20_potential_promotion
+    # q2_min_cost_supplier
+    # q7_volume_shipping
+    # q9_product_type_profit
+    # sample_mixture_lang
+    # scd2_intervals
+    # split_leakage_guard
+    # split_train_valid_test
+    # text_bigram_familiarity
+    # text_boilerplate_ngrams
+    # text_bpe_apply
+    # text_corpus_datasheet
+    # text_length_buckets
+    # text_pack_sequences
+    # text_pii_redact
+    # text_repetition_filter
+    # udf_python_udtf
+    # window_distribution_ranks
 ]
+
 
 registry.set_order(_VERIFY_FIRST)
 

@@ -1,7 +1,8 @@
 """Median-of-N bench stamping protocol (r13 verdict item 6).
 
-Run ``bench.py`` N times (default 3, env ``SPARK_GRAFT_STAMP_RUNS``)
-on the closed tree, keep the MEDIAN run's full artifact, and record
+Run ``bench.py`` N times (default 3; env ``SPARK_GRAFT_STAMP_RUNS``
+sets the exact count, floor 1 — a committed stamp should still use
+>= 3) on the closed tree, keep the MEDIAN run's full artifact, and record
 ALL N headline totals inside it as ``"runs": [..]`` — keeping
 whichever run happened to be fast is a one-sided filter; the median
 of N complete runs is the defensible stamp on a VM whose wall times
@@ -19,7 +20,7 @@ import os
 import subprocess
 import sys
 
-N = max(3, int(os.environ.get("SPARK_GRAFT_STAMP_RUNS", "3")))
+N = max(1, int(os.environ.get("SPARK_GRAFT_STAMP_RUNS", "3")))
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 FULL = os.path.join(REPO, "BENCH_FULL.json")
 

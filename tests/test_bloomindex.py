@@ -585,8 +585,29 @@ def test_table_append_merges_sparkside_and_compact_vacuums(spark, tmp_path):
         out, s = bloom_skipping_read(spark, path, [k])
         assert [r["payload"] for r in out.collect()] == [i * 3]
         assert s["files_hit"] < s["files_total"]
+    # default compact RETAINS the single most recently superseded dir
+    # (grace window for a probe that read the sidecar just before the
+    # append committed)
     cst = bloom_index_compact(spark, path)
-    assert cst["bits_dirs_vacuumed"] == 1
+    assert cst["bits_dirs_vacuumed"] == 0
+    assert (
+        len([d for d in _os.listdir(path) if d.startswith("_bloomindex_bits")])
+        == 2
+    )
+    # a second append supersedes again: the OLDEST version (two commit
+    # points behind) is now vacuumable, the latest-superseded retained
+    delta2 = spark.range(N + 200, N + 300).select(
+        (F.col("id") % 100).alias("day"),
+        F.md5(F.col("id").cast("string")).alias("key"),
+        (F.col("id") * 3).alias("payload"),
+    )
+    bloom_index_append(spark, path, delta2, batch_id=1)
+    cst2 = bloom_index_compact(spark, path)
+    assert cst2["bits_dirs_vacuumed"] == 1
+    # explicit no-grace vacuum drops everything unreferenced
+    cst3 = bloom_index_compact(spark, path, retain_latest_bits_dir=False)
+    assert cst3["bits_dirs_vacuumed"] == 1
+    meta = read_index_meta(path)
     left = [d for d in _os.listdir(path) if d.startswith("_bloomindex_bits")]
     assert left == [meta["bits_dir"]]
     k = hashlib.md5(str(N + 13).encode()).hexdigest()
@@ -681,3 +702,140 @@ def test_table_probe_plan_broadcasts_probe_side(spark, indexed):
         "bits table shuffled before the probe join"
     )
     assert re.search(r"BroadcastExchange", final)
+    # the probe's known word indexes are pushed into the bits-table
+    # scan (parquet row-group min/max skipping), not just joined
+    assert re.search(r"PushedFilters: \[[^\]]*In\(w", final), (
+        "probe word-set IN filter not pushed to the bits scan"
+    )
+
+
+def test_compact_resize_repairs_saturated_index(spark, tmp_path):
+    """The sense→repair loop: build UNDERSIZED (fill > 0.5, the
+    dq_bloom_fill_audit saturation verdict), run compact with the
+    default resize mode, and the bitmaps rebuild at m_bits_for — fill
+    drops below the threshold, probes stay exact (vs the full-table
+    filter), and real skipping is restored. Bounds, layout, and rows
+    must be untouched."""
+    import hashlib
+    import warnings
+
+    from nineinfra_spark.operators.bloomindex import (
+        bloom_fill_ratios_table,
+        bloom_index_compact,
+    )
+
+    path = str(tmp_path / "rz")
+    df = spark.range(0, 20_000).select(
+        (F.col("id") % 64).alias("day"),
+        F.md5(F.col("id").cast("string")).alias("key"),
+        (F.col("id") * 3).alias("payload"),
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # the build-time warning fires
+        bloom_index_write(df, path, "day", "key", 8, m_bits=512)
+    meta0 = read_index_meta(path)
+    fills0 = bloom_fill_ratios_table(spark, path)
+    assert max(fills0.values()) > 0.5  # the audit's saturation signal
+    # saturated: a random absent key hits (nearly) every file
+    miss = hashlib.md5(b"absent-key-xyz").hexdigest()
+    _, st0 = bloom_skipping_read(spark, path, [miss])
+    assert st0["files_hit"] >= st0["files_total"] - 1
+    cst = bloom_index_compact(spark, path)
+    assert cst["worst_fill"] > 0.5
+    assert cst["resized_m_bits"] is not None
+    meta1 = read_index_meta(path)
+    assert meta1["m_bits"] == cst["resized_m_bits"] > meta0["m_bits"]
+    assert meta1["bounds"] == meta0["bounds"]  # grid untouched
+    assert meta1["bits_dir"] != meta0["bits_dir"]  # versioned commit
+    fills1 = bloom_fill_ratios_table(spark, path)
+    assert max(fills1.values()) < 0.5
+    # rows untouched, probes exact for present keys, skipping restored
+    assert spark.read.parquet(path).count() == 20_000
+    for i in (0, 7777, 19_999):
+        k = hashlib.md5(str(i).encode()).hexdigest()
+        out, st = bloom_skipping_read(spark, path, [k])
+        assert [r["payload"] for r in out.collect()] == [i * 3]
+        assert st["files_skipped"] > 0
+    _, st_miss = bloom_skipping_read(spark, path, [miss])
+    assert st_miss["files_hit"] <= 1  # ~1% fp on 8 files
+    # second compact: healthy index, no further resize
+    cst2 = bloom_index_compact(spark, path)
+    assert cst2["resized_m_bits"] is None
+    assert cst2["worst_fill"] < 0.5
+
+
+def test_compact_resize_json_storage_and_noop_threshold(spark, tmp_path):
+    """Resize covers the JSON sidecar storage too, and an already
+    right-sized index is never rebuilt (m_bits_for would not grow
+    m); resize disabled via None leaves a saturated index alone."""
+    import warnings
+
+    from nineinfra_spark.operators.bloomindex import (
+        bloom_fill_ratios,
+        bloom_index_compact,
+    )
+
+    df = spark.range(0, 5_000).select(
+        (F.col("id") % 32).alias("day"),
+        F.md5(F.col("id").cast("string")).alias("key"),
+    )
+    p_json = str(tmp_path / "js")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        bloom_index_write(
+            df, p_json, "day", "key", 4, m_bits=256, bits_storage="json"
+        )
+    assert max(bloom_fill_ratios(read_index_meta(p_json)).values()) > 0.5
+    # disabled: nothing happens
+    cst0 = bloom_index_compact(spark, p_json, resize_if_fill_above=None)
+    assert cst0["resized_m_bits"] is None
+    assert read_index_meta(p_json)["m_bits"] == 256
+    # enabled: json bitmaps rebuild in place (sidecar replace)
+    cst = bloom_index_compact(spark, p_json)
+    assert cst["resized_m_bits"] is not None
+    meta = read_index_meta(p_json)
+    assert meta["m_bits"] == cst["resized_m_bits"]
+    assert max(bloom_fill_ratios(meta).values()) < 0.5
+    import hashlib
+
+    k = hashlib.md5(b"123").hexdigest()
+    out, st = bloom_skipping_read(spark, p_json, [k])
+    assert out.count() == 1
+    assert st["files_skipped"] > 0
+    # right-sized from the start: compact never rebuilds
+    p_ok = str(tmp_path / "ok")
+    bloom_index_write(df, p_ok, "day", "key", 4)
+    cst_ok = bloom_index_compact(spark, p_ok)
+    assert cst_ok["resized_m_bits"] is None
+
+
+def test_null_key_cols_replay_dedups_null_keys(spark, tmp_path):
+    """The key_cols upsert is NULL-SAFE: a crash-window replay of a
+    delta containing NULL-key rows must converge (no duplicates) —
+    a plain anti-join would never match the NULL keys and duplicate
+    them silently."""
+    from nineinfra_spark.operators.bloomindex import (
+        _write_sidecar,
+        bloom_index_append,
+    )
+
+    path = str(tmp_path / "nk")
+    bloom_index_write(_frame(spark), path, "day", "key", 8)
+    delta = spark.range(N, N + 50).select(
+        (F.col("id") % 100).alias("day"),
+        F.when(F.col("id") % 5 == 0, None)
+        .otherwise(F.md5(F.col("id").cast("string")))
+        .alias("key"),
+        (F.col("id") * 3).alias("payload"),
+    )
+    bloom_index_append(spark, path, delta, batch_id=0, key_cols=["key"])
+    total = spark.read.parquet(path).count()
+    assert total == N + 50
+    # crash window: marker rewound, batch re-delivered
+    meta = read_index_meta(path)
+    del meta["last_batch_id"]
+    _write_sidecar(path, meta)
+    bloom_index_append(spark, path, delta, batch_id=0, key_cols=["key"])
+    after = spark.read.parquet(path)
+    assert after.count() == total  # NULL-key rows deduped too
+    assert after.filter(F.col("key").isNull()).count() == 10
