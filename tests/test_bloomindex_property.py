@@ -5,6 +5,7 @@ into ONE job."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -155,3 +156,50 @@ def test_table_and_json_probes_agree_on_generated_keys(
             mj, [k_]
         )
         assert bloom_probe_files(mj, [k_]), repr(k_)  # indexed ⇒ admitted
+
+
+@pytest.mark.parametrize("m0", [128, 256, 512, 2048, 8192, 32768])
+def test_resize_property_across_fill_ratios(spark, tmp_path, m0):
+    """Sweep the build geometry from badly undersized (fill → 1.0)
+    to oversized (fill ≈ 0.04) against a FIXED corpus and pin the
+    sense→repair invariants at every point on the curve:
+
+    1. exactness ALWAYS — every indexed key is admitted before and
+       after compact, whatever the fill (saturation degrades skipping,
+       never correctness);
+    2. compact resizes IFF the worst fill exceeds the 0.5 threshold;
+    3. a triggered resize lands the worst fill below 0.5 and restores
+       real skipping for a sparse probe."""
+    import hashlib
+    import warnings
+
+    from nineinfra_spark.operators.bloomindex import (
+        bloom_fill_ratios_table,
+        bloom_index_compact,
+        bloom_index_write,
+        bloom_skipping_read,
+    )
+
+    n, n_files = 4000, 8
+    df = spark.range(0, n).select(
+        (F.col("id") % 50).alias("lay"),
+        F.md5(F.col("id").cast("string")).alias("key"),
+    )
+    path = str(tmp_path / f"m{m0}")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        bloom_index_write(df, path, "lay", "key", n_files, m_bits=m0)
+    fill0 = max(bloom_fill_ratios_table(spark, path).values())
+    sample = [hashlib.md5(str(i).encode()).hexdigest() for i in (1, n // 2)]
+    for k_ in sample:  # exactness before repair, even saturated
+        out, _ = bloom_skipping_read(spark, path, [k_])
+        assert out.count() == 1
+    cst = bloom_index_compact(spark, path)
+    assert (cst["resized_m_bits"] is not None) == (fill0 > 0.5)
+    fill1 = max(bloom_fill_ratios_table(spark, path).values())
+    if fill0 > 0.5:
+        assert fill1 < 0.5
+    for k_ in sample:  # exactness after repair
+        out, st = bloom_skipping_read(spark, path, [k_])
+        assert out.count() == 1
+        assert st["files_skipped"] > 0  # healthy post-compact index
