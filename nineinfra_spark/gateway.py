@@ -54,6 +54,20 @@ def start_thrift_gateway(spark: SparkSession, port: int, timeout_s: float = 30.0
     from an argument) — ``Engine.open`` does this when
     ``EngineConfig.thrift_port`` is set.
     """
+    conf_ports = {
+        spark.conf.get("hive.server2.thrift.port", None),
+        spark.conf.get("hive.server2.thrift.http.port", None),
+    }
+    if str(port) not in conf_ports:
+        # without this check the server silently starts on the default
+        # port and the wait below times out with a misleading error
+        raise ValueError(
+            f"neither hive.server2.thrift.port nor .http.port is "
+            f"{port} on the session (found {conf_ports - {None}!r}) — "
+            "the server reads the conf at startup, so set "
+            "EngineConfig.thrift_port (or the conf on the builder) "
+            "before creating the session"
+        )
     jvm = spark._jvm  # noqa: SLF001 — JVM bridge is the only entry point
     jvm.org.apache.spark.sql.hive.thriftserver.HiveThriftServer2.startWithContext(
         spark._jsparkSession.sqlContext()  # noqa: SLF001
@@ -91,29 +105,42 @@ def beeline_sql(
     ``user``/``password``: SASL-PLAIN credentials — required when the
     gateway runs the CUSTOM auth profile
     (``EngineConfig.thrift_auth_users``)."""
+    import os
+    import tempfile
+
     url = f"jdbc:hive2://localhost:{port}"
     if transport == "http":
         url += "/;transportMode=http;httpPath=cliservice"
     creds = []
-    if user is not None:
-        creds += ["-n", user]
-    if password is not None:
-        creds += ["-p", password]
-    proc = subprocess.run(
-        [
-            BEELINE,
-            "-u",
-            url,
-            *creds,
-            "--silent=true",
-            "--outputformat=csv2",
-            "-e",
-            sql,
-        ],
-        capture_output=True,
-        text=True,
-        timeout=timeout_s,
-    )
+    pw_file = None
+    try:
+        if user is not None:
+            creds += ["-n", user]
+        if password is not None:
+            # -w password-file, never -p on the argv: command lines
+            # are world-readable via /proc on a shared host
+            fd, pw_file = tempfile.mkstemp(prefix="beeline_pw_")
+            with os.fdopen(fd, "w") as f:
+                f.write(password)
+            creds += ["-w", pw_file]
+        proc = subprocess.run(
+            [
+                BEELINE,
+                "-u",
+                url,
+                *creds,
+                "--silent=true",
+                "--outputformat=csv2",
+                "-e",
+                sql,
+            ],
+            capture_output=True,
+            text=True,
+            timeout=timeout_s,
+        )
+    finally:
+        if pw_file is not None:
+            os.unlink(pw_file)
     if proc.returncode != 0:
         raise RuntimeError(
             f"beeline failed (rc={proc.returncode}):\n{proc.stderr[-2000:]}"

@@ -296,6 +296,37 @@ def read_index_meta(path: str) -> dict:
         return json.load(f)
 
 
+def _read_sidecar_raw(path: str) -> str:
+    with open(os.path.join(path, _SIDECAR), encoding="utf-8") as f:
+        return f.read()
+
+
+def _guarded_sidecar_write(path: str, meta: dict, expected_raw: str) -> str:
+    """Optimistic-CAS sidecar commit for the maintenance paths
+    (append / resize): refuse to replace a sidecar some OTHER writer
+    committed since this operation read it. The lost-update race is
+    the single-writer contract's failure mode — two appenders both
+    merge against the same old bits pointer and the second
+    ``os.replace`` silently DROPS the first one's bloom bits, a false-
+    NEGATIVE class (probes miss committed rows). The check-then-
+    replace window here is microseconds (the expensive merge happens
+    before the check), so this is fail-fast DETECTION of a violated
+    contract, not a lock — the contract stays one maintenance writer
+    per index. Returns the committed raw text (the caller's new
+    expectation for its next write)."""
+    cur = _read_sidecar_raw(path)
+    if cur != expected_raw:
+        raise RuntimeError(
+            f"bloom index at {path!r}: sidecar changed mid-operation — a "
+            "concurrent maintenance writer committed. Committing this "
+            "writer's stale merge would LOSE the other's bits (false "
+            "negatives); run exactly ONE maintenance writer per index "
+            "(fan sources into a single stream) and retry."
+        )
+    _write_sidecar(path, meta)
+    return _read_sidecar_raw(path)
+
+
 def bloom_index_write(
     df: DataFrame,
     path: str,
@@ -490,11 +521,16 @@ def bloom_index_append(
        ``zorder_layout_append``).
 
     SINGLE WRITER, like every sidecar-coordinated maintenance job —
-    fan sources into one stream rather than racing appends.
+    fan sources into one stream rather than racing appends. A
+    violated contract is fail-fast DETECTED: every sidecar commit is
+    CAS-guarded (:func:`_guarded_sidecar_write`), so a racing
+    appender raises instead of silently dropping the other writer's
+    bits (a false-negative class).
 
     Returns ``{"rows_appended", "files_touched", "new_bits"}``
     (``"skipped_replay": True`` when the marker short-circuits)."""
-    meta = read_index_meta(path)
+    raw = _read_sidecar_raw(path)  # CAS token for the sidecar commits
+    meta = json.loads(raw)
     if batch_id is not None:
         last = meta.get("last_batch_id")
         if last is not None and batch_id <= last:
@@ -602,13 +638,15 @@ def bloom_index_append(
             str(f): _pack_bits(sorted(b)) for f, b in decoded.items()
         }
     # step 1: bits BEFORE data (superset bitmaps are safe, subset
-    # bitmaps lose rows) — the marker is deliberately NOT in this write
-    _write_sidecar(path, meta)
+    # bitmaps lose rows) — the marker is deliberately NOT in this
+    # write; CAS-guarded so a racing appender's commit is detected
+    # instead of silently dropped (see _guarded_sidecar_write)
+    raw = _guarded_sidecar_write(path, meta, raw)
     rows = tagged.count()
     if not dirty:
         if batch_id is not None:
             meta["last_batch_id"] = batch_id
-            _write_sidecar(path, meta)
+            raw = _guarded_sidecar_write(path, meta, raw)
         return {"rows_appended": 0, "files_touched": 0, "new_bits": new_bits}
     # step 2: the data
     if key_cols:
@@ -659,7 +697,7 @@ def bloom_index_append(
     # step 3: replay marker AFTER the data
     if batch_id is not None:
         meta["last_batch_id"] = batch_id
-        _write_sidecar(path, meta)
+        raw = _guarded_sidecar_write(path, meta, raw)
     return {
         "rows_appended": rows,
         "files_touched": len(dirty),
@@ -839,7 +877,8 @@ def _maybe_resize(
     marker are carried over verbatim; the atomic sidecar replace is
     the commit point (table storage lands in a fresh versioned dir
     first, the append protocol's reader-race posture)."""
-    meta = read_index_meta(path)
+    raw = _read_sidecar_raw(path)  # CAS token for the sidecar commit
+    meta = json.loads(raw)
     table = meta.get("bits_storage") == "table"
     fills = (
         bloom_fill_ratios_table(spark, path)
@@ -899,7 +938,7 @@ def _maybe_resize(
             str(r["fid"]): _pack_bits([int(b) for b in r["bits"]])
             for r in bits_rows
         }
-    _write_sidecar(path, meta)
+    _guarded_sidecar_write(path, meta, raw)
     return worst, m_new
 
 

@@ -839,3 +839,43 @@ def test_null_key_cols_replay_dedups_null_keys(spark, tmp_path):
     after = spark.read.parquet(path)
     assert after.count() == total  # NULL-key rows deduped too
     assert after.filter(F.col("key").isNull()).count() == 10
+
+
+def test_concurrent_writer_detection_cas(spark, tmp_path):
+    """The single-writer contract is fail-fast DETECTED: a writer
+    that read the sidecar before another writer's commit must RAISE
+    at its own commit point instead of silently replacing the
+    sidecar (which would drop the other writer's bits — false
+    negatives)."""
+    from nineinfra_spark.operators.bloomindex import (
+        _guarded_sidecar_write,
+        _read_sidecar_raw,
+        bloom_index_append,
+    )
+
+    path = str(tmp_path / "cas")
+    bloom_index_write(_frame(spark), path, "day", "key", 8)
+    # writer A reads its CAS token
+    raw_a = _read_sidecar_raw(path)
+    meta_a = read_index_meta(path)
+    # writer B commits an append in between
+    delta = spark.range(N, N + 40).select(
+        (F.col("id") % 100).alias("day"),
+        F.md5(F.col("id").cast("string")).alias("key"),
+        (F.col("id") * 3).alias("payload"),
+    )
+    bloom_index_append(spark, path, delta, batch_id=0)
+    bits_dir_b = read_index_meta(path)["bits_dir"]
+    # writer A's commit must now refuse — not overwrite B's pointer
+    meta_a["last_batch_id"] = 99
+    with pytest.raises(RuntimeError, match="concurrent maintenance writer"):
+        _guarded_sidecar_write(path, meta_a, raw_a)
+    after = read_index_meta(path)
+    assert after["bits_dir"] == bits_dir_b  # B's commit intact
+    assert after["last_batch_id"] == 0
+    # a fresh read-then-commit succeeds (the retry path)
+    raw2 = _read_sidecar_raw(path)
+    meta2 = read_index_meta(path)
+    meta2["last_batch_id"] = 1
+    _guarded_sidecar_write(path, meta2, raw2)
+    assert read_index_meta(path)["last_batch_id"] == 1
