@@ -686,6 +686,14 @@ def publish_snapshot(
     name :func:`recover_published_table` knows (``__old`` or the
     stage), so no crash can lose the data.
 
+    Concurrent readers in OTHER sessions (gateway session clones)
+    additionally hold their own cached relation: after the swap their
+    next read can fail with ``FAILED_READ_FILE`` against the replaced
+    files until they ``REFRESH TABLE`` — standard Spark semantics for
+    a swapped table, exercised end-to-end (retry + refresh + re-read,
+    with the re-read value still asserted un-torn) by
+    ``tests/test_concurrency_nsessions.py``.
+
     ``properties`` are set as TBLPROPERTIES on the STAGE table before
     the swap, so they commit ATOMICALLY with the data (the stage →
     live rename carries both or neither) — this is what lets a
