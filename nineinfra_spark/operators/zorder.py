@@ -192,6 +192,32 @@ def _write_sidecar(path: str, meta: dict) -> None:
     os.replace(tmp, target)
 
 
+def _read_sidecar_raw(path: str) -> str:
+    import os
+
+    with open(os.path.join(path, _LAYOUT_SIDECAR), encoding="utf-8") as f:
+        return f.read()
+
+
+def _guarded_sidecar_write(path: str, meta: dict, expected_raw: str) -> str:
+    """Optimistic-CAS sidecar commit for the append maintainer —
+    the zorder twin of ``bloomindex._guarded_sidecar_write``. Two
+    racing appenders interleaving dynamic-partition overwrites is the
+    single-writer contract's failure mode; detecting the sidecar
+    conflict at the marker commit turns a silent divergence into a
+    raised error. Fail-fast detection, not a lock."""
+    cur = _read_sidecar_raw(path)
+    if cur != expected_raw:
+        raise RuntimeError(
+            f"z-order layout at {path!r}: sidecar changed mid-append — a "
+            "concurrent maintenance writer committed; the layouts have "
+            "raced on the same buckets. Run exactly ONE maintenance "
+            "writer per layout (fan sources into a single stream)."
+        )
+    _write_sidecar(path, meta)
+    return _read_sidecar_raw(path)
+
+
 def read_layout_meta(path: str) -> dict:
     """The frozen layout contract of a :func:`zorder_layout_write`
     directory: z columns, bit widths, and the normalization bounds
@@ -326,9 +352,11 @@ def zorder_layout_append(
     the dirty set whole (the algebra `test_key_dedup_closes_the_crash_
     window` pins).
     """
+    import json
     import os
 
-    meta = read_layout_meta(path)
+    raw = _read_sidecar_raw(path)  # CAS token for the marker commit
+    meta = json.loads(raw)
     if batch_id is not None:
         last = meta.get("last_batch_id")
         if last is not None and batch_id <= last:
@@ -400,7 +428,7 @@ def zorder_layout_append(
     )
     if batch_id is not None:
         meta["last_batch_id"] = batch_id
-        _write_sidecar(path, meta)
+        _guarded_sidecar_write(path, meta, raw)
     new_ids = {
         int(d.split("=", 1)[1])
         for d in os.listdir(path)

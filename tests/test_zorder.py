@@ -608,3 +608,39 @@ def test_reserved_layout_columns_rejected(spark, tmp_path):
     df2 = spark.createDataFrame([(1, 2, 3)], "x long, y long, _z long")
     with pytest.raises(ValueError, match="'_z' is reserved"):
         zorder_write(df2, str(tmp_path / "w"), ["x", "y"], n_files=2)
+
+
+def test_zorder_concurrent_writer_detection_cas(spark, tmp_path):
+    """The zorder twin of the bloom CAS guard: an appender whose
+    sidecar read predates another writer's commit raises at its
+    marker commit instead of silently overwriting it."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from nineinfra_spark.operators.zorder import (
+        _guarded_sidecar_write,
+        _read_sidecar_raw,
+        read_layout_meta,
+        zorder_layout_append,
+        zorder_layout_write,
+    )
+
+    out = str(tmp_path / "zcas")
+    df = spark.range(0, 500).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 37).alias("user_id"),
+        (F.col("id") * 1.5).alias("value"),
+    )
+    zorder_layout_write(df, out, ["user_id", "value"], bits=8, bucket_bits=4)
+    raw_a = _read_sidecar_raw(out)
+    meta_a = read_layout_meta(out)
+    delta = spark.range(500, 550).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 37).alias("user_id"),
+        (F.col("id") * 1.5).alias("value"),
+    )
+    zorder_layout_append(spark, out, delta, batch_id=0)  # writer B commits
+    meta_a["last_batch_id"] = 99
+    with _pytest.raises(RuntimeError, match="concurrent maintenance writer"):
+        _guarded_sidecar_write(out, meta_a, raw_a)
+    assert read_layout_meta(out)["last_batch_id"] == 0  # B's marker intact
