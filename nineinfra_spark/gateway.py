@@ -57,16 +57,19 @@ def start_thrift_gateway(spark: SparkSession, port: int, timeout_s: float = 30.0
     conf_ports = {
         spark.conf.get("hive.server2.thrift.port", None),
         spark.conf.get("hive.server2.thrift.http.port", None),
-    }
-    if str(port) not in conf_ports:
-        # without this check the server silently starts on the default
-        # port and the wait below times out with a misleading error
+    } - {None}
+    if conf_ports and str(port) not in conf_ports:
+        # a PRESENT-but-different session conf means the server will
+        # start on that other port and the wait below would time out
+        # with a misleading error. An ABSENT conf is allowed — the
+        # port may legitimately come from hive-site.xml or the
+        # HIVE_SERVER2_THRIFT_PORT env, which the session conf can't
+        # see; a wrong value there still surfaces as the wait timeout.
         raise ValueError(
-            f"neither hive.server2.thrift.port nor .http.port is "
-            f"{port} on the session (found {conf_ports - {None}!r}) — "
-            "the server reads the conf at startup, so set "
-            "EngineConfig.thrift_port (or the conf on the builder) "
-            "before creating the session"
+            f"session conf carries thrift port(s) {sorted(conf_ports)!r} "
+            f"but the gateway was asked for port {port} — the server "
+            "reads the conf at startup, so set EngineConfig.thrift_port "
+            "(or the conf on the builder) before creating the session"
         )
     jvm = spark._jvm  # noqa: SLF001 — JVM bridge is the only entry point
     jvm.org.apache.spark.sql.hive.thriftserver.HiveThriftServer2.startWithContext(

@@ -61,6 +61,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from nineinfra_spark.operators import _sidecar
+
 _SIDECAR = "_bloomindex.json"
 
 #: key-column types whose Spark ``cast('string')`` rendering is
@@ -85,19 +87,24 @@ M_BITS = 8192
 K_HASHES = 4
 
 
-def m_bits_for(keys_per_file: int, fp: float = 0.01) -> int:
-    """Bitmap size for a target false-positive rate at ``k=4`` hashes:
-    solve ``fp = fill^4`` with ``fill = 1 − e^(−k·n/m)``. Rounded up
-    to a multiple of 64. At the 1% default this is ≈ 10.5 bits/key —
-    a 1M-key file costs ~1.3 MB of packed bitmap."""
+def m_bits_for(keys_per_file: int, fp: float = 0.01, k: int = K_HASHES) -> int:
+    """Bitmap size for a target false-positive rate at ``k`` hashes
+    (default 4): solve ``fp = fill^k`` with ``fill = 1 − e^(−k·n/m)``.
+    Rounded up to a multiple of 64. At the k=4/1% default this is
+    ≈ 10.5 bits/key — a 1M-key file costs ~1.3 MB of packed bitmap.
+    Pass the INDEX's own ``k`` when sizing an existing index (the
+    resize loop does) — the 4-hash formula under-sizes a k>4 index,
+    leaving its fill above threshold forever."""
     import math
 
     if keys_per_file < 1:
         return M_BITS
     if not 0 < fp < 1:
         raise ValueError(f"fp must be in (0, 1), got {fp}")
-    fill = fp ** (1.0 / K_HASHES)
-    m = math.ceil(-K_HASHES * keys_per_file / math.log(1.0 - fill))
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    fill = fp ** (1.0 / k)
+    m = math.ceil(-k * keys_per_file / math.log(1.0 - fill))
     return ((m + 63) // 64) * 64
 
 
@@ -281,13 +288,7 @@ def _positions_py(value, m_bits: int, k: int) -> list[int]:
 
 
 def _write_sidecar(path: str, meta: dict) -> None:
-    target = os.path.join(path, _SIDECAR)
-    tmp = target + f".tmp.{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w", encoding="utf-8") as f:
-        json.dump(meta, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, target)
+    _sidecar.write(path, _SIDECAR, meta)
 
 
 def read_index_meta(path: str) -> dict:
@@ -297,34 +298,17 @@ def read_index_meta(path: str) -> dict:
 
 
 def _read_sidecar_raw(path: str) -> str:
-    with open(os.path.join(path, _SIDECAR), encoding="utf-8") as f:
-        return f.read()
+    return _sidecar.read_raw(path, _SIDECAR)
 
 
 def _guarded_sidecar_write(path: str, meta: dict, expected_raw: str) -> str:
     """Optimistic-CAS sidecar commit for the maintenance paths
-    (append / resize): refuse to replace a sidecar some OTHER writer
-    committed since this operation read it. The lost-update race is
-    the single-writer contract's failure mode — two appenders both
-    merge against the same old bits pointer and the second
-    ``os.replace`` silently DROPS the first one's bloom bits, a false-
-    NEGATIVE class (probes miss committed rows). The check-then-
-    replace window here is microseconds (the expensive merge happens
-    before the check), so this is fail-fast DETECTION of a violated
-    contract, not a lock — the contract stays one maintenance writer
-    per index. Returns the committed raw text (the caller's new
-    expectation for its next write)."""
-    cur = _read_sidecar_raw(path)
-    if cur != expected_raw:
-        raise RuntimeError(
-            f"bloom index at {path!r}: sidecar changed mid-operation — a "
-            "concurrent maintenance writer committed. Committing this "
-            "writer's stale merge would LOSE the other's bits (false "
-            "negatives); run exactly ONE maintenance writer per index "
-            "(fan sources into a single stream) and retry."
-        )
-    _write_sidecar(path, meta)
-    return _read_sidecar_raw(path)
+    (append / compact / resize) — the shared protocol in
+    ``operators/_sidecar.py``: a racing writer raises instead of
+    silently replacing the other's bits pointer (false negatives)."""
+    return _sidecar.guarded_write(
+        path, _SIDECAR, meta, expected_raw, "bloom index"
+    )
 
 
 def bloom_index_write(
@@ -796,10 +780,21 @@ def bloom_index_compact(
 
     Returns ``{"fids_compacted", "files_before", "files_after",
     "bits_dirs_vacuumed", "worst_fill", "resized_m_bits"}``
-    (``resized_m_bits`` is None when no resize ran)."""
+    (``resized_m_bits`` is None when no resize ran).
+
+    SAME single-writer maintenance lane as :func:`bloom_index_append`:
+    compact must not run concurrently with appends — its small-files
+    rewrite replaces whole fid partitions from a pre-read snapshot, so
+    a mid-compact append's rows would be silently dropped from the
+    rewritten fids. The violation is fail-fast DETECTED both ways: the
+    rewrite ends with a CAS touch-commit of the sidecar, which raises
+    here if an append committed mid-compact, and trips the APPEND's
+    own CAS if one is still in flight."""
     import shutil
 
-    ref = read_index_meta(path).get("bits_dir")
+    raw = _read_sidecar_raw(path)  # CAS token: detect mid-compact appends
+    meta0 = json.loads(raw)
+    ref = meta0.get("bits_dir")
     stale = [
         d
         for d in os.listdir(path)
@@ -848,6 +843,11 @@ def bloom_index_compact(
             for f in os.listdir(os.path.join(path, d))
             if f.endswith(".parquet") and not f.startswith(("_", "."))
         )
+        # touch-commit: raises if a maintenance writer committed while
+        # the rewrite ran (its rows were just dropped from the
+        # rewritten fids — surface the lost update instead of hiding
+        # it), and trips an in-flight append's own CAS symmetrically
+        raw = _guarded_sidecar_write(path, meta0, raw)
     else:
         files_after = files_before
     worst_fill, resized = _maybe_resize(
@@ -886,7 +886,15 @@ def _maybe_resize(
         else bloom_fill_ratios(meta)
     )
     worst = max(fills.values(), default=0.0)
-    if fill_threshold is None or worst <= fill_threshold:
+    if fill_threshold is None:
+        return worst, None
+    # k-aware effective threshold: the DESIGN fill for fp_target at k
+    # hashes is fp^(1/k) (0.32 at k=4, 0.56 at k=8) — a correctly
+    # sized high-k index sits just under it, so a flat 0.5 would trip
+    # the resize check forever on k>=7 geometries that cannot be
+    # improved at this fp_target
+    eff = max(fill_threshold, fp_target ** (1.0 / meta["k"]))
+    if worst <= eff:
         return worst, None
     have_files = any(
         d.startswith("fid=") and os.path.isdir(os.path.join(path, d))
@@ -909,7 +917,7 @@ def _maybe_resize(
         .first()[0]
         or 0
     )
-    m_new = m_bits_for(max_keys, fp_target)
+    m_new = m_bits_for(max_keys, fp_target, k)
     if m_new <= meta["m_bits"]:
         # fill is high but the geometry is already at (or past) the
         # target size — rebuilding at the same m cannot lower it

@@ -179,43 +179,28 @@ _LAYOUT_SIDECAR = "_zlayout.json"
 
 
 def _write_sidecar(path: str, meta: dict) -> None:
-    import json
-    import os
-    import uuid
+    from nineinfra_spark.operators import _sidecar
 
-    target = os.path.join(path, _LAYOUT_SIDECAR)
-    tmp = target + f".tmp.{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w", encoding="utf-8") as f:
-        json.dump(meta, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, target)
+    _sidecar.write(path, _LAYOUT_SIDECAR, meta)
 
 
 def _read_sidecar_raw(path: str) -> str:
-    import os
+    from nineinfra_spark.operators import _sidecar
 
-    with open(os.path.join(path, _LAYOUT_SIDECAR), encoding="utf-8") as f:
-        return f.read()
+    return _sidecar.read_raw(path, _LAYOUT_SIDECAR)
 
 
 def _guarded_sidecar_write(path: str, meta: dict, expected_raw: str) -> str:
-    """Optimistic-CAS sidecar commit for the append maintainer —
-    the zorder twin of ``bloomindex._guarded_sidecar_write``. Two
-    racing appenders interleaving dynamic-partition overwrites is the
-    single-writer contract's failure mode; detecting the sidecar
-    conflict at the marker commit turns a silent divergence into a
-    raised error. Fail-fast detection, not a lock."""
-    cur = _read_sidecar_raw(path)
-    if cur != expected_raw:
-        raise RuntimeError(
-            f"z-order layout at {path!r}: sidecar changed mid-append — a "
-            "concurrent maintenance writer committed; the layouts have "
-            "raced on the same buckets. Run exactly ONE maintenance "
-            "writer per layout (fan sources into a single stream)."
-        )
-    _write_sidecar(path, meta)
-    return _read_sidecar_raw(path)
+    """Optimistic-CAS marker commit for the append maintainer — the
+    shared protocol in ``operators/_sidecar.py``: two racing appenders
+    interleaving dynamic-partition overwrites is the single-writer
+    contract's failure mode; the conflict raises at the marker commit
+    instead of silently diverging."""
+    from nineinfra_spark.operators import _sidecar
+
+    return _sidecar.guarded_write(
+        path, _LAYOUT_SIDECAR, meta, expected_raw, "z-order layout"
+    )
 
 
 def read_layout_meta(path: str) -> dict:

@@ -879,3 +879,82 @@ def test_concurrent_writer_detection_cas(spark, tmp_path):
     meta2["last_batch_id"] = 1
     _guarded_sidecar_write(path, meta2, raw2)
     assert read_index_meta(path)["last_batch_id"] == 1
+
+
+def test_resize_respects_index_k(spark, tmp_path):
+    """The resize loop sizes with the INDEX's own k, not the module
+    default: an undersized k=8 index repairs to its k-aware design
+    fill (fp^(1/8) ~= 0.56 — above the flat 0.5 threshold, which the
+    effective threshold must therefore also respect), and the repaired
+    index is never churned by the next compact."""
+    import hashlib
+    import warnings
+
+    from nineinfra_spark.operators.bloomindex import (
+        bloom_fill_ratios_table,
+        bloom_index_compact,
+    )
+
+    path = str(tmp_path / "k8")
+    df = spark.range(0, 4000).select(
+        (F.col("id") % 50).alias("lay"),
+        F.md5(F.col("id").cast("string")).alias("key"),
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        bloom_index_write(df, path, "lay", "key", 8, m_bits=512, k=8)
+    assert max(bloom_fill_ratios_table(spark, path).values()) > 0.9
+    cst = bloom_index_compact(spark, path)
+    assert cst["resized_m_bits"] is not None
+    eff = 0.01 ** (1.0 / 8)  # k=8 design fill at the 1% fp target
+    fill1 = max(bloom_fill_ratios_table(spark, path).values())
+    assert fill1 <= eff + 1e-9
+    # probes exact, absent keys ~1% fp per file
+    k_ = hashlib.md5(b"777").hexdigest()
+    out, st = bloom_skipping_read(spark, path, [k_])
+    assert out.count() == 1 and st["files_skipped"] > 0
+    # a healthy k=8 index at its design fill is NOT churned
+    cst2 = bloom_index_compact(spark, path)
+    assert cst2["resized_m_bits"] is None
+
+
+def test_compact_detects_mid_compact_append(spark, tmp_path, monkeypatch):
+    """Compact's small-files rewrite replaces whole fid partitions
+    from a pre-read snapshot, so an append that commits mid-compact
+    would have its rows silently dropped — the touch-commit CAS must
+    RAISE instead (and the append side's own CAS covers the mirror
+    interleave)."""
+    import nineinfra_spark.operators.bloomindex as bi
+    from nineinfra_spark.operators.bloomindex import (
+        bloom_index_append,
+        bloom_index_compact,
+    )
+
+    path = str(tmp_path / "mc")
+    bloom_index_write(_frame(spark), path, "day", "key", 8)
+    for i in range(2):  # fragment so compact takes the rewrite branch
+        delta = spark.range(N + i * 100, N + (i + 1) * 100).select(
+            (F.col("id") % 100).alias("day"),
+            F.md5(F.col("id").cast("string")).alias("key"),
+            (F.col("id") * 3).alias("payload"),
+        )
+        bloom_index_append(spark, path, delta, batch_id=i)
+    orig = bi._read_sidecar_raw
+    state = {"fired": False}
+
+    def hook(p_):
+        raw = orig(p_)
+        if not state["fired"]:
+            state["fired"] = True
+            # a concurrent appender commits AFTER compact reads its token
+            late = spark.range(N + 200, N + 250).select(
+                (F.col("id") % 100).alias("day"),
+                F.md5(F.col("id").cast("string")).alias("key"),
+                (F.col("id") * 3).alias("payload"),
+            )
+            bloom_index_append(spark, p_, late, batch_id=2)
+        return raw
+
+    monkeypatch.setattr(bi, "_read_sidecar_raw", hook)
+    with pytest.raises(RuntimeError, match="concurrent maintenance writer"):
+        bloom_index_compact(spark, path)

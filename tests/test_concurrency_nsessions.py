@@ -290,16 +290,27 @@ def test_n_sessions_interleaved_merge_probe_rollup(tmp_path):
         text=True,
         cwd="/root/repo",
     )
+    # a pump thread owns stdout for the whole host lifetime, so the
+    # readiness deadline stays effective even if the host wedges
+    # silently (a blocking readline would hang past any deadline)
+    host_lines: list = []
+
+    def _pump() -> None:
+        for line in proc.stdout:
+            host_lines.append(line)
+
+    pump = threading.Thread(target=_pump, daemon=True)
+    pump.start()
     try:
         deadline = time.time() + 240
         ready = False
         while time.time() < deadline:
-            line = proc.stdout.readline()
-            if "HOST_READY" in line:
+            if any("HOST_READY" in l for l in host_lines):
                 ready = True
                 break
             if proc.poll() is not None:
                 break
+            time.sleep(0.5)
         assert ready, f"host never ready: {err_path.read_text()[-3000:]}"
 
         idx_path = str(tmp_path / "bloomidx")
@@ -323,7 +334,9 @@ def test_n_sessions_interleaved_merge_probe_rollup(tmp_path):
 
         proc.stdin.write("done\n")
         proc.stdin.flush()
-        out, _ = proc.communicate(timeout=600)
+        proc.wait(timeout=600)
+        pump.join(timeout=10)
+        out = "".join(host_lines)
         assert proc.returncode == 0, (
             f"host failed:\n{out}\n{err_path.read_text()[-3000:]}"
         )
