@@ -326,8 +326,13 @@ class _Conn:
                 return
             while True:
                 self._seq = 0
+                # _read_packet leaves _seq at last-received-frame + 1 —
+                # which is 1 for a single-frame command but HIGHER for
+                # a split (>=16 MB) command; the response must continue
+                # that sequence, so never reset it here (r15 review
+                # finding: a hard reset to 1 desynced every client
+                # that sent a split COM_QUERY)
                 packet = self._read_packet()
-                self._seq = 1
                 if not packet or packet[0] == COM_QUIT:
                     return
                 if packet[0] == COM_PING:

@@ -476,3 +476,35 @@ def test_binary_values_ship_raw_bytes(client):
     # raw bytes decode to the literal payload; the old str() rendering
     # shipped the Python repr "b'ABC'"
     assert rows[0] == ["ABC", "ABC"]
+
+
+def test_split_command_response_continues_sequence(gw):
+    """A >=16 MB COM_QUERY arrives as two frames (seq 0, 1); the
+    response must carry seq 2 — a strict connector verifies the
+    continuation and drops the connection on a reset-to-1 (r15 review
+    finding)."""
+    c = Client(gw.port)
+    try:
+        assert c.handshake()["ok"][0] == 0x00
+        pad = " " * (0xFFFFFF - 1)  # frame 1 = exactly 0xFFFFFF bytes
+        sql = "SELECT 1 AS x -- " + pad
+        payload = bytes([0x03]) + sql.encode()
+        assert len(payload) > 0xFFFFFF
+        # send with the protocol's splitting rule, seq 0 then 1
+        c.seq = 0
+        c.sock.sendall(
+            struct.pack("<I", 0xFFFFFF)[:3] + b"\x00" + payload[:0xFFFFFF]
+        )
+        rest = payload[0xFFFFFF:]
+        c.sock.sendall(struct.pack("<I", len(rest))[:3] + b"\x01" + rest)
+        # first response frame: column count, and its seq MUST be 2
+        header = c._exact(4)
+        assert header[3] == 2, f"response seq {header[3]}, want 2"
+        (length,) = struct.unpack("<I", header[:3] + b"\x00")
+        first = c._exact(length)
+        assert first[0] == 1  # one result column
+        # drain the rest of the resultset (columns + EOF + row + EOF)
+        for _ in range(4):
+            c.read_packet()
+    finally:
+        c.close()
