@@ -251,6 +251,16 @@ class _Handler(BaseHTTPRequestHandler):
                 self.sessions.move_to_end(key)
         return sess
 
+    def _read_body(self) -> bytes:
+        """Request body per Content-Length. A NEGATIVE length must be
+        rejected before it reaches ``rfile.read(-n)`` — that form
+        reads until EOF, which on a keep-alive connection blocks the
+        handler thread until the client goes away (r15 review pass)."""
+        length = int(self.headers.get("Content-Length", "0"))
+        if length < 0:
+            raise ValueError(f"invalid Content-Length {length}")
+        return self.rfile.read(length)
+
     def _reply(
         self, code: int, payload: dict, headers: dict | None = None
     ) -> None:
@@ -359,8 +369,7 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply_unauthorized()
             return
         try:
-            length = int(self.headers.get("Content-Length", "0"))
-            req = json.loads(self.rfile.read(length) or b"{}")
+            req = json.loads(self._read_body() or b"{}")
             max_rows = int(req.get("max", DEFAULT_FETCH_LIMIT))
             if max_rows < 1 or max_rows > MAX_FETCH_LIMIT:
                 raise ValueError(
@@ -412,8 +421,7 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(403, {"error": deny})
             return
         try:
-            length = int(self.headers.get("Content-Length", "0"))
-            req = json.loads(self.rfile.read(length) or b"{}")
+            req = json.loads(self._read_body() or b"{}")
             if not isinstance(req, dict):
                 raise TypeError(
                     f"body must be a JSON object, got {type(req).__name__}"
@@ -531,8 +539,7 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(403, {"error": deny})
             return
         try:
-            length = int(self.headers.get("Content-Length", "0"))
-            req = json.loads(self.rfile.read(length) or b"{}")
+            req = json.loads(self._read_body() or b"{}")
             if not isinstance(req, dict):
                 raise TypeError(f"body must be a JSON object, got {type(req).__name__}")
             sql = req["sql"]

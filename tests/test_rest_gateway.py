@@ -935,3 +935,24 @@ class TestBloomProbeEndpoint:
         with pytest.raises(urllib.error.HTTPError) as e:
             urllib.request.urlopen(req)
         assert e.value.code == 400
+
+
+def test_negative_content_length_is_400_not_a_hang(rest):
+    """A negative Content-Length must be rejected up front — passed to
+    rfile.read() it reads until EOF and parks the handler thread until
+    the client disconnects (r15 review pass)."""
+    import http.client
+
+    conn = http.client.HTTPConnection("127.0.0.1", rest.port, timeout=10)
+    try:
+        body = b'{"sql": "SELECT 1 AS x"}'
+        conn.putrequest("POST", "/api/v1/sql")
+        conn.putheader("Content-Type", "application/json")
+        conn.putheader("Content-Length", "-1")
+        conn.endheaders()
+        conn.send(body)
+        resp = conn.getresponse()
+        assert resp.status == 400
+        assert b"Content-Length" in resp.read()
+    finally:
+        conn.close()
