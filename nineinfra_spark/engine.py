@@ -373,18 +373,32 @@ class Engine:
             self.registration.heartbeat(load=load)
 
     def close(self) -> None:
+        """Teardown mirror of ``open``'s failure-atomicity: every
+        component is stopped even when an earlier stop raises (a
+        wedged gateway must not leak the JVM or the other frontends);
+        the first error propagates after everything was attempted."""
+        errs: list[BaseException] = []
+
+        def _do(fn) -> None:
+            try:
+                fn()
+            except BaseException as exc:  # noqa: BLE001 — collected, re-raised
+                errs.append(exc)
+
         if self.registration is not None:
-            self.registration.deregister()
+            _do(self.registration.deregister)
             self.registration = None
         if self.rest_gateway is not None:
-            self.rest_gateway.stop()
+            _do(self.rest_gateway.stop)
             self.rest_gateway = None
         if self.mysql_gateway is not None:
-            self.mysql_gateway.stop()
+            _do(self.mysql_gateway.stop)
             self.mysql_gateway = None
         if self._spark is not None:
-            self._spark.stop()
+            _do(self._spark.stop)
             self._spark = None
+        if errs:
+            raise errs[0]
 
     @property
     def spark(self) -> SparkSession:
