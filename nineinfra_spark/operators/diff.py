@@ -183,6 +183,16 @@ def snapshot_diff_counts(old: DataFrame, new: DataFrame) -> DataFrame:
             f"snapshot_diff_counts: column sets differ — "
             f"old={sorted(old.columns)} new={sorted(new.columns)}"
         )
+    reserved = {"_w", "row_delta"} & set(old.columns)
+    if reserved:
+        # same guard class as snapshot_diff's presence/verdict names:
+        # without it the weight/output columns collide with input
+        # columns and surface as an ambiguous-reference AnalysisError
+        # far from the caller's mistake
+        raise ValueError(
+            f"snapshot_diff_counts: columns {sorted(reserved)} collide "
+            "with the diff's weight/output columns — rename them first"
+        )
     cols = list(old.columns)
     w = old.select(*cols, F.lit(-1).alias("_w")).unionByName(
         new.select(*cols, F.lit(1).alias("_w"))

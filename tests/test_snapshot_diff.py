@@ -350,3 +350,19 @@ def test_table_changes_three_state_evolution(spark):
     finally:
         for t in ("tc3_t", "tc3_t__v0", "tc3_t__v1"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_counts_reserved_column_names_rejected(spark):
+    """The keyless form's weight/output names must be guarded like the
+    keyed form's presence/verdict names — a clear ValueError, not an
+    ambiguous-reference AnalysisException (r15 review pass)."""
+    import pytest as _pytest
+
+    from nineinfra_spark.operators.diff import snapshot_diff_counts
+
+    df = spark.createDataFrame([(1, 2)], "a int, _w int")
+    with _pytest.raises(ValueError, match="_w"):
+        snapshot_diff_counts(df, df)
+    df2 = spark.createDataFrame([(1, 2)], "a int, row_delta int")
+    with _pytest.raises(ValueError, match="row_delta"):
+        snapshot_diff_counts(df2, df2)
