@@ -958,3 +958,48 @@ def test_compact_detects_mid_compact_append(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(bi, "_read_sidecar_raw", hook)
     with pytest.raises(RuntimeError, match="concurrent maintenance writer"):
         bloom_index_compact(spark, path)
+
+
+def test_grace_window_keeps_inflight_probe_readable(spark, tmp_path):
+    """The reader's view of the vacuum grace window: a probe that read
+    the sidecar just before an append committed still holds the OLD
+    bits-dir pointer — after a default compact (which retains the most
+    recently superseded dir) that probe must still complete and stay
+    exact; only after a FURTHER commit+compact does the old dir
+    vacuum."""
+    import hashlib
+
+    from nineinfra_spark.operators.bloomindex import (
+        bloom_index_append,
+        bloom_index_compact,
+        bloom_probe_files_table,
+    )
+
+    path = str(tmp_path / "gr")
+    bloom_index_write(_frame(spark), path, "day", "key", 8)
+    old_meta = read_index_meta(path)  # the in-flight reader's snapshot
+    delta = spark.range(N, N + 100).select(
+        (F.col("id") % 100).alias("day"),
+        F.md5(F.col("id").cast("string")).alias("key"),
+        (F.col("id") * 3).alias("payload"),
+    )
+    bloom_index_append(spark, path, delta, batch_id=0)
+    bloom_index_compact(spark, path)  # grace: old dir retained
+    k = hashlib.md5(b"42").hexdigest()  # a seed key the old bitmap holds
+    hits_old = bloom_probe_files_table(spark, path, [k], meta=old_meta)
+    hits_new = bloom_probe_files_table(spark, path, [k])
+    assert hits_old  # old-pointer probe still readable and admits the key
+    assert set(hits_old) <= set(hits_new) or hits_old == hits_new
+    # two more commit points later the old dir is legitimately gone
+    delta2 = spark.range(N + 100, N + 150).select(
+        (F.col("id") % 100).alias("day"),
+        F.md5(F.col("id").cast("string")).alias("key"),
+        (F.col("id") * 3).alias("payload"),
+    )
+    bloom_index_append(spark, path, delta2, batch_id=1)
+    bloom_index_compact(spark, path)
+    import os as _os
+
+    assert not _os.path.isdir(_os.path.join(path, old_meta["bits_dir"])) or (
+        old_meta["bits_dir"] == read_index_meta(path)["bits_dir"]
+    )
