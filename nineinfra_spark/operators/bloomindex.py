@@ -509,7 +509,10 @@ def bloom_index_append(
     violated contract is fail-fast DETECTED: every sidecar commit is
     CAS-guarded (:func:`_guarded_sidecar_write`), so a racing
     appender raises instead of silently dropping the other writer's
-    bits (a false-negative class).
+    bits (a false-negative class). The detection is unconditional —
+    commits bump ``_cas_rev`` (byte-identical payloads still change
+    the file) and same-host commits serialize under the
+    ``_sidecar.py`` flock.
 
     Returns ``{"rows_appended", "files_touched", "new_bits"}``
     (``"skipped_replay": True`` when the marker short-circuits)."""
@@ -789,7 +792,13 @@ def bloom_index_compact(
     rewritten fids. The violation is fail-fast DETECTED both ways: the
     rewrite ends with a CAS touch-commit of the sidecar, which raises
     here if an append committed mid-compact, and trips the APPEND's
-    own CAS if one is still in flight."""
+    own CAS if one is still in flight. Both directions are
+    unconditional: every guarded commit bumps the sidecar's
+    ``_cas_rev`` field (so even a payload-identical touch-commit — or
+    an append whose delta added zero new bits — changes the bytes a
+    stale token is compared against), and same-host commits serialize
+    under an flock held across the whole read-check-replace
+    (``operators/_sidecar.py``)."""
     import shutil
 
     raw = _read_sidecar_raw(path)  # CAS token: detect mid-compact appends
