@@ -504,6 +504,17 @@ def bloom_index_append(
        your key or accept at-least-once, exactly as with
        ``zorder_layout_append``).
 
+    NULL keys: when the delta carries a NULL in a ``key_cols``
+    column, keys match NULL-SAFELY (``<=>``) so replayed NULL-key
+    rows converge — with the consequence that NULL collapses to a
+    SINGLE upsert key: one NULL-key delta row supersedes ALL existing
+    NULL-key rows in the rewritten fid partitions, unlike SQL/Delta
+    MERGE where NULL never matches. If NULL keys denote distinct
+    rows, make the key non-null or accept the collapse. Deltas with
+    zero NULL keys (detected inside the dirty-fid discovery job, no
+    extra action) take the plain equi-join path, where the question
+    never arises.
+
     SINGLE WRITER, like every sidecar-coordinated maintenance job —
     fan sources into one stream rather than racing appends. A
     violated contract is fail-fast DETECTED: every sidecar commit is
@@ -569,7 +580,25 @@ def bloom_index_append(
     )
     # dirty fids from the ROWS, not the bits — NULL-key rows carry no
     # bits but still land in (and, under key_cols, must rewrite) files
-    dirty = [r["fid"] for r in tagged.select("fid").distinct().collect()]
+    if key_cols:
+        # fuse the NULL-key probe into the dirty-fid discovery job
+        # (zero extra actions): eqNullSafe is only needed when the
+        # delta actually carries NULL keys (see anti_upsert_keys)
+        from functools import reduce as _reduce
+
+        null_any = _reduce(
+            lambda a, b: a | b, [F.col(c).isNull() for c in key_cols]
+        )
+        fid_agg = (
+            tagged.groupBy("fid")
+            .agg(F.max(F.when(null_any, 1).otherwise(0)).alias("__nk"))
+            .collect()
+        )
+        dirty = [r["fid"] for r in fid_agg]
+        delta_has_null_keys = any(r["__nk"] for r in fid_agg)
+    else:
+        dirty = [r["fid"] for r in tagged.select("fid").distinct().collect()]
+        delta_has_null_keys = False
     delta_pairs = tagged.select(
         "fid",
         F.explode(
@@ -656,12 +685,16 @@ def bloom_index_append(
             existing_dirty = spark.createDataFrame([], schema)
         # rows whose key the delta carries are superseded — the
         # delta-keys side is delta-sized and broadcast; NULL-SAFE
-        # equality (eqNullSafe) so a crash-window replay dedups
-        # NULL-key rows too (a plain anti-join never matches NULL)
+        # equality (eqNullSafe) only when the delta carries NULL keys,
+        # so a crash-window replay dedups NULL-key rows too (a plain
+        # anti-join never matches NULL)
         from nineinfra_spark.operators.zorder import anti_upsert_keys
 
         existing_dirty = anti_upsert_keys(
-            existing_dirty, tagged.select(*key_cols).distinct(), key_cols
+            existing_dirty,
+            tagged.select(*key_cols).distinct(),
+            key_cols,
+            null_safe=delta_has_null_keys,
         )
         combined = (
             existing_dirty.unionByName(tagged)

@@ -37,26 +37,43 @@ ZBITS = 16
 
 
 def anti_upsert_keys(
-    existing: DataFrame, delta_keys: DataFrame, key_cols: Sequence[str]
+    existing: DataFrame,
+    delta_keys: DataFrame,
+    key_cols: Sequence[str],
+    null_safe: bool = True,
 ) -> DataFrame:
     """Drop ``existing`` rows whose key tuple ``delta_keys`` carries
     (delta wins — the upsert half of the append maintainers' replay
-    convergence). NULL-SAFE on every key column (``eqNullSafe``): a
-    plain equi anti-join never matches NULL keys (NULL != NULL), so a
-    crash-window replay would silently DUPLICATE NULL-key rows despite
-    ``key_cols`` — exactly the convergence guarantee the maintainers
-    document. EqualNullSafe still extracts as a hash-join key, so the
-    delta-sized ``delta_keys`` side (must be distinct) stays a
-    broadcast hash join, never a nested loop."""
+    convergence). NULL-SAFE on every key column (``eqNullSafe``) by
+    default: a plain equi anti-join never matches NULL keys
+    (NULL != NULL), so a crash-window replay would silently DUPLICATE
+    NULL-key rows despite ``key_cols`` — exactly the convergence
+    guarantee the maintainers document. EqualNullSafe still extracts
+    as a hash-join key, so the delta-sized ``delta_keys`` side (must
+    be distinct) stays a broadcast hash join, never a nested loop.
+
+    NULL-collapse consequence (by design, callers must document):
+    under ``null_safe=True`` every NULL in a key column matches every
+    other NULL — a delta carrying any NULL-key row supersedes ALL
+    existing NULL-key rows (in the partitions being rewritten), unlike
+    SQL/Delta MERGE where NULL never matches. Callers that know the
+    delta carries ZERO NULL keys may pass ``null_safe=False``: the two
+    forms are then semantically IDENTICAL (a non-null delta key
+    matches the same rows under ``=`` and ``<=>``), and the plain form
+    lets Spark inject ``isNotNull`` filters on both sides — existing
+    NULL-key rows are pruned before the join instead of probed."""
     from functools import reduce
 
     renamed = delta_keys.select(
         *[F.col(c).alias(f"__dk_{c}") for c in key_cols]
     )
-    cond = reduce(
-        lambda a, b: a & b,
-        [existing[c].eqNullSafe(renamed[f"__dk_{c}"]) for c in key_cols],
-    )
+    if null_safe:
+        pairs = [
+            existing[c].eqNullSafe(renamed[f"__dk_{c}"]) for c in key_cols
+        ]
+    else:
+        pairs = [existing[c] == renamed[f"__dk_{c}"] for c in key_cols]
+    cond = reduce(lambda a, b: a & b, pairs)
     return existing.join(F.broadcast(renamed), cond, "left_anti")
 
 
@@ -321,6 +338,17 @@ def zorder_layout_append(
     re-layout or the merge protocol. Without ``key_cols`` the marker
     alone still dedups every non-crash replay.
 
+    NULL keys: when the delta carries a NULL in a key column, keys
+    match NULL-SAFELY (``<=>``) so replayed NULL-key rows converge —
+    with the consequence that NULL collapses to a SINGLE upsert key:
+    one NULL-key delta row supersedes ALL existing NULL-key rows in
+    the dirty buckets, unlike SQL/Delta MERGE where NULL never
+    matches. If NULL keys denote distinct rows in your data, make the
+    key non-null (coalesce a surrogate) or accept the collapse.
+    Deltas with zero NULL keys (detected per batch inside the
+    dirty-bucket discovery job, no extra action) take the plain
+    equi-join path, where the question never arises.
+
     Returns ``{"rows_appended", "buckets_dirty", "buckets_total"}``
     (``"skipped_replay": True`` added when the marker short-circuits).
 
@@ -370,7 +398,33 @@ def zorder_layout_append(
         delta.select(*data_columns).withColumn("zb", zb)
         .localCheckpoint(eager=True)
     )
-    dirty = [r["zb"] for r in delta_b.select("zb").distinct().collect()]
+    if key_cols:
+        bad = [c for c in key_cols if c not in data_columns]
+        if bad:
+            raise ValueError(
+                f"zorder_layout_append: key columns {bad} not in layout"
+            )
+        # fuse the NULL-key probe into the dirty-bucket discovery job
+        # (zero extra actions): eqNullSafe is only NEEDED when the
+        # delta actually carries NULL keys — when it doesn't, the
+        # plain equi anti-join is semantically identical and lets
+        # Spark prune NULL-key existing rows via isNotNull before the
+        # join (see anti_upsert_keys).
+        from functools import reduce as _reduce
+
+        null_any = _reduce(
+            lambda a, b: a | b, [F.col(c).isNull() for c in key_cols]
+        )
+        agg = (
+            delta_b.groupBy("zb")
+            .agg(F.max(F.when(null_any, 1).otherwise(0)).alias("__nk"))
+            .collect()
+        )
+        dirty = [r["zb"] for r in agg]
+        delta_has_null_keys = any(r["__nk"] for r in agg)
+    else:
+        dirty = [r["zb"] for r in delta_b.select("zb").distinct().collect()]
+        delta_has_null_keys = False
     n_total = sum(
         1
         for d in os.listdir(path)
@@ -388,16 +442,15 @@ def zorder_layout_append(
         .select(*data_columns, "zb")
     )
     if key_cols:
-        bad = [c for c in key_cols if c not in data_columns]
-        if bad:
-            raise ValueError(
-                f"zorder_layout_append: key columns {bad} not in layout"
-            )
         # upsert: rows whose key the delta carries are superseded —
         # the delta-keys side is delta-sized and broadcast; null-safe
-        # equality so NULL-key rows dedup on replay too
+        # equality (only when the delta carries NULL keys) so NULL-key
+        # rows dedup on replay too
         existing_dirty = anti_upsert_keys(
-            existing_dirty, delta_b.select(*key_cols).distinct(), key_cols
+            existing_dirty,
+            delta_b.select(*key_cols).distinct(),
+            key_cols,
+            null_safe=delta_has_null_keys,
         )
     rows_appended = delta_b.count()
     combined = (

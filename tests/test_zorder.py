@@ -496,6 +496,73 @@ class TestStreamingMaintain:
         zorder_layout_append(spark, out, upd, key_cols=["event_id"])
         assert spark.read.parquet(out).filter("event_id = 0").count() == 1
 
+    def test_null_key_replay_converges(self, spark, tmp_path):
+        """Crash-window replay of a delta carrying NULL-key rows must
+        converge (the null-safe path — a plain anti-join never matches
+        NULL and would duplicate them)."""
+        from nineinfra_spark.operators.zorder import zorder_layout_append
+
+        out, base = self._layout(spark, tmp_path)
+        delta = spark.createDataFrame(
+            [(None, 10, 3.0), (4000, 10, 3.0)],
+            "event_id long, user_id long, value double",
+        )
+        zorder_layout_append(spark, out, delta, key_cols=["event_id"])
+        zorder_layout_append(spark, out, delta, key_cols=["event_id"])
+        got = spark.read.parquet(out).filter(
+            "user_id = 10 and value = 3.0 and event_id >= 4000"
+            " or (user_id = 10 and value = 3.0 and event_id is null)"
+        )
+        assert got.filter("event_id is null").count() == 1
+        assert got.filter("event_id = 4000").count() == 1
+
+    def test_null_free_delta_takes_plain_path_and_keeps_null_rows(
+        self, spark, tmp_path
+    ):
+        """The per-batch gate: a delta with ZERO NULL keys uses the
+        plain equi anti-join (identical semantics there) — existing
+        NULL-key rows in the dirty buckets survive the rewrite."""
+        from nineinfra_spark.operators.zorder import zorder_layout_append
+
+        out, base = self._layout(spark, tmp_path)
+        seed = spark.createDataFrame(
+            [(None, 10, 3.0), (None, 10, 3.0)],
+            "event_id long, user_id long, value double",
+        )
+        zorder_layout_append(spark, out, seed)  # blind append, both land
+        delta = spark.createDataFrame(
+            [(5000, 10, 3.0)], "event_id long, user_id long, value double"
+        )
+        zorder_layout_append(spark, out, delta, key_cols=["event_id"])
+        kept = spark.read.parquet(out).filter(
+            "event_id is null and user_id = 10"
+        )
+        assert kept.count() == 2
+
+    def test_null_key_delta_collapses_existing_nulls(self, spark, tmp_path):
+        """The DOCUMENTED NULL-collapse: a delta carrying a NULL-key
+        row supersedes ALL existing NULL-key rows in the dirty buckets
+        (NULL is one upsert key under eqNullSafe — divergence from SQL
+        MERGE, stated in the append docstring)."""
+        from nineinfra_spark.operators.zorder import zorder_layout_append
+
+        out, base = self._layout(spark, tmp_path)
+        seed = spark.createDataFrame(
+            [(None, 10, 3.0), (None, 10, 3.0)],
+            "event_id long, user_id long, value double",
+        )
+        zorder_layout_append(spark, out, seed)
+        delta = spark.createDataFrame(
+            [(None, 10, 3.0)], "event_id long, user_id long, value double"
+        )
+        zorder_layout_append(spark, out, delta, key_cols=["event_id"])
+        assert (
+            spark.read.parquet(out)
+            .filter("event_id is null and user_id = 10")
+            .count()
+            == 1
+        )
+
     def test_streaming_sink_end_to_end(self, spark, tmp_path):
         from nineinfra_spark.operators.zorder import maintain_layout_stream
 
