@@ -376,7 +376,14 @@ class Engine:
         """Teardown mirror of ``open``'s failure-atomicity: every
         component is stopped even when an earlier stop raises (a
         wedged gateway must not leak the JVM or the other frontends);
-        the first error propagates after everything was attempted."""
+        the first error propagates after everything was attempted —
+        except that a control-flow interrupt (KeyboardInterrupt /
+        SystemExit, any non-``Exception`` BaseException) anywhere in
+        the sequence outranks an earlier ordinary failure: swallowing
+        the user's Ctrl-C because a gateway happened to error first
+        would turn an interactive abort into a hang-looking stall.
+        The losing errors chain on via ``__context__`` so nothing is
+        silently dropped from the traceback."""
         errs: list[BaseException] = []
 
         def _do(fn) -> None:
@@ -398,7 +405,21 @@ class Engine:
             _do(self._spark.stop)
             self._spark = None
         if errs:
-            raise errs[0]
+            # prefer the first interrupt-class error (never swallow a
+            # Ctrl-C behind an earlier component failure); the losers
+            # ride along as __notes__ rather than __context__ links —
+            # close() may itself run inside an except block, where
+            # Python has already context-linked each caught error to
+            # the in-flight one, and re-linking could cycle the chain
+            primary = next(
+                (e for e in errs if not isinstance(e, Exception)), errs[0]
+            )
+            for other in errs:
+                if other is not primary:
+                    primary.add_note(
+                        f"[engine.close] also raised: {other!r}"
+                    )
+            raise primary
 
     @property
     def spark(self) -> SparkSession:

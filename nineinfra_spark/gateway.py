@@ -54,28 +54,42 @@ def start_thrift_gateway(spark: SparkSession, port: int, timeout_s: float = 30.0
     from an argument) — ``Engine.open`` does this when
     ``EngineConfig.thrift_port`` is set.
     """
-    conf_ports = {
-        spark.conf.get("hive.server2.thrift.port", None),
-        spark.conf.get("hive.server2.thrift.http.port", None),
-    } - {None}
-    if conf_ports and str(port) not in conf_ports:
-        # a PRESENT-but-different session conf means the server will
-        # start on that other port and the wait below would time out
-        # with a misleading error. An ABSENT conf is allowed — the
-        # port may legitimately come from hive-site.xml or the
-        # HIVE_SERVER2_THRIFT_PORT env, which the session conf can't
-        # see; a wrong value there still surfaces as the wait timeout.
-        raise ValueError(
-            f"session conf carries thrift port(s) {sorted(conf_ports)!r} "
-            f"but the gateway was asked for port {port} — the server "
-            "reads the conf at startup, so set EngineConfig.thrift_port "
-            "(or the conf on the builder) before creating the session"
-        )
+    _preflight_port_conf(spark, port)
     jvm = spark._jvm  # noqa: SLF001 — JVM bridge is the only entry point
     jvm.org.apache.spark.sql.hive.thriftserver.HiveThriftServer2.startWithContext(
         spark._jsparkSession.sqlContext()  # noqa: SLF001
     )
     _wait_for_port(port, timeout_s)
+
+
+def _preflight_port_conf(spark, port: int) -> None:
+    """Fail fast when the session conf pins the server to a DIFFERENT
+    port than the caller will wait on — but check ONLY the port key
+    the server's transport mode actually reads (r15 ADVICE): a conf
+    that sets the OTHER mode's port (e.g. only
+    ``hive.server2.thrift.http.port`` while the server runs binary via
+    defaults/hive-site) is irrelevant to where this server listens and
+    must not fail a previously-working configuration. An ABSENT conf
+    is allowed — the port may legitimately come from hive-site.xml or
+    the HIVE_SERVER2_THRIFT_PORT env, which the session conf can't
+    see; a wrong value there still surfaces as the wait timeout."""
+    mode = (
+        spark.conf.get("hive.server2.transport.mode", None) or "binary"
+    ).lower()
+    port_key = (
+        "hive.server2.thrift.http.port"
+        if mode == "http"
+        else "hive.server2.thrift.port"
+    )
+    conf_port = spark.conf.get(port_key, None)
+    if conf_port is not None and str(port) != conf_port:
+        raise ValueError(
+            f"session conf carries {port_key}={conf_port!r} (transport "
+            f"mode {mode!r}) but the gateway was asked for port {port} — "
+            "the server reads the conf at startup, so set "
+            "EngineConfig.thrift_port (or the conf on the builder) "
+            "before creating the session"
+        )
 
 
 def _wait_for_port(port: int, timeout_s: float) -> None:

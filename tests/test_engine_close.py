@@ -34,6 +34,28 @@ def test_close_stops_everything_despite_failures():
     assert eng._spark is None
 
 
+class _Interrupted(_Fake):
+    def stop(self) -> None:
+        self.stopped = True
+        raise KeyboardInterrupt
+
+    deregister = stop
+
+
+def test_close_prefers_interrupt_over_earlier_exception():
+    """r15 ADVICE: an ordinary stop() failure followed by a Ctrl-C in
+    a later stop() must re-raise the INTERRUPT, not swallow it behind
+    errs[0] — the losing error survives as a __notes__ entry."""
+    eng = Engine(EngineConfig())
+    rest, mysql, spark = _Fake(fail=True), _Interrupted(), _Fake()
+    eng.rest_gateway, eng.mysql_gateway, eng._spark = rest, mysql, spark
+    with pytest.raises(KeyboardInterrupt) as exc_info:
+        eng.close()
+    assert rest.stopped and mysql.stopped and spark.stopped
+    notes = "\n".join(getattr(exc_info.value, "__notes__", []))
+    assert "wedged gateway" in notes
+
+
 def test_close_clean_path_no_error():
     eng = Engine(EngineConfig())
     rest, spark = _Fake(), _Fake()

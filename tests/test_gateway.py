@@ -468,3 +468,67 @@ def test_concurrent_ddl_two_rest_sessions_plus_thrift_reader():
         f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-3000:]}"
     )
     assert "CONCURRENT_DDL_OK" in proc.stdout
+
+
+class _FakeConfSpark:
+    """conf-only stand-in: the preflight reads nothing else."""
+
+    def __init__(self, conf: dict):
+        self._conf = conf
+
+    @property
+    def conf(self):
+        outer = self
+
+        class _C:
+            def get(self, key, default=None):
+                return outer._conf.get(key, default)
+
+        return _C()
+
+
+class TestPortConfPreflight:
+    """The preflight consults ONLY the active transport mode's port
+    key (r15 ADVICE): an http-port conf on a binary-mode server (or
+    vice versa) is irrelevant and must not raise."""
+
+    def test_other_modes_port_is_ignored(self):
+        import pytest
+
+        from nineinfra_spark.gateway import _preflight_port_conf
+
+        # binary mode (default), only the http port set: no conflict
+        _preflight_port_conf(
+            _FakeConfSpark({"hive.server2.thrift.http.port": "10010"}), 10009
+        )
+        # http mode, only the binary port set: no conflict
+        _preflight_port_conf(
+            _FakeConfSpark(
+                {
+                    "hive.server2.transport.mode": "http",
+                    "hive.server2.thrift.port": "10009",
+                }
+            ),
+            10010,
+        )
+        # matching key, matching value: fine
+        _preflight_port_conf(
+            _FakeConfSpark({"hive.server2.thrift.port": "10009"}), 10009
+        )
+        # matching key, WRONG value: fail fast with the key in the text
+        with pytest.raises(ValueError, match="hive.server2.thrift.port"):
+            _preflight_port_conf(
+                _FakeConfSpark({"hive.server2.thrift.port": "10009"}), 10042
+            )
+        with pytest.raises(ValueError, match="http.port"):
+            _preflight_port_conf(
+                _FakeConfSpark(
+                    {
+                        "hive.server2.transport.mode": "HTTP",
+                        "hive.server2.thrift.http.port": "10010",
+                    }
+                ),
+                10042,
+            )
+        # absent conf entirely: allowed (hive-site/env may carry it)
+        _preflight_port_conf(_FakeConfSpark({}), 10009)
