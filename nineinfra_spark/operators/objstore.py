@@ -105,6 +105,14 @@ def rename_prefix(
     string-prefix match would also sweep SIBLING prefixes sharing the
     string (renaming ``warehouse/orders`` must not relocate and delete
     ``warehouse/orders_v2/...``; r11 review finding).
+
+    Size caveat: the S3 ``CopyObject`` API caps a single copy at 5 GB
+    — objects beyond that need multipart ``UploadPartCopy``, which
+    this helper (like s3a's default rename path) does not implement.
+    Keep output files under the cap (the parquet writer's
+    ``maxRecordsPerFile`` / split sizing already targets well below
+    it) or publish via :func:`publish_pointer`, which never copies
+    data at all.
     """
     if src_prefix.endswith("/") != dst_prefix.endswith("/"):
         # dst_key below is dst_prefix + key[len(src_prefix):]; with

@@ -282,9 +282,15 @@ def _parse_header(f) -> dict:
             vlen = _zigzag_decode(f)
             meta[k] = f.read(vlen)
     sync = f.read(16)
+    if len(sync) != 16:
+        raise ValueError("avro_lite: truncated header (short sync marker)")
+    if "avro.schema" not in meta:
+        # the spec REQUIRES the key; a header without it is corrupt —
+        # surface that, not a bare KeyError from deep inside planning
+        raise ValueError("avro_lite: header missing required avro.schema")
     return {
         "schema": json.loads(meta["avro.schema"]),
-        "codec": meta.get("avro.codec", b"null").decode(),
+        "codec": meta.get("avro.codec", b"null").decode("utf-8", "replace"),
         "sync": sync,
         "data_start": f.tell(),
     }

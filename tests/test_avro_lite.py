@@ -300,3 +300,58 @@ class TestR11ReviewFindings:
             spark.read.format("avro_lite").option(
                 "path", str(out)
             ).load().collect()
+
+
+class TestForeignAndCorruptHeaders:
+    """r16 adversarial pass: codec-negotiation edges — files another
+    implementation could legitimately write (snappy codec) must fail
+    CLEANLY at plan/read time, and corrupt headers must surface a
+    clear error, not a KeyError/short-read from inside the decoder."""
+
+    def _container(self, meta: dict[str, bytes]) -> bytes:
+        buf = bytearray(A.MAGIC)
+        buf += A._zigzag_encode(len(meta))
+        for k, v in meta.items():
+            kb = k.encode()
+            buf += A._zigzag_encode(len(kb)) + kb
+            buf += A._zigzag_encode(len(v)) + v
+        buf += A._zigzag_encode(0)
+        buf += b"\x07" * 16  # sync
+        return bytes(buf)
+
+    def test_foreign_codec_rejected_cleanly(self, tmp_path):
+        import json as _json
+
+        p = str(tmp_path / "snappy.avro")
+        with open(p, "wb") as f:
+            f.write(
+                self._container(
+                    {
+                        "avro.schema": _json.dumps(SCHEMA).encode(),
+                        "avro.codec": b"snappy",
+                    }
+                )
+            )
+        hdr = A.read_schema(p)
+        assert hdr["codec"] == "snappy"  # header parse is fine...
+        with pytest.raises(ValueError, match="unsupported codec"):
+            list(A.read_avro(p))  # ...decoding refuses up front
+
+    def test_header_missing_schema_raises_valueerror(self, tmp_path):
+        p = str(tmp_path / "noschema.avro")
+        with open(p, "wb") as f:
+            f.write(self._container({"avro.codec": b"null"}))
+        with pytest.raises(ValueError, match="avro.schema"):
+            A.read_schema(p)
+
+    def test_truncated_header_raises_valueerror(self, tmp_path):
+        import json as _json
+
+        p = str(tmp_path / "trunc.avro")
+        full = self._container(
+            {"avro.schema": _json.dumps(SCHEMA).encode()}
+        )
+        with open(p, "wb") as f:
+            f.write(full[:-10])  # cut into the sync marker
+        with pytest.raises(ValueError, match="truncated header"):
+            A.read_schema(p)

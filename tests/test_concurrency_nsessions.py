@@ -59,12 +59,14 @@ from nineinfra_spark.operators.merge import (
 from nineinfra_spark.operators.mv import RollupSpec, route_aggregate
 
 root, port, k_host = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+mysql_port = int(sys.argv[4])
 eng = Engine(EngineConfig(
     app_name="nsess_host", master="local[8]",
     warehouse_dir=os.path.join(root, "warehouse"),
     hive_metastore=True,
     metastore_dir=os.path.join(root, "metastore_db"),
     rest_port=port,
+    mysql_port=mysql_port,
 )).open()
 spark = eng.spark
 
@@ -263,6 +265,52 @@ def _routed_total(port: int, sid: str, valid: set[int]) -> None:
             time.sleep(0.5)
 
 
+def _mysql_worker(mysql_port: int, valid: set[int], errors: list) -> None:
+    """The one frontend previously missing from the mix (r15 verdict
+    item #5): a raw-socket MySQL-protocol client reading the rollup MV
+    and the merge target WHILE the host merges, re-publishes, and
+    streams bloom appends. Same strictness as the REST lane: a torn MV
+    value is an instant failure; the documented publish reader races
+    surface as ERR packets and are retried after REFRESH TABLE."""
+    try:
+        from test_mysql_wire import Client
+
+        c = Client(mysql_port)
+        c.handshake()
+        try:
+            reads = 0
+            deadline = time.time() + 300
+            while reads < 6:
+                if time.time() > deadline:
+                    raise AssertionError("mysql lane starved by races")
+                out = c.query(
+                    "SELECT CAST(SUM(n) AS BIGINT) AS s FROM mv_sales"
+                )
+                if isinstance(out, dict):  # ERR packet
+                    if any(sig in out["msg"] for sig in _TRANSIENT_READ):
+                        c.query("REFRESH TABLE mv_sales")
+                        time.sleep(0.3)
+                        continue
+                    raise AssertionError(f"mysql MV read: {out}")
+                s = int(out[1][0][0])
+                assert s in valid, (
+                    f"torn rollup read over mysql wire: {s} not in {sorted(valid)}"
+                )
+                out2 = c.query("SELECT COUNT(*) AS c FROM race_tbl")
+                if isinstance(out2, dict):
+                    if any(sig in out2["msg"] for sig in _TRANSIENT_READ):
+                        c.query("REFRESH TABLE race_tbl")
+                        time.sleep(0.3)
+                        continue
+                    raise AssertionError(f"mysql count read: {out2}")
+                assert int(out2[1][0][0]) >= 1
+                reads += 1
+        finally:
+            c.close()
+    except BaseException as exc:  # surfaced by the main thread
+        errors.append(("mysql", exc))
+
+
 def _session_worker(
     i: int, port: int, idx_path: str, valid: set[int], errors: list
 ) -> None:
@@ -279,11 +327,20 @@ def _session_worker(
 
 def test_n_sessions_interleaved_merge_probe_rollup(tmp_path):
     port = _free_port()
+    mysql_port = _free_port()
     err_path = tmp_path / "host_stderr.log"
     err_f = open(err_path, "w")
     script = _HOST_SCRIPT.replace("{n_groups}", str(N_GROUPS))
     proc = subprocess.Popen(
-        [sys.executable, "-c", script, str(tmp_path), str(port), str(K_HOST)],
+        [
+            sys.executable,
+            "-c",
+            script,
+            str(tmp_path),
+            str(port),
+            str(K_HOST),
+            str(mysql_port),
+        ],
         stdin=subprocess.PIPE,
         stdout=subprocess.PIPE,
         stderr=err_f,
@@ -325,6 +382,13 @@ def test_n_sessions_interleaved_merge_probe_rollup(tmp_path):
             )
             for i in range(N_SESS)
         ]
+        threads.append(
+            threading.Thread(
+                target=_mysql_worker,
+                args=(mysql_port, valid, errors),
+                daemon=True,
+            )
+        )
         for t in threads:
             t.start()
         for t in threads:
