@@ -287,7 +287,7 @@ def _mysql_worker(mysql_port: int, valid: set[int], errors: list) -> None:
                     "SELECT CAST(SUM(n) AS BIGINT) AS s FROM mv_sales"
                 )
                 if isinstance(out, dict):  # ERR packet
-                    if any(sig in out["msg"] for sig in _TRANSIENT_READ):
+                    if any(sig in out.get("msg", "") for sig in _TRANSIENT_READ):
                         c.query("REFRESH TABLE mv_sales")
                         time.sleep(0.3)
                         continue
@@ -298,7 +298,7 @@ def _mysql_worker(mysql_port: int, valid: set[int], errors: list) -> None:
                 )
                 out2 = c.query("SELECT COUNT(*) AS c FROM race_tbl")
                 if isinstance(out2, dict):
-                    if any(sig in out2["msg"] for sig in _TRANSIENT_READ):
+                    if any(sig in out2.get("msg", "") for sig in _TRANSIENT_READ):
                         c.query("REFRESH TABLE race_tbl")
                         time.sleep(0.3)
                         continue

@@ -92,13 +92,17 @@ class Client:
         return {"version": version, "ok": ok}
 
     def query(self, sql: str):
-        """Returns (columns, rows) for resultsets, or {'err': ...}."""
+        """Returns (columns, rows) for resultsets, {'err': ...} for
+        ERR packets, or {'ok': True} for resultset-less statements
+        (DDL/REFRESH answer with a plain OK packet)."""
         self.seq = 0
         self.send_packet(bytes([0x03]) + sql.encode())
         first = self.read_packet()
         if first[0] == 0xFF:
             (code,) = struct.unpack("<H", first[1:3])
             return {"err": code, "msg": first[9:].decode("utf-8", "replace")}
+        if first[0] == 0x00:
+            return {"ok": True}
         n_cols, pos = self.read_lenenc(first, 0)
         assert pos == len(first)
         cols = []
