@@ -26,7 +26,12 @@ print(f"entry(): {len(rows)} rows, schema={[f.name for f in df.schema]}")
 assert len(rows) >= 0
 
 qs, os_ = E.queries(), E.oracle_sql()
-print(f"queries={len(qs)} oracles={len(os_)} orphan_oracles={set(os_) - set(qs)}")
+orphans = set(os_) - set(qs)
+print(f"queries={len(qs)} oracles={len(os_)} orphan_oracles={orphans}")
+# an orphan oracle is a renamed/retired query's stale key: the driver
+# would silently never compare it — treat as a failure HERE so the
+# drift is caught before a round stamp, not by the judge
+assert not orphans, f"oracle keys with no matching query: {orphans}"
 
 SF = "/root/testdata/sf0.01"
 con = duckdb.connect()
