@@ -496,6 +496,27 @@ class TestStreamingMaintain:
         zorder_layout_append(spark, out, upd, key_cols=["event_id"])
         assert spark.read.parquet(out).filter("event_id = 0").count() == 1
 
+    def test_anti_upsert_both_paths_stay_broadcast_hash(self, spark):
+        """Plan pin for the upsert helper's two forms: eqNullSafe AND
+        plain equality both extract as hash-join keys — the delta side
+        stays a broadcast hash join, never a nested loop (the claim
+        both append docstrings rest on)."""
+        from nineinfra_spark.operators.zorder import anti_upsert_keys
+
+        ex = spark.range(100).select(
+            F.col("id").alias("k"), F.lit("v").alias("v")
+        )
+        dk = spark.range(5).select(F.col("id").alias("k"))
+        for ns in (True, False):
+            plan = (
+                anti_upsert_keys(ex, dk, ["k"], null_safe=ns)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            assert "BroadcastHashJoin" in plan, (ns, plan)
+            assert "NestedLoop" not in plan, (ns, plan)
+
     def test_null_key_replay_converges(self, spark, tmp_path):
         """Crash-window replay of a delta carrying NULL-key rows must
         converge (the null-safe path — a plain anti-join never matches
