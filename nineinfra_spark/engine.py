@@ -382,8 +382,10 @@ class Engine:
         the sequence outranks an earlier ordinary failure: swallowing
         the user's Ctrl-C because a gateway happened to error first
         would turn an interactive abort into a hang-looking stall.
-        The losing errors chain on via ``__context__`` so nothing is
-        silently dropped from the traceback."""
+        The losing errors ride along as ``__notes__`` entries on the
+        raised exception so nothing is silently dropped from the
+        traceback (not ``__context__`` links — see the inline
+        comment)."""
         errs: list[BaseException] = []
 
         def _do(fn) -> None:

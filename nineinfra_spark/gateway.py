@@ -64,31 +64,49 @@ def start_thrift_gateway(spark: SparkSession, port: int, timeout_s: float = 30.0
 
 def _preflight_port_conf(spark, port: int) -> None:
     """Fail fast when the session conf pins the server to a DIFFERENT
-    port than the caller will wait on — but check ONLY the port key
-    the server's transport mode actually reads (r15 ADVICE): a conf
-    that sets the OTHER mode's port (e.g. only
+    port than the caller will wait on — but hard-fail ONLY on the port
+    key the server's transport mode actually reads (r15 ADVICE): a
+    conf that sets the OTHER mode's port (e.g. only
     ``hive.server2.thrift.http.port`` while the server runs binary via
     defaults/hive-site) is irrelevant to where this server listens and
-    must not fail a previously-working configuration. An ABSENT conf
-    is allowed — the port may legitimately come from hive-site.xml or
-    the HIVE_SERVER2_THRIFT_PORT env, which the session conf can't
-    see; a wrong value there still surfaces as the wait timeout."""
+    must not fail a previously-working configuration. Because the
+    transport mode itself may live in hive-site.xml/env (invisible to
+    the session conf — this function defaults an absent mode to
+    "binary"), a present-but-different OTHER-mode port is downgraded
+    to a WARNING rather than ignored: if the mode assumption was
+    wrong, the warning names the port the server will actually bind
+    before the wait times out. An ABSENT conf is always allowed — the
+    port may come from hive-site.xml or HIVE_SERVER2_THRIFT_PORT,
+    and a wrong value there still surfaces as the wait timeout."""
+    import warnings
+
     mode = (
         spark.conf.get("hive.server2.transport.mode", None) or "binary"
     ).lower()
-    port_key = (
-        "hive.server2.thrift.http.port"
+    active_key, other_key = (
+        ("hive.server2.thrift.http.port", "hive.server2.thrift.port")
         if mode == "http"
-        else "hive.server2.thrift.port"
+        else ("hive.server2.thrift.port", "hive.server2.thrift.http.port")
     )
-    conf_port = spark.conf.get(port_key, None)
+    conf_port = spark.conf.get(active_key, None)
     if conf_port is not None and str(port) != conf_port:
         raise ValueError(
-            f"session conf carries {port_key}={conf_port!r} (transport "
+            f"session conf carries {active_key}={conf_port!r} (transport "
             f"mode {mode!r}) but the gateway was asked for port {port} — "
             "the server reads the conf at startup, so set "
             "EngineConfig.thrift_port (or the conf on the builder) "
             "before creating the session"
+        )
+    other_port = spark.conf.get(other_key, None)
+    if other_port is not None and str(port) != other_port:
+        warnings.warn(
+            f"session conf carries {other_key}={other_port!r}, which the "
+            f"{mode!r}-mode server should ignore — if the effective "
+            "transport mode differs (hive-site.xml/env), the server will "
+            f"bind {other_port}, not {port}, and the startup wait will "
+            "time out",
+            UserWarning,
+            stacklevel=3,
         )
 
 

@@ -579,26 +579,17 @@ def bloom_index_append(
         .localCheckpoint(eager=True)
     )
     # dirty fids from the ROWS, not the bits — NULL-key rows carry no
-    # bits but still land in (and, under key_cols, must rewrite) files
-    if key_cols:
-        # fuse the NULL-key probe into the dirty-fid discovery job
-        # (zero extra actions): eqNullSafe is only needed when the
-        # delta actually carries NULL keys (see anti_upsert_keys)
-        from functools import reduce as _reduce
+    # bits but still land in (and, under key_cols, must rewrite)
+    # files. NULL-key probe fused into the same job (zero extra
+    # actions): eqNullSafe is only needed when the delta actually
+    # carries NULL keys (see zorder.anti_upsert_keys)
+    from nineinfra_spark.operators.zorder import (
+        dirty_partitions_and_null_flag,
+    )
 
-        null_any = _reduce(
-            lambda a, b: a | b, [F.col(c).isNull() for c in key_cols]
-        )
-        fid_agg = (
-            tagged.groupBy("fid")
-            .agg(F.max(F.when(null_any, 1).otherwise(0)).alias("__nk"))
-            .collect()
-        )
-        dirty = [r["fid"] for r in fid_agg]
-        delta_has_null_keys = any(r["__nk"] for r in fid_agg)
-    else:
-        dirty = [r["fid"] for r in tagged.select("fid").distinct().collect()]
-        delta_has_null_keys = False
+    dirty, delta_has_null_keys = dirty_partitions_and_null_flag(
+        tagged, "fid", key_cols
+    )
     delta_pairs = tagged.select(
         "fid",
         F.explode(

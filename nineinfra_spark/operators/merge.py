@@ -694,6 +694,20 @@ def publish_snapshot(
     with the re-read value still asserted un-torn) by
     ``tests/test_concurrency_nsessions.py``.
 
+    A THIRD reader shape exists alongside those two errors: an HMS
+    rename updates the metastore row and then moves the managed
+    table's directory, so a read that resolves the live name in
+    between sees a table whose location has no files yet — Spark
+    scans a missing/empty directory as ZERO ROWS, no error. A reader
+    mid-swap can therefore observe a clean-looking EMPTY table (seen
+    under full-suite CPU load by the N-session test's MySQL lane).
+    Client protocol for tables known non-empty: treat an empty result
+    during a concurrent publish exactly like the two error shapes —
+    REFRESH TABLE and re-read. Readers that cannot tolerate even
+    transient emptiness should publish via the manifest-pointer
+    protocol (``operators/objstore.publish_pointer``), whose
+    conditional-PUT commit has no such window by construction.
+
     ``properties`` are set as TBLPROPERTIES on the STAGE table before
     the swap, so they commit ATOMICALLY with the data (the stage →
     live rename carries both or neither) — this is what lets a

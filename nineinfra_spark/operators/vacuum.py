@@ -43,10 +43,19 @@ from pyspark.sql import SparkSession
 _PROTECTED = {"metastore_db", "derby.log", "spark-warehouse"}
 
 
+def _q(identifier: str) -> str:
+    """Backtick-quote a catalog identifier, escaping embedded
+    backticks (Spark's doubling rule) — an unescaped backtick in a
+    name would make the quoted SQL a parse error, and in
+    ``_registered_locations`` that error is swallowed, silently
+    dropping the table's location from the protection set."""
+    return "`" + identifier.replace("`", "``") + "`"
+
+
 def database_location(spark: SparkSession, database: str = "default") -> str:
     """Filesystem path of ``database``'s location (file: prefix
     stripped)."""
-    rows = spark.sql(f"DESCRIBE DATABASE `{database}`").collect()
+    rows = spark.sql(f"DESCRIBE DATABASE {_q(database)}").collect()
     info = {r[0]: r[1] for r in rows}
     loc = info.get("Location") or info.get("Location URI")
     if not loc:
@@ -69,7 +78,7 @@ def _registered_locations(spark: SparkSession) -> set[str]:
                 continue
             try:
                 rows = spark.sql(
-                    f"DESCRIBE TABLE EXTENDED `{db.name}`.`{tbl.name}`"
+                    f"DESCRIBE TABLE EXTENDED {_q(db.name)}.{_q(tbl.name)}"
                 ).collect()
             except Exception:
                 continue  # concurrently dropped — then it can't claim a dir
@@ -92,7 +101,7 @@ def list_orphan_dirs(
         return []
     registered = {
         r["tableName"].lower()
-        for r in spark.sql(f"SHOW TABLES IN `{database}`").collect()
+        for r in spark.sql(f"SHOW TABLES IN {_q(database)}").collect()
     }
     claimed = _registered_locations(spark)
     now = time.time()

@@ -242,6 +242,12 @@ def _routed_total(port: int, sid: str, valid: set[int]) -> None:
                 sid,
             )
             s = out["rows"][0][0]
+            if s is None:
+                # third documented reader shape (publish_snapshot doc):
+                # the name resolved between the metastore rename and
+                # the directory move — a clean-looking EMPTY scan.
+                # Same protocol as the error shapes: refresh, re-read.
+                raise _StaleRead("empty scan mid-swap")
             assert s in valid, f"torn rollup read: {s} not in {sorted(valid)}"
             return
         except _StaleRead:
@@ -292,6 +298,13 @@ def _mysql_worker(mysql_port: int, valid: set[int], errors: list) -> None:
                         time.sleep(0.3)
                         continue
                     raise AssertionError(f"mysql MV read: {out}")
+                if out[1][0][0] is None:
+                    # third reader shape (publish_snapshot docstring):
+                    # name resolved between metastore rename and
+                    # directory move — clean empty scan; refresh+retry
+                    c.query("REFRESH TABLE mv_sales")
+                    time.sleep(0.3)
+                    continue
                 s = int(out[1][0][0])
                 assert s in valid, (
                     f"torn rollup read over mysql wire: {s} not in {sorted(valid)}"
@@ -303,6 +316,12 @@ def _mysql_worker(mysql_port: int, valid: set[int], errors: list) -> None:
                         time.sleep(0.3)
                         continue
                     raise AssertionError(f"mysql count read: {out2}")
+                if int(out2[1][0][0]) == 0:
+                    # same third shape on the merge target (race_tbl
+                    # always holds >= 1 committed row)
+                    c.query("REFRESH TABLE race_tbl")
+                    time.sleep(0.3)
+                    continue
                 assert int(out2[1][0][0]) >= 1
                 reads += 1
         finally:

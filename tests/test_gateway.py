@@ -493,24 +493,38 @@ class TestPortConfPreflight:
     vice versa) is irrelevant and must not raise."""
 
     def test_other_modes_port_is_ignored(self):
+        import warnings
+
         import pytest
 
         from nineinfra_spark.gateway import _preflight_port_conf
 
-        # binary mode (default), only the http port set: no conflict
-        _preflight_port_conf(
-            _FakeConfSpark({"hive.server2.thrift.http.port": "10010"}), 10009
-        )
-        # http mode, only the binary port set: no conflict
-        _preflight_port_conf(
-            _FakeConfSpark(
-                {
-                    "hive.server2.transport.mode": "http",
-                    "hive.server2.thrift.port": "10009",
-                }
-            ),
-            10010,
-        )
+        # binary mode (default), only the http port set: no ValueError
+        # — but a WARNING names the port the server would bind if the
+        # mode assumption is wrong (hive-site may carry the mode)
+        with pytest.warns(UserWarning, match="10010"):
+            _preflight_port_conf(
+                _FakeConfSpark({"hive.server2.thrift.http.port": "10010"}),
+                10009,
+            )
+        # http mode, only the binary port set: no conflict (warns)
+        with pytest.warns(UserWarning, match="10009"):
+            _preflight_port_conf(
+                _FakeConfSpark(
+                    {
+                        "hive.server2.transport.mode": "http",
+                        "hive.server2.thrift.port": "10009",
+                    }
+                ),
+                10010,
+            )
+        # other-mode port present but MATCHING the asked port: silent
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            _preflight_port_conf(
+                _FakeConfSpark({"hive.server2.thrift.http.port": "10009"}),
+                10009,
+            )
         # matching key, matching value: fine
         _preflight_port_conf(
             _FakeConfSpark({"hive.server2.thrift.port": "10009"}), 10009

@@ -30,9 +30,13 @@ from nineinfra_spark.operators import _sidecar
 FN = "_meta.json"
 
 
-def _hammer_worker(path: str, worker: int, target: int, out):
+def _hammer_worker(path: str, worker: int, target: int, out, barrier):
     """Commit ``target`` guarded writes, retrying CAS conflicts with a
-    freshly-read token (the documented retry protocol)."""
+    freshly-read token (the documented retry protocol). ``barrier``
+    synchronizes the loop start across processes — without it a
+    staggered process launch can serialize the workers entirely and
+    the contention the test exists to exercise never happens."""
+    barrier.wait(timeout=60)
     successes = 0
     conflicts = 0
     while successes < target:
@@ -59,8 +63,11 @@ class TestGuardedWriteExclusion:
         _sidecar.write(path, FN, {"owner": -1, "n": -1})
         nproc, target = 4, 50
         out = mp.Queue()
+        barrier = mp.Barrier(nproc)
         procs = [
-            mp.Process(target=_hammer_worker, args=(path, w, target, out))
+            mp.Process(
+                target=_hammer_worker, args=(path, w, target, out, barrier)
+            )
             for w in range(nproc)
         ]
         for p in procs:
@@ -73,8 +80,11 @@ class TestGuardedWriteExclusion:
         assert total == nproc * target
         final = json.loads(_sidecar.read_raw(path, FN))
         assert final[_sidecar.REV_FIELD] == total
-        # contention actually happened (otherwise the test proves
-        # nothing about the interleave)
+        # contention actually happened (the start barrier makes all
+        # four loops begin together, so zero overlap would require
+        # each read-token→commit pair to be effectively atomic across
+        # 200 commits — if that ever trips on a 1-core box, weaken to
+        # a skip, not a pass)
         assert sum(c for _, _, c in results) > 0
 
     def test_rev_monotone_single_writer(self, tmp_path):
