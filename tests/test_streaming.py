@@ -369,3 +369,57 @@ def test_staged_dir_heals_dangling_and_stale_links(tmp_path, monkeypatch):
     # idempotent when nothing changed
     assert ops._staged_table_dir(str(sf), "events") == staged
     assert sorted(os.listdir(staged)) == ["events-000.parquet"]
+
+
+def _stage_worker(root, sf, barrier, out):
+    from nineinfra_spark.streaming import ops
+
+    ops.STREAM_SRC_ROOT = root
+    barrier.wait(timeout=60)
+    try:
+        for _ in range(20):
+            ops._staged_table_dir(sf, "events")
+        out.put(("ok", None))
+    except BaseException as exc:  # surfaced by the parent
+        out.put(("fail", repr(exc)))
+
+
+def test_staged_dir_concurrent_stagers_no_crash(tmp_path):
+    """r16 post-stamp hardening: two PROCESSES staging the same sf_dir
+    at once (driver sim racing a bench run) must both succeed — the
+    lexists-check → symlink window is closed by tolerating a
+    same-target FileExistsError, and cleanup tolerates the concurrent
+    remove. Ends with a correct staged dir."""
+    import multiprocessing as mp
+
+    from nineinfra_spark.streaming import ops
+
+    root = str(tmp_path / "staged")
+    sf = tmp_path / "sfy"
+    src = sf / "events.parquet"
+    src.mkdir(parents=True)
+    for i in range(8):
+        (src / f"part-{i}.parquet").write_bytes(b"p%d" % i)
+
+    out = mp.Queue()
+    barrier = mp.Barrier(3)
+    procs = [
+        mp.Process(
+            target=_stage_worker, args=(root, str(sf), barrier, out)
+        )
+        for _ in range(3)
+    ]
+    for p in procs:
+        p.start()
+    results = [out.get(timeout=120) for _ in procs]
+    for p in procs:
+        p.join(timeout=30)
+    assert all(r[0] == "ok" for r in results), results
+    old_root, ops.STREAM_SRC_ROOT = ops.STREAM_SRC_ROOT, root
+    try:
+        staged = ops._staged_table_dir(str(sf), "events")
+    finally:
+        ops.STREAM_SRC_ROOT = old_root
+    assert sorted(os.listdir(staged)) == [
+        f"events-{i:03d}.parquet" for i in range(8)
+    ]
