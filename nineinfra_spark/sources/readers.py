@@ -109,15 +109,17 @@ def _rebuild_nanos_ts(df: DataFrame, nanos_cols: set[str]) -> DataFrame:
     dtypes = dict(df.dtypes)
     for c in nanos_cols:
         if dtypes.get(c) == "bigint":
+            # backtick-quote the name (doubling embedded backticks —
+            # the full quoting rule, same as operators/vacuum._q):
+            # unquoted interpolation breaks on columns with spaces/
+            # hyphens/reserved words that plain spark.read.parquet
+            # handles fine (r11 review finding)
+            q = "`" + c.replace("`", "``") + "`"
             df = df.withColumn(
                 c,
-                # backtick-quote the name: unquoted interpolation
-                # breaks on columns with spaces/hyphens/reserved words
-                # that plain spark.read.parquet handles fine (r11
-                # review finding)
                 F.expr(
                     "timestamp_ntz'1970-01-01 00:00:00' + "
-                    f"make_dt_interval(0, 0, 0, cast(`{c}` div 1000 as decimal(20,0)) / 1000000)"
+                    f"make_dt_interval(0, 0, 0, cast({q} div 1000 as decimal(20,0)) / 1000000)"
                 ),
             )
     return df
