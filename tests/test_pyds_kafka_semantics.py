@@ -181,3 +181,43 @@ def test_negative_topic_count_rejected():
     o = _Opts({"topics": "good:5,bad:-3", "subscribe": "good"})
     with pytest.raises(ValueError, match="negative row counts.*bad"):
         _TopicsStreamReader(o)
+
+
+# ---------- property sweep over the rate-split invariants ----------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    counts=st.lists(st.integers(0, 500), min_size=1, max_size=6),
+    progress=st.data(),
+    cap=st.one_of(st.none(), st.integers(0, 200)),
+)
+def test_split_invariants_property(counts, progress, cap):
+    """r16 post-stamp property sweep of `_split` (the Kafka
+    rate-apportioning core): for ANY topic layout, progress state, and
+    cap — (a) the batch takes exactly min(cap, total_backlog) rows,
+    (b) no topic is taken past its backlog, (c) no share is negative,
+    (d) the split is a pure function of (start, topics, cap) — the
+    determinism readBetweenOffsets replay correctness rests on."""
+    topics = {f"t{i}": n for i, n in enumerate(counts)}
+    spec = ",".join(f"{t}:{n}" for t, n in topics.items())
+    opts = {"topics": spec, "subscribe": ",".join(topics)}
+    if cap is not None:
+        opts["maxOffsetsPerTrigger"] = str(cap)
+    r = _TopicsStreamReader(opts)
+    start = {
+        t: progress.draw(st.integers(0, topics[t]), label=f"start[{t}]")
+        for t in r.names
+    }
+    shares = r._split(start)
+    remaining = {t: topics[t] - start[t] for t in r.names}
+    total = sum(remaining.values())
+    want_take = total if cap is None else min(total, cap)
+    assert sum(shares.values()) == want_take
+    for t in r.names:
+        assert 0 <= shares[t] <= remaining[t], (t, shares, remaining)
+    # determinism: identical inputs → identical split
+    assert r._split(dict(start)) == shares
