@@ -140,7 +140,13 @@ def _parse_topics(options) -> dict[str, int]:
     for part in spec.split(","):
         name, _, cnt = part.partition(":")
         if name.strip():
-            topics[name.strip()] = int(cnt)
+            try:
+                topics[name.strip()] = int(cnt)
+            except ValueError:
+                raise ValueError(
+                    f"nine_topics: malformed topics entry {part.strip()!r} "
+                    "— expected name:rowcount (e.g. 'orders:500')"
+                ) from None
     if not topics:
         raise ValueError("nine_topics: 'topics' option required (name:count,...)")
     negative = sorted(t for t, n in topics.items() if n < 0)

@@ -221,3 +221,10 @@ def test_split_invariants_property(counts, progress, cap):
         assert 0 <= shares[t] <= remaining[t], (t, shares, remaining)
     # determinism: identical inputs → identical split
     assert r._split(dict(start)) == shares
+
+
+def test_malformed_topics_spec_clear_error():
+    with pytest.raises(ValueError, match="malformed topics entry"):
+        _TopicsStreamReader({"topics": "orders", "subscribe": "orders"})
+    with pytest.raises(ValueError, match="malformed topics entry"):
+        _TopicsStreamReader({"topics": "orders:abc", "subscribe": "orders"})
