@@ -277,6 +277,11 @@ def _versioned_merge_loop(
             base = spark.table(table)
             merged = merge_upsert(base, updates, keys, when_matched=when_matched)
             merged.write.mode("overwrite").saveAsTable(stage)
+            # the exact file listing the merge was computed FROM (the
+            # staged scan shares base's resolved relation, hence its
+            # file index) — the provenance token the post-CAS check
+            # below compares against the archive
+            base_files = set(base.inputFiles())
         except AnalysisException as exc:
             # Only a MISSING live name is a legitimate race (another
             # writer between its two renames) — back off and re-read.
@@ -335,6 +340,70 @@ def _versioned_merge_loop(
         # merge is committed-in-progress and must roll FORWARD, never
         # lose the stage.
         state["past_cas"] = True
+        # TORN-BASE-READ GUARD (r16; found by the N-session race under
+        # full-suite load). The version CAS proves no OTHER commit took
+        # this version number — it cannot prove OUR base read was a
+        # consistent snapshot. An HMS rename commits the metastore row
+        # and THEN moves the directory, so a read that resolves the
+        # live name inside a concurrent publish's window scans an
+        # absent location as ZERO FILES (the third reader shape,
+        # :func:`publish_snapshot` docstring) — the merge is then
+        # computed from an empty/stale base, wins the CAS on a
+        # perfectly fresh version number, and publishes a snapshot
+        # that silently DROPS every pre-existing row. The archive we
+        # just renamed IS the base this merge must have read, it is
+        # quiescent (this writer owns it), and its rename completed —
+        # so its listing is trustworthy: if its file set differs from
+        # what the merge actually scanned, the read was torn/stale.
+        # Roll the archive back and retry with a fresh read. Part-file
+        # names are write-UUID-unique, so basename sets compare
+        # exactly across the location move.
+        base_names = {f.rsplit("/", 1)[-1] for f in base_files}
+        try:
+            arch_names = {
+                f.rsplit("/", 1)[-1]
+                for f in spark.table(f"{table}__v{version}").inputFiles()
+            }
+        except BaseException as verify_exc:
+            try:
+                spark.sql(
+                    f"ALTER TABLE {table}__v{version} RENAME TO {table}"
+                )
+                state["past_cas"] = False
+            except BaseException:
+                raise RuntimeError(
+                    f"merge into {table}: could not verify the archived "
+                    f"base and rollback of {table}__v{version} also "
+                    f"failed; the merged snapshot survives as {stage} — "
+                    "run recover_versioned_table"
+                ) from verify_exc
+            raise
+        if arch_names != base_names:
+            try:
+                spark.sql(
+                    f"ALTER TABLE {table}__v{version} RENAME TO {table}"
+                )
+                state["past_cas"] = False
+            except BaseException as rollback_exc:
+                raise RuntimeError(
+                    f"merge into {table}: base read was torn/stale and "
+                    f"rollback of {table}__v{version} failed; the "
+                    f"archive holds the true data — run "
+                    "recover_versioned_table"
+                ) from rollback_exc
+            last_err = MergeConflictError(
+                f"merge into {table}: base read was torn or stale "
+                f"(scanned {len(base_names)} files, archived head has "
+                f"{len(arch_names)}) — a concurrent publish's "
+                "metastore-commit/directory-move window; retrying with "
+                "a fresh read"
+            )
+            try:
+                spark.sql(f"REFRESH TABLE {table}")
+            except AnalysisException:
+                pass
+            _backoff(_attempt)
+            continue
         try:
             spark.sql(f"ALTER TABLE {stage} RENAME TO {table}")
         except BaseException as publish_exc:
@@ -707,6 +776,19 @@ def publish_snapshot(
     transient emptiness should publish via the manifest-pointer
     protocol (``operators/objstore.publish_pointer``), whose
     conditional-PUT commit has no such window by construction.
+
+    For READ-MODIFY-WRITE loops this shape is not merely cosmetic: a
+    writer whose base read lands in the window computes its output
+    from an empty base and can commit a snapshot that silently drops
+    every pre-existing row — the version CAS cannot catch it, because
+    the version number is perfectly fresh; it is the FILE LISTING
+    that was torn. :func:`merge_into_table_versioned` therefore
+    verifies provenance after winning its CAS (the archived head's
+    file set must equal what the merge scanned) and rolls back +
+    retries on mismatch; SQL-protocol tenants running the rename CAS
+    by hand must add the equivalent check (the reference client in
+    ``tests/test_merge_race_twoproc.py`` compares non-merged row
+    counts between its stage and the archive before publishing).
 
     ``properties`` are set as TBLPROPERTIES on the STAGE table before
     the swap, so they commit ATOMICALLY with the data (the stage →

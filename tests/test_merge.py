@@ -937,3 +937,51 @@ def test_publish_snapshot_properties_with_quotes(spark):
     )
     assert {r["tag"] for r in spark.table("prop_q").collect()} == {"new"}
     _cleanup_prefix(spark, "prop_q")
+
+
+def test_torn_empty_base_read_detected_and_retried(spark, monkeypatch):
+    """r16: the third publish reader shape (HMS rename commits the
+    metastore row before the directory move → a concurrent read scans
+    an absent location as ZERO files) can poison the versioned merge's
+    own base read — the merge then wins the CAS on a fresh version
+    number and publishes a snapshot missing every pre-existing row
+    (observed: N-session race under full-suite load lost the base
+    row). The post-CAS provenance check compares the archived head's
+    file set against what the merge actually scanned, rolls the
+    archive back on mismatch, and retries with a fresh read."""
+    from nineinfra_spark.operators.merge import (
+        list_versions,
+        merge_into_table_versioned,
+        recover_versioned_table,
+    )
+
+    for r in spark.sql("SHOW TABLES").collect():
+        if r["tableName"].startswith("torn_tbl"):
+            spark.sql(f"DROP TABLE IF EXISTS {r['tableName']}")
+    spark.createDataFrame(
+        [(i, "base") for i in range(5)], "id long, tag string"
+    ).write.saveAsTable("torn_tbl")
+
+    calls = {"torn_reads": 0}
+    real_table = spark.table
+    empty = spark.createDataFrame([], "id long, tag string")
+
+    def torn_once(name):
+        if name == "torn_tbl" and calls["torn_reads"] == 0:
+            calls["torn_reads"] = 1
+            return empty  # the mid-publish empty scan, deterministically
+        return real_table(name)
+
+    monkeypatch.setattr(spark, "table", torn_once)
+    upd = spark.createDataFrame([(1000, "upd")], "id long, tag string")
+    version = merge_into_table_versioned(spark, "torn_tbl", upd, ["id"])
+    monkeypatch.setattr(spark, "table", real_table)
+
+    assert calls["torn_reads"] == 1  # the torn read WAS served
+    ids = sorted(r["id"] for r in spark.table("torn_tbl").collect())
+    # old code: table == [1000] (every base row silently dropped)
+    assert ids == [0, 1, 2, 3, 4, 1000]
+    assert version == 0 and list_versions(spark, "torn_tbl") == [0]
+    assert recover_versioned_table(spark, "torn_tbl") == "clean"
+    spark.sql("DROP TABLE torn_tbl")
+    spark.sql("DROP TABLE IF EXISTS torn_tbl__v0")

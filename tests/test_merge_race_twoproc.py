@@ -203,6 +203,45 @@ def _client_merge(port: int, new_id: int, tag: str) -> None:
             if _reconcile_after_unknown(port, new_id, tag, stage):
                 return
             continue
+        # TORN-BASE-READ GUARD, SQL-tenant form (r16; mirrors the
+        # engine's post-CAS provenance check in operators/merge.py):
+        # the CTAS read can resolve the live name inside a concurrent
+        # publish's metastore-commit/directory-move window and scan it
+        # as EMPTY — the stage is then missing every pre-existing row,
+        # yet the archive CAS wins on a fresh version number. The
+        # archive this client just renamed is quiescent and exactly
+        # what the CTAS must have read, so the non-merged row counts
+        # must agree; on mismatch, un-archive and retry.
+        try:
+            n_arch = _rest_sql(
+                port,
+                f"SELECT COUNT(*) AS n FROM race_tbl__v{version} "
+                f"WHERE NOT (id = {new_id})",
+            )["rows"][0][0]
+            n_stage = _rest_sql(
+                port,
+                f"SELECT COUNT(*) AS n FROM {stage} "
+                f"WHERE NOT (id = {new_id})",
+            )["rows"][0][0]
+        except (urllib.error.HTTPError, *_TRANSIENT):
+            if _reconcile_after_unknown(port, new_id, tag, stage):
+                return
+            continue
+        if n_arch != n_stage:
+            last_err = ("torn-read", f"stage={n_stage} archive={n_arch}")
+            try:
+                _rest_sql(
+                    port,
+                    f"ALTER TABLE race_tbl__v{version} RENAME TO race_tbl",
+                )
+            except (urllib.error.HTTPError, *_TRANSIENT):
+                # rollback outcome unknown: reconcile decides
+                if _reconcile_after_unknown(port, new_id, tag, stage):
+                    return
+                continue
+            _rest_sql(port, f"DROP TABLE IF EXISTS {stage}")
+            _client_backoff(_attempt)
+            continue
         try:
             _rest_sql(port, f"ALTER TABLE {stage} RENAME TO race_tbl")
         except (urllib.error.HTTPError, *_TRANSIENT):
