@@ -55,7 +55,13 @@ def _large_star(edges: DataFrame) -> DataFrame:
 def _small_star(edges: DataFrame) -> DataFrame:
     """One small-star round: key each edge by its LARGER endpoint u;
     with N = smaller neighbors and m = min(N), attach every node of
-    N ∪ {u} to m (self-loop dropped)."""
+    N ∪ {u} to m (self-loop dropped).
+
+    (r16 note: a window-over-one-exchange variant — min via
+    Window.partitionBy(hi) feeding both leaves and centers — was
+    measured at sf0.1 and did NOT beat this groupBy+join form (the
+    window's required sort costs what the join-back saves), so the
+    hash-based shape stays.)"""
     m = edges.groupBy("hi").agg(F.min("lo").alias("m"))
     leaves = edges.join(m, "hi").select(
         F.col("lo").alias("a"), F.col("m").alias("b")
@@ -87,7 +93,9 @@ def star_contract(pairs: DataFrame, max_rounds: int | None = None) -> tuple[Data
             F.least(F.col(a), F.col(b)).alias("lo"),
         )
         .distinct()
-        .localCheckpoint()
+        # lazy checkpoint + count = ONE job that both materializes and
+        # counts (an eager checkpoint here was a second full pass)
+        .localCheckpoint(eager=False)
     )
     prev = edges
     prev_n = prev.count()
@@ -100,7 +108,9 @@ def star_contract(pairs: DataFrame, max_rounds: int | None = None) -> tuple[Data
         # review finding).
         max_rounds = 4 * math.ceil(math.log2(2 * prev_n + 2)) + 8
     for rounds in range(1, max_rounds + 1):
-        nxt = _small_star(_large_star(prev)).localCheckpoint()
+        # lazy checkpoint: the count() is the materializing action, so
+        # each round is one job, not checkpoint-job + count-job
+        nxt = _small_star(_large_star(prev)).localCheckpoint(eager=False)
         nxt_n = nxt.count()
         # exact set-equality convergence: same cardinality and no edge
         # in nxt outside prev (distinct sets => subset + equal size)

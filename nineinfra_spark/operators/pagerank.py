@@ -63,28 +63,30 @@ def pagerank_fixed(edges: DataFrame, iters: int = 3) -> DataFrame:
     # — materialize it ONCE (upstream distincts/joins would otherwise
     # recompute per round, turning iters× reuse into iters× rebuild).
     edges = edges.localCheckpoint(eager=False)
-    nodes = edges.select(F.col("src").alias("node")).distinct()
-    # deg never changes across rounds but sits inside every round's
-    # broadcast join — without its own checkpoint each of the iters
-    # rounds re-runs the full |E|-row groupBy just to re-broadcast an
-    # unchanged |V|-row table (r11 review finding).
-    deg = (
-        edges.groupBy("src")
+    # outdeg never changes across rounds, so it is FUSED into the rank
+    # state once (r16 optimization round, guide §2.4 "remove shuffles
+    # outright"/§3: the former shape probed the |E|-row edge fact with
+    # TWO broadcast hash joins per round — ranks, then deg — and built
+    # three broadcasts per round; carrying outdeg inside the state
+    # halves the fact probes and drops one broadcast build per round
+    # while leaving the integer arithmetic bit-identical).
+    state0 = (
+        edges.groupBy(F.col("src").alias("node"))
         .agg(F.count(F.lit(1)).alias("outdeg"))
         .localCheckpoint(eager=False)
     )
     teleport = SCALE * (DAMP_DEN - DAMP_NUM) // DAMP_DEN
-    ranks = nodes.select("node", F.lit(SCALE).cast("long").alias("rank"))
+    ranks = state0.select("node", "outdeg", F.lit(SCALE).cast("long").alias("rank"))
     for _ in range(iters):
-        # ranks/deg are |V|-sized against the |E|-row edge fact —
-        # broadcast them so each round is a map-side join + one
-        # combined shuffle on dst (checkpointed inputs lose their size
-        # stats, so without the hint AQE falls back to sort-merge).
-        # For graphs whose rank table outgrows the broadcast budget,
-        # drop the hints and the same plan shuffles on src.
+        # ranks (with fused outdeg) is |V|-sized against the |E|-row
+        # edge fact — broadcast it so each round is ONE map-side join
+        # + one combined shuffle on dst (checkpointed inputs lose
+        # their size stats, so without the hint AQE falls back to
+        # sort-merge). For graphs whose rank table outgrows the
+        # broadcast budget, drop the hints and the same plan shuffles
+        # on src.
         contrib = (
             edges.join(F.broadcast(ranks), edges.src == ranks.node)
-            .join(F.broadcast(deg), "src")
             .select(
                 F.col("dst").alias("node"),
                 # (85·rank) div m computed as 85·(rank div m) +
@@ -106,9 +108,10 @@ def pagerank_fixed(edges: DataFrame, iters: int = 3) -> DataFrame:
         )
         inflow = contrib.groupBy("node").agg(F.sum("c").alias("inflow"))
         ranks = (
-            nodes.join(F.broadcast(inflow), "node", "left")
+            state0.join(F.broadcast(inflow), "node", "left")
             .select(
                 "node",
+                "outdeg",
                 (
                     F.lit(teleport).cast("long")
                     + F.coalesce(F.col("inflow"), F.lit(0))
@@ -116,4 +119,4 @@ def pagerank_fixed(edges: DataFrame, iters: int = 3) -> DataFrame:
             )
             .localCheckpoint(eager=False)  # cap lineage across rounds
         )
-    return ranks
+    return ranks.select("node", "rank")

@@ -94,6 +94,43 @@ def ranked_prefix(df, order_cols, value_col, n_parts: int = 32):
     )
 
 
+def spread(df: DataFrame, *keys: str) -> DataFrame:
+    """Scale-gated scan parallelizer for per-row-heavy RELATIONAL
+    pipelines (optimization guide §2.5 "input skew: one huge
+    unsplittable file → repartition immediately after the read").
+
+    The testdata ships each table as ONE parquet file with ONE row
+    group; a row group is the unit of parquet splitting, so the scan
+    is a single task and every expression, broadcast-hash-join probe
+    and partial aggregate stacked above it runs on one core of N.
+    Hash-repartitioning on a deterministic high-cardinality key right
+    after the (pushed-down) scan moves that per-row work onto all
+    cores for the price of one narrow local shuffle.
+
+    Distinctions vs :func:`cpu_spread` (which stays for the opaque
+    text/codec kernels): no ``localCheckpoint`` — plain relational
+    consumers don't need a pushdown barrier, and a checkpoint would
+    block column pruning/predicate pushdown into the scan; and HASH
+    keys instead of keyless round-robin — a keyless ``repartition(n)``
+    pays a sort of the whole input inside the serial scan task
+    (``spark.sql.execution.sortBeforeRepartition``) and re-draws row
+    placement on task retry (SPARK-38388), while hashing a stable key
+    is deterministic and sort-free.
+
+    Scale posture: gated on ``len(df.inputFiles()) < defaultParallelism``
+    — a real corpus (files >= cores) takes the no-op branch, so the
+    exchange does not exist at 100 TB; on the single-file testdata the
+    partition count follows ``local[$SPARK_GRAFT_CPUS]``, never a
+    constant tuned to this host."""
+    if not keys:
+        raise ValueError("spread() needs at least one deterministic key column")
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if len(df.inputFiles()) >= par:
+        return df
+    return df.repartition(par, *[F.col(k) for k in keys])
+
+
 def cpu_spread(df):
     """Adaptive pre-compute repartition for CPU-bound per-row work
     (regex tokenization, array folds): Spark sizes scan partitions by

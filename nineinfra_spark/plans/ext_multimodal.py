@@ -31,7 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nineinfra_spark.plans._util import t
+from nineinfra_spark.plans._util import spread, t
 from nineinfra_spark.plans.registry import query
 
 N_HIST_BUCKETS = 8
@@ -42,6 +42,11 @@ def payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The binary payload + typed metadata shape every multimodal table
     here uses; metadata is deterministic so oracles can replicate it.
+
+    Measured r16: a ``spread`` here (parallelizing the single-file
+    scan) LOST ~0.1 s at sf0.1 — the byte-histogram consumers do too
+    little per-row work to amortize the exchange at 5k docs. Left
+    serial; a real many-file media corpus parallelizes in the scan.
     """
     docs = t(spark, sf_dir, "documents")
     return docs.select(
@@ -418,7 +423,9 @@ def wav_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus 150 stereo frames whose interleaved samples are the doc's
     text bytes tiled to length (ASCII corpus, so DuckDB's
     ascii(substr(...)) sees identical sample values)."""
-    docs = t(spark, sf_dir, "documents").filter(F.length("text") >= 38)
+    docs = spread(
+        t(spark, sf_dir, "documents").filter(F.length("text") >= 38), "doc_id"
+    )
     body = F.substring(F.repeat(F.col("text"), 8), 1, _WAV_DATA_BYTES)
     return docs.select(
         "doc_id",
@@ -615,10 +622,22 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`dedup_embedding_clusters` shape) instead of the pair relation."""
     src = ppm_payloads(spark, sf_dir)
     hashes = src.mapInPandas(_phash_batches, "doc_id long, phash long")
-    hashes = hashes.localCheckpoint(eager=False)  # banding + 2 verify joins
+    hashes = hashes.localCheckpoint(eager=False)  # both sides of the band self-join
 
+    # The 8-byte phash RIDES THROUGH the band join (guide §2.3 "shuffle
+    # keys and metadata instead of payloads" — here the metadata IS the
+    # payload), so each collision verifies hamming inline and only the
+    # ~true-pair survivors reach the pair-dedup exchange. The previous
+    # shape distinct-ed the RAW candidate pairs (quadratic in posting-
+    # list occupancy — ~2M rows at sf0.1 under this 5-bit band key)
+    # and then re-attached the hashes with TWO more joins; measured
+    # 2.20 s → see OPTIMIZATION_r16.md. Same pair set by construction:
+    # banding recall is exact at this radius (pigeonhole, above), and
+    # distinct-after-verify == verify-after-distinct for a filter that
+    # is a pure function of the pair.
     bands = hashes.select(
         "doc_id",
+        "phash",
         F.explode(
             F.array(*[
                 F.struct(
@@ -628,8 +647,8 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for b in range(_PHASH_BANDS)
             ])
         ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.key")
-    cand = (
+    ).select("doc_id", "phash", "bk.band", "bk.key")
+    return (
         bands.alias("x")
         .join(
             bands.alias("y"),
@@ -640,20 +659,10 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("x.doc_id").alias("doc_a"),
             F.col("y.doc_id").alias("doc_b"),
-        )
-        .distinct()
-    )
-    ha = hashes.select(F.col("doc_id").alias("doc_a"), F.col("phash").alias("ph_a"))
-    hb = hashes.select(F.col("doc_id").alias("doc_b"), F.col("phash").alias("ph_b"))
-    return (
-        cand.join(ha, "doc_a")
-        .join(hb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.expr("cast(bit_count(ph_a ^ ph_b) as int)").alias("hamming"),
+            F.expr("cast(bit_count(x.phash ^ y.phash) as int)").alias("hamming"),
         )
         .filter(F.col("hamming") <= PHASH_HAM_T)
+        .distinct()
     )
 
 
@@ -780,10 +789,15 @@ def mm_phash_neardup_64(spark: SparkSession, sf_dir: str) -> DataFrame:
     are sign-transparent, so the signed representation is free."""
     src = ppm64_payloads(spark, sf_dir)
     hashes = src.mapInPandas(_phash64_batches, "doc_id long, phash long")
-    hashes = hashes.localCheckpoint(eager=False)  # banding + 2 verify joins
+    hashes = hashes.localCheckpoint(eager=False)  # both sides of the band self-join
 
+    # Same rewrite as `mm_phash_neardup`: the 8-byte phash rides
+    # through the band join, hamming verifies inline, and only
+    # surviving pairs reach the dedup exchange — no re-attach joins
+    # (guide §2.3; pair set unchanged, pigeonhole recall above).
     bands = hashes.select(
         "doc_id",
+        "phash",
         F.explode(
             F.array(*[
                 F.struct(
@@ -795,8 +809,8 @@ def mm_phash_neardup_64(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for b in range(_PHASH64_BANDS)
             ])
         ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.key")
-    cand = (
+    ).select("doc_id", "phash", "bk.band", "bk.key")
+    return (
         bands.alias("x")
         .join(
             bands.alias("y"),
@@ -807,18 +821,8 @@ def mm_phash_neardup_64(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("x.doc_id").alias("doc_a"),
             F.col("y.doc_id").alias("doc_b"),
-        )
-        .distinct()
-    )
-    ha = hashes.select(F.col("doc_id").alias("doc_a"), F.col("phash").alias("ph_a"))
-    hb = hashes.select(F.col("doc_id").alias("doc_b"), F.col("phash").alias("ph_b"))
-    return (
-        cand.join(ha, "doc_a")
-        .join(hb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.expr("cast(bit_count(ph_a ^ ph_b) as int)").alias("hamming"),
+            F.expr("cast(bit_count(x.phash ^ y.phash) as int)").alias("hamming"),
         )
         .filter(F.col("hamming") <= PHASH64_HAM_T)
+        .distinct()
     )

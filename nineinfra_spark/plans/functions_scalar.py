@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nineinfra_spark.plans._util import t
+from nineinfra_spark.plans._util import spread, t
 from nineinfra_spark.plans.registry import query
 
 
@@ -160,7 +160,7 @@ def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math family. Exact ops (abs/ceil/floor/sqrt/sign/mod) compare
     raw; transcendentals round to 6 dp (libm ulp differences)."""
-    li = t(spark, sf_dir, "lineitem")
+    li = spread(t(spark, sf_dir, "lineitem"), "l_orderkey")
     return li.select(
         "l_orderkey",
         "l_linenumber",

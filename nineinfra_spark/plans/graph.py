@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nineinfra_spark.plans._util import t
+from nineinfra_spark.plans._util import spread, t
 from nineinfra_spark.plans.registry import query
 
 #: 3 fixed power-iteration rounds — enough to separate hubs from the
@@ -214,11 +214,21 @@ def _cooccur_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     link-prediction queries. Basket pairing is bounded per order;
     the threshold keeps the projection from densifying with basket
     count."""
-    li = (
-        t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
+    # One orderkey-keyed exchange feeds the dedup AND both sides of
+    # the basket self-join (r16, guide §2.4 "two operations keyed the
+    # same way can share one exchange"): hash-partitioning on
+    # l_orderkey satisfies the (l_orderkey, l_partkey) dedup's
+    # clustered distribution (subset rule) and the join's orderkey
+    # distribution, so neither adds its own shuffle — the former
+    # shape paid a (l_orderkey, l_partkey) distinct exchange plus a
+    # separate orderkey join exchange. `spread` doubles as the
+    # single-file scan parallelizer and no-ops on a real corpus,
+    # where the distinct's own exchange re-establishes exactly the
+    # old plan.
+    li = spread(
+        t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"),
+        "l_orderkey",
+    ).dropDuplicates(["l_orderkey", "l_partkey"])
     a, b = li.alias("a"), li.alias("b")
     pairs = a.join(
         b,

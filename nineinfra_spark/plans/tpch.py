@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nineinfra_spark.plans._util import dec, t, ts
+from nineinfra_spark.plans._util import dec, spread, t, ts
 from nineinfra_spark.plans.registry import query
 
 # Shared revenue expression: l_extendedprice * (1 - l_discount), made
@@ -50,7 +50,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     n = F.count(F.lit(1))
     return (
-        li.filter(F.col("l_shipdate") <= ts("1998-09-02"))
+        spread(li.filter(F.col("l_shipdate") <= ts("1998-09-02")), "l_orderkey")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
@@ -103,7 +103,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < ts("1998-03-15"))
-    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > ts("1998-03-15"))
+    li = spread(
+        t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > ts("1998-03-15")),
+        "l_orderkey",
+    )
     return (
         li.join(
             orders.join(cust, orders.o_custkey == cust.c_custkey),
@@ -149,7 +152,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= ts("1996-01-01")) & (F.col("o_orderdate") < ts("1997-01-01"))
     )
-    li = t(spark, sf_dir, "lineitem")
+    li = spread(t(spark, sf_dir, "lineitem"), "l_orderkey")
     supp = t(spark, sf_dir, "supplier")
     nat = t(spark, sf_dir, "nation")
     reg = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
@@ -227,7 +230,10 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= ts("1996-01-01")) & (F.col("o_orderdate") < ts("1996-04-01"))
     )
-    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    li = spread(
+        t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R"),
+        "l_orderkey",
+    )
     nat = t(spark, sf_dir, "nation")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
@@ -267,7 +273,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys — the reduction happens before the wide join, which is the
     shape that scales (never join-then-filter a 100 TB fact table).
     """
-    li = t(spark, sf_dir, "lineitem")
+    li = spread(t(spark, sf_dir, "lineitem"), "l_orderkey")
     big_orders = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("s")).filter(F.col("s") > 150)
     orders = t(spark, sf_dir, "orders").join(
         big_orders.select("l_orderkey"),
@@ -343,10 +349,13 @@ def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join shuffled on orderkey, conditional-sum CASE aggregation.
     The lineitem side is filtered BEFORE the join — at 100 TB the
     shuffle carries only the qualifying window."""
-    li = t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= ts("1996-01-01"))
-        & (F.col("l_shipdate") < ts("1997-01-01"))
-        & (F.col("l_quantity") >= 30)
+    li = spread(
+        t(spark, sf_dir, "lineitem").filter(
+            (F.col("l_shipdate") >= ts("1996-01-01"))
+            & (F.col("l_shipdate") < ts("1997-01-01"))
+            & (F.col("l_quantity") >= 30)
+        ),
+        "l_orderkey",
     )
     orders = t(spark, sf_dir, "orders")
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
@@ -486,8 +495,12 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinations. Year extraction is a scan-side projection."""
     pair_nations = ("NATION_1", "NATION_2")
     supp = t(spark, sf_dir, "supplier")
-    li = t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= ts("1995-01-01")) & (F.col("l_shipdate") < ts("1997-01-01"))
+    li = spread(
+        t(spark, sf_dir, "lineitem").filter(
+            (F.col("l_shipdate") >= ts("1995-01-01"))
+            & (F.col("l_shipdate") < ts("1997-01-01"))
+        ),
+        "l_orderkey",
     )
     orders = t(spark, sf_dir, "orders")
     cust = t(spark, sf_dir, "customer")
@@ -614,7 +627,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     customers by construction, independent of whether the optimizer
     chooses to reorder the dim joins."""
     part = t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
-    li = t(spark, sf_dir, "lineitem")
+    li = spread(t(spark, sf_dir, "lineitem"), "l_orderkey")
     orders = t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= ts("1995-01-01")) & (F.col("o_orderdate") < ts("1997-01-01"))
     )
@@ -782,7 +795,7 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduce-order-independent (100 TB: result must not depend on
     parallelism). Cites the reference's full-SQL surface
     (``internal/controller/kyuubi.go:189-203``)."""
-    li = t(spark, sf_dir, "lineitem")
+    li = spread(t(spark, sf_dir, "lineitem"), "l_orderkey")
     part_f = (
         t(spark, sf_dir, "part")
         .filter(F.col("p_name").like("%red%"))
@@ -963,10 +976,12 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey")
     )
     shipped = (
-        t(spark, sf_dir, "lineitem")
-        .filter(
-            (F.col("l_shipdate") >= ts("1995-01-01"))
-            & (F.col("l_shipdate") < ts("1996-01-01"))
+        spread(
+            t(spark, sf_dir, "lineitem").filter(
+                (F.col("l_shipdate") >= ts("1995-01-01"))
+                & (F.col("l_shipdate") < ts("1996-01-01"))
+            ),
+            "l_partkey",
         )
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(dec("l_quantity")).alias("qty"))
