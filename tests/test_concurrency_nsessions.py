@@ -22,7 +22,9 @@ maintainer:
   retried error, never a wrong value).
 
 Success = every writer's row landed (no lost update), version numbers
-contiguous (each CAS won exactly once), recovery is a no-op, every
+strictly increasing and never reused (each CAS won exactly once; gaps
+are legal — the torn-read rollback can burn a number, see the in-test
+comment), recovery is a no-op, every
 probe was exact throughout, every aggregate was a published value, and
 after the stream drains the index answers exactly for seed AND
 appended keys.
@@ -438,7 +440,18 @@ def test_n_sessions_interleaved_merge_probe_rollup(tmp_path):
         )
         assert ids == want
         versions = [int(x) for x in versions_s.split(",")]
-        assert versions == list(range(K_HOST + N_SESS * MERGES_PER_SESS))
+        # Exactly one archive per merge, strictly increasing, never
+        # reused. NOT asserted contiguous: the torn-base-read rollback
+        # (merge.py post-CAS provenance check / _client_merge's
+        # un-archive branch) can BURN a version number — writer A
+        # archives v, rolls back on a torn read, while writer B has
+        # already observed v and computes v+1; the sequence then skips
+        # v forever (max+1 allocation never backfills, by design — see
+        # merge_versioned's docstring). No data is lost (the ids
+        # assert above is the lost-update check); observed live under
+        # heavy co-load in r16.
+        assert len(versions) == K_HOST + N_SESS * MERGES_PER_SESS
+        assert versions == sorted(set(versions))
         # bloom: stream drained, every sampled key exact post-append
         assert int(n_index) == 400 + 8 * 50
         assert probe_exact == "1"

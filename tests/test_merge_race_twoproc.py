@@ -13,9 +13,10 @@ that race goes through the gateway tier exactly as Kyuubi tenants do:
   SAME archive-rename CAS + publish rename, with optimistic retry.
 
 Both writers contend on the one metastore head. Success = every
-writer's row lands, version numbers are contiguous (each CAS won
-exactly once), and ``recover_versioned_table`` afterwards is a no-op
-("clean").
+writer's row lands, version numbers strictly increasing and never
+reused (each CAS won exactly once; gaps are legal — the torn-read
+rollback can burn a number), and ``recover_versioned_table``
+afterwards is a no-op ("clean").
 """
 
 from __future__ import annotations
@@ -309,9 +310,13 @@ def test_two_process_merge_race(tmp_path):
             + [1000 + i for i in range(K_HOST)]
             + [2000 + j for j in range(M_CLIENT)]
         )
-        # each merge consumed exactly one version: contiguous 0..K+M-1
+        # each merge consumed exactly one version — strictly increasing,
+        # never reused, but NOT necessarily contiguous: the torn-read
+        # rollback can burn a number another writer already observed
+        # (see the burned-version comment in test_concurrency_nsessions)
         versions = [int(x) for x in versions_s.split(",")]
-        assert versions == list(range(K_HOST + M_CLIENT))
+        assert len(versions) == K_HOST + M_CLIENT
+        assert versions == sorted(set(versions))
     finally:
         if proc.poll() is None:
             proc.kill()
