@@ -211,12 +211,38 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b"))
         .distinct()
     )
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    # Verify with per-vector norms precomputed ONCE (r16 optimization
+    # round; guide §1.2 "per-task work" — the same factoring
+    # dedup_semantic_cells already documents): the inline COS_SPARK
+    # re-folds BOTH vectors' norms for every candidate pair, and the
+    # interpreted higher-order-function folds are the pair stage's
+    # cost. dot/(na*nb) performs the exact operation sequence of the
+    # inline cosine (same sequential folds, same multiply-then-divide
+    # order), so every cos value stays bit-identical to the oracle's
+    # — a ~3× cut of the verify arithmetic, not a semantics change.
+    norm = F.expr(
+        "sqrt(aggregate(embedding, cast(0 as double),"
+        " (acc, v) -> acc + cast(v as double) * cast(v as double)))"
+    )
+    emb_n = emb.select("vec_id", "embedding", norm.alias("nrm"))
+    a = emb_n.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = emb_n.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(ea, eb, (x, y) -> cast(x as double) * cast(y as double)),"
+        " cast(0 as double), (acc, v) -> acc + v)"
+    )
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
-        .select("id_a", "id_b", F.expr(COS_SPARK.format(a="ea", b="eb")).alias("cos"))
+        .select("id_a", "id_b", (dot / (F.col("na") * F.col("nb"))).alias("cos"))
         .filter(F.col("cos") >= SIM_T)
     )
 

@@ -102,7 +102,14 @@ def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the edge fact)."""
     from nineinfra_spark.operators.pagerank import pagerank_fixed
 
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # spread: the single-file lineitem scan otherwise runs the whole
+    # broadcast probe + partial distinct on one core (no-op on a real
+    # many-file corpus — see _util.spread; same shape as the q-series
+    # lineitem paths this round)
+    li = spread(
+        t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey"),
+        "l_orderkey",
+    )
     orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     pairs = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)

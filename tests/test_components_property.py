@@ -123,6 +123,43 @@ def test_long_chain_converges_in_log_rounds(spark):
         min_label_components(df.select("a", "b"), max_iter=10).collect()
 
 
+def test_star_forest_is_fixpoint(spark):
+    """r16 optimization: _large_star was reshaped (groupBy-min + join
+    back instead of a window; no output distinct). A graph that is
+    ALREADY a star forest is a fixpoint of both operations, so the
+    very first round must detect convergence (rounds == 1) and return
+    the input edge set unchanged — pins that the reshaped large-star
+    emits nothing new for leaves and re-centers hubs on themselves,
+    and that small-star re-attaches every leaf to the same center."""
+    from nineinfra_spark.operators.components import star_contract
+
+    stars = [(0, i) for i in range(1, 6)] + [(10, j) for j in (11, 12)]
+    df = spark.createDataFrame(stars, ["a", "b"])
+    edges, rounds = star_contract(df)
+    assert rounds == 1, rounds
+    got = {(r["hi"], r["lo"]) for r in edges.collect()}
+    assert got == {(i, 0) for i in range(1, 6)} | {(11, 10), (12, 10)}
+
+
+def test_multi_edge_duplicates_are_harmless(spark):
+    """r16 optimization: _large_star no longer distinct-s its output
+    (its consumer is duplicate-insensitive). Heavy multi-edges — the
+    shape that maximizes duplicate (hi, lo) emissions — must still
+    produce the exact union-find labeling."""
+    from nineinfra_spark.operators.components import star_components
+
+    edges = [(1, 2)] * 6 + [(2, 3)] * 6 + [(5, 4)] * 4 + [(3, 1)] * 3
+    df = spark.createDataFrame(edges, ["a", "b"])
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["n_members"])
+        for r in star_components(df).collect()
+    }
+    assert got == {
+        1: (1, 3), 2: (1, 3), 3: (1, 3),
+        4: (4, 2), 5: (4, 2),
+    }
+
+
 def test_chain_converges_and_labels_min(spark):
     """A 12-node chain (worst diameter-per-edge shape for label
     propagation) still converges under the iteration cap and labels
