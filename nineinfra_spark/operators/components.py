@@ -126,6 +126,14 @@ def star_contract(pairs: DataFrame, max_rounds: int | None = None) -> tuple[Data
     )
     prev = edges
     prev_n = prev.count()
+    if prev_n == 0:
+        # Empty edge set (reachable: pair queries whose threshold
+        # matches nothing). The round loop's symmetric-difference
+        # count is F.sum over ZERO groups → NULL, so without this
+        # early return (or the coalesce below) convergence would
+        # never be detected (r16 ADVICE). Mirrors the pre-r16
+        # size+exceptAll check, which returned (empty, 1).
+        return prev, 1
     if max_rounds is None:
         # n_nodes <= 2*n_edges, and the edge count is computed anyway
         # for the convergence check — deriving the bound from it
@@ -167,8 +175,15 @@ def star_contract(pairs: DataFrame, max_rounds: int | None = None) -> tuple[Data
             .localCheckpoint(eager=False)
         )
         n_diff = merged.agg(
-            F.sum(
-                F.when(F.col("_in_nxt") != F.col("_in_prev"), 1).otherwise(0)
+            # coalesce: SUM over zero rows is NULL, and NULL == 0 is
+            # False — an all-empty round must still count as converged
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("_in_nxt") != F.col("_in_prev"), 1
+                    ).otherwise(0)
+                ),
+                F.lit(0),
             ).alias("d")
         ).first()["d"]
         nxt = merged.filter("_in_nxt").select("hi", "lo")

@@ -9,6 +9,7 @@ just the corpus-derived graphs the oracle differentials see.
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -42,6 +43,7 @@ def _union_find(edges: list[tuple[int, int]]) -> dict[int, int]:
     )
 )
 @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@pytest.mark.slow
 def test_min_label_components_matches_union_find(spark, edges):
     want = _union_find(edges)
     sizes: dict[int, int] = {}
@@ -67,6 +69,7 @@ def test_min_label_components_matches_union_find(spark, edges):
     )
 )
 @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@pytest.mark.slow
 def test_star_components_matches_union_find(spark, edges):
     """The O(log n) large-star/small-star contraction must produce the
     exact same (cluster_id, n_members) labeling as union-find on
@@ -89,6 +92,7 @@ def test_star_components_matches_union_find(spark, edges):
         assert n_members == sizes[want[node]]
 
 
+@pytest.mark.slow
 def test_long_chain_converges_in_log_rounds(spark):
     """REGRESSION (judge r6): a 60-link near-dup CHAIN is the
     diameter-bound killer for per-round label propagation (min-label
@@ -158,6 +162,36 @@ def test_multi_edge_duplicates_are_harmless(spark):
         1: (1, 3), 2: (1, 3), 3: (1, 3),
         4: (4, 2), 5: (4, 2),
     }
+
+
+def test_empty_edge_set_converges(spark):
+    """REGRESSION (r16 ADVICE, high): the fused convergence check's
+    F.sum over zero groups returns NULL, so an EMPTY pair set (a
+    similarity query whose threshold matches nothing, or all-self-loop
+    input filtered to nothing) spun to max_rounds and raised. The
+    pre-r16 size+exceptAll check returned (empty, 1) — pin that."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from nineinfra_spark.operators.components import (
+        star_components,
+        star_contract,
+    )
+
+    schema = StructType(
+        [StructField("a", LongType()), StructField("b", LongType())]
+    )
+    empty = spark.createDataFrame([], schema)
+    edges, rounds = star_contract(empty)
+    assert edges.count() == 0
+    assert rounds == 1
+    assert star_components(empty).count() == 0
+
+    # all-self-loop input filters to an empty edge set inside
+    # star_contract — same NULL-sum path
+    loops = spark.createDataFrame([(3, 3), (7, 7)], ["a", "b"])
+    edges, rounds = star_contract(loops)
+    assert edges.count() == 0
+    assert rounds == 1
 
 
 def test_chain_converges_and_labels_min(spark):
