@@ -570,24 +570,28 @@ def bloom_index_append(
         ),
         F.lit(0),
     )
-    # pin the delta once: bit discovery, the count, and the row append
-    # are separate actions — a non-deterministic delta recomputed
-    # between them could append keys the bitmap step never saw
-    # (exactly the zorder_layout_append lesson)
+    # pin the delta once: bit discovery and the row append are
+    # separate actions — a non-deterministic delta recomputed between
+    # them could append keys the bitmap step never saw (exactly the
+    # zorder_layout_append lesson). LAZY checkpoint (r17): the
+    # discovery job right below materializes it, so the pin costs no
+    # extra job; later consumers read the frozen blocks.
     tagged = (
         delta.select(*data_cols).withColumn("fid", fid)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # dirty fids from the ROWS, not the bits — NULL-key rows carry no
     # bits but still land in (and, under key_cols, must rewrite)
-    # files. NULL-key probe fused into the same job (zero extra
-    # actions): eqNullSafe is only needed when the delta actually
-    # carries NULL keys (see zorder.anti_upsert_keys)
+    # files. NULL-key probe and the rows_appended count fused into
+    # the same job (zero extra actions): eqNullSafe is only needed
+    # when the delta actually carries NULL keys (see
+    # zorder.anti_upsert_keys); the count was a separate action until
+    # r17.
     from nineinfra_spark.operators.zorder import (
         dirty_partitions_and_null_flag,
     )
 
-    dirty, delta_has_null_keys = dirty_partitions_and_null_flag(
+    dirty, delta_has_null_keys, rows = dirty_partitions_and_null_flag(
         tagged, "fid", key_cols
     )
     delta_pairs = tagged.select(
@@ -617,15 +621,21 @@ def bloom_index_append(
             .write.parquet(os.path.join(path, new_dir))
         )
 
-        def _pop(d: str) -> int:
-            return (
-                spark.read.parquet(os.path.join(path, d))
-                .agg(F.sum(F.bit_count("word")))
-                .first()[0]
-                or 0
+        # new_bits = popcount(new) − popcount(old), fused into ONE
+        # signed-tag aggregate job (r17; was two separate read+agg
+        # jobs — same sums, same difference)
+        new_bits = (
+            spark.read.parquet(os.path.join(path, new_dir))
+            .select(F.lit(1).alias("_t"), "word")
+            .unionByName(
+                spark.read.parquet(os.path.join(path, old_dir)).select(
+                    F.lit(-1).alias("_t"), "word"
+                )
             )
-
-        new_bits = _pop(new_dir) - _pop(old_dir)
+            .agg(F.sum(F.bit_count("word") * F.col("_t")))
+            .first()[0]
+            or 0
+        )
         meta["bits_dir"] = new_dir
     else:
         bits_rows = (
@@ -649,7 +659,6 @@ def bloom_index_append(
     # write; CAS-guarded so a racing appender's commit is detected
     # instead of silently dropped (see _guarded_sidecar_write)
     raw = _guarded_sidecar_write(path, meta, raw)
-    rows = tagged.count()
     if not dirty:
         if batch_id is not None:
             meta["last_batch_id"] = batch_id

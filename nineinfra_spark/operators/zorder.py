@@ -82,15 +82,18 @@ def anti_upsert_keys(
 
 def dirty_partitions_and_null_flag(
     delta: DataFrame, part_col: str, key_cols: Sequence[str] | None
-) -> tuple[list, bool]:
-    """Distinct ``part_col`` ids of ``delta`` and whether any
-    ``key_cols`` value is NULL — fused into the ONE job both append
-    maintainers already run for dirty-partition discovery, so the
-    eqNullSafe gate (see :func:`anti_upsert_keys`) costs no extra
-    action. With no ``key_cols`` the flag is trivially False and the
-    job is the plain distinct. Shared by ``zorder_layout_append``
-    (part_col="zb") and ``bloom_index_append`` (part_col="fid") — one
-    implementation, one gating rule."""
+) -> tuple[list, bool, int]:
+    """Distinct ``part_col`` ids of ``delta``, whether any
+    ``key_cols`` value is NULL, and the delta ROW COUNT — all fused
+    into the ONE job both append maintainers already run for
+    dirty-partition discovery, so the eqNullSafe gate (see
+    :func:`anti_upsert_keys`) and the ``rows_appended`` stat (r17:
+    formerly a separate ``delta.count()`` action per micro-batch)
+    cost no extra action. The count is the sum of the per-partition
+    group counts — exact by definition. Shared by
+    ``zorder_layout_append`` (part_col="zb") and
+    ``bloom_index_append`` (part_col="fid") — one implementation, one
+    gating rule."""
     from functools import reduce
 
     if key_cols:
@@ -99,14 +102,21 @@ def dirty_partitions_and_null_flag(
         )
         agg = (
             delta.groupBy(part_col)
-            .agg(F.max(F.when(null_any, 1).otherwise(0)).alias("__nk"))
+            .agg(
+                F.max(F.when(null_any, 1).otherwise(0)).alias("__nk"),
+                F.count(F.lit(1)).alias("__n"),
+            )
             .collect()
         )
-        return [r[part_col] for r in agg], any(r["__nk"] for r in agg)
-    ids = [
-        r[part_col] for r in delta.select(part_col).distinct().collect()
-    ]
-    return ids, False
+        return (
+            [r[part_col] for r in agg],
+            any(r["__nk"] for r in agg),
+            sum(r["__n"] for r in agg),
+        )
+    agg = (
+        delta.groupBy(part_col).agg(F.count(F.lit(1)).alias("__n")).collect()
+    )
+    return [r[part_col] for r in agg], False, sum(r["__n"] for r in agg)
 
 
 def _resolve_bits(k: int, bits: int | None) -> int:
@@ -421,14 +431,18 @@ def zorder_layout_append(
     bounds = {c: tuple(v) for c, v in meta["bounds"].items()}
     z = zvalue_expr(cols, bounds, bits=bits)
     zb = F.shiftright(z, bits * len(cols) - bucket_bits)
-    # pin the delta ONCE: the dirty-bucket discovery, the row count,
-    # and the rewrite below are separate actions — a non-deterministic
-    # delta (a sample, a changing view) recomputed between them could
-    # surface NEW buckets at write time whose old rows were never read
-    # into `existing_dirty`, silently dropping them in the overwrite.
+    # pin the delta ONCE: the dirty-bucket discovery and the rewrite
+    # below are separate actions — a non-deterministic delta (a
+    # sample, a changing view) recomputed between them could surface
+    # NEW buckets at write time whose old rows were never read into
+    # `existing_dirty`, silently dropping them in the overwrite. The
+    # checkpoint is LAZY (r17): the discovery job right below is the
+    # materializing action, so the pin costs zero extra jobs — every
+    # later consumer reads the frozen blocks (localCheckpoint
+    # materializes exactly once; eager vs lazy changes only WHEN).
     delta_b = (
         delta.select(*data_columns).withColumn("zb", zb)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     if key_cols:
         bad = [c for c in key_cols if c not in data_columns]
@@ -436,11 +450,13 @@ def zorder_layout_append(
             raise ValueError(
                 f"zorder_layout_append: key columns {bad} not in layout"
             )
-    # NULL-key probe fused into the dirty-bucket discovery job (zero
-    # extra actions): eqNullSafe is only NEEDED when the delta
-    # actually carries NULL keys (see anti_upsert_keys)
-    dirty, delta_has_null_keys = dirty_partitions_and_null_flag(
-        delta_b, "zb", key_cols
+    # NULL-key probe AND the rows_appended count fused into the
+    # dirty-bucket discovery job (zero extra actions): eqNullSafe is
+    # only NEEDED when the delta actually carries NULL keys (see
+    # anti_upsert_keys); the count was a separate per-batch action
+    # until r17.
+    dirty, delta_has_null_keys, rows_appended = (
+        dirty_partitions_and_null_flag(delta_b, "zb", key_cols)
     )
     n_total = sum(
         1
@@ -469,7 +485,6 @@ def zorder_layout_append(
             key_cols,
             null_safe=delta_has_null_keys,
         )
-    rows_appended = delta_b.count()
     combined = (
         existing_dirty.unionByName(delta_b)
         .repartition(max(len(dirty), 1), "zb")

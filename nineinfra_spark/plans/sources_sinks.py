@@ -1889,7 +1889,7 @@ def zorder_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``internal/controller/minio.go:286-319`` provisions the object
     store; layout policy is delegated to the engine — implemented
     natively here)."""
-    from nineinfra_spark.operators.zorder import zvalue_column
+    from nineinfra_spark.operators.zorder import zvalue_expr
 
     ev = t(spark, sf_dir, "events").select("user_id", "value")
     st = ev.agg(
@@ -1913,7 +1913,22 @@ def zorder_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     bu = math.floor(st["lo_u"] + span_u * 0.55)
     av, bv = st["lo_v"] + span_v * 0.25, st["lo_v"] + span_v * 0.55
 
-    zb = F.shiftright(zvalue_column(ev, ["user_id", "value"], bits=8), 11)
+    # r17 optimization: zvalue_column would run column_bounds — a
+    # SECOND full-scan min/max aggregate identical to `st` above
+    # (same F.min/max(cast double) expressions, so the bounds are
+    # bit-identical). Reuse st via zvalue_expr: one bounds job, not
+    # two (guide §1.2 "don't compute things you throw away").
+    zb = F.shiftright(
+        zvalue_expr(
+            ["user_id", "value"],
+            {
+                "user_id": (st["lo_u"], st["hi_u"]),
+                "value": (st["lo_v"], st["hi_v"]),
+            },
+            bits=8,
+        ),
+        11,
+    )
     path = _out("zorder_skip", os.path.basename(sf_dir), "events_z")
     writers.write_parquet(
         ev.withColumn("zb", zb).repartition(32, "zb"),
