@@ -41,6 +41,9 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 from nineinfra_spark.operators.bloomindex import bloom_index_append
 
+# multi-process race: append vs compact across processes — excluded from the default lane (see pytest.ini), run via -m slow
+pytestmark = pytest.mark.slow
+
 path, start_flag, done_flag = sys.argv[1], sys.argv[2], sys.argv[3]
 spark = (
     SparkSession.builder.master("local[2]")

@@ -126,6 +126,7 @@ def test_words_df_roundtrips_positions(spark, bits):
     )
 )
 @settings(max_examples=3, deadline=None)
+@pytest.mark.slow
 def test_table_and_json_probes_agree_on_generated_keys(
     spark, tmp_path_factory, keys
 ):
@@ -159,6 +160,7 @@ def test_table_and_json_probes_agree_on_generated_keys(
 
 
 @pytest.mark.parametrize("m0", [128, 256, 512, 2048, 8192, 32768])
+@pytest.mark.slow
 def test_resize_property_across_fill_ratios(spark, tmp_path, m0):
     """Sweep the build geometry from badly undersized (fill → 1.0)
     to oversized (fill ≈ 0.04) against a FIXED corpus and pin the

@@ -19,6 +19,8 @@ its own subprocess with a fresh JVM sharing the same derby metastore.
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import subprocess
 import sys
@@ -67,6 +69,9 @@ _PHASE2 = """
 import os, sys
 from nineinfra_spark.engine import Engine, EngineConfig
 from nineinfra_spark.plans.registry import get
+
+# multi-process: spawns a second SparkSession process per case — excluded from the default lane (see pytest.ini), run via -m slow
+pytestmark = pytest.mark.slow
 
 root = sys.argv[1]
 eng = Engine(EngineConfig(

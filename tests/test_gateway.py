@@ -9,6 +9,7 @@ shared pytest session."""
 
 from __future__ import annotations
 
+import pytest
 import socket
 import subprocess
 import sys
@@ -50,6 +51,7 @@ eng.close()
 """
 
 
+@pytest.mark.slow
 def test_thrift_gateway_second_client():
     proc = subprocess.run(
         [sys.executable, "-c", _SCRIPT.format(sf=SF, port=_free_port())],
@@ -95,6 +97,7 @@ eng.close()
 """
 
 
+@pytest.mark.slow
 def test_all_platform_roles_compose():
     """Capstone: persistent metastore + thrift gateway + serve cache
     in ONE engine profile — a JDBC client queries a hive-registered
@@ -193,6 +196,7 @@ eng.close()
 """
 
 
+@pytest.mark.slow
 def test_multi_tenant_interleaved_frontends():
     """Two REST sessions + one beeline thrift client interleaving
     temp-view DDL, catalog DDL, and SELECTs against ONE engine: every
@@ -239,6 +243,7 @@ eng.close()
 """
 
 
+@pytest.mark.slow
 def test_thrift_http_transport_second_client():
     """THRIFT_HTTP frontend (the reference's port-10010 mode,
     ninecluster_metadata.go:22-27): the gateway serves thrift-over-
@@ -288,6 +293,7 @@ eng.close()
 """
 
 
+@pytest.mark.slow
 def test_thrift_custom_auth_enforced_on_wire():
     """The reference's JDBC-auth contract on the THRIFT frontend
     itself (kyuubi.go:55-64: salted-MD5 users lookup): an in-env
@@ -444,6 +450,7 @@ eng.close()
 """
 
 
+@pytest.mark.slow
 def test_concurrent_ddl_two_rest_sessions_plus_thrift_reader():
     """VERDICT r7 item #7: two REST sessions churning CREATE/DROP on
     one database while a thrift client reads — catalog writes

@@ -28,6 +28,10 @@ from nineinfra_spark.plans.ext_dedup import (
     _shingled,
 )
 
+# property sweep: LSH collision curve over two SFs — excluded from the
+# default lane (see pytest.ini), run via -m slow
+pytestmark = pytest.mark.slow
+
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
 

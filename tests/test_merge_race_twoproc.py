@@ -21,6 +21,8 @@ afterwards is a no-op ("clean").
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import secrets
 import socket
@@ -29,6 +31,9 @@ import sys
 import time
 import urllib.error
 import urllib.request
+
+# multi-process race: two-writer versioned merge — excluded from the default lane (see pytest.ini), run via -m slow
+pytestmark = pytest.mark.slow
 
 K_HOST = 5  # native merges in the host process
 M_CLIENT = 5  # SQL-protocol merges from this process
@@ -317,6 +322,10 @@ def test_two_process_merge_race(tmp_path):
         versions = [int(x) for x in versions_s.split(",")]
         assert len(versions) == K_HOST + M_CLIENT
         assert versions == sorted(set(versions))
+        # bound the burn rate (r16 ADVICE): legitimate torn-read burns
+        # are at most ~1 per contended merge, so runaway max+1
+        # allocation (many burns per merge) must still fail loudly
+        assert max(versions) < (K_HOST + M_CLIENT) * 2, versions
     finally:
         if proc.poll() is None:
             proc.kill()

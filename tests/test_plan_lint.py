@@ -209,3 +209,33 @@ def test_verify_priority_fits_driver_window():
     from nineinfra_spark.plans import _VERIFY_FIRST
 
     assert len(_VERIFY_FIRST) <= 50, len(_VERIFY_FIRST)
+
+
+def test_spread_gate_noop_on_many_file_table(spark, tmp_path):
+    """Pin the 100 TB no-op claim of plans/_util.spread (r16 verdict
+    item 9): on a table with at least defaultParallelism input files
+    the gate must take the no-op branch (zero Exchange added), and on
+    the single-file testdata shape it must add exactly one
+    hash-partitioning Exchange on the given key."""
+    from nineinfra_spark.plans._util import spread
+
+    par = spark.sparkContext.defaultParallelism
+
+    many_dir = str(tmp_path / "many")
+    spark.range(0, par * 4).withColumnRenamed("id", "k").repartition(
+        par
+    ).write.parquet(many_dir)
+    many = spark.read.parquet(many_dir)
+    assert len(many.inputFiles()) >= par
+    out = spread(many, "k")
+    assert out is many, "spread() must be a no-op when files >= cores"
+    assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
+
+    one_dir = str(tmp_path / "one")
+    spark.range(0, 100).withColumnRenamed("id", "k").coalesce(1).write.parquet(
+        one_dir
+    )
+    one = spark.read.parquet(one_dir)
+    assert len(one.inputFiles()) == 1
+    plan = spread(one, "k")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning(k" in plan, plan

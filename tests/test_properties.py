@@ -6,6 +6,7 @@ deadline — these catch semantic regressions, not perf.
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 from pyspark.sql import functions as F
@@ -50,6 +51,7 @@ def test_filter_projection_commute(spark, rows):
 
 @SETTINGS
 @given(a=ROWS, b=ROWS)
+@pytest.mark.slow
 def test_union_all_count_additive(spark, a, b):
     da, db = _df(spark, a), _df(spark, b)
     assert da.unionAll(db).count() == da.count() + db.count()
@@ -57,6 +59,7 @@ def test_union_all_count_additive(spark, a, b):
 
 @SETTINGS
 @given(a=ROWS, b=ROWS)
+@pytest.mark.slow
 def test_inner_join_commutative(spark, a, b):
     da, db = _df(spark, a), _df(spark, b)
     left = da.join(db, "k").select("k")
@@ -73,6 +76,7 @@ def test_distinct_idempotent(spark, rows):
 
 @SETTINGS
 @given(a=ROWS, b=ROWS)
+@pytest.mark.slow
 def test_intersect_except_all_partition(spark, a, b):
     """Bag semantics: intersectAll(a,b) + exceptAll(a,b) == a."""
     da, db = _df(spark, a), _df(spark, b)
@@ -122,6 +126,7 @@ TOKSETS = st.lists(
 
 @SETTINGS
 @given(arrs=TOKSETS)
+@pytest.mark.slow
 def test_jaccard_identity_and_symmetry(spark, arrs):
     """j(x,x) == 1 for non-empty x; j(a,b) == j(b,a); 0 ≤ j ≤ 1."""
     from nineinfra_spark import functions as NF
@@ -418,6 +423,7 @@ PRED = st.sampled_from([
 
 @SETTINGS
 @given(rows=PART_ROWS, pred=PRED)
+@pytest.mark.slow
 def test_delete_where_partitioned_equiv_full_rewrite(spark, rows, pred):
     """delete_where_partitioned must leave EXACTLY the rows the
     full-snapshot delete_where leaves — partition scoping is a cost
@@ -446,6 +452,7 @@ def test_delete_where_partitioned_equiv_full_rewrite(spark, rows, pred):
 
 @SETTINGS
 @given(rows=PART_ROWS, pred=PRED)
+@pytest.mark.slow
 def test_update_where_partitioned_equiv_full_rewrite(spark, rows, pred):
     from nineinfra_spark.operators.merge import (
         update_where,

@@ -5,6 +5,7 @@ agreement, partition ranges, and the offset-recovery path
 
 from __future__ import annotations
 
+import pytest
 import os
 import shutil
 import time
@@ -145,6 +146,7 @@ q.awaitTermination()
 """
 
 
+@pytest.mark.slow
 def test_stream_midbatch_kill_replays_exactly_once(spark, tmp_path):
     """VERDICT r7 item #9: SIGKILL the streaming connector AFTER the
     offset log advanced for a batch but BEFORE that batch committed —

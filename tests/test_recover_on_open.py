@@ -7,6 +7,8 @@ one persistent derby metastore.
 
 from __future__ import annotations
 
+import pytest
+
 import subprocess
 import sys
 
@@ -39,6 +41,9 @@ eng.close()
 _PHASE2_RECOVER = """
 import os, sys
 from nineinfra_spark.engine import Engine, EngineConfig
+
+# multi-process: crash-recovery across engine restarts — excluded from the default lane (see pytest.ini), run via -m slow
+pytestmark = pytest.mark.slow
 
 root = sys.argv[1]
 eng = Engine(EngineConfig(

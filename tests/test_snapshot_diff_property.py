@@ -13,6 +13,9 @@ from hypothesis import strategies as st
 
 from nineinfra_spark.operators.diff import snapshot_diff, snapshot_diff_counts
 
+# property sweep: randomized diff vs reference model — excluded from the default lane (see pytest.ini), run via -m slow
+pytestmark = pytest.mark.slow
+
 _VALS = st.one_of(st.none(), st.integers(min_value=0, max_value=3))
 _ROW = st.tuples(_VALS, _VALS)
 _ROWS = st.lists(_ROW, max_size=12)

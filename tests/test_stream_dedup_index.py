@@ -130,6 +130,7 @@ def test_replay_marker_prevents_double_count(spark):
             spark.sql(f"DROP TABLE IF EXISTS {n}")
 
 
+@pytest.mark.slow
 def test_real_checkpoint_redelivery_is_skipped(spark, tmp_path):
     """END-TO-END replay through Spark's own recovery path: run the
     maintainer with a persistent checkpoint, then delete the LAST

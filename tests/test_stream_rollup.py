@@ -138,6 +138,7 @@ def test_replay_marker_prevents_double_count(spark):
             spark.sql(f"DROP TABLE IF EXISTS {n}")
 
 
+@pytest.mark.slow
 def test_real_checkpoint_redelivery_is_skipped(spark, tmp_path):
     """End-to-end replay through Spark's own recovery path for the
     ADDITIVE rollup (the maintainer where a double-fold is most
