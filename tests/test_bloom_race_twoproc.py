@@ -32,6 +32,10 @@ from nineinfra_spark.operators.bloomindex import (
     read_index_meta,
 )
 
+# multi-process race: append vs compact across processes — excluded
+# from the default lane (see pytest.ini), run via -m slow
+pytestmark = pytest.mark.slow
+
 N = 2000
 
 _APPENDER = """
@@ -40,9 +44,6 @@ sys.path.insert(0, "/root/repo")
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 from nineinfra_spark.operators.bloomindex import bloom_index_append
-
-# multi-process race: append vs compact across processes — excluded from the default lane (see pytest.ini), run via -m slow
-pytestmark = pytest.mark.slow
 
 path, start_flag, done_flag = sys.argv[1], sys.argv[2], sys.argv[3]
 spark = (

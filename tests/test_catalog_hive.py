@@ -27,6 +27,10 @@ import sys
 
 SF = "/root/testdata/sf0.001"
 
+# multi-process: spawns a second SparkSession process per case —
+# excluded from the default lane (see pytest.ini), run via -m slow
+pytestmark = pytest.mark.slow
+
 _PHASE1 = """
 import os, sys
 from nineinfra_spark.engine import Engine, EngineConfig
@@ -69,9 +73,6 @@ _PHASE2 = """
 import os, sys
 from nineinfra_spark.engine import Engine, EngineConfig
 from nineinfra_spark.plans.registry import get
-
-# multi-process: spawns a second SparkSession process per case — excluded from the default lane (see pytest.ini), run via -m slow
-pytestmark = pytest.mark.slow
 
 root = sys.argv[1]
 eng = Engine(EngineConfig(

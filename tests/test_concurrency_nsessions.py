@@ -44,6 +44,10 @@ import urllib.request
 
 from test_merge_race_twoproc import _client_merge, _free_port
 
+# multi-process hammer: N concurrent engine sessions — excluded from
+# the default lane (see pytest.ini), run via -m slow
+pytestmark = pytest.mark.slow
+
 N_SESS = 4  # concurrent REST sessions
 MERGES_PER_SESS = 2
 K_HOST = 3  # native merges (each followed by an MV re-publish)
@@ -61,9 +65,6 @@ from nineinfra_spark.operators.merge import (
     recover_versioned_table,
 )
 from nineinfra_spark.operators.mv import RollupSpec, route_aggregate
-
-# multi-process hammer: N concurrent engine sessions — excluded from the default lane (see pytest.ini), run via -m slow
-pytestmark = pytest.mark.slow
 
 root, port, k_host = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
 mysql_port = int(sys.argv[4])

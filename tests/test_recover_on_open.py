@@ -12,6 +12,10 @@ import pytest
 import subprocess
 import sys
 
+# multi-process: crash-recovery across engine restarts — excluded from
+# the default lane (see pytest.ini), run via -m slow
+pytestmark = pytest.mark.slow
+
 _PHASE1_CRASH_STATE = """
 import os, sys
 from nineinfra_spark.engine import Engine, EngineConfig
@@ -41,9 +45,6 @@ eng.close()
 _PHASE2_RECOVER = """
 import os, sys
 from nineinfra_spark.engine import Engine, EngineConfig
-
-# multi-process: crash-recovery across engine restarts — excluded from the default lane (see pytest.ini), run via -m slow
-pytestmark = pytest.mark.slow
 
 root = sys.argv[1]
 eng = Engine(EngineConfig(
