@@ -65,36 +65,66 @@ def main() -> int:
         print(f"\n== {name}: wall {wall:.3f}s (timed pass)")
     engine.close()
 
-    # parse the single application event log
+    # parse the single application event log; Spark 4 may write a
+    # rolling-log DIRECTORY (eventlog_v2_<app>/events_1_...) instead of
+    # a single file
     logs = [f for f in os.listdir(EVDIR) if not f.startswith(".")]
     assert len(logs) == 1, logs
+    target = os.path.join(EVDIR, logs[0])
+    if os.path.isdir(target):
+        parts = sorted(
+            os.path.join(target, p)
+            for p in os.listdir(target)
+            if p.startswith("events_")
+        )
+    else:
+        parts = [target]
     jobs: dict[int, dict] = {}
-    with open(os.path.join(EVDIR, logs[0])) as f:
-        for line in f:
-            ev = json.loads(line)
-            e = ev.get("Event")
-            if e == "SparkListenerJobStart":
-                props = ev.get("Properties") or {}
-                jobs[ev["Job ID"]] = {
-                    "t0": ev["Submission Time"],
-                    "desc": props.get(
-                        "spark.job.description",
-                        props.get("callSite.short", ""),
-                    ),
-                    "stages": len(ev.get("Stage IDs", [])),
-                }
-            elif e == "SparkListenerJobEnd":
-                j = jobs.get(ev["Job ID"])
-                if j is not None:
-                    j["sec"] = (ev["Completion Time"] - j["t0"]) / 1000.0
-    print("\njob_id  sec     stages  description")
+    for part in parts:
+        if part.endswith(".zstd"):
+            import io
+            import subprocess
+
+            raw = subprocess.run(
+                ["zstd", "-dc", part], capture_output=True, check=True
+            ).stdout
+            fh = io.StringIO(raw.decode())
+        else:
+            fh = open(part)
+        with fh as f:
+            for line in f:
+                _ingest(json.loads(line), jobs)
+    print("\njob_id  sec     gap     stages  description")
+    prev_end = None
     for jid in sorted(jobs):
         j = jobs[jid]
+        gap = (
+            (j["t0"] - prev_end) / 1000.0 if prev_end is not None else 0.0
+        )
+        prev_end = j["t0"] + j.get("sec", 0.0) * 1000.0
         print(
-            f"{jid:>6}  {j.get('sec', float('nan')):6.3f}  "
-            f"{j['stages']:>6}  {j['desc'][:110]}"
+            f"{jid:>6}  {j.get('sec', float('nan')):6.3f}  {gap:6.3f}  "
+            f"{j['stages']:>6}  {j['desc'][:100]}"
         )
     return 0
+
+
+def _ingest(ev: dict, jobs: dict) -> None:
+    e = ev.get("Event")
+    if e == "SparkListenerJobStart":
+        props = ev.get("Properties") or {}
+        jobs[ev["Job ID"]] = {
+            "t0": ev["Submission Time"],
+            "desc": props.get(
+                "spark.job.description",
+                props.get("callSite.short", ""),
+            ),
+            "stages": len(ev.get("Stage IDs", [])),
+        }
+    elif e == "SparkListenerJobEnd":
+        j = jobs.get(ev["Job ID"])
+        if j is not None:
+            j["sec"] = (ev["Completion Time"] - j["t0"]) / 1000.0
 
 
 if __name__ == "__main__":
