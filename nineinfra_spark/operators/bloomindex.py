@@ -367,8 +367,11 @@ def bloom_index_write(
     # non-deterministic source (a sample, a changing view) recomputed
     # between them yields bitmaps missing keys the files hold: false
     # NEGATIVES (the zorder_layout_append lesson, applied to the
-    # build path too)
-    df = df.localCheckpoint(eager=True)
+    # build path too). LAZY checkpoint (r17): the bounds aggregate
+    # right below is the materializing action, so the pin costs no
+    # extra job (localCheckpoint materializes exactly once; eager vs
+    # lazy changes only WHEN).
+    df = df.localCheckpoint(eager=False)
     stats = df.agg(
         F.min(F.col(layout_col).cast("double")).alias("lo"),
         F.max(F.col(layout_col).cast("double")).alias("hi"),
@@ -392,9 +395,9 @@ def bloom_index_write(
         F.lit(0),  # NULL layout values: deterministic home in file 0
     )
     tagged = df.withColumn("fid", fid)
+    tagged_w = tagged.repartition(n_files, "fid")
     (
-        tagged.repartition(n_files, "fid")
-        .write.mode(mode)
+        tagged_w.write.mode(mode)
         .partitionBy("fid")
         .parquet(path)
     )
@@ -406,7 +409,20 @@ def bloom_index_write(
     # here so null keys are never indexed under either storage
     # (collect_set happened to drop them; the word aggregation would
     # propagate them).
-    bits_pairs = tagged.select(
+    #
+    # Parallelism gate (r17, guide §2.5/§6.1): a single-file source
+    # pins the checkpoint to ONE partition, which made the k·|rows|
+    # md5 evaluations of the position expressions a single-task stage
+    # (0.65 s of the sf0.1 build). When the pinned blocks are narrower
+    # than the cluster, route the bitmap scan through the same
+    # fid-keyed repartition the data write already needs (one small
+    # re-exchange of the pinned blocks buys k-way × cores md5
+    # parallelism); a real corpus (partitions ≥ cores) keeps the
+    # natural partitioning and pays NO exchange on the bitmap side.
+    ckpt_parts = df.rdd.getNumPartitions()
+    par = df.sparkSession.sparkContext.defaultParallelism
+    bits_src = tagged_w if ckpt_parts < min(par, n_files) else tagged
+    bits_pairs = bits_src.select(
         "fid",
         F.explode(_positions(F.col(key_col), m_bits, k)).alias("bit"),
     ).filter(F.col("bit").isNotNull())

@@ -2112,19 +2112,33 @@ def bloom_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = _out("bloom_skip", os.path.basename(sf_dir), "orders_bloom")
     shutil.rmtree(path, ignore_errors=True)  # idempotent re-runs
-    bloom_index_write(
-        df, path, "lay", "o_orderkey", _BLOOM_NF, _BLOOM_M, _BLOOM_K
-    )
-    probe = [
-        r["o_orderkey"]
-        for r in orders.select(
-            "o_orderkey",
-            F.md5(F.col("o_orderkey").cast("string")).alias("h"),
+
+    # The probe-key selection (a scan+top-5 of the same immutable
+    # parquet input) is INDEPENDENT of the index build, so it runs
+    # concurrently on a driver thread and back-fills executor slots
+    # the build's stage tails leave idle (guide §2.6 "overlap
+    # independent jobs"). Same jobs, same results — only the wall
+    # between them is removed.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _probe_keys() -> list:
+        return [
+            r["o_orderkey"]
+            for r in orders.select(
+                "o_orderkey",
+                F.md5(F.col("o_orderkey").cast("string")).alias("h"),
+            )
+            .orderBy("h")
+            .limit(5)
+            .collect()
+        ]
+
+    with ThreadPoolExecutor(max_workers=1) as _pool:
+        probe_fut = _pool.submit(_probe_keys)
+        bloom_index_write(
+            df, path, "lay", "o_orderkey", _BLOOM_NF, _BLOOM_M, _BLOOM_K
         )
-        .orderBy("h")
-        .limit(5)
-        .collect()
-    ]
+        probe = probe_fut.result()
     out, stats = _bloom_read(spark, path, probe)
     res = out.agg(
         F.count(F.lit(1)).alias("n_rows"),
