@@ -791,13 +791,19 @@ def mm_phash_neardup_64(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes = src.mapInPandas(_phash64_batches, "doc_id long, phash long")
     hashes = hashes.localCheckpoint(eager=False)  # both sides of the band self-join
 
-    # Same rewrite as `mm_phash_neardup`: the 8-byte phash rides
-    # through the band join, hamming verifies inline, and only
-    # surviving pairs reach the dedup exchange — no re-attach joins
-    # (guide §2.3; pair set unchanged, pigeonhole recall above).
+    # DELIBERATELY the re-attach shape, diverging from the 25-bit
+    # `mm_phash_neardup` (r17, verdict item 6): there the 5-bit band
+    # key space crowds (~2M raw candidates at sf0.1), so carrying the
+    # phash through the band join and verifying inline deletes a
+    # quadratic distinct — measured 1.9×. HERE the 65k-key bands never
+    # crowd (posting lists 1-2; candidates ≈ true pairs), so the carry
+    # buys nothing and costs wider band-join rows: A/B median-of-5 ×2
+    # interleaved rounds, carry 1.59/1.25 s vs re-attach 1.35/1.19 s —
+    # the carry never wins; the r16 driver run agreed (×0.63). Pair
+    # set identical either way (pigeonhole recall above; hamming is a
+    # pure pair function).
     bands = hashes.select(
         "doc_id",
-        "phash",
         F.explode(
             F.array(*[
                 F.struct(
@@ -809,8 +815,8 @@ def mm_phash_neardup_64(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for b in range(_PHASH64_BANDS)
             ])
         ).alias("bk"),
-    ).select("doc_id", "phash", "bk.band", "bk.key")
-    return (
+    ).select("doc_id", "bk.band", "bk.key")
+    cand = (
         bands.alias("x")
         .join(
             bands.alias("y"),
@@ -821,8 +827,18 @@ def mm_phash_neardup_64(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("x.doc_id").alias("doc_a"),
             F.col("y.doc_id").alias("doc_b"),
-            F.expr("cast(bit_count(x.phash ^ y.phash) as int)").alias("hamming"),
+        )
+        .distinct()
+    )
+    ha = hashes.select(F.col("doc_id").alias("doc_a"), F.col("phash").alias("pa"))
+    hb = hashes.select(F.col("doc_id").alias("doc_b"), F.col("phash").alias("pb"))
+    return (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("cast(bit_count(pa ^ pb) as int)").alias("hamming"),
         )
         .filter(F.col("hamming") <= PHASH64_HAM_T)
-        .distinct()
     )
