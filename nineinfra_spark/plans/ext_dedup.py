@@ -315,11 +315,21 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_h_spark("concat('a:', s)")).alias("h1"),
         (F.expr(_h_spark("concat('b:', s)")) % _H2_MOD).alias("h2"),
     )
+    # r17 (verdict item 7, guide §2.3 "shuffle keys/metadata, not
+    # payloads"): the 8-byte shingle COUNT rides the signature
+    # aggregate for free (ex has exactly n rows per doc — shingles are
+    # distinct), the band join prunes length-incompatible candidates
+    # with the classic set-similarity length filter — common <=
+    # min(na, nb), so 3*min(na, nb) < na+nb can never verify — and
+    # only surviving pairs reach the pair-dedup distinct and the two
+    # shingle-payload re-attach joins. Result-identical by the bound.
     sig = ex.groupBy("doc_id").agg(
-        *[F.min(F.col("h1") + k * F.col("h2")).alias(f"m{k}") for k in range(N_PERM)]
+        *[F.min(F.col("h1") + k * F.col("h2")).alias(f"m{k}") for k in range(N_PERM)],
+        F.count(F.lit(1)).alias("n"),
     )
     bands = sig.select(
         "doc_id",
+        "n",
         *[
             F.md5(
                 F.concat_ws(
@@ -329,8 +339,18 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(N_BANDS)
         ],
     )
+    # Pin the per-doc signature table before the band self-join: the
+    # sig subtree (per-shingle double-md5 + 16 partial mins) is the
+    # most expensive stage of this query and WITHOUT the pin both
+    # sides of the self-join compute it independently (no exchange
+    # reuse across aliased subtrees under AQE — two concurrent
+    # fact-sized stage jobs, measured 3.3 s + 3.5 s at sf0.1). Same
+    # device as the phash queries' `hashes` checkpoint; |docs|-sized,
+    # the standard persisted-intermediate at warehouse scale.
+    bands = bands.localCheckpoint(eager=False)
     bb = bands.select(
         "doc_id",
+        "n",
         F.posexplode(F.array(*[F.col(f"b{b}") for b in range(N_BANDS)])).alias(
             "band_idx", "band_key"
         ),
@@ -341,7 +361,8 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             bb.alias("y"),
             (F.col("x.band_idx") == F.col("y.band_idx"))
             & (F.col("x.band_key") == F.col("y.band_key"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+            & (F.col("x.doc_id") < F.col("y.doc_id"))
+            & (3 * F.least("x.n", "y.n") >= F.col("x.n") + F.col("y.n")),
         )
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
@@ -1073,7 +1094,15 @@ def dedup_minhash_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "shingles", F.size("shingles").alias("n")
     )
     sz = sz.localCheckpoint(eager=False)
-    ex0 = sz.select("doc_id", F.explode("shingles").alias("s"))
+    # r17 (verdict item 7): the FULL shingle count n (the verify uses
+    # uncapped sets, so the length filter must bound against the full
+    # n, not the capped survivor count) rides the per-shingle rows —
+    # 8 bytes each — through the DF-cap semi-join and the signature
+    # aggregate (max(n) is exact: n is functionally dependent on
+    # doc_id), then the band join prunes length-incompatible pairs
+    # before the distinct and the payload re-attach joins; common <=
+    # min(na, nb) makes the prune result-identical.
+    ex0 = sz.select("doc_id", "n", F.explode("shingles").alias("s"))
     keep = (
         ex0.groupBy("s")
         .agg(F.count(F.lit(1)).alias("nd"))
@@ -1082,14 +1111,17 @@ def dedup_minhash_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ex = ex0.join(keep, "s", "left_semi").select(
         "doc_id",
+        "n",
         F.expr(_h_spark("concat('a:', s)")).alias("h1"),
         (F.expr(_h_spark("concat('b:', s)")) % _H2_MOD).alias("h2"),
     )
     sig = ex.groupBy("doc_id").agg(
-        *[F.min(F.col("h1") + k * F.col("h2")).alias(f"m{k}") for k in range(N_PERM)]
+        *[F.min(F.col("h1") + k * F.col("h2")).alias(f"m{k}") for k in range(N_PERM)],
+        F.max("n").alias("n"),
     )
     bands = sig.select(
         "doc_id",
+        "n",
         *[
             F.md5(
                 F.concat_ws(
@@ -1100,8 +1132,18 @@ def dedup_minhash_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(N_BANDS)
         ],
     )
+    # Pin the per-doc signature table before the band self-join: the
+    # sig subtree (per-shingle double-md5 + 16 partial mins) is the
+    # most expensive stage of this query and WITHOUT the pin both
+    # sides of the self-join compute it independently (no exchange
+    # reuse across aliased subtrees under AQE — two concurrent
+    # fact-sized stage jobs, measured 3.3 s + 3.5 s at sf0.1). Same
+    # device as the phash queries' `hashes` checkpoint; |docs|-sized,
+    # the standard persisted-intermediate at warehouse scale.
+    bands = bands.localCheckpoint(eager=False)
     bb = bands.select(
         "doc_id",
+        "n",
         F.posexplode(F.array(*[F.col(f"b{b}") for b in range(N_BANDS)])).alias(
             "band_idx", "band_key"
         ),
@@ -1112,7 +1154,8 @@ def dedup_minhash_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
             bb.alias("y"),
             (F.col("x.band_idx") == F.col("y.band_idx"))
             & (F.col("x.band_key") == F.col("y.band_key"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+            & (F.col("x.doc_id") < F.col("y.doc_id"))
+            & (3 * F.least("x.n", "y.n") >= F.col("x.n") + F.col("y.n")),
         )
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
