@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nineinfra_spark.plans._util import dec, ranked_prefix, t
+from nineinfra_spark.plans._util import dec, ranked_prefix, spread, t
 from nineinfra_spark.plans.registry import query
 
 
@@ -1698,6 +1698,14 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("l_quantity").cast("bigint").alias("q"),
     )
+    # spread on the groupBy's own key subset (guide SS2.4 "two
+    # operations keyed the same way share one exchange"): the
+    # single-file scan otherwise runs the fact-sized partial aggregate
+    # on ONE task (0.75 s of the sf0.1 wall); hashing on the exact
+    # groupBy keys moves the aggregate onto all cores without adding
+    # an exchange the plan didn't already need. No-op on a real
+    # many-file corpus (spread's gate).
+    li = spread(li, "l_returnflag", "price_cents")
     g = li.groupBy("l_returnflag", "price_cents").agg(
         F.sum("q").alias("w")
     )
