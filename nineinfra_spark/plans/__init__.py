@@ -39,78 +39,92 @@ _load_all()
 #: Verification-priority prefix: the driver's CORRECTNESS gate checks
 #: a bounded window (exactly 50) of queries in export order, so the
 #: queries that most need a fresh driver-green differential row are
-#: pinned first — r16 composition (verdict-staged): the two
-#: plan-changed-in-r15 queries FIRST (`bloom_skipping_read` — probe
-#: word pushdown; `stream_zorder_maintenance` — NULL-safe key_cols
-#: upsert) per the standing "plan changes take a window slot" rule,
-#: then 48 of the 50-row r11-latest cohort (the artifact-derived
-#: rotation debt — union of CORRECTNESS_r01..r15 latest stamps; the
-#: set tests/test_window_rotation.py pins). The two displaced
-#: r11-cohort rows (`agg_cms_heavy_hitters`,
-#: `events_rolling_active_users` — both independently hash-re-checked
-#: green by the r15 judge, the lowest-risk deferrals) lead the r17
-#: window. ZERO new registrations: the registry is at rotation steady
-#: state (250 = 5 windows x 50), so every new query would permanently
-#: stretch re-verification past 5 rounds. The one retired name
-#: `sim_join_threshold` still carries its old r2 stamp unexported.
+#: pinned first — r17 composition (verdict item 3): every query whose
+#: PLAN changed in the r17 optimization session first (standing "plan
+#: changes take a window slot" rule), then the 13 r16 plan-changed
+#: queries that carried only builder-side verification, then the
+#: staged debt (`agg_cms_heavy_hitters`, `events_rolling_active_users`
+#: — displaced in r16 — plus `text_trigram_lm_score`,
+#: `catalog_merge_timetravel`), then r12-cohort fill (the oldest
+#: artifact stamps, alphabetical). ZERO new registrations: the
+#: registry stays at rotation steady state (250 = 5 windows x 50).
+#: The 18 r12-stamped rows that did not fit lead the r18 window
+#: (enumerated in the trailing comment; derivation pinned by
+#: tests/test_window_rotation.py).
 _VERIFY_FIRST = [
-    # plan-changed in r15 — re-stamp first (standing rule)
+    # plan-changed in r17 — re-stamp first (standing rule)
     "bloom_skipping_read",
+    "dq_bloom_fill_audit",
+    "zorder_skipping_read",
     "stream_zorder_maintenance",
-    # 48 of the r11-latest cohort, artifact-derived
-    "agg_mode_deterministic",
-    "agg_weighted_median",
-    "ann_pq_adc_topk",
-    "ann_pq_rerank_topk",
-    "ann_rp_rerank_topk",
-    "catalog_analyze_stats",
-    "catalog_masked_view",
-    "catalog_rollup_incremental",
-    "catalog_rollup_routing",
-    "catalog_view_lifecycle",
-    "dedup_incremental_batch",
+    "mm_phash_neardup_64",
+    "dedup_minhash_pairs",
     "dedup_minhash_df_capped",
-    "dedup_paragraph_exact",
-    "dedup_semantic_cells",
-    "doctor_scale_witness",
-    "dq_expectations",
-    "emb_norm_outliers",
-    "emb_random_projection",
-    "events_attribution_lastclick",
-    "events_funnel_conversion",
-    "events_funnel_windowed",
-    "events_path_3gram",
-    "events_transition_matrix",
-    "fn_zorder_values",
-    "graph_pagerank_fixed",
-    "hybrid_search_rrf",
-    "join_asof_forward",
-    "join_interval_bucketed",
-    "q11_important_stock",
-    "q16_supplier_cnt",
-    "q20_potential_promotion",
-    "q2_min_cost_supplier",
-    "q7_volume_shipping",
-    "q9_product_type_profit",
-    "sample_mixture_lang",
-    "scd2_intervals",
-    "split_leakage_guard",
-    "split_train_valid_test",
-    "text_bigram_familiarity",
-    "text_boilerplate_ngrams",
-    "text_bpe_apply",
-    "text_corpus_datasheet",
-    "text_length_buckets",
-    "text_pack_sequences",
-    "text_pii_redact",
-    "text_repetition_filter",
-    "udf_python_udtf",
-    "window_distribution_ranks",
-    # deferred to r17 (latest stamp r11 — the two rows displaced by
-    # the plan-changed-in-r15 pair; derived from the CORRECTNESS
-    # artifacts by tests/test_window_rotation.py):
-    # agg_cms_heavy_hitters
-    # events_rolling_active_users
+    "agg_weighted_median",
+    "dedup_embedding_clusters",
+    "dedup_connected_clusters",
+    # plan-changed in r16, builder-verified only (r16 verdict item 5)
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q8_market_share",
+    "q10_returned_items",
+    "q12_priority_lines",
+    "q18_large_volume_customers",
+    "fn_math",
+    "mm_phash_neardup",
+    "mm_wav_decode_stats",
+    "ann_lsh_buckets",
+    "graph_triangle_count",
+    "graph_link_prediction",
+    # staged r17 debt (r16 verdict item 3: displaced rows + deferred)
+    "agg_cms_heavy_hitters",
+    "events_rolling_active_users",
+    "text_trigram_lm_score",
+    "catalog_merge_timetravel",
+    # r12-cohort fill (oldest artifact stamps, alphabetical)
+    "agg_histogram_bins",
+    "agg_hll_union_rollup",
+    "catalog_delete_update",
+    "catalog_merge_upsert",
+    "catalog_partsupp_bucketed",
+    "emb_dim_stats",
+    "events_retention_cohorts",
+    "fn_explode_outer",
+    "fn_url_normalize",
+    "fn_variant_json",
+    "mm_ppm_decode_stats",
+    "pair_contrastive_negatives",
+    "q6_forecast_revenue",
+    "sample_cap_per_group",
+    "sql_lateral_topn",
+    "src_binaryfile_scan",
+    "src_csv_malformed_modes",
+    "src_jdbc_roundtrip",
+    "src_parquet_schema_merge",
+    "src_python_datasource",
+    "stream_dedup_index",
+    "stream_dedup_watermark",
+    "stream_python_datasource",
+    # deferred to r18 (latest stamp r12 — artifact-derived; pinned by
+    # tests/test_window_rotation.py):
+    # stream_rollup_maintenance
+    # stream_session_window
+    # stream_stateful_counts
+    # stream_static_join
+    # stream_stream_join
+    # stream_upsert_snapshot
+    # text_blocklist_filter
+    # text_chunk_windows
+    # text_idf_keywords
+    # text_snapshot_drift
+    # udf_scalar_python
+    # window_first_last_nth
+    # window_lag_lead
+    # window_moving_frame
+    # window_range_frame
+    # window_ranking
+    # window_running_agg
 ]
 
 
